@@ -1,13 +1,112 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.Analytics
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` is one implemented operator class from
+  * SURVEY.md §2 (or an LLM-pipeline operator); `oracleSql` holds the
+  * DuckDB-equivalent SQL the driver hash-compares against. Column names
+  * are aliased identically on both sides (the driver sorts columns by
+  * name before hashing).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Analytics.q02RevenueByNation(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary"   -> (Analytics.q01PricingSummary _),
+    "q02_revenue_by_nation" -> (Analytics.q02RevenueByNation _),
+    "q03_priority_count"    -> (Analytics.q03PriorityCount _),
+    "q04_cust_no_orders"    -> (Analytics.q04CustomersWithoutOrders _),
+    "q05_top_per_supplier"  -> (Analytics.q05TopPerSupplier _),
+    "q06_last_event_per_user" -> (Analytics.q06LastEventPerUser _),
+    "q07_daily_event_stats" -> (Analytics.q07DailyEventStats _),
+    "q08_asof_event"        -> (Analytics.q08AsOfEvent _),
+    "q09_conditional_agg"   -> (Analytics.q09ConditionalAgg _),
+    "q10_json_props"        -> (Analytics.q10JsonProps _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_base_price,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_revenue_by_nation" ->
+      """SELECT n_name,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q03_priority_count" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q04_cust_no_orders" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_partkey = p_partkey AND l_quantity > 45)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q05_top_per_supplier" ->
+      """SELECT * FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem) t
+        |WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin,
+
+    "q06_last_event_per_user" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+        |  round(CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE), 2) AS last_value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q07_daily_event_stats" ->
+      """SELECT epoch_ns(ts) - (epoch_ns(ts) % 86400000000000) AS day_ns,
+        |  event_type, count(*) AS n_events,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q08_asof_event" ->
+      """SELECT user_id, epoch_us(ts) AS asof_us, event_type AS asof_type
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events WHERE epoch_us(ts) <= 1704240000000000) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q09_conditional_agg" ->
+      """SELECT event_type, total_value, n_rows, n_high, high_value,
+        |  round(CAST(CAST(total_value AS DECIMAL(18,2)) - CAST(high_value AS DECIMAL(18,2)) AS DOUBLE), 2) AS low_value
+        |FROM (
+        |  SELECT event_type,
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value,
+        |    count(*) AS n_rows,
+        |    count(*) FILTER (WHERE value > 100.0) AS n_high,
+        |    round(CAST(sum(CASE WHEN value > 100.0 THEN CAST(value AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE), 2) AS high_value
+        |  FROM events GROUP BY event_type) t
+        |ORDER BY event_type""".stripMargin,
+
+    "q10_json_props" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
 }

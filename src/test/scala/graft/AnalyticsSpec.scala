@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+class AnalyticsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("every declared query runs and returns rows on sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      val n = df.count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("every query with an oracle has matching column names (sorted)") {
+    // The driver sorts columns by name before hashing; catch drift early
+    // by asserting the oracle SQL mentions each Spark output column.
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      val cols = SparkEntry.queries(name)(spark, sf).columns
+      cols.foreach { c =>
+        assert(sql.toLowerCase.contains(c.toLowerCase),
+          s"$name: column $c not present in oracle SQL")
+      }
+    }
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q01 exact values on sf0.001 are stable") {
+    val rows = SparkEntry.queries("q01_pricing_summary")(spark, sf).collect()
+    assert(rows.length == 6) // 3 flags × 2 statuses
+    val total = rows.map(_.getAs[Long]("count_order")).sum
+    assert(total == 6000L)
+  }
+
+  test("q05 rank column is dense 1..3 per supplier") {
+    val df = SparkEntry.queries("q05_top_per_supplier")(spark, sf)
+    val bySupp = df.collect().groupBy(_.getAs[Long]("l_suppkey"))
+    bySupp.values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rn")).sorted.sameElements(1 to rs.length))
+    }
+  }
+
+  test("events ts column reads as full-precision nanosecond longs") {
+    val e = Tables.events(spark, sf)
+    assert(e.schema("ts").dataType.typeName == "long")
+    val subUs = e.selectExpr("sum(ts % 1000) AS s").collect()(0).getAs[Long]("s")
+    assert(subUs > 0, "expected non-zero sub-microsecond digits")
+  }
+}
