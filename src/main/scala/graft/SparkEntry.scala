@@ -1,7 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.Analytics
+import graft.queries.{Analytics, PipelineOracles, PipelineQueries}
+import graft.functions.Multimodal
+import graft.streaming.StreamingJobs
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -28,6 +30,19 @@ object SparkEntry {
     "q08_asof_event"        -> (Analytics.q08AsOfEvent _),
     "q09_conditional_agg"   -> (Analytics.q09ConditionalAgg _),
     "q10_json_props"        -> (Analytics.q10JsonProps _),
+    "q11_token_stats"       -> (PipelineQueries.q11TokenStats _),
+    "q12_dedup_exact"       -> (PipelineQueries.q12DedupExact _),
+    "q13_fingerprint_dups"  -> (PipelineQueries.q13FingerprintDups _),
+    "q14_minhash_sig"       -> (PipelineQueries.q14MinhashSig _),
+    "q15_lsh_near_dups"     -> (PipelineQueries.q15LshNearDups _),
+    "q16_simhash"           -> (PipelineQueries.q16Simhash _),
+    "q17_quality"           -> (PipelineQueries.q17Quality _),
+    "q18_lang_id"           -> (PipelineQueries.q18LangId _),
+    "q19_knn_brute"         -> (PipelineQueries.q19KnnBrute _),
+    "q20_emb_label_stats"   -> (PipelineQueries.q20EmbLabelStats _),
+    "q21_ann_lsh"           -> (PipelineQueries.q21AnnLsh _),
+    "q22_multimodal_meta"   -> (Multimodal.q22MultimodalMeta _),
+    "q23_stream_hourly"     -> (StreamingJobs.hourlyEventCounts _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -108,5 +123,5 @@ object SparkEntry {
         |  count(*) AS n,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-  )
+  ) ++ PipelineOracles.sql
 }

@@ -1,0 +1,149 @@
+package graft.queries
+
+import graft.functions.{TextFunctions => TF}
+
+/** DuckDB twins of the pipeline queries. The portable-hash identity
+  * (md5 prefix → BIGINT) makes even MinHash/SimHash/LSH exactly
+  * reproducible in SQL: Spark `conv(substring(md5(x),1,15),16,10)` ==
+  * DuckDB `CAST('0x' || substr(md5(x),1,15) AS BIGINT)`.
+  */
+object PipelineOracles {
+
+  /** Distinct 3-word shingle set from a words list `w` (DuckDB). */
+  private val shingleSql =
+    "list_distinct(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' ')))"
+
+  private def minhashExpr(seed: Int): String =
+    s"list_min(list_transform(sh, s -> CAST('0x' || substr(md5('$seed|' || s), 1, 15) AS BIGINT)))"
+
+  private val docsWithWords =
+    "SELECT doc_id, text, string_split(trim(text), ' ') AS w FROM documents"
+
+  private def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
+
+  val sql: Map[String, String] = Map(
+    "q11_token_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(len(w) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_tokens,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(length(text) AS BIGINT) AS n_chars_computed
+         |FROM ($docsWithWords) ORDER BY doc_id""".stripMargin,
+
+    "q12_dedup_exact" ->
+      """SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+        |  count(*) AS n_distinct_texts,
+        |  count(*) FILTER (WHERE n > 1) AS n_dup_groups,
+        |  CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_dup_docs
+        |FROM (SELECT md5(text) AS h, count(*) AS n FROM documents GROUP BY 1) t""".stripMargin,
+
+    "q13_fingerprint_dups" ->
+      """SELECT fp, count(*) AS n_docs, min(doc_id) AS min_doc_id
+        |FROM (SELECT doc_id,
+        |        md5(array_to_string(list_sort(list_distinct(string_split(trim(text), ' '))), ' ')) AS fp
+        |      FROM documents) t
+        |GROUP BY fp HAVING count(*) > 1 ORDER BY min_doc_id""".stripMargin,
+
+    "q14_minhash_sig" -> {
+      val cols = (0 until 16).map(i => f"  ${minhashExpr(i)} AS mh$i%02d")
+      s"""SELECT doc_id,
+         |${cols.mkString(",\n")}
+         |FROM (SELECT doc_id, $shingleSql AS sh FROM ($docsWithWords) d0)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q15_lsh_near_dups" -> {
+      val sigList = (0 until 16).map(minhashExpr).mkString("[", ", ", "]")
+      s"""WITH d AS (SELECT doc_id, $shingleSql AS sh FROM ($docsWithWords) d0),
+         |m AS (SELECT doc_id, sh, $sigList AS sig FROM d),
+         |b AS (SELECT doc_id, j AS band,
+         |        md5(array_to_string(sig[4*j+1:4*j+4], '|')) AS band_hash
+         |      FROM m, UNNEST(range(0, 4)) AS t(j)),
+         |p AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |      FROM b x JOIN b y
+         |        ON x.band = y.band AND x.band_hash = y.band_hash
+         |       AND x.doc_id < y.doc_id),
+         |v AS (SELECT doc_a, doc_b,
+         |        round(CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE) /
+         |          (len(da.sh) + len(db.sh) - CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)), 4) AS jaccard
+         |      FROM p JOIN d da ON p.doc_a = da.doc_id
+         |             JOIN d db ON p.doc_b = db.doc_id)
+         |SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "q16_simhash" ->
+      s"""SELECT doc_id, CAST(
+         |  list_sum(list_transform(range(0, 32), j ->
+         |    CASE WHEN list_sum(list_transform(w, t ->
+         |           CASE WHEN (CAST('0x' || substr(md5(t),1,8) AS BIGINT) >> j) & 1 = 1
+         |                THEN 1 ELSE -1 END)) > 0
+         |         THEN 1 << j ELSE 0 END)) AS BIGINT) AS simhash32
+         |FROM ($docsWithWords) ORDER BY doc_id""".stripMargin,
+
+    "q17_quality" ->
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len(w) AS BIGINT) AS n_tokens,
+         |  round(CAST(length(text) AS DOUBLE) / CAST(len(w) AS DOUBLE), 4) AS mean_tok_len,
+         |  round(CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]', 0)) AS DOUBLE) / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
+         |  round(CAST(len(list_filter(w, t -> t IN (${inList(TF.StopwordsEn)}))) AS DOUBLE) / CAST(len(w) AS DOUBLE), 4) AS stop_ratio,
+         |  round(
+         |    least(CAST(1.0 AS DOUBLE), CAST(len(w) AS DOUBLE) / CAST(100.0 AS DOUBLE)) * CAST(0.25 AS DOUBLE) +
+         |    (CAST(1.0 AS DOUBLE) - CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]', 0)) AS DOUBLE) / CAST(length(text) AS DOUBLE)) * CAST(0.25 AS DOUBLE) +
+         |    (CAST(len(list_filter(w, t -> t IN (${inList(TF.StopwordsEn)}))) AS DOUBLE) / CAST(len(w) AS DOUBLE)) * CAST(0.25 AS DOUBLE) +
+         |    least(CAST(1.0 AS DOUBLE), (CAST(length(text) AS DOUBLE) / CAST(len(w) AS DOUBLE)) / CAST(8.0 AS DOUBLE)) * CAST(0.25 AS DOUBLE), 4) AS quality_score
+         |FROM ($docsWithWords) ORDER BY doc_id""".stripMargin,
+
+    "q18_lang_id" -> {
+      val scoreCols = TF.LangMarkers.map { case (lang, ms) =>
+        s"  len(list_filter(w, t -> t IN (${inList(ms)}))) AS n_$lang"
+      }
+      val caseArms = TF.LangMarkers.map { case (lang, _) =>
+        s"WHEN n_$lang = mx THEN '$lang'"
+      }
+      s"""SELECT doc_id, CASE WHEN mx = 0 THEN 'und' ${caseArms.mkString(" ")} ELSE 'und' END AS lang_pred
+         |FROM (SELECT doc_id, n_en, n_de, n_es, n_fr, n_zh,
+         |        greatest(n_en, n_de, n_es, n_fr, n_zh) AS mx
+         |      FROM (SELECT doc_id,
+         |${scoreCols.mkString(",\n")}
+         |            FROM ($docsWithWords) d0) s) t
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q19_knn_brute" -> {
+      def dot(x: String, y: String) =
+        s"list_sum(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+      s"""WITH a AS (SELECT vec_id AS anchor_id, embedding AS aemb
+         |           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+         |s AS (SELECT anchor_id, vec_id,
+         |        round(${dot("embedding", "aemb")} /
+         |          (sqrt(${dot("embedding", "embedding")}) * sqrt(${dot("aemb", "aemb")})), 6) AS cos_sim
+         |      FROM embeddings, a WHERE vec_id <> anchor_id)
+         |SELECT anchor_id, vec_id, cos_sim, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY anchor_id
+         |    ORDER BY cos_sim DESC, vec_id) AS rank FROM s) r
+         |WHERE rank <= 5 ORDER BY anchor_id, rank""".stripMargin
+    },
+
+    "q20_emb_label_stats" ->
+      """SELECT label, count(*) AS n_vecs,
+        |  CAST(sum(CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS sum_c1_micro,
+        |  CAST(sum(CAST(round(CAST(embedding[2] AS DOUBLE) * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS sum_c2_micro
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+
+    "q22_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_hash,
+        |  CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_byte,
+        |  CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+        |  CAST(octet_length(encode(text)) % 480 AS INTEGER) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q23_stream_hourly" ->
+      """SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS hour_us,
+        |  event_type, count(*) AS n_events
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+  )
+}

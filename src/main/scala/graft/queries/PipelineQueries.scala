@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{Dedup, Similarity, TextFunctions => TF}
+
+/** Training-data pipeline query surface: dedup, similarity search,
+  * text analysis — each a `queries()` entry with a DuckDB oracle on the
+  * documents/embeddings tables.
+  */
+object PipelineQueries {
+
+  /** Token statistics per document (whitespace + BPE-ish regex). */
+  def q11TokenStats(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    d.withColumn("w", TF.words(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        size(array_distinct(col("w"))).cast("long").as("n_distinct_tokens"),
+        TF.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"),
+        length(col("text")).cast("long").as("n_chars_computed"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exact-dedup summary (hash-groupBy dedup class). */
+  def q12DedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDupSummary(Tables.documents(s, dir), "doc_id", "text")
+
+  /** Bag-of-words fingerprint duplicate groups. */
+  def q13FingerprintDups(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    d.select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("min_doc_id"))
+  }
+
+  /** MinHash signatures (16 seeds over 3-word shingles). */
+  def q14MinhashSig(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashSignatures(Tables.documents(s, dir), "doc_id", "text",
+        k = 16, shingleN = 3)
+      .orderBy(col("doc_id"))
+
+  /** MinHash-LSH near-duplicate pairs verified with exact Jaccard. */
+  def q15LshNearDups(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
+      k = 16, bands = 4, shingleN = 3, threshold = 0.8)
+
+  /** 32-bit SimHash per document (single codegen'd expression). */
+  def q16Simhash(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    d.withColumn("w", TF.words(col("text")))
+      .select(col("doc_id"), Dedup.simhash32("w").cast("long").as("simhash32"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio, mean
+    * token length, combined into a [0,1] score. Pure rational
+    * arithmetic on exact integers — bit-identical across engines.
+    */
+  def q17Quality(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val stop = TF.StopwordsEn.map(w => s"'$w'").mkString(", ")
+    d.withColumn("w", TF.words(col("text")))
+      .withColumn("n_chars", length(col("text")).cast("double"))
+      .withColumn("n_tokens", size(col("w")).cast("double"))
+      .withColumn("n_punct",
+        size(expr("regexp_extract_all(lower(text), '[^a-z0-9 ]', 0)")).cast("double"))
+      .withColumn("n_stop", expr(s"size(filter(w, t -> t IN ($stop)))").cast("double"))
+      .select(
+        col("doc_id"),
+        col("n_chars").cast("long").as("n_chars"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        round(col("n_chars") / col("n_tokens"), 4).as("mean_tok_len"),
+        round(col("n_punct") / col("n_chars"), 4).as("punct_ratio"),
+        round(col("n_stop") / col("n_tokens"), 4).as("stop_ratio"),
+        round(
+          least(lit(1.0), col("n_tokens") / 100.0) * 0.25 +
+          (lit(1.0) - col("n_punct") / col("n_chars")) * 0.25 +
+          (col("n_stop") / col("n_tokens")) * 0.25 +
+          least(lit(1.0), (col("n_chars") / col("n_tokens")) / 8.0) * 0.25, 4)
+          .as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language ID: closed-class marker counts, argmax with fixed
+    * priority order, 'und' when no marker hits.
+    */
+  def q18LangId(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val scored = TF.LangMarkers.foldLeft(
+      d.withColumn("w", TF.words(col("text")))) { case (df, (lang, markers)) =>
+        df.withColumn(s"n_$lang", expr(TF.langScore(markers)))
+    }
+    val counts = TF.LangMarkers.map { case (lang, _) => col(s"n_$lang") }
+    val mx = greatest(counts: _*)
+    val pick = TF.LangMarkers.foldRight(lit("und")) { case ((lang, _), other) =>
+      when(col(s"n_$lang") === mx, lit(lang)).otherwise(other)
+    }
+    scored.select(col("doc_id"),
+        when(mx === 0, lit("und")).otherwise(pick).as("lang_pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Brute-force cosine top-5 for anchors {0,1,2} (ANN baseline). */
+  def q19KnnBrute(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteTopK(Tables.embeddings(s, dir), Seq(0L, 1L, 2L), k = 5)
+
+  /** Per-label embedding stats; component sums micro-scaled to exact
+    * integers so the aggregation is order-insensitive.
+    */
+  def q20EmbLabelStats(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    def micro(i: Int) = round(element_at(col("embedding"), i).cast("double") * 1000000.0, 0).cast("long")
+    e.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(micro(1)).cast("long").as("sum_c1_micro"),
+        sum(micro(2)).cast("long").as("sum_c2_micro"))
+      .orderBy(col("label"))
+  }
+
+  /** LSH-bucketed approximate nearest neighbors (scale path; recall<1
+    * by design — no SQL oracle, rows-only check).
+    */
+  def q21AnnLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.annTopK(Tables.embeddings(s, dir), Seq(0L, 1L, 2L), k = 3)
+}

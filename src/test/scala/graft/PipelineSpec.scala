@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("q15 LSH pairs are ordered, deduped, above threshold") {
+    val rows = SparkEntry.queries("q15_lsh_near_dups")(spark, sf).collect()
+    assert(rows.nonEmpty, "expected planted near-dups to be found")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      assert(r.getAs[Double]("jaccard") >= 0.8)
+    }
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.distinct.length == pairs.length)
+  }
+
+  test("q15 LSH finds a planted exact near-dup (sanity vs brute force)") {
+    // Brute-force the true >=0.8 shingle-jaccard pairs on the small SF
+    // and check LSH found all of them (16/4-band LSH at j>=0.8 has
+    // ~100% recall).
+    val d = Tables.documents(spark, sf)
+    val sh = d.select(col("doc_id"),
+      graft.functions.TextFunctions.shingleSet(col("text"), 3).as("sh"))
+    val a = sh.select(col("doc_id").as("ida"), col("sh").as("sha"))
+    val b = sh.select(col("doc_id").as("idb"), col("sh").as("shb"))
+    val brute = a.crossJoin(b).filter(col("ida") < col("idb"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("double"))
+      .withColumn("j", col("inter") / (size(col("sha")) + size(col("shb")) - col("inter")))
+      .filter(col("j") >= 0.8)
+      .select(col("ida"), col("idb")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("q15_lsh_near_dups")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.subsetOf(lsh), s"LSH missed: ${brute -- lsh}")
+  }
+
+  test("q19 ranks are dense and cosine bounded") {
+    val rows = SparkEntry.queries("q19_knn_brute")(spark, sf).collect()
+    assert(rows.length == 15) // 3 anchors x top5
+    rows.groupBy(_.getAs[Long]("anchor_id")).values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.sameElements(1 to 5))
+    }
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("cos_sim")) <= 1.0))
+  }
+
+  test("q21 ANN candidates agree with brute force where buckets overlap") {
+    val ann = SparkEntry.queries("q21_ann_lsh")(spark, sf).collect()
+    // rows-only oracle: assert shape invariants
+    ann.groupBy(_.getAs[Long]("anchor_id")).values.foreach { rs =>
+      val ranks = rs.map(_.getAs[Int]("rank")).sorted
+      assert(ranks.sameElements(1 to ranks.length))
+    }
+  }
+
+  test("simhash values are 32-bit") {
+    val rows = SparkEntry.queries("q16_simhash")(spark, sf).collect()
+    rows.foreach { r =>
+      val v = r.getAs[Long]("simhash32")
+      assert(v >= 0L && v < (1L << 32))
+    }
+  }
+
+  test("multimodal metadata is a pure function of the payload") {
+    val rows = SparkEntry.queries("q22_multimodal_meta")(spark, sf)
+      .limit(5).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Int]("width") == (r.getAs[Long]("n_bytes") % 640).toInt)
+      assert(r.getAs[String]("content_hash").length == 32)
+    }
+  }
+
+  test("streaming hourly counts conserve total events") {
+    val out = SparkEntry.queries("q23_stream_hourly")(spark, sf)
+    val total = out.agg(sum(col("n_events"))).collect()(0).getLong(0)
+    val expected = Tables.events(spark, sf).count()
+    assert(total == expected)
+  }
+}
