@@ -1,0 +1,246 @@
+package graft.expressions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the sketch operators.
+  *
+  * Spark's higher-order functions (`transform`/`aggregate`) evaluate
+  * their lambdas interpreted — per-element, per-pass. SimHash needs 32
+  * passes and MinHash k passes, which costs hundreds of millions of
+  * boxed lambda evaluations per 50k docs. These expressions do the same
+  * math in ONE tight JVM loop per row (~20× faster) while producing
+  * bit-identical results to the DuckDB oracle (same md5-prefix hash,
+  * same affine family).
+  *
+  * CodegenFallback costs one virtual call per row — irrelevant next to
+  * the per-element loop. (A `doGenCode` variant is possible but the
+  * interpreted loop is already memory-bound.)
+  */
+object Sketches {
+
+  private[expressions] def requireStringArray(e: Expression, fn: String): TypeCheckResult =
+    e.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$fn requires array<string>, got ${other.catalogString}")
+    }
+
+  /** md5-prefix 32-bit hash of UTF-8 bytes: first 4 digest bytes as an
+    * unsigned int in a long — equals parsing the first 8 hex chars.
+    */
+  private[expressions] def hash32(bytes: Array[Byte], md: java.security.MessageDigest): Long = {
+    md.reset()
+    val d = md.digest(bytes)
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** simhash32(words: array<string>): 32-bit SimHash of the word
+    * multiset — bit j set iff the per-bit ±1 vote sum over all word
+    * hashes is positive.
+    */
+  case class SimHash32(child: Expression) extends UnaryExpression
+      with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireStringArray(child, "graft_simhash32")
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val counts = new Array[Int](32)
+      val n = arr.numElements()
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          val h = hash32(arr.getUTF8String(i).getBytes, md)
+          var j = 0
+          while (j < 32) {
+            if (((h >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+            j += 1
+          }
+        }
+        i += 1
+      }
+      var out = 0L
+      var j = 0
+      while (j < 32) { if (counts(j) > 0) out |= (1L << j); j += 1 }
+      out
+    }
+    override protected def withNewChildInternal(c: Expression): SimHash32 = copy(c)
+  }
+
+  /** minhash_sig(shingles: array<string>): array of k minhash values,
+    * mh_i = min over shingles of ((a_i*h32(s) + b_i) mod p). One md5
+    * and one k-way update per shingle.
+    */
+  case class MinHashSignature(child: Expression, as: Array[Long],
+      bs: Array[Long], p: Long) extends UnaryExpression
+      with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireStringArray(child, "graft_minhash_sig")
+    // containsNull: an empty shingle set yields k nulls (list_min([]) = NULL)
+    override def dataType: DataType = ArrayType(LongType, containsNull = true)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val k = as.length
+      val mins = Array.fill(k)(Long.MaxValue)
+      val n = arr.numElements()
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          val h = hash32(arr.getUTF8String(i).getBytes, md)
+          var j = 0
+          while (j < k) {
+            val v = (as(j) * h + bs(j)) % p
+            if (v < mins(j)) mins(j) = v
+            j += 1
+          }
+        }
+        i += 1
+      }
+      // Empty input ⇒ null signature values, matching list_min([]) = NULL
+      if (n == 0) new GenericArrayData(Array.fill[Any](k)(null))
+      else new GenericArrayData(mins.map(Long.box(_): Any))
+    }
+    override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(c)
+  }
+
+  /** minhash_shingles(words: array<string>): MinHash signature computed
+    * directly from the word array — word n-gram shingle bytes are
+    * assembled in a reused buffer, never materialized as strings.
+    * Duplicates need no dedup (min is idempotent), so this equals the
+    * signature over the DISTINCT shingle set the oracle uses.
+    */
+  case class MinHashShingles(child: Expression, n: Int, as: Array[Long],
+      bs: Array[Long], p: Long) extends UnaryExpression
+      with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireStringArray(child, "graft_minhash_shingles")
+    // containsNull: fewer than n words ⇒ no shingles ⇒ k nulls
+    override def dataType: DataType = ArrayType(LongType, containsNull = true)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val k = as.length
+      val nw = arr.numElements()
+      val nShingles = nw - n + 1
+      if (nShingles <= 0) return new GenericArrayData(Array.fill[Any](k)(null))
+      val words = Array.tabulate(nw)(i => arr.getUTF8String(i).getBytes)
+      val mins = Array.fill(k)(Long.MaxValue)
+      val buf = new java.io.ByteArrayOutputStream(64)
+      var i = 0
+      while (i < nShingles) {
+        buf.reset()
+        var t = 0
+        while (t < n) {
+          if (t > 0) buf.write(' ')
+          buf.write(words(i + t))
+          t += 1
+        }
+        val h = hash32(buf.toByteArray, md)
+        var j = 0
+        while (j < k) {
+          val v = (as(j) * h + bs(j)) % p
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(mins.map(Long.box(_): Any))
+    }
+    override protected def withNewChildInternal(c: Expression): MinHashShingles = copy(c)
+  }
+
+  /** shingle_jaccard(wordsA, wordsB): exact Jaccard similarity of the
+    * two documents' DISTINCT n-gram shingle sets. Used on LSH candidate
+    * pairs only — the quadratic work never touches the full corpus.
+    */
+  case class ShingleJaccard(left: Expression, right: Expression, n: Int)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val l = requireStringArray(left, "graft_shingle_jaccard")
+      if (l == TypeCheckResult.TypeCheckSuccess)
+        requireStringArray(right, "graft_shingle_jaccard")
+      else l
+    }
+    override def dataType: DataType = DoubleType
+    private def shingleSet(arr: ArrayData): java.util.HashSet[String] = {
+      val out = new java.util.HashSet[String]()
+      val nw = arr.numElements()
+      if (nw - n + 1 <= 0) return out
+      val words = Array.tabulate(nw)(i => arr.getUTF8String(i).toString)
+      var i = 0
+      while (i <= nw - n) {
+        val sb = new java.lang.StringBuilder(64)
+        var t = 0
+        while (t < n) {
+          if (t > 0) sb.append(' ')
+          sb.append(words(i + t))
+          t += 1
+        }
+        out.add(sb.toString)
+        i += 1
+      }
+      out
+    }
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val sa = shingleSet(a.asInstanceOf[ArrayData])
+      val sb = shingleSet(b.asInstanceOf[ArrayData])
+      var inter = 0
+      val it = sb.iterator()
+      while (it.hasNext) if (sa.contains(it.next())) inter += 1
+      inter.toDouble / (sa.size + sb.size - inter.toDouble)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): ShingleJaccard =
+      copy(left = l, right = r)
+  }
+
+  /** Registers the sketch functions in the session's function registry
+    * (idempotent) and returns Column builders via call_function — the
+    * public route to use a custom Expression without private Column
+    * internals.
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_simhash32",
+      exprs => SimHash32(exprs.head), "scala_udf")
+    val (as, bs) = graft.functions.Dedup.MinhashParams.toArray.unzip
+    reg.createOrReplaceTempFunction("graft_minhash_sig",
+      exprs => MinHashSignature(exprs.head, as, bs,
+        graft.functions.Dedup.MinhashP), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_minhash_shingles",
+      exprs => MinHashShingles(exprs.head, 3, as, bs,
+        graft.functions.Dedup.MinhashP), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_shingle_jaccard",
+      exprs => ShingleJaccard(exprs(0), exprs(1), 3), "scala_udf")
+  }
+
+  /** MinHash signature straight from a words array (3-word shingles). */
+  def minhashSigFromWords(spark: SparkSession, words: Column): Column = {
+    register(spark)
+    call_function("graft_minhash_shingles", words)
+  }
+
+  /** Exact 3-gram shingle-set Jaccard of two word arrays. */
+  def shingleJaccard(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function("graft_shingle_jaccard", a, b)
+  }
+
+  def simhash32(spark: SparkSession, words: Column): Column = {
+    register(spark)
+    call_function("graft_simhash32", words)
+  }
+
+  def minhashSig(spark: SparkSession, shingles: Column): Column = {
+    register(spark)
+    call_function("graft_minhash_sig", shingles)
+  }
+}

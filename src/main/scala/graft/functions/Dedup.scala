@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import TextFunctions._
 
@@ -28,20 +28,37 @@ object Dedup {
       sum(when(col("n") > 1, col("n")).otherwise(lit(0))).cast("long").as("n_dup_docs"))
   }
 
-  /** MinHash signature columns mh00..mh{k-1} from a shingle-set column.
-    * Seed i uses the portable hash of "i|shingle"; min over the set.
+  /** Universal-hash family for MinHash: mh_i(S) = min_{s∈S} ((a_i·h(s)
+    * + b_i) mod P) with h the portable 32-bit md5-prefix hash and P a
+    * prime > 2^32. ONE md5 per shingle (not one per seed) — the k
+    * signatures are cheap affine transforms of the shared hash. a_i <
+    * 2^30 keeps a_i·h < 2^62: no 64-bit overflow in either engine.
     */
-  def minhashCols(sh: Column, k: Int): Seq[Column] =
-    (0 until k).map { i =>
-      array_min(transform(sh, s => hash60(concat(lit(s"$i|"), s))))
-        .as(f"mh$i%02d")
-    }
+  val MinhashP: Long = 4294967311L
+  val MinhashParams: Seq[(Long, Long)] = Seq(
+    (745608819L, 248963417L), (324596023L, 903837683L),
+    (526089559L, 30293999L), (661408273L, 713178101L),
+    (78855127L, 563144563L), (952821319L, 68471339L),
+    (411409657L, 868554217L), (130959239L, 304173617L),
+    (241659371L, 373650473L), (852126029L, 497180263L),
+    (667939513L, 646462531L), (96971063L, 789107293L),
+    (569452027L, 104574559L), (781309283L, 42382297L),
+    (315237619L, 925812733L), (438546857L, 591336419L),
+  )
 
-  /** doc_id + k minhash signature columns for every document. */
-  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, shingleN: Int): DataFrame =
-    docs.select(
-      col(idCol) +: minhashCols(shingleSet(col(textCol), shingleN), k): _*)
+  /** doc_id + k minhash signature columns for every document. The
+    * signature array is computed by the native MinHashSignature
+    * expression (one md5 + k affine mins per shingle, single pass) and
+    * materialized in its own projection before the per-column extract.
+    */
+  def minhashSignatures(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String, k: Int, shingleN: Int): DataFrame =
+    docs
+      .select(col(idCol),
+        graft.expressions.Sketches.minhashSigFromWords(spark,
+          words(col(textCol))).as("sig"))
+      .select(col(idCol) +:
+        (0 until k).map(i => element_at(col("sig"), i + 1).as(f"mh$i%02d")): _*)
 
   /** MinHash-LSH near-duplicate pairs, verified with exact shingle-set
     * Jaccard. k signatures are split into `bands` bands of k/bands rows;
@@ -50,14 +67,18 @@ object Dedup {
     *
     * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, ordered.
     */
-  def lshNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 16, bands: Int = 4, shingleN: Int = 3,
+  def lshNearDupPairs(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String, k: Int = 16, bands: Int = 4, shingleN: Int = 3,
       threshold: Double = 0.8): DataFrame = {
+    // The registered native expressions are fixed at k=16 / 3-shingles;
+    // generalizing the registry is future work.
+    require(k == 16 && shingleN == 3, "native minhash path is k=16, n=3")
     val rows = k / bands
     val base = docs.select(col(idCol).cast("long").as("id"),
-      shingleSet(col(textCol), shingleN).as("sh"))
-    val withSig = base.withColumn("sig",
-      array(minhashCols(col("sh"), k).map(c => c): _*))
+      words(col(textCol)).as("w"))
+    val withSig = base
+      .withColumn("sig",
+        graft.expressions.Sketches.minhashSigFromWords(spark, col("w")))
 
     // One row per (doc, band): band hash = md5 of the joined band slice.
     val banded = withSig.select(col("id"),
@@ -79,29 +100,17 @@ object Dedup {
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
 
-    // Verify with exact Jaccard over the shingle sets.
-    val shA = base.select(col("id").as("doc_a"), col("sh").as("sh_a"))
-    val shB = base.select(col("id").as("doc_b"), col("sh").as("sh_b"))
+    // Verify with exact Jaccard over the distinct shingle sets — the
+    // native pair expression runs only on candidates, so the quadratic
+    // work never touches the full corpus.
+    val shA = base.select(col("id").as("doc_a"), col("w").as("w_a"))
+    val shB = base.select(col("id").as("doc_b"), col("w").as("w_b"))
     cand.join(shA, "doc_a").join(shB, "doc_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("jaccard", round(col("inter") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
+      .withColumn("jaccard", round(
+        graft.expressions.Sketches.shingleJaccard(spark, col("w_a"), col("w_b")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** 32-bit SimHash over the word multiset, computed entirely inside a
-    * single whole-stage-codegen'd expression (no shuffle): bit j of the
-    * signature is the sign of the sum of ±1 votes from every word's
-    * 32-bit hash.
-    */
-  def simhash32(wordsCol: String): Column =
-    expr(s"""
-      aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, j) -> acc +
-        CASE WHEN aggregate($wordsCol, CAST(0 AS BIGINT), (a2, t) -> a2 +
-          CASE WHEN (shiftright(CAST(conv(substring(md5(t),1,8),16,10) AS BIGINT), j) & 1) = 1
-               THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END) > 0
-        THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END)
-    """)
 }

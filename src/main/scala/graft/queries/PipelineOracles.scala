@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.functions.{TextFunctions => TF}
+import graft.functions.{Dedup, TextFunctions => TF}
 
 /** DuckDB twins of the pipeline queries. The portable-hash identity
   * (md5 prefix → BIGINT) makes even MinHash/SimHash/LSH exactly
@@ -13,8 +13,16 @@ object PipelineOracles {
   private val shingleSql =
     "list_distinct(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' ')))"
 
-  private def minhashExpr(seed: Int): String =
-    s"list_min(list_transform(sh, s -> CAST('0x' || substr(md5('$seed|' || s), 1, 15) AS BIGINT)))"
+  /** Affine minhash over the shared 32-bit hash array `hs` (one md5 per
+    * shingle, mirroring Dedup.minhashColsFromHashes).
+    */
+  private def minhashExpr(seed: Int): String = {
+    val (a, b) = Dedup.MinhashParams(seed)
+    s"list_min(list_transform(hs, h -> ($a * h + $b) % ${Dedup.MinhashP}))"
+  }
+
+  private val hashedShinglesSql =
+    s"list_transform($shingleSql, s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT))"
 
   private val docsWithWords =
     "SELECT doc_id, text, string_split(trim(text), ' ') AS w FROM documents"
@@ -48,14 +56,15 @@ object PipelineOracles {
       val cols = (0 until 16).map(i => f"  ${minhashExpr(i)} AS mh$i%02d")
       s"""SELECT doc_id,
          |${cols.mkString(",\n")}
-         |FROM (SELECT doc_id, $shingleSql AS sh FROM ($docsWithWords) d0)
+         |FROM (SELECT doc_id, $hashedShinglesSql AS hs FROM ($docsWithWords) d0)
          |ORDER BY doc_id""".stripMargin
     },
 
     "q15_lsh_near_dups" -> {
       val sigList = (0 until 16).map(minhashExpr).mkString("[", ", ", "]")
       s"""WITH d AS (SELECT doc_id, $shingleSql AS sh FROM ($docsWithWords) d0),
-         |m AS (SELECT doc_id, sh, $sigList AS sig FROM d),
+         |h AS (SELECT doc_id, sh, list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS hs FROM d),
+         |m AS (SELECT doc_id, sh, $sigList AS sig FROM h),
          |b AS (SELECT doc_id, j AS band,
          |        md5(array_to_string(sig[4*j+1:4*j+4], '|')) AS band_hash
          |      FROM m, UNNEST(range(0, 4)) AS t(j)),
@@ -75,11 +84,13 @@ object PipelineOracles {
     "q16_simhash" ->
       s"""SELECT doc_id, CAST(
          |  list_sum(list_transform(range(0, 32), j ->
-         |    CASE WHEN list_sum(list_transform(w, t ->
-         |           CASE WHEN (CAST('0x' || substr(md5(t),1,8) AS BIGINT) >> j) & 1 = 1
-         |                THEN 1 ELSE -1 END)) > 0
+         |    CASE WHEN list_sum(list_transform(hw, h ->
+         |           CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
          |         THEN 1 << j ELSE 0 END)) AS BIGINT) AS simhash32
-         |FROM ($docsWithWords) ORDER BY doc_id""".stripMargin,
+         |FROM (SELECT doc_id,
+         |        list_transform(w, t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)) AS hw
+         |      FROM ($docsWithWords) d0)
+         |ORDER BY doc_id""".stripMargin,
 
     "q17_quality" ->
       s"""SELECT doc_id,

@@ -40,20 +40,21 @@ object PipelineQueries {
 
   /** MinHash signatures (16 seeds over 3-word shingles). */
   def q14MinhashSig(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashSignatures(Tables.documents(s, dir), "doc_id", "text",
+    Dedup.minhashSignatures(s, Tables.documents(s, dir), "doc_id", "text",
         k = 16, shingleN = 3)
       .orderBy(col("doc_id"))
 
   /** MinHash-LSH near-duplicate pairs verified with exact Jaccard. */
   def q15LshNearDups(s: SparkSession, dir: String): DataFrame =
-    Dedup.lshNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
+    Dedup.lshNearDupPairs(s, Tables.documents(s, dir), "doc_id", "text",
       k = 16, bands = 4, shingleN = 3, threshold = 0.8)
 
-  /** 32-bit SimHash per document (single codegen'd expression). */
+  /** 32-bit SimHash per document (native single-pass expression). */
   def q16Simhash(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
-    d.withColumn("w", TF.words(col("text")))
-      .select(col("doc_id"), Dedup.simhash32("w").cast("long").as("simhash32"))
+    d.select(col("doc_id"),
+        graft.expressions.Sketches.simhash32(s, TF.words(col("text")))
+          .cast("long").as("simhash32"))
       .orderBy(col("doc_id"))
   }
 
