@@ -43,7 +43,7 @@ object SparkEntry {
     "q21_ann_lsh"           -> (PipelineQueries.q21AnnLsh _),
     "q22_multimodal_meta"   -> (Multimodal.q22MultimodalMeta _),
     "q23_stream_hourly"     -> (StreamingJobs.hourlyEventCounts _),
-  )
+  ) ++ graft.queries.NearQueries.queries
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->

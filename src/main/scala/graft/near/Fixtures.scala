@@ -1,0 +1,172 @@
+package graft.near
+
+/** Deterministic fixture chain (FIXTURES.md §A): hand-authored
+  * StreamerMessage JSONs exercising every tricky operator behavior —
+  * delegate expansion, cross-block lineage, DataId lineage, orphan
+  * skip, implicit accounts, delete-account lifecycle, access-key
+  * placeholder, FT/NFT events with ordinals + malformed logs, the
+  * issue84 hash collision, and a same-height fork.
+  *
+  * Used by both the ScalaTest golden specs and the driver-facing
+  * `near_*` queries (SparkEntry), so the gate exercises the real ETL
+  * DAG end-to-end.
+  */
+object Fixtures {
+
+  private val B64Args = java.util.Base64.getEncoder.encodeToString(
+    """{"receiver_id":"app.near","amount":"12"}""".getBytes("UTF-8"))
+  private val B64NotJson = java.util.Base64.getEncoder.encodeToString(
+    "not json at all".getBytes("UTF-8"))
+
+  val transfer = """{"Transfer":{"deposit":"10"}}"""
+  val createAccount = "\"CreateAccount\""
+  val deploy = """{"DeployContract":{"code":"Y29kZQ=="}}"""
+  def fcall(b64: String) =
+    s"""{"FunctionCall":{"method_name":"do_it","args":"$b64","gas":100000000,"deposit":"0"}}"""
+  val stake = """{"Stake":{"stake":"5","public_key":"ed25519:PK1"}}"""
+  val addKeyFull =
+    """{"AddKey":{"public_key":"ed25519:AK1","access_key":{"nonce":0,"permission":"FullAccess"}}}"""
+  val addKeyFc =
+    """{"AddKey":{"public_key":"ed25519:AK2","access_key":{"nonce":5,"permission":{"FunctionCall":{"allowance":"250000000000","receiver_id":"app.near","method_names":["mint","burn"]}}}}}"""
+  val deleteKey = """{"DeleteKey":{"public_key":"ed25519:AK1"}}"""
+  val deleteAccount = """{"DeleteAccount":{"beneficiary_id":"bob.near"}}"""
+  val delegate =
+    s"""{"Delegate":{"delegate_action":{"sender_id":"alice.near","receiver_id":"bob.near","actions":[$transfer,${fcall(B64Args)}],"nonce":7,"max_block_height":200,"public_key":"ed25519:DK1"},"signature":"ed25519:sigD"}}"""
+
+  val ImplicitId = "ab" * 32 // 64 chars ⇒ implicit account (accounts.rs:54)
+
+  def tx(hash: String, signer: String, receiver: String, actions: String,
+      status: String, receiptId: String): String =
+    s"""{"transaction":{"hash":"$hash","signer_id":"$signer","public_key":"ed25519:PKs","nonce":1,"receiver_id":"$receiver","signature":"ed25519:sig","actions":[$actions]},"outcome":{"execution_outcome":{"id":"EO_$hash","outcome":{"status":$status,"gas_burnt":424555,"tokens_burnt":"424555000000000","receipt_ids":["$receiptId"]}}}}"""
+
+  def actionReceipt(id: String, predecessor: String, receiver: String,
+      signer: String, actions: String,
+      outputData: String = "[]", inputData: String = "[]"): String =
+    s"""{"predecessor_id":"$predecessor","receiver_id":"$receiver","receipt_id":"$id","receipt":{"Action":{"signer_id":"$signer","signer_public_key":"ed25519:PKs","gas_price":"100000000","output_data_receivers":$outputData,"input_data_ids":$inputData,"actions":[$actions]}}}"""
+
+  def dataReceipt(id: String, dataId: String, data: String = "\"aGk=\""): String =
+    s"""{"predecessor_id":"system","receiver_id":"bob.near","receipt_id":"$id","receipt":{"Data":{"data_id":"$dataId","data":$data}}}"""
+
+  def outcome(receiptId: String, blockHash: String, status: String,
+      produced: Seq[String], logs: Seq[String], receiptJson: String,
+      executor: String = "bob.near"): String = {
+    val logsJson = logs.mkString("[", ",", "]")
+    val producedJson = produced.map(p => s"\"$p\"").mkString("[", ",", "]")
+    s"""{"execution_outcome":{"id":"$receiptId","block_hash":"$blockHash","outcome":{"status":$status,"gas_burnt":1,"tokens_burnt":"100","executor_id":"$executor","logs":$logsJson,"receipt_ids":$producedJson}},"receipt":$receiptJson}"""
+  }
+
+  def chunk(hash: String, shardId: Long, txs: Seq[String], receipts: Seq[String]): String =
+    s"""{"author":"val0","header":{"chunk_hash":"$hash","shard_id":$shardId,"signature":"ed25519:csig","gas_limit":"1000000000000000","gas_used":"424555"},"transactions":${txs.mkString("[", ",", "]")},"receipts":${receipts.mkString("[", ",", "]")}}"""
+
+  def shard(id: Long, chunkJson: Option[String], outcomes: Seq[String],
+      stateChanges: Seq[String]): String =
+    s"""{"shard_id":$id,"chunk":${chunkJson.getOrElse("null")},"receipt_execution_outcomes":${outcomes.mkString("[", ",", "]")},"state_changes":${stateChanges.mkString("[", ",", "]")}}"""
+
+  def block(height: Long, hash: String, prev: String, ts: String,
+      shards: Seq[String]): String =
+    s"""{"block":{"author":"val0","header":{"height":$height,"hash":"$hash","prev_hash":"$prev","timestamp":$ts,"total_supply":"1178709068419829947981959148837955","gas_price":"100000000"}},"shards":${shards.mkString("[", ",", "]")}}"""
+
+  val svOk = """{"SuccessValue":""}"""
+  def srId(r: String) = s"""{"SuccessReceiptId":"$r"}"""
+  val failed = """{"Failure":{"ActionError":{"index":0,"kind":{}}}}"""
+
+  def scAccountUpdate(account: String, cause: String, amount: String = "110"): String =
+    s"""{"cause":$cause,"type":"account_update","change":{"account_id":"$account","amount":"$amount","locked":"0","code_hash":"11111111111111111111111111111111","storage_usage":182,"storage_paid_at":0}}"""
+  def scAccountDeletion(account: String, cause: String): String =
+    s"""{"cause":$cause,"type":"account_deletion","change":{"account_id":"$account"}}"""
+  def scAccessKeyUpdate(account: String, key: String, cause: String,
+      permission: String = "\"FullAccess\""): String =
+    s"""{"cause":$cause,"type":"access_key_update","change":{"account_id":"$account","public_key":"$key","access_key":{"nonce":1,"permission":$permission}}}"""
+  def scAccessKeyDeletion(account: String, key: String, cause: String): String =
+    s"""{"cause":$cause,"type":"access_key_deletion","change":{"account_id":"$account","public_key":"$key"}}"""
+
+  def causeTx(h: String) = s"""{"type":"transaction_processing","tx_hash":"$h"}"""
+  def causeReceipt(r: String) = s"""{"type":"receipt_processing","receipt_hash":"$r"}"""
+  def causeGasReward(r: String) = s"""{"type":"action_receipt_gas_reward","receipt_hash":"$r"}"""
+
+  val ftMintLog =
+    "\"EVENT_JSON:{\\\"standard\\\":\\\"nep141\\\",\\\"version\\\":\\\"1.0.0\\\",\\\"event\\\":\\\"ft_mint\\\",\\\"data\\\":[{\\\"owner_id\\\":\\\"bob.near\\\",\\\"amount\\\":\\\"100\\\"},{\\\"owner_id\\\":\\\"carol.near\\\",\\\"amount\\\":\\\"50\\\",\\\"memo\\\":\\\"me\\\\u0000mo\\\"}]}\""
+  val ftTransferLog =
+    "\"EVENT_JSON:{\\\"standard\\\":\\\"nep141\\\",\\\"version\\\":\\\"1.0.0\\\",\\\"event\\\":\\\"ft_transfer\\\",\\\"data\\\":[{\\\"old_owner_id\\\":\\\"bob.near\\\",\\\"new_owner_id\\\":\\\"alice.near\\\",\\\"amount\\\":\\\"7\\\"}]}\""
+  val nftTransferLog =
+    "\"EVENT_JSON:{\\\"standard\\\":\\\"nep171\\\",\\\"version\\\":\\\"1.0.0\\\",\\\"event\\\":\\\"nft_transfer\\\",\\\"data\\\":[{\\\"authorized_id\\\":\\\"app.near\\\",\\\"old_owner_id\\\":\\\"bob.near\\\",\\\"new_owner_id\\\":\\\"carol.near\\\",\\\"token_ids\\\":[\\\"tk1\\\",\\\"tk2\\\"]}]}\""
+  val malformedEventLog =
+    "\"EVENT_JSON:{\\\"standard\\\":\\\"nep141\\\",\\\"event\\\":\\\"ft_mint\\\",\\\"data\\\":5}\""
+  val plainLog = "\"regular log line\""
+
+  /** The full fixture chain. */
+  def chain: Seq[String] = {
+    val ts0 = "1700000000000000000"
+    val ts1 = "1700000001000000000"
+    val ts2 = "1700000002000000000"
+
+    // Block 100: txs T1 (transfer) + T2 (8 non-delegate action kinds);
+    // local receipt R1 with output data D1; outcome of R1 produces R3.
+    val r1 = actionReceipt("R1", "alice.near", "bob.near", "alice.near",
+      transfer, outputData = """[{"data_id":"D1","receiver_id":"bob.near"}]""")
+    val c100 = chunk("C100", 0,
+      txs = Seq(
+        tx("T1", "alice.near", "bob.near", transfer, svOk, "R1"),
+        tx("T2", "alice.near", "carol.near",
+          Seq(createAccount, deploy, fcall(B64Args), fcall(B64NotJson),
+            stake, addKeyFull, addKeyFc, deleteKey).mkString(","),
+          srId("R2"), "R2")),
+      receipts = Seq(r1))
+    val b100 = block(100, "B100", "B099", ts0, Seq(
+      shard(0, Some(c100),
+        outcomes = Seq(
+          outcome("R1", "B100", svOk, produced = Seq("R3"), logs = Seq(),
+            receiptJson = r1)),
+        stateChanges = Seq(
+          scAccountUpdate("bob.near", causeReceipt("R1")),
+          scAccessKeyUpdate("alice.near", "ed25519:AK1", causeReceipt("R1")),
+          scAccountUpdate("alice.near", causeTx("T1"), amount = "90")))))
+
+    // Block 101: delegate tx T3; cross-block receipt R3 (parent tx T1 via
+    // R1's outcome), data receipt R5 (via D1), orphan R6; outcome of R2
+    // creates carol.near + emits FT/NFT events; implicit-account transfer.
+    val c101 = chunk("C101", 0,
+      txs = Seq(tx("T3", "alice.near", "bob.near", delegate, svOk, "R4")),
+      receipts = Seq(
+        actionReceipt("R3", "bob.near", "alice.near", "alice.near", transfer),
+        dataReceipt("R5", "D1"),
+        actionReceipt("R6", "ghost.near", "bob.near", "ghost.near", transfer)))
+    val b101 = block(101, "B101", "B100", ts1, Seq(
+      shard(0, Some(c101),
+        outcomes = Seq(
+          outcome("R2", "B101", srId("R7"), produced = Seq("R7"),
+            logs = Seq(ftMintLog, malformedEventLog, plainLog, nftTransferLog),
+            receiptJson = actionReceipt("R2", "alice.near", "carol.near",
+              "alice.near", createAccount), executor = "carol.near"),
+          outcome("R8", "B101", svOk, produced = Seq(),
+            logs = Seq(ftTransferLog),
+            receiptJson = actionReceipt("R8", "alice.near", ImplicitId,
+              "alice.near", transfer))),
+        stateChanges = Seq(
+          scAccessKeyDeletion("eve.near", "ed25519:AK9", causeReceipt("R2")),
+          scAccountDeletion("dave.near", causeReceipt("R2")),
+          scAccountUpdate("carol.near", causeGasReward("R2"), amount = "55")))))
+
+    // Block 102a: duplicate tx hash T1 (issue84 suffix); DeleteAccount
+    // for carol.near via receipt R7.
+    val c102 = chunk("C102", 0,
+      txs = Seq(tx("T1", "mallory.near", "bob.near", transfer, svOk, "R9")),
+      receipts = Seq())
+    val b102a = block(102, "B102a", "B101", ts2, Seq(
+      shard(0, Some(c102),
+        outcomes = Seq(
+          outcome("R7", "B102a", svOk, produced = Seq(),
+            logs = Seq(),
+            receiptJson = actionReceipt("R7", "alice.near", "carol.near",
+              "alice.near", deleteAccount), executor = "carol.near")),
+        stateChanges = Seq()),
+      // shard with no chunk but present in the message (b016)
+      shard(1, None, outcomes = Seq(), stateChanges = Seq())))
+
+    // Block 102b: same-height fork (b015) — different hash, one empty chunk.
+    val b102b = block(102, "B102b", "B101", ts2, Seq(
+      shard(0, Some(chunk("C102b", 0, Seq(), Seq())), Seq(), Seq())))
+
+    Seq(b100, b101, b102a, b102b)
+  }
+}

@@ -1,0 +1,65 @@
+package graft.near
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
+
+/** Ingestion entry points: raw block-JSON documents → Dataset[NormBlock].
+  *
+  * Batch: one JSON file per block (the NEAR Lake layout,
+  * `indexer/src/main.rs:243-259`), read with wholetext so a block maps
+  * to exactly one row regardless of pretty-printing. The parse runs
+  * distributed inside mapPartitions-style Dataset.map — the driver
+  * never touches block contents.
+  */
+object Ingest {
+
+  implicit val normBlockEncoder: Encoder[NormBlock] = Encoders.product[NormBlock]
+
+  /** Batch: parse every *.json block file under `path`. */
+  def blocks(spark: SparkSession, path: String): Dataset[NormBlock] = {
+    import spark.implicits._
+    spark.read.option("wholetext", "true").text(path)
+      .as[String]
+      .map(BlockParser.parse _)
+  }
+
+  /** In-memory (fixtures / tests): parse the given JSON documents. */
+  def blocksFromJson(spark: SparkSession, jsons: Seq[String]): Dataset[NormBlock] = {
+    import spark.implicits._
+    spark.createDataset(jsons).map(BlockParser.parse _)
+  }
+
+  /** All 17 output tables from a normalized block set, with lineage
+    * resolved (batch path; the streaming wrapper reuses this per
+    * microbatch).
+    */
+  def allTables(norm: DataFrame): Map[String, DataFrame] = {
+    val txBase = Transforms.transactionsBase(norm)
+    val transactions = Transforms.transactions(txBase)
+    val rBase = Transforms.receiptsBase(norm)
+    val oBase = Transforms.outcomesBase(norm)
+    val outcomeReceipts = Transforms.executionOutcomeReceipts(oBase)
+    val outputData = Transforms.actionReceiptOutputData(rBase)
+    val dataReceipts = Transforms.dataReceipts(rBase)
+    val lineage = Lineage.resolve(transactions, outcomeReceipts, outputData,
+      dataReceipts)
+    Map(
+      "blocks" -> Transforms.blocks(norm),
+      "chunks" -> Transforms.chunks(norm),
+      "transactions" -> transactions,
+      "transaction_actions" -> Transforms.transactionActions(txBase),
+      "receipts" -> Transforms.receipts(rBase, lineage),
+      "action_receipts" -> Transforms.actionReceipts(rBase),
+      "action_receipt_actions" -> Transforms.actionReceiptActions(rBase),
+      "action_receipt_input_data" -> Transforms.actionReceiptInputData(rBase),
+      "action_receipt_output_data" -> outputData,
+      "data_receipts" -> dataReceipts,
+      "execution_outcomes" -> Transforms.executionOutcomes(oBase),
+      "execution_outcome_receipts" -> outcomeReceipts,
+      "accounts" -> Transforms.accountsRegistry(Transforms.accountEvents(norm)),
+      "access_keys" -> Transforms.accessKeysRegistry(Transforms.accessKeyEvents(norm)),
+      "account_changes" -> Transforms.accountChanges(norm),
+      "assets__fungible_token_events" -> Events.ftEvents(norm),
+      "assets__non_fungible_token_events" -> Events.nftEvents(norm),
+    )
+  }
+}
