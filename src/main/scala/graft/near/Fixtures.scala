@@ -148,17 +148,24 @@ object Fixtures {
           scAccountUpdate("carol.near", causeGasReward("R2"), amount = "55")))))
 
     // Block 102a: duplicate tx hash T1 (issue84 suffix); DeleteAccount
-    // for carol.near via receipt R7.
+    // for carol.near via receipt R7; lockup account creation T5 → R10
+    // (feeds the aggregated__lockups view).
+    val r10 = actionReceipt("R10", "alice.near", "fund.lockup.near",
+      "alice.near", createAccount)
     val c102 = chunk("C102", 0,
-      txs = Seq(tx("T1", "mallory.near", "bob.near", transfer, svOk, "R9")),
-      receipts = Seq())
+      txs = Seq(
+        tx("T1", "mallory.near", "bob.near", transfer, svOk, "R9"),
+        tx("T5", "alice.near", "fund.lockup.near", createAccount, svOk, "R10")),
+      receipts = Seq(r10))
     val b102a = block(102, "B102a", "B101", ts2, Seq(
       shard(0, Some(c102),
         outcomes = Seq(
           outcome("R7", "B102a", svOk, produced = Seq(),
             logs = Seq(),
             receiptJson = actionReceipt("R7", "alice.near", "carol.near",
-              "alice.near", deleteAccount), executor = "carol.near")),
+              "alice.near", deleteAccount), executor = "carol.near"),
+          outcome("R10", "B102a", svOk, produced = Seq(),
+            logs = Seq(), receiptJson = r10, executor = "fund.lockup.near")),
         stateChanges = Seq()),
       // shard with no chunk but present in the message (b016)
       shard(1, None, outcomes = Seq(), stateChanges = Seq())))
@@ -169,4 +176,26 @@ object Fixtures {
 
     Seq(b100, b101, b102a, b102b)
   }
+
+  /** Lockup contract state for fund.lockup.near as the RPC point
+    * source (S4) would return it at block 102: plain 4-year linear
+    * release, no vesting, transfers timestamp injected
+    * (lockup.rs:66-73). Stands in for ViewState in tests/queries.
+    */
+  def lockupStates: Seq[Lockup.State] = Seq(
+    Lockup.State(
+      accountId = "fund.lockup.near",
+      codeHash = "4Pfw2RU6e35dUsHQQoFYfwX8KFFvSRNwMSNLXuSFHXrC",
+      lockupAmount = "1000000000000000000000000000000",
+      terminationWithdrawnTokens = "0",
+      lockupDuration = 0L,
+      releaseDuration = Some(126230400000000000L), // 4y of nanos
+      lockupTimestamp = None,
+      transfersTimestamp = Lockup.TransfersEnabledNs,
+      vestingType = Lockup.VestingNone,
+      vestingStart = None, vestingCliff = None, vestingEnd = None,
+      terminatingUnvestedAmount = None))
+
+  /** Σ balances of [lockup.near, contributors.near] (main.rs:208-218). */
+  val foundationLocked: BigInt = BigInt("300000000000000000000000000000000")
 }

@@ -1,0 +1,147 @@
+package graft.near
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The aggregated query surface: the `aggregated__lockups` view
+  * (SURVEY J4/J5), the block lookups (A1/A2), and the daily
+  * circulating-supply computation (A3).
+  */
+object Views {
+
+  private val D20 = DecimalType(20, 0)
+  private val D38 = DecimalType(38, 0)
+
+  /** aggregated__lockups (2021-08-04-151515.../up.sql:22-31):
+    * accounts ⟕ receipts ⟕ blocks ⟕ receipts ⟕ blocks on lockup
+    * accounts. The probe sides (receipts of the handful of lockup
+    * accounts) are tiny relative to blocks at scale, but all four
+    * joins key on high-cardinality hashes — the lockup filter runs
+    * FIRST so only `%.lockup.near` accounts shuffle; Catalyst then
+    * broadcast-joins the filtered side.
+    */
+  def aggregatedLockups(accounts: DataFrame, receipts: DataFrame,
+      blocks: DataFrame): DataFrame = {
+    val lockups = accounts.filter(col("account_id").endsWith(".lockup.near"))
+    val rStart = receipts.select(col("receipt_id").as("rs_id"),
+      col("included_in_block_hash").as("rs_block"))
+    val rEnd = receipts.select(col("receipt_id").as("re_id"),
+      col("included_in_block_hash").as("re_block"))
+    val bStart = blocks.select(col("block_hash").as("bs_hash"),
+      col("block_height").as("creation_block_height"))
+    val bEnd = blocks.select(col("block_hash").as("be_hash"),
+      col("block_height").as("deletion_block_height"))
+    lockups
+      .join(broadcast(rStart), col("created_by_receipt_id") === col("rs_id"), "left")
+      .join(bStart, col("rs_block") === col("bs_hash"), "left")
+      .join(broadcast(rEnd), col("deleted_by_receipt_id") === col("re_id"), "left")
+      .join(bEnd, col("re_block") === col("be_hash"), "left")
+      .select(col("account_id"), col("creation_block_height"),
+        col("deletion_block_height"))
+  }
+
+  /** J5: lockup accounts live at `blockHeight`
+    * (accounts.rs:202-252): NULL-tolerant containment of the height in
+    * the [creation, deletion] interval.
+    */
+  def lockupAccountIdsAtHeight(lockupsView: DataFrame,
+      blockHeight: Long): DataFrame =
+    lockupsView.filter(
+        (col("creation_block_height").isNull ||
+          col("creation_block_height") <= blockHeight) &&
+        (col("deletion_block_height").isNull ||
+          col("deletion_block_height") >= blockHeight))
+      .select(col("account_id"))
+
+  /** A1: latest block height (blocks.rs:29-40). */
+  def latestBlockHeight(blocks: DataFrame): DataFrame =
+    blocks.agg(max(col("block_height")).as("latest_block_height"))
+
+  /** A2: latest block at-or-before a nanosecond timestamp
+    * (blocks.rs:42-52). The reference's `ORDER BY block_timestamp DESC
+    * LIMIT 1` is nondeterministic across same-height forks; we break
+    * ties by height desc then hash asc so replays are stable.
+    */
+  def latestBlockBeforeTimestamp(blocks: DataFrame, tsNanos: BigDecimal): DataFrame =
+    blocks.filter(col("block_timestamp") <= lit(tsNanos.bigDecimal).cast(D20))
+      .orderBy(col("block_timestamp").desc, col("block_height").desc,
+        col("block_hash").asc)
+      .limit(1)
+
+  /** A3: circulating supply for one block
+    * (circulating-supply/src/main.rs:160-236).
+    *
+    * The reference walks lockup accounts sequentially over RPC; here
+    * the per-lockup state is a DataFrame (produced by the RPC point
+    * source S4 in production — stubbed as a table in tests) and the
+    * locked-amount math runs distributed as a typed map, so the job
+    * scales with lockup count. Sum/count aggregation is a single
+    * partial-aggregated `agg`.
+    *
+    * @param block       one-row DataFrame (latestBlockBeforeTimestamp)
+    * @param lockupsView aggregatedLockups output
+    * @param states      lockup contract states at the block height, one
+    *                    row per account (Lockup.State)
+    * @param foundationLockedTokens Σ balances of the foundation
+    *                    accounts [lockup.near, contributors.near]
+    *                    (main.rs:208-218) — two RPC point reads
+    */
+  def circulatingSupply(spark: SparkSession, block: DataFrame,
+      lockupsView: DataFrame, states: Dataset[Lockup.State],
+      foundationLockedTokens: BigInt): DataFrame = {
+    import spark.implicits._
+    val b = block.select(col("block_hash"), col("block_height").cast("long"),
+      col("block_timestamp").cast("long"), col("total_supply").cast(D38))
+      .collect() match {
+      case Array(row) => row
+      case rows => throw new IllegalStateException(
+        s"expected exactly one block row, got ${rows.length}")
+    }
+    val blockHash = b.getString(0)
+    val blockHeight = b.getLong(1)
+    val blockTs = b.getLong(2)
+    val totalSupply = BigInt(b.getDecimal(3).toBigInteger)
+
+    val liveIds = lockupAccountIdsAtHeight(lockupsView, blockHeight)
+    // Per-lockup locked amount: distributed typed map (U256-safe math).
+    val locked = states
+      .join(broadcast(liveIds), states("accountId") === liveIds("account_id"))
+      .drop("account_id").as[Lockup.State]
+      .map(s => Lockup.lockedAmount(s, blockTs).toString)
+      .toDF("locked")
+      .select(col("locked").cast(D38).as("locked"))
+
+    val agg = locked.agg(
+      coalesce(sum(col("locked")), lit(0).cast(D38)).as("lockups_locked"),
+      count(lit(1)).cast("int").as("total_lockups"),
+      count(when(col("locked") > 0, 1)).cast("int").as("unfinished_lockups"))
+      .collect()(0)
+    val lockupsLocked = BigInt(agg.getDecimal(0).toBigInteger)
+    val circulating = totalSupply - foundationLockedTokens - lockupsLocked
+
+    Seq((blockTs.toString, blockHash, circulating.toString,
+        totalSupply.toString, agg.getInt(1), agg.getInt(2),
+        foundationLockedTokens.toString, lockupsLocked.toString))
+      .toDF("ts", "computed_at_block_hash", "circ", "total",
+        "total_lockup_contracts_count", "unfinished_lockup_contracts_count",
+        "foundation", "lockups")
+      .select(
+        col("ts").cast(D20).as("computed_at_block_timestamp"),
+        col("computed_at_block_hash"),
+        col("circ").cast(D38).as("circulating_tokens_supply"),
+        col("total").cast(D38).as("total_tokens_supply"),
+        col("total_lockup_contracts_count"),
+        col("unfinished_lockup_contracts_count"),
+        col("foundation").cast(D38).as("foundation_locked_tokens"),
+        col("lockups").cast(D38).as("lockups_locked_tokens"))
+  }
+
+  /** Nanosecond start-of-day bucketing (main.rs:112-114):
+    * `ts − ts % DAY` on raw nanos (NOT TimestampType — µs only).
+    */
+  def startOfDayNs(tsNanos: BigInt): BigInt = {
+    val day = BigInt(86400L) * 1000000000L
+    tsNanos - (tsNanos % day)
+  }
+}

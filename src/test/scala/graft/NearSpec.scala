@@ -77,8 +77,9 @@ class NearSpec extends AnyFunSuite {
     assert(r("R1") == "T1") // local same-block conversion
     assert(r("R3") == "T1") // cross-block via R1's outcome
     assert(r("R5") == "T1") // data receipt via D1 output edge
+    assert(r("R10") == "T5") // local conversion in block 102
     assert(!r.contains("R6")) // orphan skipped (non-strict)
-    assert(r("R3") == "T1" && r.size == 3)
+    assert(r.size == 4)
   }
 
   test("accounts registry: create, cross-block delete, implicit, delete-only") {
@@ -149,7 +150,8 @@ class NearSpec extends AnyFunSuite {
 
   test("execution outcomes + produced receipt edges") {
     val eo = tables("execution_outcomes").collect()
-    assert(eo.map(_.getAs[String]("receipt_id")).toSet == Set("R1", "R2", "R7", "R8"))
+    assert(eo.map(_.getAs[String]("receipt_id")).toSet ==
+      Set("R1", "R2", "R7", "R8", "R10"))
     val eor = tables("execution_outcome_receipts").collect()
     assert(eor.map(r => (r.getAs[String]("executed_receipt_id"),
       r.getAs[String]("produced_receipt_id"))).toSet ==
