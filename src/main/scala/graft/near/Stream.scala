@@ -1,0 +1,316 @@
+package graft.near
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured-Streaming ingestion (SURVEY S1/S2/§2.9): a file-source
+  * stream of per-block JSON documents (the NEAR Lake layout,
+  * `indexer/src/main.rs:243-259`) → the full §3.1 transform DAG per
+  * microbatch → a day-partitioned parquet warehouse.
+  *
+  * Start-offset semantics (S2, `indexer/src/configs.rs:54-65`):
+  *   - from-genesis / from-block = feed the directory from the chosen
+  *     height up;
+  *   - from-interruption = the checkpoint directory (Spark replays the
+  *     unfinished microbatch — the analogue of the reference's
+  *     −500-block rewind, which its ON-CONFLICT sink absorbs; exact
+  *     once-per-file parquet appends come from the checkpoint, and the
+  *     JDBC mirror (JdbcSink) stays idempotent under replay).
+  *
+  * Cross-batch lineage (§2.4, the §7.4 "batch-iterative" design):
+  * within a batch the fixpoint resolves everything reachable from this
+  * batch's transactions; for receipts whose parents live in EARLIER
+  * blocks, the already-written warehouse serves as the lookup side of
+  * the reference's J1/J2/J3 DB fallbacks (receipts.rs:249-429) — the
+  * unresolved frontier (tiny) is broadcast against it. Receipts and
+  * edges that still don't resolve park in `_pending`/`_pending_edges`
+  * with a retry count and re-enter the next microbatch — the
+  * reference's backoff loop (receipts.rs:459-478) made deterministic;
+  * after `maxRetries` batches they are dropped like non-strict mode's
+  * skip (receipts.rs:231). State is bounded by the unresolved frontier,
+  * not by chain length — there is no unbounded in-memory map, unlike
+  * the reference's 100k LRU, which this replaces.
+  */
+object Stream {
+
+  val PendingDir = "_pending"
+  val PendingEdgesDir = "_pending_edges"
+
+  /** Tables carrying a block timestamp, with its column name — written
+    * partitioned by UTC day of that column so time predicates prune
+    * partitions at 100 TB.
+    */
+  val TimePartitioned: Map[String, String] = Map(
+    "blocks" -> "block_timestamp",
+    "transactions" -> "block_timestamp",
+    "receipts" -> "included_in_block_timestamp",
+    "action_receipt_actions" -> "receipt_included_in_block_timestamp",
+    "execution_outcomes" -> "executed_in_block_timestamp",
+    "account_changes" -> "changed_in_block_timestamp",
+    "assets__fungible_token_events" -> "emitted_at_block_timestamp",
+    "assets__non_fungible_token_events" -> "emitted_at_block_timestamp",
+  )
+
+  /** Nanos → UTC day; arithmetic on the raw number (Spark timestamps
+    * are µs, SURVEY §7.6#2).
+    */
+  private def dayCol(ts: String) =
+    to_date(timestamp_seconds(floor(col(ts).cast("double") / 1e9)))
+
+  def run(spark: SparkSession, inputDir: String, warehouseDir: String,
+      checkpointDir: String, trigger: Trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger: Int = 1000, maxRetries: Int = 4): StreamingQuery = {
+    import spark.implicits._
+    spark.readStream
+      .option("wholetext", "true")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(inputDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val norm = batch.select(col("value")).as[String]
+          .map(BlockParser.parse _).toDF()
+        processBatch(spark, norm, warehouseDir, maxRetries)
+        ()
+      }
+      .start()
+  }
+
+  private def fs(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readIfExists(spark: SparkSession, path: String): Option[DataFrame] =
+    if (fs(spark, path).exists(new org.apache.hadoop.fs.Path(path)))
+      // An all-empty write leaves a schema-less dir; treat as absent.
+      scala.util.Try(spark.read.parquet(path)).toOption
+    else None
+
+  /** Empty DataFrames write zero part files (no schema to read back);
+    * force a single empty task so the dir stays readable.
+    */
+  /** Replace a state dir atomically-enough (write aside + rename) so
+    * the path being replaced can also have been an input of this batch.
+    * An empty DataFrame clears the state (empty parquet writes leave
+    * no schema'd files to read back, so absence IS the empty state).
+    */
+  private def swapInto(spark: SparkSession, df: DataFrame, path: String): Unit = {
+    val f = fs(spark, path)
+    if (df.isEmpty) {
+      f.delete(new org.apache.hadoop.fs.Path(path), true)
+    } else {
+      val tmp = path + "_next"
+      df.write.mode("overwrite").parquet(tmp)
+      f.delete(new org.apache.hadoop.fs.Path(path), true)
+      f.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+    }
+  }
+
+  /** One microbatch of the §3.1 DAG. Public so batch jobs and tests
+    * can drive it without a streaming query.
+    */
+  def processBatch(spark: SparkSession, norm0: DataFrame,
+      warehouseDir: String, maxRetries: Int = 4): Unit = {
+    if (norm0.isEmpty) return
+    val norm = norm0.persist()
+    try {
+      // Cross-batch issue84 collision check (transactions.rs:43-89):
+      // within-batch duplicates are suffixed by transactionsBase; a
+      // hash that already exists in the WAREHOUSE (an earlier batch)
+      // gets the same `_issue84_<height>` suffix here. The batch's
+      // hash set broadcasts against the warehouse hash column.
+      val txBase0 = Transforms.transactionsBase(norm)
+      val txBase = readIfExists(spark, s"$warehouseDir/transactions") match {
+        case Some(wt) =>
+          val collided = wt.select(col("transaction_hash").as("wh_hash"))
+            .join(broadcast(txBase0.select(col("transaction_hash")).distinct()),
+              col("wh_hash") === col("transaction_hash"), "left_semi")
+            .distinct()
+          txBase0.join(broadcast(collided),
+              txBase0("transaction_hash") === col("wh_hash"), "left")
+            .withColumn("transaction_hash",
+              when(col("wh_hash").isNotNull,
+                concat(col("transaction_hash"), lit("_issue84_"),
+                  col("blockHeight")))
+                .otherwise(col("transaction_hash")))
+            .drop("wh_hash")
+        case None => txBase0
+      }
+      val transactions = Transforms.transactions(txBase)
+      val rBaseNew = Transforms.receiptsBase(norm).withColumn("retries", lit(0))
+      val oBase = Transforms.outcomesBase(norm)
+      val outcomeReceipts = Transforms.executionOutcomeReceipts(oBase)
+      val outputDataNew = Transforms.actionReceiptOutputData(rBaseNew)
+      val dataReceiptsNew = Transforms.dataReceipts(rBaseNew)
+
+      // Pending receipts from earlier batches re-enter the DAG (their
+      // satellite tables were already written on arrival — only the
+      // lineage-gated `receipts` rows are still owed).
+      val rBase = readIfExists(spark, s"$warehouseDir/$PendingDir")
+        .map(rBaseNew.unionByName(_)).getOrElse(rBaseNew)
+        .localCheckpoint(true)
+
+      val newEdges = Lineage
+        .edges(outcomeReceipts, outputDataNew, dataReceiptsNew)
+        .withColumn("retries", lit(0))
+      val edges = readIfExists(spark, s"$warehouseDir/$PendingEdgesDir")
+        .map(newEdges.unionByName(_)).getOrElse(newEdges)
+        .localCheckpoint(true)
+      val edgeSet = edges.select(col("child"), col("parent"))
+
+      // Pass 1: resolve from this batch's transactions alone.
+      val seeds = Lineage.seeds(transactions)
+      val pass1 = Lineage.resolveGraph(seeds, edgeSet)
+
+      // Warehouse fallback — the reference's three DB lookups
+      // (J3 receipts.rs:409-429, J2 :348-375, J1 :249-264) re-expressed
+      // as joins of the unresolved frontier against already-written
+      // tables. The frontier (cross-batch boundary ids) is tiny, so it
+      // broadcasts; the warehouse side joins on its key column.
+      val frontier = edgeSet.select(col("parent"))
+        .unionByName(rBase.select(col("r.receiptId").as("parent")))
+        .distinct()
+        .join(pass1, col("parent") === col("child"), "left_anti")
+        .localCheckpoint(true)
+      val whReceipts = readIfExists(spark, s"$warehouseDir/receipts")
+        .map(_.select(col("receipt_id"),
+          col("originated_from_transaction_hash").as("tx")))
+      val whTx = readIfExists(spark, s"$warehouseDir/transactions")
+      val whEor = readIfExists(spark,
+        s"$warehouseDir/execution_outcome_receipts")
+      val whOutput = readIfExists(spark,
+        s"$warehouseDir/action_receipt_output_data")
+      // J3: id was a transaction's converted receipt
+      val j3 = whTx.map(wt =>
+        broadcast(frontier)
+          .join(wt.select(col("converted_into_receipt_id").as("cid"),
+            col("transaction_hash")), col("parent") === col("cid"))
+          .select(col("parent").as("child"),
+            col("transaction_hash").as("tx"))).toSeq
+      // J2: id was produced by an executed receipt already written
+      val j2 = (whEor, whReceipts) match {
+        case (Some(we), Some(wr)) => Seq(
+          broadcast(frontier)
+            .join(we.select(col("produced_receipt_id").as("pid"),
+              col("executed_receipt_id").as("eid")), col("parent") === col("pid"))
+            .join(wr, col("eid") === col("receipt_id"))
+            .select(col("parent").as("child"), col("tx")))
+        case _ => Seq.empty
+      }
+      // J1: id is a data_id declared by an already-written receipt
+      val j1 = (whOutput, whReceipts) match {
+        case (Some(wo), Some(wr)) => Seq(
+          broadcast(frontier)
+            .join(wo.select(col("output_data_id").as("did"),
+              col("output_from_receipt_id").as("oid")), col("parent") === col("did"))
+            .join(wr, col("oid") === col("receipt_id"))
+            .select(col("parent").as("child"), col("tx")))
+        case _ => Seq.empty
+      }
+      val allSeeds = (Seq(seeds, pass1) ++ j3 ++ j2 ++ j1)
+        .reduce(_ unionByName _)
+
+      // Pass 2: re-run the fixpoint with the warehouse seeds folded in.
+      val resolved = Lineage.resolveGraph(allSeeds, edgeSet).localCheckpoint(true)
+      val lineage = resolved.select(
+        col("child").as("lineage_receipt_id"),
+        col("tx").as("originated_from_transaction_hash"))
+
+      // Park what still didn't resolve; drop after maxRetries.
+      val unresolvedReceipts = rBase
+        .join(lineage, rBase("r.receiptId") === lineage("lineage_receipt_id"),
+          "left_anti")
+        .filter(col("retries") < maxRetries)
+        .withColumn("retries", col("retries") + 1)
+      swapInto(spark, unresolvedReceipts, s"$warehouseDir/$PendingDir")
+      val unresolvedEdges = edges
+        .join(resolved.select(col("child").as("rc")),
+          col("child") === col("rc"), "left_anti")
+        .filter(col("retries") < maxRetries)
+        .withColumn("retries", col("retries") + 1)
+      swapInto(spark, unresolvedEdges, s"$warehouseDir/$PendingEdgesDir")
+
+      val tables = Map(
+        "blocks" -> Transforms.blocks(norm),
+        "chunks" -> Transforms.chunks(norm),
+        "transactions" -> transactions,
+        "transaction_actions" -> Transforms.transactionActions(txBase),
+        // receipts: new ∪ formerly-pending, lineage-gated
+        "receipts" -> Transforms.receipts(rBase, lineage),
+        // satellites: from THIS batch's receipts only (written once)
+        "action_receipts" -> Transforms.actionReceipts(rBaseNew),
+        "action_receipt_actions" -> Transforms.actionReceiptActions(rBaseNew),
+        "action_receipt_input_data" ->
+          Transforms.actionReceiptInputData(rBaseNew),
+        "action_receipt_output_data" -> outputDataNew,
+        "data_receipts" -> dataReceiptsNew,
+        "execution_outcomes" -> Transforms.executionOutcomes(oBase),
+        "execution_outcome_receipts" -> outcomeReceipts,
+        "account_changes" -> Transforms.accountChanges(norm),
+        "assets__fungible_token_events" -> Events.ftEvents(norm),
+        "assets__non_fungible_token_events" -> Events.nftEvents(norm),
+        // Registry DELTAS: per-batch last-wins folds appended here; the
+        // current view is Warehouse.accountsCurrent/accessKeysCurrent
+        // (the JDBC mirror gets the guarded upsert, JdbcSink).
+        "accounts" ->
+          Transforms.accountsRegistry(Transforms.accountEvents(norm)),
+        "access_keys" ->
+          Transforms.accessKeysRegistry(Transforms.accessKeyEvents(norm)),
+      )
+      tables.foreach { case (name, df) =>
+        // Empty appends are skipped — zero-row parquet writes leave
+        // schema-less dirs that poison later reads; table absence is
+        // handled by Warehouse.tableOpt / readIfExists.
+        if (!df.isEmpty) {
+          val w = TimePartitioned.get(name) match {
+            case Some(ts) => df.withColumn("block_date", dayCol(ts))
+              .write.partitionBy("block_date")
+            case None => df.write
+          }
+          w.mode("append").parquet(s"$warehouseDir/$name")
+        }
+      }
+    } finally norm.unpersist()
+  }
+}
+
+/** Read-side helpers over the streaming warehouse. */
+object Warehouse {
+
+  def table(spark: SparkSession, warehouseDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$warehouseDir/$name")
+
+  /** None when the table was never written (or only empty batches). */
+  def tableOpt(spark: SparkSession, warehouseDir: String,
+      name: String): Option[DataFrame] =
+    scala.util.Try(table(spark, warehouseDir, name)).toOption
+
+  /** Collapse appended accounts-registry deltas to the current state:
+    * last writer (by last_update_block_height) wins per account; the
+    * delete-annotation merge matches the reference's and_modify
+    * (accounts.rs:119-193).
+    */
+  def accountsCurrent(deltas: DataFrame): DataFrame =
+    deltas.groupBy(col("account_id"))
+      .agg(
+        max_by(col("created_by_receipt_id"),
+          when(col("created_by_receipt_id").isNotNull,
+            col("last_update_block_height"))).as("created_by_receipt_id"),
+        max_by(col("deleted_by_receipt_id"),
+          col("last_update_block_height")).as("deleted_by_receipt_id"),
+        max(col("last_update_block_height")).as("last_update_block_height"))
+
+  def accessKeysCurrent(deltas: DataFrame): DataFrame =
+    deltas.groupBy(col("public_key"), col("account_id"))
+      .agg(
+        max_by(col("created_by_receipt_id"),
+          when(col("created_by_receipt_id").isNotNull,
+            col("last_update_block_height"))).as("created_by_receipt_id"),
+        max_by(col("deleted_by_receipt_id"),
+          col("last_update_block_height")).as("deleted_by_receipt_id"),
+        max_by(col("permission_kind"), col("last_update_block_height"))
+          .as("permission_kind"),
+        max(col("last_update_block_height")).as("last_update_block_height"))
+}

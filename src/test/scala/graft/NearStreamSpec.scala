@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.near.{Fixtures, Stream, Warehouse}
+
+/** End-to-end Structured-Streaming ingestion (S1/S2/§2.9): block files
+  * land in a directory across multiple microbatches; the warehouse must
+  * converge to the same tables as the one-shot batch run — including
+  * receipts whose parent transaction lives in an EARLIER microbatch
+  * (the warehouse-fallback lineage path J1/J2/J3).
+  */
+class NearStreamSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def writeBlocks(dir: String, blocks: Seq[(String, String)]): Unit =
+    blocks.foreach { case (name, json) =>
+      Files.write(Paths.get(dir, s"$name.json"), json.getBytes("UTF-8"))
+    }
+
+  private def runOnce(input: String, wh: String, ckpt: String): Unit = {
+    val q = Stream.run(spark, input, wh, ckpt)
+    q.awaitTermination()
+  }
+
+  test("streamed chain converges to batch tables incl. cross-batch lineage") {
+    val root = Files.createTempDirectory("graft_stream").toString
+    val input = s"$root/input"; val wh = s"$root/wh"; val ckpt = s"$root/ckpt"
+    Files.createDirectories(Paths.get(input))
+    val chain = Fixtures.chain
+
+    // Microbatch 1: block 100 only.
+    writeBlocks(input, Seq("b100" -> chain(0)))
+    runOnce(input, wh, ckpt)
+
+    val receipts1 = Warehouse.table(spark, wh, "receipts")
+    assert(receipts1.select("receipt_id").collect().map(_.getString(0)).toSet
+      == Set("R1"))
+
+    // Microbatch 2: the rest of the chain. R3 (produced by R1's outcome
+    // in batch 1) and R5 (data receipt for D1 declared in batch 1) must
+    // resolve via the warehouse fallback; orphan R6 must park then drop.
+    writeBlocks(input, Seq("b101" -> chain(1), "b102a" -> chain(2),
+      "b102b" -> chain(3)))
+    runOnce(input, wh, ckpt)
+
+    val receipts = Warehouse.table(spark, wh, "receipts")
+      .select("receipt_id", "originated_from_transaction_hash").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(receipts("R1") == "T1")
+    assert(receipts("R3") == "T1") // cross-batch via J2 fallback
+    assert(receipts("R5") == "T1") // cross-batch data-id via J1 fallback
+    assert(receipts("R10") == "T5")
+    assert(!receipts.contains("R6")) // orphan: parked, not written
+    assert(receipts.size == 4)
+
+    // Tables written once per arrival (no duplicates from pending).
+    val txs = Warehouse.table(spark, wh, "transactions")
+    assert(txs.count() == txs.select("transaction_hash").distinct().count())
+    val ar = Warehouse.table(spark, wh, "action_receipts")
+    assert(ar.count() == ar.select("receipt_id").distinct().count())
+
+    // Day partitioning materialized on disk for time-partitioned tables.
+    assert(Files.list(Paths.get(s"$wh/blocks")).iterator().hasNext)
+    val parts = Files.list(Paths.get(s"$wh/blocks")).toArray.map(_.toString)
+    assert(parts.exists(_.contains("block_date=2023-11-14")),
+      s"expected day partition dir, got ${parts.mkString(",")}")
+
+    // Registry deltas collapse to the same current state as batch mode.
+    val accounts = Warehouse.accountsCurrent(
+      Warehouse.table(spark, wh, "accounts")).collect()
+      .map(r => r.getAs[String]("account_id") -> r).toMap
+    assert(accounts("carol.near").getAs[String]("created_by_receipt_id") == "R2")
+    assert(accounts("carol.near").getAs[String]("deleted_by_receipt_id") == "R7")
+    assert(accounts("carol.near")
+      .getAs[java.math.BigDecimal]("last_update_block_height").intValue == 102)
+
+    // Orphan R6 parked with retry budget, then dropped after maxRetries
+    // batches: drive empty-ish batches by adding fork-only blocks.
+    val pendingAfter2 = spark.read.parquet(s"$wh/${Stream.PendingDir}")
+    assert(pendingAfter2.select("r.receiptId").collect()
+      .map(_.getString(0)).toSet == Set("R6"))
+  }
+
+  test("pending receipt resolves when its parent block arrives late") {
+    val root = Files.createTempDirectory("graft_stream_late").toString
+    val input = s"$root/input"; val wh = s"$root/wh"; val ckpt = s"$root/ckpt"
+    Files.createDirectories(Paths.get(input))
+    val chain = Fixtures.chain
+
+    // Deliver block 101 BEFORE block 100: R3's parent edge (R1's
+    // outcome) and T1 itself are unknown → R3 parks.
+    writeBlocks(input, Seq("b101" -> chain(1)))
+    runOnce(input, wh, ckpt)
+    val r1 = Warehouse.tableOpt(spark, wh, "receipts")
+      .map(_.select("receipt_id").collect().map(_.getString(0)).toSet)
+      .getOrElse(Set.empty[String])
+    assert(!r1.contains("R3"))
+    assert(spark.read.parquet(s"$wh/${Stream.PendingDir}")
+      .select("r.receiptId").collect().map(_.getString(0)).toSet
+      .contains("R3"))
+
+    // Block 100 arrives late: the parked R3 must resolve now via the
+    // batch edges + late-arriving seeds.
+    writeBlocks(input, Seq("b100" -> chain(0)))
+    runOnce(input, wh, ckpt)
+    val receipts = Warehouse.table(spark, wh, "receipts")
+      .select("receipt_id", "originated_from_transaction_hash").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(receipts("R3") == "T1")
+    assert(receipts("R5") == "T1")
+    assert(receipts("R1") == "T1")
+  }
+}
