@@ -1,0 +1,66 @@
+package graft.near
+
+import java.util.concurrent.atomic.AtomicLong
+
+/** Indexer metrics (SURVEY S9, indexer/src/metrics.rs:6-55): the
+  * block counter and latest-height gauge, exposed in Prometheus text
+  * format over HTTP (JDK built-in server — default port 3030 like the
+  * reference, configs.rs:36-38). Stream.processBatch records into
+  * these; a StreamingQueryListener additionally tracks microbatch
+  * progress rows.
+  */
+object Metrics {
+
+  val blockCount = new AtomicLong(0)
+  val latestBlockHeight = new AtomicLong(0)
+  val microbatchCount = new AtomicLong(0)
+
+  def recordBatch(blocks: Long, maxHeight: Long): Unit = {
+    blockCount.addAndGet(blocks)
+    latestBlockHeight.getAndUpdate(h => math.max(h, maxHeight))
+  }
+
+  def reset(): Unit = {
+    blockCount.set(0); latestBlockHeight.set(0); microbatchCount.set(0)
+  }
+
+  /** Prometheus text exposition (metric names mirror the reference's). */
+  def prometheusText: String =
+    s"""# TYPE indexer_explorer_block_count counter
+       |indexer_explorer_block_count ${blockCount.get}
+       |# TYPE indexer_explorer_latest_block_height gauge
+       |indexer_explorer_latest_block_height ${latestBlockHeight.get}
+       |# TYPE indexer_explorer_microbatch_count counter
+       |indexer_explorer_microbatch_count ${microbatchCount.get}
+       |""".stripMargin
+
+  /** Serve GET /metrics; returns the server (call .stop(0) to close). */
+  def serve(port: Int = 3030): com.sun.net.httpserver.HttpServer = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(port), 0)
+    server.createContext("/metrics",
+      (exchange: com.sun.net.httpserver.HttpExchange) => {
+        val body = prometheusText.getBytes("UTF-8")
+        exchange.getResponseHeaders.set("Content-Type",
+          "text/plain; version=0.0.4")
+        exchange.sendResponseHeaders(200, body.length)
+        val os = exchange.getResponseBody
+        os.write(body); os.close()
+      })
+    server.start()
+    server
+  }
+
+  /** Microbatch progress listener: counts completed microbatches
+    * (the lag-alarm feed, TROBLESHOOTING.md "How to catch the tip").
+    */
+  def listener(): org.apache.spark.sql.streaming.StreamingQueryListener =
+    new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        microbatchCount.incrementAndGet(); ()
+      }
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    }
+}

@@ -116,6 +116,11 @@ object Stream {
     if (norm0.isEmpty) return
     val norm = norm0.persist()
     try {
+      // S9: block counter + latest-height gauge (metrics.rs:6-14)
+      val stats = norm.agg(count(lit(1)),
+        max(col("blockHeight").cast("long"))).collect()(0)
+      Metrics.recordBatch(stats.getLong(0),
+        if (stats.isNullAt(1)) 0L else stats.getLong(1))
       // Cross-batch issue84 collision check (transactions.rs:43-89):
       // within-batch duplicates are suffixed by transactionsBase; a
       // hash that already exists in the WAREHOUSE (an earlier batch)
