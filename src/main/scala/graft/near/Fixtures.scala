@@ -130,7 +130,8 @@ object Fixtures {
       receipts = Seq(
         actionReceipt("R3", "bob.near", "alice.near", "alice.near", transfer),
         dataReceipt("R5", "D1"),
-        actionReceipt("R6", "ghost.near", "bob.near", "ghost.near", transfer)))
+        actionReceipt("R6", "ghost.near", "bob.near", "ghost.near",
+          fcall(B64Args))))
     val b101 = block(101, "B101", "B100", ts1, Seq(
       shard(0, Some(c101),
         outcomes = Seq(

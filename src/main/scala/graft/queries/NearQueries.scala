@@ -61,6 +61,24 @@ object NearQueries {
       graft.near.Views.aggregatedLockups(t("accounts"), t("receipts"),
         t("blocks")).orderBy("account_id")
     }),
+    "near_q_tx_by_signer" -> ((s: SparkSession, dir: String) =>
+      graft.near.ConsumerQueries.transactionsBySigner(
+        tables(s)("transactions"), "alice.near")),
+    "near_q_receipts_by_receiver" -> ((s: SparkSession, dir: String) =>
+      graft.near.ConsumerQueries.receiptsByReceiver(
+        tables(s)("receipts"), "bob.near")),
+    "near_q_method_calls" -> ((s: SparkSession, dir: String) =>
+      graft.near.ConsumerQueries.functionCallsByMethod(
+        tables(s)("action_receipt_actions"), "do_it")),
+    "near_q_ft_history" -> ((s: SparkSession, dir: String) =>
+      graft.near.ConsumerQueries.ftHistory(
+        tables(s)("assets__fungible_token_events"), "carol.near", "bob.near")),
+    "near_q_nft_history" -> ((s: SparkSession, dir: String) =>
+      graft.near.ConsumerQueries.nftTokenHistory(
+        tables(s)("assets__non_fungible_token_events"), "carol.near", "tk1")),
+    "near_q_tx_receipt_tree" -> ((s: SparkSession, dir: String) =>
+      graft.near.ConsumerQueries.transactionReceiptTree(
+        tables(s)("receipts"), tables(s)("execution_outcomes"), "T1")),
     "near_circulating_supply" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val t = tables(s)

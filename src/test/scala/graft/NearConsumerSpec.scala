@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+import graft.near.{ConsumerQueries => CQ, Fixtures, Ingest}
+
+/** Golden tests for the consumer analytics surface (SURVEY §3.3) —
+  * the query shapes the reference's indexes serve, over the fixture
+  * chain's tables.
+  */
+class NearConsumerSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  lazy val tables: Map[String, DataFrame] =
+    Ingest.allTables(Ingest.blocksFromJson(spark, Fixtures.chain).toDF())
+      .map { case (k, v) => k -> v.cache() }
+
+  test("point lookup: transaction by hash") {
+    val rows = CQ.transactionByHash(tables("transactions"), "T1").collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[String]("signer_account_id") == "alice.near")
+  }
+
+  test("account activity: signer scan with keyset pagination") {
+    val all = CQ.transactionsBySigner(tables("transactions"), "alice.near")
+      .collect().map(_.getAs[String]("transaction_hash"))
+    assert(all.toSeq == Seq("T1", "T2", "T3", "T5")) // (ts, index) order
+    val page2 = CQ.transactionsBySigner(tables("transactions"), "alice.near",
+      afterTs = Some(BigDecimal("1700000000000000000")))
+      .collect().map(_.getAs[String]("transaction_hash"))
+    assert(page2.toSeq == Seq("T3", "T5")) // keyset cursor is exclusive
+    val limited = CQ.transactionsBySigner(tables("transactions"),
+      "alice.near", limit = 2).collect()
+    assert(limited.length == 2)
+  }
+
+  test("account activity: receipts by receiver in canonical order") {
+    val got = CQ.receiptsByReceiver(tables("receipts"), "bob.near")
+      .collect().map(_.getAs[String]("receipt_id"))
+    assert(got.toSeq == Seq("R1", "R5")) // R5 lands in block 101
+  }
+
+  test("JSON predicate: function calls by method name and args receiver") {
+    val calls = CQ.functionCallsByMethod(tables("action_receipt_actions"),
+      "do_it").collect()
+    assert(calls.length == 1)
+    assert(calls(0).getAs[String]("receipt_id") == "R6")
+    // nested args_json predicate (args->'args_json'->>'receiver_id')
+    assert(CQ.functionCallsByMethod(tables("action_receipt_actions"),
+      "do_it", argsReceiverId = Some("app.near")).count() == 1)
+    assert(CQ.functionCallsByMethod(tables("action_receipt_actions"),
+      "do_it", argsReceiverId = Some("other.near")).count() == 0)
+    assert(CQ.functionCallsByMethod(tables("action_receipt_actions"),
+      "nope").count() == 0)
+  }
+
+  test("token history: FT by contract+owner, NFT by contract+token") {
+    val mints = CQ.ftHistory(tables("assets__fungible_token_events"),
+      "carol.near", "bob.near").collect()
+    assert(mints.length == 1 && mints(0).getAs[String]("event_kind") == "MINT")
+    val transfers = CQ.ftHistory(tables("assets__fungible_token_events"),
+      Fixtures.ImplicitId, "bob.near").collect()
+    assert(transfers.length == 1 &&
+      transfers(0).getAs[String]("event_kind") == "TRANSFER")
+    val tk1 = CQ.nftTokenHistory(tables("assets__non_fungible_token_events"),
+      "carol.near", "tk1").collect()
+    assert(tk1.length == 1 &&
+      tk1(0).getAs[String]("token_new_owner_account_id") == "carol.near")
+  }
+
+  test("transaction receipt tree joins execution status") {
+    val tree = CQ.transactionReceiptTree(tables("receipts"),
+      tables("execution_outcomes"), "T1").collect()
+      .map(r => r.getAs[String]("receipt_id") -> r.getAs[String]("status")).toMap
+    assert(tree.keySet == Set("R1", "R3", "R5"))
+    assert(tree("R1") == "SUCCESS_VALUE")
+    assert(tree("R5") == null) // data receipt: no outcome row
+  }
+}
