@@ -31,10 +31,26 @@ object Bench {
       catch { case _: Throwable => () }
       n -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // NEAR ingest throughput: full block-JSON → 17-table ETL (incl.
+    // lineage fixpoint) over a synthetic 512-block chain. The
+    // reference sustains ~1 block/s (BASELINE.md); this measures our
+    // blocks/s at the same per-block shape.
+    val nBlocks = 512
+    val ingestSec = {
+      val norm = graft.near.Ingest.blocksFromJson(spark,
+        graft.near.Fixtures.syntheticChain(nBlocks)).toDF()
+      val t0 = System.nanoTime()
+      graft.near.Ingest.allTables(norm.persist()).values.foreach(exec)
+      val dt = (System.nanoTime() - t0) / 1e9
+      norm.unpersist()
+      dt
+    }
+    val allResults = results :+ ("near_ingest_512_blocks" -> ingestSec)
+    val qs = allResults.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = allResults.map(_._2).sum
+    val bps = nBlocks / ingestSec
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ingest_blocks_per_sec":$bps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -199,4 +199,53 @@ object Fixtures {
 
   /** Σ balances of [lockup.near, contributors.near] (main.rs:208-218). */
   val foundationLocked: BigInt = BigInt("300000000000000000000000000000000")
+
+  /** Synthetic chain for scale/throughput testing: `n` blocks of
+    * `txPerBlock` transactions each, with realistic NEAR receipt flow —
+    * a tx in block i converts to receipt SR_i_j which lands in block
+    * i+1's chunk; its outcome (also block i+1) produces PR_i_j which
+    * lands in block i+2. Lineage is therefore 1–2 hops and always
+    * crosses block boundaries, exercising the fixpoint the way mainnet
+    * does. FT event logs are attached every 8th block.
+    */
+  def syntheticChain(n: Int, txPerBlock: Int = 4): Seq[String] = {
+    val baseTs = 1700000000000000000L
+    (0 until n).map { i =>
+      val txs = (0 until txPerBlock).map { j =>
+        tx(s"STX${i}_$j", s"user$j.near", "app.near", transfer, svOk,
+          s"SR${i}_$j")
+      }
+      // receipts from block i-1's txs + produced receipts from block i-2
+      val srReceipts =
+        if (i == 0) Seq.empty
+        else (0 until txPerBlock).map { j =>
+          actionReceipt(s"SR${i - 1}_$j", s"user$j.near", "app.near",
+            s"user$j.near", transfer)
+        }
+      val prReceipts =
+        if (i < 2) Seq.empty
+        else (0 until txPerBlock).map { j =>
+          actionReceipt(s"PR${i - 2}_$j", "app.near", s"user$j.near",
+            s"user$j.near", transfer)
+        }
+      // outcome of SR (block i-1's tx receipt) produces PR
+      val outcomes =
+        if (i == 0) Seq.empty
+        else (0 until txPerBlock).map { j =>
+          val logs = if (i % 8 == 0 && j == 0) Seq(ftMintLog) else Seq.empty
+          outcome(s"SR${i - 1}_$j", s"SB$i", svOk,
+            produced = Seq(s"PR${i - 1}_$j"), logs = logs,
+            receiptJson = actionReceipt(s"SR${i - 1}_$j", s"user$j.near",
+              "app.near", s"user$j.near", transfer),
+            executor = "app.near")
+        }
+      val stateChanges = Seq(
+        scAccountUpdate("app.near", causeReceipt(s"SR${i}_0"),
+          amount = (1000 + i).toString))
+      val c = chunk(s"SC$i", 0, txs, srReceipts ++ prReceipts)
+      block(1000 + i, s"SB$i", s"SB${i - 1}",
+        (baseTs + i * 1000000000L).toString,
+        Seq(shard(0, Some(c), outcomes, stateChanges)))
+    }
+  }
 }
