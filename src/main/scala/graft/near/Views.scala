@@ -144,4 +144,36 @@ object Views {
     val day = BigInt(86400L) * 1000000000L
     tsNanos - (tsNanos % day)
   }
+
+  /** A4: skip-if-precomputed check
+    * (aggregated/circulating_supply.rs:40-61) — point lookup by the
+    * computed-at timestamp.
+    */
+  def supplyAlreadyComputed(aggregatedSupply: DataFrame,
+      blockTsNanos: BigInt): Boolean =
+    !aggregatedSupply.filter(col("computed_at_block_timestamp") ===
+        lit(new java.math.BigDecimal(blockTsNanos.bigInteger)).cast(D20))
+      .limit(1).isEmpty
+
+  /** The daily job body (§3.2, main.rs:107-158): resolve the last
+    * block before the day boundary (A2), skip if precomputed (A4),
+    * else compute (A3). Returns None when already computed or no
+    * block exists yet.
+    */
+  def computeDailyIfMissing(spark: SparkSession, blocks: DataFrame,
+      lockupsView: DataFrame, aggregatedSupply: Option[DataFrame],
+      states: Dataset[Lockup.State], foundationLockedTokens: BigInt,
+      requestTsNanos: BigInt): Option[DataFrame] = {
+    val dayStart = startOfDayNs(requestTsNanos)
+    val block = latestBlockBeforeTimestamp(blocks, BigDecimal(dayStart))
+    block.select(col("block_timestamp").cast("long")).collect() match {
+      case Array(row) =>
+        val ts = BigInt(row.getLong(0))
+        val done = aggregatedSupply.exists(supplyAlreadyComputed(_, ts))
+        if (done) None
+        else Some(circulatingSupply(spark, block, lockupsView, states,
+          foundationLockedTokens))
+      case _ => None // no blocks loaded before the day boundary yet
+    }
+  }
 }
