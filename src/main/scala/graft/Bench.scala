@@ -35,7 +35,7 @@ object Bench {
     // lineage fixpoint) over a synthetic 512-block chain. The
     // reference sustains ~1 block/s (BASELINE.md); this measures our
     // blocks/s at the same per-block shape.
-    val nBlocks = 512
+    val nBlocks = sys.env.getOrElse("SPARK_GRAFT_NEAR_BLOCKS", "512").toInt
     val ingestSec = {
       val norm = graft.near.Ingest.blocksFromJson(spark,
         graft.near.Fixtures.syntheticChain(nBlocks)).toDF()
@@ -45,7 +45,7 @@ object Bench {
       norm.unpersist()
       dt
     }
-    val allResults = results :+ ("near_ingest_512_blocks" -> ingestSec)
+    val allResults = results :+ (s"near_ingest_${nBlocks}_blocks" -> ingestSec)
     val qs = allResults.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = allResults.map(_._2).sum

@@ -128,7 +128,8 @@ object Fixtures {
     val c101 = chunk("C101", 0,
       txs = Seq(tx("T3", "alice.near", "bob.near", delegate, svOk, "R4")),
       receipts = Seq(
-        actionReceipt("R3", "bob.near", "alice.near", "alice.near", transfer),
+        actionReceipt("R3", "bob.near", "alice.near", "alice.near",
+          fcall(B64Args)),
         dataReceipt("R5", "D1"),
         actionReceipt("R6", "ghost.near", "bob.near", "ghost.near",
           fcall(B64Args))))

@@ -38,21 +38,29 @@ object Ingest {
     val rBase = Transforms.receiptsBase(norm)
     val oBase = Transforms.outcomesBase(norm)
     val outcomeReceipts = Transforms.executionOutcomeReceipts(oBase)
-    val outputData = Transforms.actionReceiptOutputData(rBase)
-    val dataReceipts = Transforms.dataReceipts(rBase)
-    val lineage = Lineage.resolve(transactions, outcomeReceipts, outputData,
-      dataReceipts)
+    // Lineage resolves over ALL chunk receipts' edges…
+    val outputDataAll = Transforms.actionReceiptOutputData(rBase)
+    val dataReceiptsAll = Transforms.dataReceipts(rBase)
+    val lineage = Lineage.resolve(transactions, outcomeReceipts,
+      outputDataAll, dataReceiptsAll)
+    // …but satellite tables exist only for receipts that resolved —
+    // the reference skips satellites for skipped receipts
+    // (receipts.rs:137-147 filter on skipping_receipt_ids).
+    val resolvedBase = rBase.join(lineage,
+      rBase("r.receiptId") === lineage("lineage_receipt_id"), "left_semi")
     Map(
       "blocks" -> Transforms.blocks(norm),
       "chunks" -> Transforms.chunks(norm),
       "transactions" -> transactions,
       "transaction_actions" -> Transforms.transactionActions(txBase),
       "receipts" -> Transforms.receipts(rBase, lineage),
-      "action_receipts" -> Transforms.actionReceipts(rBase),
-      "action_receipt_actions" -> Transforms.actionReceiptActions(rBase),
-      "action_receipt_input_data" -> Transforms.actionReceiptInputData(rBase),
-      "action_receipt_output_data" -> outputData,
-      "data_receipts" -> dataReceipts,
+      "action_receipts" -> Transforms.actionReceipts(resolvedBase),
+      "action_receipt_actions" -> Transforms.actionReceiptActions(resolvedBase),
+      "action_receipt_input_data" ->
+        Transforms.actionReceiptInputData(resolvedBase),
+      "action_receipt_output_data" ->
+        Transforms.actionReceiptOutputData(resolvedBase),
+      "data_receipts" -> Transforms.dataReceipts(resolvedBase),
       "execution_outcomes" -> Transforms.executionOutcomes(oBase),
       "execution_outcome_receipts" -> outcomeReceipts,
       "accounts" -> Transforms.accountsRegistry(Transforms.accountEvents(norm)),

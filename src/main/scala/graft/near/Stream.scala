@@ -150,9 +150,10 @@ object Stream {
       val outputDataNew = Transforms.actionReceiptOutputData(rBaseNew)
       val dataReceiptsNew = Transforms.dataReceipts(rBaseNew)
 
-      // Pending receipts from earlier batches re-enter the DAG (their
-      // satellite tables were already written on arrival — only the
-      // lineage-gated `receipts` rows are still owed).
+      // Pending receipts from earlier batches re-enter the DAG; their
+      // receipts row AND satellites are written in the batch where
+      // they finally resolve (the reference skips satellites for
+      // skipped receipts, receipts.rs:137-147).
       val rBase = readIfExists(spark, s"$warehouseDir/$PendingDir")
         .map(rBaseNew.unionByName(_)).getOrElse(rBaseNew)
         .localCheckpoint(true)
@@ -222,6 +223,8 @@ object Stream {
       val lineage = resolved.select(
         col("child").as("lineage_receipt_id"),
         col("tx").as("originated_from_transaction_hash"))
+      val resolvedBase = rBase.join(lineage,
+        rBase("r.receiptId") === lineage("lineage_receipt_id"), "left_semi")
 
       // Park what still didn't resolve; drop after maxRetries.
       val unresolvedReceipts = rBase
@@ -244,13 +247,16 @@ object Stream {
         "transaction_actions" -> Transforms.transactionActions(txBase),
         // receipts: new ∪ formerly-pending, lineage-gated
         "receipts" -> Transforms.receipts(rBase, lineage),
-        // satellites: from THIS batch's receipts only (written once)
-        "action_receipts" -> Transforms.actionReceipts(rBaseNew),
-        "action_receipt_actions" -> Transforms.actionReceiptActions(rBaseNew),
+        // satellites: written exactly once, in the batch where the
+        // receipt resolves (never for dropped orphans)
+        "action_receipts" -> Transforms.actionReceipts(resolvedBase),
+        "action_receipt_actions" ->
+          Transforms.actionReceiptActions(resolvedBase),
         "action_receipt_input_data" ->
-          Transforms.actionReceiptInputData(rBaseNew),
-        "action_receipt_output_data" -> outputDataNew,
-        "data_receipts" -> dataReceiptsNew,
+          Transforms.actionReceiptInputData(resolvedBase),
+        "action_receipt_output_data" ->
+          Transforms.actionReceiptOutputData(resolvedBase),
+        "data_receipts" -> Transforms.dataReceipts(resolvedBase),
         "execution_outcomes" -> Transforms.executionOutcomes(oBase),
         "execution_outcome_receipts" -> outcomeReceipts,
         "account_changes" -> Transforms.accountChanges(norm),
