@@ -110,9 +110,18 @@ object Stream {
 
   /** One microbatch of the §3.1 DAG. Public so batch jobs and tests
     * can drive it without a streaming query.
+    *
+    * `maxRetries` mirrors non-strict mode's 4-attempt budget
+    * (receipts.rs:231); pass Int.MaxValue for strict-mode semantics
+    * (unresolved receipts park forever instead of dropping — the
+    * deterministic analogue of strict mode's infinite retry,
+    * main.rs:261-272). `enableAccountChanges` / `enableEvents` mirror
+    * the reference's cargo feature gates (indexer/Cargo.toml:43-45).
     */
   def processBatch(spark: SparkSession, norm0: DataFrame,
-      warehouseDir: String, maxRetries: Int = 4): Unit = {
+      warehouseDir: String, maxRetries: Int = 4,
+      enableAccountChanges: Boolean = true,
+      enableEvents: Boolean = true): Unit = {
     if (norm0.isEmpty) return
     val norm = norm0.persist()
     try {
@@ -259,9 +268,6 @@ object Stream {
         "data_receipts" -> Transforms.dataReceipts(resolvedBase),
         "execution_outcomes" -> Transforms.executionOutcomes(oBase),
         "execution_outcome_receipts" -> outcomeReceipts,
-        "account_changes" -> Transforms.accountChanges(norm),
-        "assets__fungible_token_events" -> Events.ftEvents(norm),
-        "assets__non_fungible_token_events" -> Events.nftEvents(norm),
         // Registry DELTAS: per-batch last-wins folds appended here; the
         // current view is Warehouse.accountsCurrent/accessKeysCurrent
         // (the JDBC mirror gets the guarded upsert, JdbcSink).
@@ -269,7 +275,12 @@ object Stream {
           Transforms.accountsRegistry(Transforms.accountEvents(norm)),
         "access_keys" ->
           Transforms.accessKeysRegistry(Transforms.accessKeyEvents(norm)),
-      )
+      ) ++ (if (enableAccountChanges)
+        Map("account_changes" -> Transforms.accountChanges(norm))
+      else Map.empty) ++ (if (enableEvents) Map(
+        "assets__fungible_token_events" -> Events.ftEvents(norm),
+        "assets__non_fungible_token_events" -> Events.nftEvents(norm))
+      else Map.empty)
       tables.foreach { case (name, df) =>
         // Empty appends are skipped — zero-row parquet writes leave
         // schema-less dirs that poison later reads; table absence is

@@ -83,6 +83,32 @@ class NearStreamSpec extends AnyFunSuite {
       .map(_.getString(0)).toSet == Set("R6"))
   }
 
+  test("strict mode parks orphans forever instead of dropping") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft_stream_strict").toString
+    val wh = s"$root/wh"
+    val chain = Fixtures.chain
+    import SparkTestSession.spark.implicits._
+    def norm(js: String*) = graft.near.Ingest
+      .blocksFromJson(spark, js).toDF()
+
+    // Drive 6 batches directly; orphan R6 (block 101) must survive all
+    // of them in _pending under strict semantics (maxRetries=MaxValue),
+    // where non-strict (4) would have dropped it.
+    Stream.processBatch(spark, norm(chain(0)), wh, maxRetries = Int.MaxValue)
+    Stream.processBatch(spark, norm(chain(1)), wh, maxRetries = Int.MaxValue)
+    (0 until 4).foreach { i =>
+      Stream.processBatch(spark, norm(chain(3)), wh,
+        maxRetries = Int.MaxValue) // fork block re-delivery: idempotent-ish driver
+    }
+    val pending = spark.read.parquet(s"$wh/${Stream.PendingDir}")
+      .select("r.receiptId").collect().map(_.getString(0)).toSet
+    assert(pending.contains("R6"))
+    val written = Warehouse.table(spark, wh, "receipts")
+      .filter(col("receipt_id") === "R6").count()
+    assert(written == 0)
+  }
+
   test("pending receipt resolves when its parent block arrives late") {
     val root = Files.createTempDirectory("graft_stream_late").toString
     val input = s"$root/input"; val wh = s"$root/wh"; val ckpt = s"$root/ckpt"
