@@ -223,9 +223,8 @@ object BlockParser {
   /** ExecutionStatusView → enum (enums.rs:48-61). */
   private def parseStatus(status: JsonNode): String =
     if (status == null || status.isNull) "UNKNOWN"
-    else if (status.isTextual) {
-      if (status.asText == "Unknown") "UNKNOWN" else "UNKNOWN"
-    } else if (status.has("SuccessValue")) "SUCCESS_VALUE"
+    else if (status.isTextual) "UNKNOWN" // only the "Unknown" unit variant is textual
+    else if (status.has("SuccessValue")) "SUCCESS_VALUE"
     else if (status.has("SuccessReceiptId")) "SUCCESS_RECEIPT_ID"
     else if (status.has("Failure")) "FAILURE"
     else "UNKNOWN"

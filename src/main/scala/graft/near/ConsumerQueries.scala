@@ -25,25 +25,33 @@ object ConsumerQueries {
     * the 2021-08-02 sorting index (block_timestamp, index_in_chunk)).
     * `afterTs` is the keyset cursor (exclusive).
     */
+  /** Composite keyset cursor: strictly after (ts, index) — a cursor on
+    * the timestamp alone would skip same-timestamp rows beyond a page
+    * boundary (whole blocks share one timestamp).
+    */
+  private def afterKey(ts: Column, idx: Column,
+      cursor: Option[(BigDecimal, Int)]): Column =
+    cursor.map { case (t, i) =>
+      ts > lit(t.bigDecimal) || (ts === lit(t.bigDecimal) && idx > i)
+    }.getOrElse(lit(true))
+
   def transactionsBySigner(transactions: DataFrame, signer: String,
-      afterTs: Option[BigDecimal] = None, limit: Int = 100): DataFrame = {
-    val base = transactions.filter(col("signer_account_id") === signer)
-    afterTs.fold(base)(ts => base.filter(col("block_timestamp") > lit(ts.bigDecimal)))
+      after: Option[(BigDecimal, Int)] = None, limit: Int = 100): DataFrame =
+    transactions.filter(col("signer_account_id") === signer &&
+        afterKey(col("block_timestamp"), col("index_in_chunk"), after))
       .orderBy(col("block_timestamp"), col("index_in_chunk"))
       .limit(limit)
-  }
 
   /** Account activity: receipts received by an account
     * (receipts_receiver_account_id_idx, up.sql:606-609).
     */
   def receiptsByReceiver(receipts: DataFrame, receiver: String,
-      afterTs: Option[BigDecimal] = None, limit: Int = 100): DataFrame = {
-    val base = receipts.filter(col("receiver_account_id") === receiver)
-    afterTs.fold(base)(ts =>
-        base.filter(col("included_in_block_timestamp") > lit(ts.bigDecimal)))
+      after: Option[(BigDecimal, Int)] = None, limit: Int = 100): DataFrame =
+    receipts.filter(col("receiver_account_id") === receiver &&
+        afterKey(col("included_in_block_timestamp"), col("index_in_chunk"),
+          after))
       .orderBy(col("included_in_block_timestamp"), col("index_in_chunk"))
       .limit(limit)
-  }
 
   /** JSONB predicate queries (partial expression indexes,
     * 2021-05-10-084700.../up.sql:1-8): FunctionCall actions by

@@ -154,10 +154,15 @@ object Fixtures {
     // (feeds the aggregated__lockups view).
     val r10 = actionReceipt("R10", "alice.near", "fund.lockup.near",
       "alice.near", createAccount)
+    // T6 appears in BOTH fork branches with the SAME converted receipt
+    // (fork duplicate ⇒ PK dedup, no issue84 suffix — the discriminator
+    // is converted_into_receipt_id, transactions.rs:62-75).
+    val t6 = tx("T6", "frank.near", "bob.near", transfer, svOk, "R11")
     val c102 = chunk("C102", 0,
       txs = Seq(
         tx("T1", "mallory.near", "bob.near", transfer, svOk, "R9"),
-        tx("T5", "alice.near", "fund.lockup.near", createAccount, svOk, "R10")),
+        tx("T5", "alice.near", "fund.lockup.near", createAccount, svOk, "R10"),
+        t6),
       receipts = Seq(r10))
     val b102a = block(102, "B102a", "B101", ts2, Seq(
       shard(0, Some(c102),
@@ -172,9 +177,11 @@ object Fixtures {
       // shard with no chunk but present in the message (b016)
       shard(1, None, outcomes = Seq(), stateChanges = Seq())))
 
-    // Block 102b: same-height fork (b015) — different hash, one empty chunk.
+    // Block 102b: same-height fork (b015) — different hash; carries the
+    // fork-duplicate T6 (same hash AND same converted receipt as in
+    // B102a ⇒ deduped, not suffixed).
     val b102b = block(102, "B102b", "B101", ts2, Seq(
-      shard(0, Some(chunk("C102b", 0, Seq(), Seq())), Seq(), Seq())))
+      shard(0, Some(chunk("C102b", 0, Seq(t6), Seq())), Seq(), Seq())))
 
     Seq(b100, b101, b102a, b102b)
   }

@@ -33,10 +33,18 @@ object Ingest {
     * microbatch).
     */
   def allTables(norm: DataFrame): Map[String, DataFrame] = {
+    import org.apache.spark.sql.functions.col
     val txBase = Transforms.transactionsBase(norm)
     val transactions = Transforms.transactions(txBase)
-    val rBase = Transforms.receiptsBase(norm)
-    val oBase = Transforms.outcomesBase(norm)
+    // Same-height fork branches can deliver the same receipt/outcome in
+    // both blocks; dedup once at the base (satellites inherit) — the
+    // parquet-side analogue of the reference's ON-CONFLICT PKs.
+    val rBase = Transforms.dedupPk(Transforms.receiptsBase(norm),
+      Seq(col("r.receiptId")),
+      Seq(col("blockTimestamp"), col("blockHash")))
+    val oBase = Transforms.dedupPk(Transforms.outcomesBase(norm),
+      Seq(col("o.receiptId")),
+      Seq(col("blockTimestamp"), col("blockHash")))
     val outcomeReceipts = Transforms.executionOutcomeReceipts(oBase)
     // Lineage resolves over ALL chunk receipts' edges…
     val outputDataAll = Transforms.actionReceiptOutputData(rBase)
@@ -48,9 +56,14 @@ object Ingest {
     // (receipts.rs:137-147 filter on skipping_receipt_ids).
     val resolvedBase = rBase.join(lineage,
       rBase("r.receiptId") === lineage("lineage_receipt_id"), "left_semi")
+    def eventPk(df: DataFrame) = Transforms.dedupPk(df,
+      Seq(col("emitted_for_receipt_id"),
+        col("emitted_index_of_event_entry_in_shard")),
+      Seq(col("emitted_at_block_timestamp")))
     Map(
       "blocks" -> Transforms.blocks(norm),
-      "chunks" -> Transforms.chunks(norm),
+      "chunks" -> Transforms.dedupPk(Transforms.chunks(norm),
+        Seq(col("chunk_hash")), Seq(col("included_in_block_hash"))),
       "transactions" -> transactions,
       "transaction_actions" -> Transforms.transactionActions(txBase),
       "receipts" -> Transforms.receipts(rBase, lineage),
@@ -66,8 +79,8 @@ object Ingest {
       "accounts" -> Transforms.accountsRegistry(Transforms.accountEvents(norm)),
       "access_keys" -> Transforms.accessKeysRegistry(Transforms.accessKeyEvents(norm)),
       "account_changes" -> Transforms.accountChanges(norm),
-      "assets__fungible_token_events" -> Events.ftEvents(norm),
-      "assets__non_fungible_token_events" -> Events.nftEvents(norm),
+      "assets__fungible_token_events" -> eventPk(Events.ftEvents(norm)),
+      "assets__non_fungible_token_events" -> eventPk(Events.nftEvents(norm)),
     )
   }
 }

@@ -143,8 +143,11 @@ object JdbcSink {
       }
     } else false
 
-  /** Run `body` with the reference's retry schedule. `sleep` is
-    * injectable for tests.
+  /** Run `body` with the reference's retry schedule. Reference parity
+    * note: the doubling applies while the interval is BELOW the cap
+    * (retryable.rs:34-36), so the last sleep can reach just under
+    * 2×maxBackoffMs — identical overshoot to the reference. `sleep`
+    * is injectable for tests.
     */
   def retry[T](policy: RetryPolicy, sleep: Long => Unit = Thread.sleep)(
       body: () => T): T = {

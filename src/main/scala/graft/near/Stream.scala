@@ -14,9 +14,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *     height up;
   *   - from-interruption = the checkpoint directory (Spark replays the
   *     unfinished microbatch — the analogue of the reference's
-  *     −500-block rewind, which its ON-CONFLICT sink absorbs; exact
-  *     once-per-file parquet appends come from the checkpoint, and the
-  *     JDBC mirror (JdbcSink) stays idempotent under replay).
+  *     −500-block rewind). Delivery guarantee parity: the JDBC mirror
+  *     is exactly-once-effective under replay (ON CONFLICT, like the
+  *     reference); the parquet warehouse appends are at-least-once
+  *     across a mid-batch crash — a replayed batch can re-append rows,
+  *     which `Warehouse.dedupedByPk` collapses on read (within a
+  *     batch, fork duplicates are PK-deduped before writing).
   *
   * Cross-batch lineage (§2.4, the §7.4 "batch-iterative" design):
   * within a batch the fixpoint resolves everything reachable from this
@@ -36,6 +39,7 @@ object Stream {
 
   val PendingDir = "_pending"
   val PendingEdgesDir = "_pending_edges"
+  val LineageAheadDir = "_lineage_ahead"
 
   /** Tables carrying a block timestamp, with its column name — written
     * partitioned by UTC day of that column so time predicates prune
@@ -52,16 +56,26 @@ object Stream {
     "assets__non_fungible_token_events" -> "emitted_at_block_timestamp",
   )
 
-  /** Nanos → UTC day; arithmetic on the raw number (Spark timestamps
-    * are µs, SURVEY §7.6#2).
+  /** Nanos → UTC day; exact integral arithmetic on the decimal value —
+    * a double cast would round timestamps within ~256 ns of midnight
+    * into the wrong partition (53-bit mantissa < 1.7e18 nanos). Spark
+    * timestamps are µs, so the raw number is bucketed directly
+    * (SURVEY §7.6#2).
     */
-  private def dayCol(ts: String) =
-    to_date(timestamp_seconds(floor(col(ts).cast("double") / 1e9)))
+  private def dayCol(ts: String) = {
+    // SQL `div` = exact integral quotient (works on DECIMAL, yields BIGINT)
+    val daysSinceEpoch = expr(s"CAST($ts AS DECIMAL(38,0)) div 86400000000000")
+    to_date(timestamp_seconds(daysSinceEpoch * 86400L))
+  }
+
+  private val listenerRegistered = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   def run(spark: SparkSession, inputDir: String, warehouseDir: String,
       checkpointDir: String, trigger: Trigger = Trigger.AvailableNow(),
       maxFilesPerTrigger: Int = 1000, maxRetries: Int = 4): StreamingQuery = {
     import spark.implicits._
+    if (listenerRegistered.compareAndSet(false, true))
+      spark.streams.addListener(Metrics.listener())
     spark.readStream
       .option("wholetext", "true")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -88,23 +102,37 @@ object Stream {
       scala.util.Try(spark.read.parquet(path)).toOption
     else None
 
-  /** Empty DataFrames write zero part files (no schema to read back);
-    * force a single empty task so the dir stays readable.
+  /** Read a swapInto-managed state dir, recovering from a crash that
+    * happened mid-swap (live dir renamed away, replacement not in yet).
     */
-  /** Replace a state dir atomically-enough (write aside + rename) so
-    * the path being replaced can also have been an input of this batch.
-    * An empty DataFrame clears the state (empty parquet writes leave
-    * no schema'd files to read back, so absence IS the empty state).
+  private def readState(spark: SparkSession, path: String): Option[DataFrame] = {
+    val f = fs(spark, path)
+    val live = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(path + "_old")
+    if (!f.exists(live) && f.exists(old)) f.rename(old, live)
+    readIfExists(spark, path)
+  }
+
+  /** Replace a state dir crash-safely: write aside, rename the live
+    * dir away (it is never deleted while it is the only copy), rename
+    * the replacement in, then drop the old copy — a crash at any point
+    * leaves old or new state recoverable via readState. An empty
+    * DataFrame clears the state (empty parquet writes leave no
+    * schema'd files to read back, so absence IS the empty state).
     */
   private def swapInto(spark: SparkSession, df: DataFrame, path: String): Unit = {
     val f = fs(spark, path)
+    val live = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(path + "_old")
+    val tmp = new org.apache.hadoop.fs.Path(path + "_next")
+    f.delete(old, true)
     if (df.isEmpty) {
-      f.delete(new org.apache.hadoop.fs.Path(path), true)
+      f.delete(live, true)
     } else {
-      val tmp = path + "_next"
-      df.write.mode("overwrite").parquet(tmp)
-      f.delete(new org.apache.hadoop.fs.Path(path), true)
-      f.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+      df.write.mode("overwrite").parquet(tmp.toString)
+      if (f.exists(live)) f.rename(live, old)
+      f.rename(tmp, live)
+      f.delete(old, true)
     }
   }
 
@@ -130,31 +158,40 @@ object Stream {
         max(col("blockHeight").cast("long"))).collect()(0)
       Metrics.recordBatch(stats.getLong(0),
         if (stats.isNullAt(1)) 0L else stats.getLong(1))
-      // Cross-batch issue84 collision check (transactions.rs:43-89):
-      // within-batch duplicates are suffixed by transactionsBase; a
-      // hash that already exists in the WAREHOUSE (an earlier batch)
-      // gets the same `_issue84_<height>` suffix here. The batch's
-      // hash set broadcasts against the warehouse hash column.
+      // Cross-batch issue84 handling (transactions.rs:43-89): within-
+      // batch duplicates are resolved by transactionsBase; against the
+      // WAREHOUSE (earlier batches), the discriminator is the converted
+      // receipt id — same hash + same receipt = fork re-delivery
+      // (dropped, PK dedup), same hash + different receipt = genuine
+      // collision (`_issue84_<height>` suffix). The batch's hash set
+      // broadcasts against the warehouse hash column.
       val txBase0 = Transforms.transactionsBase(norm)
       val txBase = readIfExists(spark, s"$warehouseDir/transactions") match {
         case Some(wt) =>
-          val collided = wt.select(col("transaction_hash").as("wh_hash"))
+          val whPairs = wt.select(col("transaction_hash").as("wh_hash"),
+              col("converted_into_receipt_id").as("wh_cid"))
             .join(broadcast(txBase0.select(col("transaction_hash")).distinct()),
               col("wh_hash") === col("transaction_hash"), "left_semi")
-            .distinct()
-          txBase0.join(broadcast(collided),
+            .dropDuplicates("wh_hash")
+          txBase0.join(broadcast(whPairs),
               txBase0("transaction_hash") === col("wh_hash"), "left")
+            .filter(col("wh_cid").isNull ||
+              col("wh_cid") =!= col("t.convertedIntoReceiptId"))
             .withColumn("transaction_hash",
               when(col("wh_hash").isNotNull,
                 concat(col("transaction_hash"), lit("_issue84_"),
                   col("blockHeight")))
                 .otherwise(col("transaction_hash")))
-            .drop("wh_hash")
+            .drop("wh_hash", "wh_cid")
         case None => txBase0
       }
       val transactions = Transforms.transactions(txBase)
-      val rBaseNew = Transforms.receiptsBase(norm).withColumn("retries", lit(0))
-      val oBase = Transforms.outcomesBase(norm)
+      val rBaseNew = Transforms.dedupPk(Transforms.receiptsBase(norm),
+          Seq(col("r.receiptId")), Seq(col("blockTimestamp"), col("blockHash")))
+        .withColumn("retries", lit(0))
+      val oBase = Transforms.dedupPk(Transforms.outcomesBase(norm),
+        Seq(col("o.receiptId")),
+        Seq(col("blockTimestamp"), col("blockHash")))
       val outcomeReceipts = Transforms.executionOutcomeReceipts(oBase)
       val outputDataNew = Transforms.actionReceiptOutputData(rBaseNew)
       val dataReceiptsNew = Transforms.dataReceipts(rBaseNew)
@@ -163,72 +200,100 @@ object Stream {
       // receipts row AND satellites are written in the batch where
       // they finally resolve (the reference skips satellites for
       // skipped receipts, receipts.rs:137-147).
-      val rBase = readIfExists(spark, s"$warehouseDir/$PendingDir")
-        .map(rBaseNew.unionByName(_)).getOrElse(rBaseNew)
+      val rBase = readState(spark, s"$warehouseDir/$PendingDir")
+        .map(p => Transforms.dedupPk(rBaseNew.unionByName(p),
+          Seq(col("r.receiptId")),
+          Seq(col("blockTimestamp"), col("blockHash"), col("retries"))))
+        .getOrElse(rBaseNew)
         .localCheckpoint(true)
 
       val newEdges = Lineage
         .edges(outcomeReceipts, outputDataNew, dataReceiptsNew)
         .withColumn("retries", lit(0))
-      val edges = readIfExists(spark, s"$warehouseDir/$PendingEdgesDir")
+      val edges = readState(spark, s"$warehouseDir/$PendingEdgesDir")
         .map(newEdges.unionByName(_)).getOrElse(newEdges)
         .localCheckpoint(true)
       val edgeSet = edges.select(col("child"), col("parent"))
 
-      // Pass 1: resolve from this batch's transactions alone.
+      // Pass 1: resolve from this batch's transactions ∪ the carried
+      // "announced but not yet arrived" map — mappings for receipt/data
+      // ids whose edges were seen in earlier batches but whose receipt
+      // rows haven't landed. Entries are dropped the batch their
+      // receipt arrives, the remove-on-read parity of the reference's
+      // cache (receipts.rs:191-202) — so the state stays bounded by
+      // in-flight receipts, not chain length.
       val seeds = Lineage.seeds(transactions)
-      val pass1 = Lineage.resolveGraph(seeds, edgeSet)
+      val ahead = readState(spark, s"$warehouseDir/$LineageAheadDir")
+      val seeded = ahead.map(seeds.unionByName(_)).getOrElse(seeds)
+      val pass1 = Lineage.resolveGraph(seeded, edgeSet)
 
-      // Warehouse fallback — the reference's three DB lookups
-      // (J3 receipts.rs:409-429, J2 :348-375, J1 :249-264) re-expressed
-      // as joins of the unresolved frontier against already-written
-      // tables. The frontier (cross-batch boundary ids) is tiny, so it
-      // broadcasts; the warehouse side joins on its key column.
       val frontier = edgeSet.select(col("parent"))
         .unionByName(rBase.select(col("r.receiptId").as("parent")))
         .distinct()
         .join(pass1, col("parent") === col("child"), "left_anti")
         .localCheckpoint(true)
-      val whReceipts = readIfExists(spark, s"$warehouseDir/receipts")
-        .map(_.select(col("receipt_id"),
-          col("originated_from_transaction_hash").as("tx")))
-      val whTx = readIfExists(spark, s"$warehouseDir/transactions")
-      val whEor = readIfExists(spark,
-        s"$warehouseDir/execution_outcome_receipts")
-      val whOutput = readIfExists(spark,
-        s"$warehouseDir/action_receipt_output_data")
-      // J3: id was a transaction's converted receipt
-      val j3 = whTx.map(wt =>
-        broadcast(frontier)
-          .join(wt.select(col("converted_into_receipt_id").as("cid"),
-            col("transaction_hash")), col("parent") === col("cid"))
-          .select(col("parent").as("child"),
-            col("transaction_hash").as("tx"))).toSeq
-      // J2: id was produced by an executed receipt already written
-      val j2 = (whEor, whReceipts) match {
-        case (Some(we), Some(wr)) => Seq(
-          broadcast(frontier)
-            .join(we.select(col("produced_receipt_id").as("pid"),
-              col("executed_receipt_id").as("eid")), col("parent") === col("pid"))
-            .join(wr, col("eid") === col("receipt_id"))
-            .select(col("parent").as("child"), col("tx")))
-        case _ => Seq.empty
-      }
-      // J1: id is a data_id declared by an already-written receipt
-      val j1 = (whOutput, whReceipts) match {
-        case (Some(wo), Some(wr)) => Seq(
-          broadcast(frontier)
-            .join(wo.select(col("output_data_id").as("did"),
-              col("output_from_receipt_id").as("oid")), col("parent") === col("did"))
-            .join(wr, col("oid") === col("receipt_id"))
-            .select(col("parent").as("child"), col("tx")))
-        case _ => Seq.empty
-      }
-      val allSeeds = (Seq(seeds, pass1) ++ j3 ++ j2 ++ j1)
-        .reduce(_ unionByName _)
 
-      // Pass 2: re-run the fixpoint with the warehouse seeds folded in.
-      val resolved = Lineage.resolveGraph(allSeeds, edgeSet).localCheckpoint(true)
+      // Warehouse fallback — the reference's three DB lookups
+      // (J3 receipts.rs:409-429, J2 :348-375, J1 :249-264) as joins of
+      // the unresolved frontier against already-written tables. Runs
+      // ONLY when the frontier is non-empty: with the ahead map,
+      // in-order delivery keeps it empty, so steady-state batches never
+      // rescan warehouse history (the scans below are O(history) and
+      // exist for out-of-order/recovery cases; a JDBC mirror serves
+      // them as indexed point lookups instead at scale).
+      val resolved = (if (frontier.isEmpty) pass1 else {
+        val whReceipts = readIfExists(spark, s"$warehouseDir/receipts")
+          .map(_.select(col("receipt_id"),
+            col("originated_from_transaction_hash").as("tx")))
+        val whTx = readIfExists(spark, s"$warehouseDir/transactions")
+        val whEor = readIfExists(spark,
+          s"$warehouseDir/execution_outcome_receipts")
+        val whOutput = readIfExists(spark,
+          s"$warehouseDir/action_receipt_output_data")
+        // J3: id was a transaction's converted receipt
+        val j3 = whTx.map(wt =>
+          broadcast(frontier)
+            .join(wt.select(col("converted_into_receipt_id").as("cid"),
+              col("transaction_hash")), col("parent") === col("cid"))
+            .select(col("parent").as("child"),
+              col("transaction_hash").as("tx"))).toSeq
+        // J2: id was produced by an executed receipt already written
+        val j2 = (whEor, whReceipts) match {
+          case (Some(we), Some(wr)) => Seq(
+            broadcast(frontier)
+              .join(we.select(col("produced_receipt_id").as("pid"),
+                col("executed_receipt_id").as("eid")),
+                col("parent") === col("pid"))
+              .join(wr, col("eid") === col("receipt_id"))
+              .select(col("parent").as("child"), col("tx")))
+          case _ => Seq.empty
+        }
+        // J1: id is a data_id declared by an already-written receipt
+        val j1 = (whOutput, whReceipts) match {
+          case (Some(wo), Some(wr)) => Seq(
+            broadcast(frontier)
+              .join(wo.select(col("output_data_id").as("did"),
+                col("output_from_receipt_id").as("oid")),
+                col("parent") === col("did"))
+              .join(wr, col("oid") === col("receipt_id"))
+              .select(col("parent").as("child"), col("tx")))
+          case _ => Seq.empty
+        }
+        val allSeeds = (Seq(seeded, pass1) ++ j3 ++ j2 ++ j1)
+          .reduce(_ unionByName _)
+        // Pass 2: re-run the fixpoint with the warehouse seeds folded in.
+        Lineage.resolveGraph(allSeeds, edgeSet)
+      }).localCheckpoint(true)
+
+      // Carry forward mappings whose ids haven't arrived/been consumed.
+      val consumed = rBase.select(col("r.receiptId").as("seen"))
+        .unionByName(rBase.select(col("r.dataId").as("seen"))
+          .filter(col("seen").isNotNull))
+        .distinct()
+      val aheadNext = resolved
+        .join(consumed, col("child") === col("seen"), "left_anti")
+        .select(col("child"), col("tx"))
+      swapInto(spark, aheadNext, s"$warehouseDir/$LineageAheadDir")
       val lineage = resolved.select(
         col("child").as("lineage_receipt_id"),
         col("tx").as("originated_from_transaction_hash"))
@@ -277,10 +342,15 @@ object Stream {
           Transforms.accessKeysRegistry(Transforms.accessKeyEvents(norm)),
       ) ++ (if (enableAccountChanges)
         Map("account_changes" -> Transforms.accountChanges(norm))
-      else Map.empty) ++ (if (enableEvents) Map(
-        "assets__fungible_token_events" -> Events.ftEvents(norm),
-        "assets__non_fungible_token_events" -> Events.nftEvents(norm))
-      else Map.empty)
+      else Map.empty) ++ (if (enableEvents) {
+        def eventPk(df: DataFrame) = Transforms.dedupPk(df,
+          Seq(col("emitted_for_receipt_id"),
+            col("emitted_index_of_event_entry_in_shard")),
+          Seq(col("emitted_at_block_timestamp")))
+        Map(
+          "assets__fungible_token_events" -> eventPk(Events.ftEvents(norm)),
+          "assets__non_fungible_token_events" -> eventPk(Events.nftEvents(norm)))
+      } else Map.empty)
       tables.foreach { case (name, df) =>
         // Empty appends are skipped — zero-row parquet writes leave
         // schema-less dirs that poison later reads; table absence is
@@ -308,6 +378,14 @@ object Warehouse {
   def tableOpt(spark: SparkSession, warehouseDir: String,
       name: String): Option[DataFrame] =
     scala.util.Try(table(spark, warehouseDir, name)).toOption
+
+  /** Collapse at-least-once replay duplicates on read (see the
+    * delivery-guarantee note on [[Stream]]): first row per PK under a
+    * stable order.
+    */
+  def dedupedByPk(df: DataFrame, pk: Seq[String],
+      order: Seq[String]): DataFrame =
+    Transforms.dedupPk(df, pk.map(col), order.map(col))
 
   /** Collapse appended accounts-registry deltas to the current state:
     * last writer (by last_update_block_height) wins per account; the

@@ -47,11 +47,24 @@ object Transforms {
         d20(col("c.gasUsed")).as("gas_used"),
         col("c.author").as("author_account_id"))
 
+  /** Deterministic PK dedup (the parquet-side analogue of the
+    * reference's `ON CONFLICT DO NOTHING` PKs, SURVEY §4 "Dedup via
+    * wide PKs"): keep the first row per key under `order`. Same-height
+    * forks deliver the same receipt/outcome/event in both branches;
+    * exactly one survives, chosen stably so replays agree.
+    */
+  def dedupPk(df: DataFrame, pk: Seq[Column], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(pk: _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** Exploded transactions with block/chunk context and the issue84
-    * collision suffix already applied (transactions.rs:43-89): within a
-    * duplicate transaction_hash group, the earliest occurrence (block
-    * height, chunk position, index) keeps the hash; later ones get
-    * `_issue84_<height>` appended.
+    * collision handling (transactions.rs:43-89). The reference's
+    * discriminator is `converted_into_receipt_id`: a same-hash row
+    * with the SAME converted receipt is a fork duplicate (PK dedup,
+    * silently dropped); a same-hash row with a DIFFERENT converted
+    * receipt is a genuine collision and gets `_issue84_<height>`.
     */
   def transactionsBase(norm: DataFrame): DataFrame = {
     val ex = norm.select(
@@ -60,10 +73,12 @@ object Transforms {
       .select(col("blockHash"), col("blockHeight"), col("blockTimestamp"),
         col("chunkPos"), col("c.chunkHash").as("chunkHash"),
         explode(col("c.transactions")).as("t"))
-    val w = Window.partitionBy(col("t.transactionHash"))
-      .orderBy(col("blockHeight").cast("long"), col("chunkPos"),
-        col("t.indexInChunk"))
-    ex.withColumn("dupRank", row_number().over(w))
+    val order = Seq(col("blockHeight").cast("long"), col("chunkPos"),
+      col("t.indexInChunk"), col("blockHash"))
+    val forkDeduped = dedupPk(ex,
+      Seq(col("t.transactionHash"), col("t.convertedIntoReceiptId")), order)
+    val w = Window.partitionBy(col("t.transactionHash")).orderBy(order: _*)
+    forkDeduped.withColumn("dupRank", row_number().over(w))
       .withColumn("transaction_hash",
         when(col("dupRank") === 1, col("t.transactionHash"))
           .otherwise(concat(col("t.transactionHash"), lit("_issue84_"),

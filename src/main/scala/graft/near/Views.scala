@@ -24,19 +24,33 @@ object Views {
   def aggregatedLockups(accounts: DataFrame, receipts: DataFrame,
       blocks: DataFrame): DataFrame = {
     val lockups = accounts.filter(col("account_id").endsWith(".lockup.near"))
-    val rStart = receipts.select(col("receipt_id").as("rs_id"),
-      col("included_in_block_hash").as("rs_block"))
-    val rEnd = receipts.select(col("receipt_id").as("re_id"),
-      col("included_in_block_hash").as("re_block"))
-    val bStart = blocks.select(col("block_hash").as("bs_hash"),
-      col("block_height").as("creation_block_height"))
-    val bEnd = blocks.select(col("block_hash").as("be_hash"),
-      col("block_height").as("deletion_block_height"))
+    // receipts/blocks are the biggest warehouse tables — never
+    // broadcast them whole. Semi-join each down to the handful of
+    // lockup lifecycle receipt ids first (the tiny id set broadcasts),
+    // then the FILTERED side is small enough to broadcast into the
+    // left-outer joins.
+    def lifecycleReceipts(idCol: String, outId: String, outBlock: String) =
+      receipts
+        .join(broadcast(lockups.select(col(idCol).as("want"))
+          .filter(col("want").isNotNull).distinct()),
+          col("receipt_id") === col("want"), "left_semi")
+        .select(col("receipt_id").as(outId),
+          col("included_in_block_hash").as(outBlock))
+    val rStart = lifecycleReceipts("created_by_receipt_id", "rs_id", "rs_block")
+    val rEnd = lifecycleReceipts("deleted_by_receipt_id", "re_id", "re_block")
+    def blockHeights(blockCol: String, outHash: String, outHeight: String,
+        src: DataFrame) =
+      blocks
+        .join(broadcast(src.select(col(blockCol).as("want")).distinct()),
+          col("block_hash") === col("want"), "left_semi")
+        .select(col("block_hash").as(outHash), col("block_height").as(outHeight))
+    val bStart = blockHeights("rs_block", "bs_hash", "creation_block_height", rStart)
+    val bEnd = blockHeights("re_block", "be_hash", "deletion_block_height", rEnd)
     lockups
       .join(broadcast(rStart), col("created_by_receipt_id") === col("rs_id"), "left")
-      .join(bStart, col("rs_block") === col("bs_hash"), "left")
+      .join(broadcast(bStart), col("rs_block") === col("bs_hash"), "left")
       .join(broadcast(rEnd), col("deleted_by_receipt_id") === col("re_id"), "left")
-      .join(bEnd, col("re_block") === col("be_hash"), "left")
+      .join(broadcast(bEnd), col("re_block") === col("be_hash"), "left")
       .select(col("account_id"), col("creation_block_height"),
         col("deletion_block_height"))
   }

@@ -25,10 +25,12 @@ class NearConsumerSpec extends AnyFunSuite {
     val all = CQ.transactionsBySigner(tables("transactions"), "alice.near")
       .collect().map(_.getAs[String]("transaction_hash"))
     assert(all.toSeq == Seq("T1", "T2", "T3", "T5")) // (ts, index) order
+    // Composite cursor: after (ts0, index 0) = after T1 — T2 shares
+    // ts0 but has a higher index, so it MUST appear on page 2.
     val page2 = CQ.transactionsBySigner(tables("transactions"), "alice.near",
-      afterTs = Some(BigDecimal("1700000000000000000")))
+      after = Some((BigDecimal("1700000000000000000"), 0)))
       .collect().map(_.getAs[String]("transaction_hash"))
-    assert(page2.toSeq == Seq("T3", "T5")) // keyset cursor is exclusive
+    assert(page2.toSeq == Seq("T2", "T3", "T5"))
     val limited = CQ.transactionsBySigner(tables("transactions"),
       "alice.near", limit = 2).collect()
     assert(limited.length == 2)

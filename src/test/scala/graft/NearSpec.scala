@@ -23,10 +23,15 @@ class NearSpec extends AnyFunSuite {
   }
 
   test("transactions: issue84 suffix on duplicate hash") {
-    val hashes = tables("transactions").collect().map(_.getAs[String]("transaction_hash")).toSet
+    val all = tables("transactions").collect().map(_.getAs[String]("transaction_hash"))
+    val hashes = all.toSet
     assert(hashes.contains("T1"))
     assert(hashes.contains("T1_issue84_102"))
     assert(hashes.contains("T2") && hashes.contains("T3"))
+    // fork duplicate (same hash, same converted receipt in both
+    // same-height fork blocks): exactly one row, NO suffix
+    assert(all.count(_ == "T6") == 1)
+    assert(!hashes.exists(_.startsWith("T6_issue84")))
   }
 
   test("transaction_actions: delegate expands to parent + children with running index") {

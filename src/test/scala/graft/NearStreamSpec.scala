@@ -107,6 +107,14 @@ class NearStreamSpec extends AnyFunSuite {
     val written = Warehouse.table(spark, wh, "receipts")
       .filter(col("receipt_id") === "R6").count()
     assert(written == 0)
+
+    // Cross-batch fork re-delivery: T6 (same hash, same converted
+    // receipt) arrived once in the first chain(3) batch; the four
+    // re-deliveries must be dropped, never issue84-suffixed.
+    val t6 = Warehouse.table(spark, wh, "transactions")
+      .filter(col("transaction_hash").startsWith("T6")).collect()
+      .map(_.getAs[String]("transaction_hash"))
+    assert(t6.toSeq == Seq("T6"))
   }
 
   test("pending receipt resolves when its parent block arrives late") {
