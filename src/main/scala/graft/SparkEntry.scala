@@ -43,6 +43,7 @@ object SparkEntry {
     "q21_ann_lsh"           -> (PipelineQueries.q21AnnLsh _),
     "q22_multimodal_meta"   -> (Multimodal.q22MultimodalMeta _),
     "q23_stream_hourly"     -> (StreamingJobs.hourlyEventCounts _),
+    "q24_embedding_dups"    -> (PipelineQueries.q24EmbeddingDups _),
   ) ++ graft.queries.NearQueries.queries
 
   def oracleSql: Map[String, String] = Map(

@@ -80,6 +80,48 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Embedding-cosine near-duplicate PAIRS (the dedup operator):
+    * every (a, b) with a < b and rounded cosine ≥ threshold. Exact
+    * all-pairs — the oracle-checkable baseline. At corpus scale use
+    * [[nearDupPairsLsh]] (bucketed candidates, recall < 1).
+    */
+  def nearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val n = embeddings.select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    val a = n.select(col("vec_id").as("vec_id_a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = n.select(col("vec_id").as("vec_id_b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, col("vec_id_a") < col("vec_id_b"))
+      .withColumn("cos_sim",
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("vec_id_a"), col("vec_id_b"), col("cos_sim"))
+      .orderBy(col("vec_id_a"), col("vec_id_b"))
+  }
+
+  /** Scale path for near-dup pairs: candidates limited to equal LSH
+    * buckets (map-only bucketing + an equi-join on the bucket key, no
+    * cross join), exact cosine inside. Misses cross-bucket pairs by
+    * construction — recall < 1, the documented trade.
+    */
+  def nearDupPairsLsh(embeddings: DataFrame, threshold: Double,
+      dims: Int = 64, nBits: Int = 8): DataFrame = {
+    val bucketed = embeddings.select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"),
+      lshBucket(col("embedding"), dims, nBits).as("bucket"))
+    val a = bucketed.select(col("bucket"), col("vec_id").as("vec_id_a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = bucketed.select(col("bucket"), col("vec_id").as("vec_id_b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, Seq("bucket")).filter(col("vec_id_a") < col("vec_id_b"))
+      .withColumn("cos_sim",
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("vec_id_a"), col("vec_id_b"), col("cos_sim"))
+      .orderBy(col("vec_id_a"), col("vec_id_b"))
+  }
+
   /** ANN via LSH buckets: anchors probe only their own bucket, then
     * exact cosine rank within the candidates. Output mirrors bruteTopK
     * (recall < 1 by construction; that is the documented trade).

@@ -137,6 +137,19 @@ object PipelineOracles {
          |WHERE rank <= 5 ORDER BY anchor_id, rank""".stripMargin
     },
 
+    "q24_embedding_dups" -> {
+      def dot(x: String, y: String) =
+        s"list_sum(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+      s"""WITH n AS (SELECT vec_id, embedding,
+         |             sqrt(${dot("embedding", "embedding")}) AS nrm
+         |           FROM embeddings)
+         |SELECT vec_id_a, vec_id_b, cos_sim FROM (
+         |  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+         |    round(${dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cos_sim
+         |  FROM n a JOIN n b ON a.vec_id < b.vec_id) p
+         |WHERE cos_sim >= 0.45 ORDER BY vec_id_a, vec_id_b""".stripMargin
+    },
+
     "q20_emb_label_stats" ->
       """SELECT label, count(*) AS n_vecs,
         |  CAST(sum(CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS sum_c1_micro,

@@ -128,4 +128,8 @@ object PipelineQueries {
     */
   def q21AnnLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.annTopK(Tables.embeddings(s, dir), Seq(0L, 1L, 2L), k = 3)
+
+  /** Embedding-cosine near-duplicate pairs (exact; DuckDB oracle). */
+  def q24EmbeddingDups(s: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(Tables.embeddings(s, dir), threshold = 0.45)
 }

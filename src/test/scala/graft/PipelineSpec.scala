@@ -55,6 +55,19 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q24 embedding near-dup pairs: LSH candidates ⊆ exact pairs") {
+    import graft.functions.Similarity
+    val exact = SparkEntry.queries("q24_embedding_dups")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id_a"), r.getAs[Long]("vec_id_b"))).toSet
+    assert(exact.nonEmpty)
+    exact.foreach { case (a, b) => assert(a < b) }
+    val lsh = Similarity
+      .nearDupPairsLsh(graft.Tables.embeddings(spark, sf), threshold = 0.45)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id_a"), r.getAs[Long]("vec_id_b"))).toSet
+    assert(lsh.subsetOf(exact)) // bucketing only prunes, never invents
+  }
+
   test("simhash values are 32-bit") {
     val rows = SparkEntry.queries("q16_simhash")(spark, sf).collect()
     rows.foreach { r =>
