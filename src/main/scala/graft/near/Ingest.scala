@@ -38,11 +38,19 @@ object Ingest {
     val transactions = Transforms.transactions(txBase)
     // Same-height fork branches can deliver the same receipt/outcome in
     // both blocks; dedup once at the base (satellites inherit) — the
-    // parquet-side analogue of the reference's ON-CONFLICT PKs.
-    val rBase = Transforms.dedupPk(Transforms.receiptsBase(norm),
+    // parquet-side analogue of the reference's ON-CONFLICT PKs. The
+    // window shuffles are paid only when the batch actually contains a
+    // same-height fork (receipt ids cannot collide otherwise; the JDBC
+    // mirror's PKs remain the unconditional guarantee).
+    val hasForks = !norm.groupBy(col("blockHeight")).count()
+      .filter(col("count") > 1).isEmpty
+    def pkGuard(df: DataFrame, pk: Seq[org.apache.spark.sql.Column],
+        order: Seq[org.apache.spark.sql.Column]): DataFrame =
+      if (hasForks) Transforms.dedupPk(df, pk, order) else df
+    val rBase = pkGuard(Transforms.receiptsBase(norm),
       Seq(col("r.receiptId")),
       Seq(col("blockTimestamp"), col("blockHash")))
-    val oBase = Transforms.dedupPk(Transforms.outcomesBase(norm),
+    val oBase = pkGuard(Transforms.outcomesBase(norm),
       Seq(col("o.receiptId")),
       Seq(col("blockTimestamp"), col("blockHash")))
     val outcomeReceipts = Transforms.executionOutcomeReceipts(oBase)
@@ -56,13 +64,13 @@ object Ingest {
     // (receipts.rs:137-147 filter on skipping_receipt_ids).
     val resolvedBase = rBase.join(lineage,
       rBase("r.receiptId") === lineage("lineage_receipt_id"), "left_semi")
-    def eventPk(df: DataFrame) = Transforms.dedupPk(df,
+    def eventPk(df: DataFrame) = pkGuard(df,
       Seq(col("emitted_for_receipt_id"),
         col("emitted_index_of_event_entry_in_shard")),
       Seq(col("emitted_at_block_timestamp")))
     Map(
       "blocks" -> Transforms.blocks(norm),
-      "chunks" -> Transforms.dedupPk(Transforms.chunks(norm),
+      "chunks" -> pkGuard(Transforms.chunks(norm),
         Seq(col("chunk_hash")), Seq(col("included_in_block_hash"))),
       "transactions" -> transactions,
       "transaction_actions" -> Transforms.transactionActions(txBase),

@@ -186,10 +186,17 @@ object Stream {
         case None => txBase0
       }
       val transactions = Transforms.transactions(txBase)
-      val rBaseNew = Transforms.dedupPk(Transforms.receiptsBase(norm),
+      // Fork-dedup windows are paid only when the batch actually holds
+      // a same-height fork (see Ingest.allTables for the rationale).
+      val hasForks = !norm.groupBy(col("blockHeight")).count()
+        .filter(col("count") > 1).isEmpty
+      def pkGuard(df: DataFrame, pk: Seq[org.apache.spark.sql.Column],
+          order: Seq[org.apache.spark.sql.Column]): DataFrame =
+        if (hasForks) Transforms.dedupPk(df, pk, order) else df
+      val rBaseNew = pkGuard(Transforms.receiptsBase(norm),
           Seq(col("r.receiptId")), Seq(col("blockTimestamp"), col("blockHash")))
         .withColumn("retries", lit(0))
-      val oBase = Transforms.dedupPk(Transforms.outcomesBase(norm),
+      val oBase = pkGuard(Transforms.outcomesBase(norm),
         Seq(col("o.receiptId")),
         Seq(col("blockTimestamp"), col("blockHash")))
       val outcomeReceipts = Transforms.executionOutcomeReceipts(oBase)
@@ -343,7 +350,7 @@ object Stream {
       ) ++ (if (enableAccountChanges)
         Map("account_changes" -> Transforms.accountChanges(norm))
       else Map.empty) ++ (if (enableEvents) {
-        def eventPk(df: DataFrame) = Transforms.dedupPk(df,
+        def eventPk(df: DataFrame) = pkGuard(df,
           Seq(col("emitted_for_receipt_id"),
             col("emitted_index_of_event_entry_in_shard")),
           Seq(col("emitted_at_block_timestamp")))
