@@ -202,6 +202,53 @@ object Sketches {
       copy(left = l, right = r)
   }
 
+  /** graft_fdot(x: array<float|double>, y: array<float|double>):
+    * double — the dot product Σ (double)x_i · (double)y_i as a strict
+    * left fold, bit-identical to
+    * `aggregate(zip_with(x, y, (p,q) => p.cast(double)*q.cast(double)),
+    * 0.0, _+_)` but one tight loop instead of per-element interpreted
+    * lambdas (the embedding hot path: 12.5M pairs × 64 dims at sf0.1).
+    * Null parity with the HOF form: null result on length mismatch or
+    * any null element.
+    */
+  case class FloatDot(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with CodegenFallback {
+    private def elemType(e: Expression): Option[DataType] = e.dataType match {
+      case ArrayType(FloatType, _) => Some(FloatType)
+      case ArrayType(DoubleType, _) => Some(DoubleType)
+      case _ => None
+    }
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (elemType(left).isDefined && elemType(right).isDefined)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"graft_fdot requires array<float|double> args, got " +
+          s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      if (y.numElements() != n) return null
+      val lFloat = elemType(left).contains(FloatType)
+      val rFloat = elemType(right).contains(FloatType)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        val xv = if (lFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        val yv = if (rFloat) y.getFloat(i).toDouble else y.getDouble(i)
+        s += xv * yv
+        i += 1
+      }
+      s
+    }
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): FloatDot = copy(l, r)
+  }
+
   /** Registers the sketch functions in the session's function registry
     * (idempotent) and returns Column builders via call_function — the
     * public route to use a custom Expression without private Column
@@ -220,6 +267,14 @@ object Sketches {
         graft.functions.Dedup.MinhashP), "scala_udf")
     reg.createOrReplaceTempFunction("graft_shingle_jaccard",
       exprs => ShingleJaccard(exprs(0), exprs(1), 3), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_fdot",
+      exprs => FloatDot(exprs(0), exprs(1)), "scala_udf")
+  }
+
+  /** Exact left-fold dot product of two float/double array columns. */
+  def fdot(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function("graft_fdot", a, b)
   }
 
   /** MinHash signature straight from a words array (3-word shingles). */
