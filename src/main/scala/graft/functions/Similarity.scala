@@ -132,6 +132,57 @@ object Similarity {
       .orderBy(col("vec_id_a"), col("vec_id_b"))
   }
 
+  /** ANN via IVF (inverted-file) coarse quantization — the second
+    * scale path besides LSH. Centroids are the first `nCells` vectors
+    * by id (deterministic; a k-means refinement would slot in here),
+    * collected once to the driver and shipped as literals. Cell
+    * assignment is an argmin over nCells dot products — map-only; the
+    * probe joins anchors to their `nProbe` nearest cells only, so the
+    * candidate join shuffles on the short cell key instead of crossing
+    * the corpus. Recall < 1 by construction (documented trade).
+    */
+  def annTopKIvf(embeddings: DataFrame, anchorIds: Seq[Long], k: Int,
+      nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    val dot = ndot(embeddings.sparkSession) _
+    val centroids: Array[(Int, Array[Float])] = embeddings
+      .orderBy(col("vec_id")).limit(nCells)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray).zipWithIndex.map(_.swap)
+    // distance ranking per row: array of (negDot/normC, cell) structs;
+    // array_min picks the lexicographically smallest = nearest cell
+    def cellRank(emb: Column): Column = {
+      val scored = centroids.map { case (cid, c) =>
+        val cNorm = math.sqrt(c.map(v => v.toDouble * v.toDouble).sum)
+        struct((-dot(emb, typedLit(c.map(_.toDouble))) / cNorm).as("nd"),
+          lit(cid).as("cell"))
+      }
+      sort_array(array(scored: _*))
+    }
+    val assigned = embeddings.select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("norm"),
+      cellRank(col("embedding"))(0).getField("cell").as("cell"))
+    val anchors = embeddings
+      .filter(col("vec_id").isin(anchorIds: _*))
+      .select(col("vec_id").as("anchor_id"),
+        col("embedding").as("anchor_emb"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("anchor_norm"),
+        slice(transform(cellRank(col("embedding")),
+          s => s.getField("cell")), 1, nProbe).as("probe_cells"))
+      .withColumn("cell", explode(col("probe_cells")))
+      .drop("probe_cells")
+    val cands = assigned.join(broadcast(anchors), Seq("cell"))
+      .filter(col("vec_id") =!= col("anchor_id"))
+      .withColumn("cos_sim", round(
+        dot(col("embedding"), col("anchor_emb")) /
+          (col("norm") * col("anchor_norm")), 6))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col("vec_id"), col("cos_sim"), col("rank"))
+      .orderBy(col("anchor_id"), col("rank"))
+  }
+
   /** ANN via LSH buckets: anchors probe only their own bucket, then
     * exact cosine rank within the candidates. Output mirrors bruteTopK
     * (recall < 1 by construction; that is the documented trade).

@@ -132,4 +132,8 @@ object PipelineQueries {
   /** Embedding-cosine near-duplicate pairs (exact; DuckDB oracle). */
   def q24EmbeddingDups(s: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairs(Tables.embeddings(s, dir), threshold = 0.45)
+
+  /** IVF-partitioned ANN (second scale path; recall<1 — rows-only). */
+  def q25AnnIvf(s: SparkSession, dir: String): DataFrame =
+    Similarity.annTopKIvf(Tables.embeddings(s, dir), Seq(0L, 1L, 2L), k = 3)
 }

@@ -68,6 +68,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh.subsetOf(exact)) // bucketing only prunes, never invents
   }
 
+  test("q25 IVF ANN: dense ranks, bounded cosine, hits its probed cells") {
+    val ivf = SparkEntry.queries("q25_ann_ivf")(spark, sf).collect()
+    assert(ivf.nonEmpty)
+    ivf.groupBy(_.getAs[Long]("anchor_id")).values.foreach { rs =>
+      val ranks = rs.map(_.getAs[Int]("rank")).sorted
+      assert(ranks.sameElements(1 to ranks.length))
+      rs.foreach(r => assert(math.abs(r.getAs[Double]("cos_sim")) <= 1.0))
+    }
+    // IVF scores must agree with brute force for the pairs it returns
+    val brute = SparkEntry.queries("q19_knn_brute")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("anchor_id"), r.getAs[Long]("vec_id")) ->
+        r.getAs[Double]("cos_sim")).toMap
+    ivf.foreach { r =>
+      val key = (r.getAs[Long]("anchor_id"), r.getAs[Long]("vec_id"))
+      brute.get(key).foreach(c => assert(c == r.getAs[Double]("cos_sim")))
+    }
+  }
+
   test("simhash values are 32-bit") {
     val rows = SparkEntry.queries("q16_simhash")(spark, sf).collect()
     rows.foreach { r =>
