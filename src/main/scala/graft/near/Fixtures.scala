@@ -126,13 +126,18 @@ object Fixtures {
     // R1's outcome), data receipt R5 (via D1), orphan R6; outcome of R2
     // creates carol.near + emits FT/NFT events; implicit-account transfer.
     val c101 = chunk("C101", 0,
-      txs = Seq(tx("T3", "alice.near", "bob.near", delegate, svOk, "R4")),
+      txs = Seq(
+        tx("T3", "alice.near", "bob.near", delegate, svOk, "R4"),
+        tx("T7", "relayer.near", "bob.near", transfer, svOk, "R12")),
       receipts = Seq(
         actionReceipt("R3", "bob.near", "alice.near", "alice.near",
           fcall(B64Args)),
         dataReceipt("R5", "D1"),
         actionReceipt("R6", "ghost.near", "bob.near", "ghost.near",
-          fcall(B64Args))))
+          fcall(B64Args)),
+        // receipt-side delegate (P10): expands in action_receipt_actions
+        actionReceipt("R12", "relayer.near", "bob.near", "relayer.near",
+          delegate)))
     val b101 = block(101, "B101", "B100", ts1, Seq(
       shard(0, Some(c101),
         outcomes = Seq(

@@ -39,19 +39,19 @@ class NearConsumerSpec extends AnyFunSuite {
   test("account activity: receipts by receiver in canonical order") {
     val got = CQ.receiptsByReceiver(tables("receipts"), "bob.near")
       .collect().map(_.getAs[String]("receipt_id"))
-    assert(got.toSeq == Seq("R1", "R5")) // R5 lands in block 101
+    assert(got.toSeq == Seq("R1", "R5", "R12")) // ts then index_in_chunk
   }
 
   test("JSON predicate: function calls by method name and args receiver") {
     val calls = CQ.functionCallsByMethod(tables("action_receipt_actions"),
       "do_it").collect()
-    // R3 resolved; orphan R6 (also a do_it call) has NO satellite rows
-    // — the reference skips satellites for skipped receipts.
-    assert(calls.length == 1)
-    assert(calls(0).getAs[String]("receipt_id") == "R3")
+    // R3 + R12's delegate-inner call; orphan R6 (also a do_it call)
+    // has NO satellite rows — the reference skips satellites for
+    // skipped receipts.
+    assert(calls.map(_.getAs[String]("receipt_id")).toSet == Set("R3", "R12"))
     // nested args_json predicate (args->'args_json'->>'receiver_id')
     assert(CQ.functionCallsByMethod(tables("action_receipt_actions"),
-      "do_it", argsReceiverId = Some("app.near")).count() == 1)
+      "do_it", argsReceiverId = Some("app.near")).count() == 2)
     assert(CQ.functionCallsByMethod(tables("action_receipt_actions"),
       "do_it", argsReceiverId = Some("other.near")).count() == 0)
     assert(CQ.functionCallsByMethod(tables("action_receipt_actions"),

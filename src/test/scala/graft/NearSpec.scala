@@ -52,6 +52,24 @@ class NearSpec extends AnyFunSuite {
     assert(t3(1).getAs[String]("delegate_parameters") == params)
   }
 
+  test("action_receipt_actions: receipt-side delegate expansion (P10)") {
+    val r12 = tables("action_receipt_actions")
+      .filter(col("receipt_id") === "R12")
+      .orderBy(col("index_in_action_receipt")).collect()
+    assert(r12.length == 3) // parent + 2 inner actions
+    assert(r12(0).getAs[String]("action_kind") == "DELEGATE_ACTION")
+    assert(r12(0).getAs[Any]("delegate_parent_index_in_action_receipt") == null)
+    assert(r12(1).getAs[String]("action_kind") == "TRANSFER")
+    assert(r12(1).getAs[Int]("delegate_parent_index_in_action_receipt") == 0)
+    assert(r12(2).getAs[String]("action_kind") == "FUNCTION_CALL")
+    r12.foreach { r =>
+      assert(r.getAs[Boolean]("is_delegate_action"))
+      // denormalized receipt context on every expanded row
+      assert(r.getAs[String]("receipt_predecessor_account_id") == "relayer.near")
+      assert(r.getAs[String]("receipt_receiver_account_id") == "bob.near")
+    }
+  }
+
   test("action serialization quirks: code_sha256 hex-of-base64, args_json embedding") {
     val t2 = tables("transaction_actions").filter(col("transaction_hash") === "T2")
       .orderBy(col("index_in_transaction")).collect()
@@ -83,8 +101,9 @@ class NearSpec extends AnyFunSuite {
     assert(r("R3") == "T1") // cross-block via R1's outcome
     assert(r("R5") == "T1") // data receipt via D1 output edge
     assert(r("R10") == "T5") // local conversion in block 102
+    assert(r("R12") == "T7") // local conversion in block 101
     assert(!r.contains("R6")) // orphan skipped (non-strict)
-    assert(r.size == 4)
+    assert(r.size == 5)
   }
 
   test("accounts registry: create, cross-block delete, implicit, delete-only") {

@@ -52,8 +52,9 @@ class NearStreamSpec extends AnyFunSuite {
     assert(receipts("R3") == "T1") // cross-batch via J2 fallback
     assert(receipts("R5") == "T1") // cross-batch data-id via J1 fallback
     assert(receipts("R10") == "T5")
+    assert(receipts("R12") == "T7")
     assert(!receipts.contains("R6")) // orphan: parked, not written
-    assert(receipts.size == 4)
+    assert(receipts.size == 5)
 
     // Tables written once per arrival (no duplicates from pending).
     val txs = Warehouse.table(spark, wh, "transactions")
