@@ -108,6 +108,20 @@ object ConsumerQueries {
         col("token_id") === tokenId)
       .orderBy(eventOrder: _*)
 
+  /** Balance history of one account (the account_changes sorting index
+    * (changed_in_block_timestamp, index_in_block), 2021-08-11): every
+    * balance snapshot in block order with the causing tx/receipt.
+    */
+  def accountBalanceHistory(accountChanges: DataFrame,
+      account: String): DataFrame =
+    accountChanges.filter(col("affected_account_id") === account)
+      .select(col("changed_in_block_timestamp"), col("index_in_block"),
+        col("affected_account_nonstaked_balance"),
+        col("affected_account_staked_balance"),
+        col("update_reason"), col("caused_by_transaction_hash"),
+        col("caused_by_receipt_id"))
+      .orderBy(col("changed_in_block_timestamp"), col("index_in_block"))
+
   /** The receipt DAG neighborhood of one transaction: every receipt a
     * tx originated, with execution status — the explorer's
     * "transaction page" query (originated_from_transaction_hash idx +

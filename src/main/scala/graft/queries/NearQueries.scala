@@ -79,6 +79,9 @@ object NearQueries {
     "near_q_tx_receipt_tree" -> ((s: SparkSession, dir: String) =>
       graft.near.ConsumerQueries.transactionReceiptTree(
         tables(s)("receipts"), tables(s)("execution_outcomes"), "T1")),
+    "near_q_balance_history" -> ((s: SparkSession, dir: String) =>
+      graft.near.ConsumerQueries.accountBalanceHistory(
+        tables(s)("account_changes"), "alice.near")),
     "near_circulating_supply" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val t = tables(s)

@@ -72,6 +72,45 @@ class NearConsumerSpec extends AnyFunSuite {
       tk1(0).getAs[String]("token_new_owner_account_id") == "carol.near")
   }
 
+  test("account balance history in (timestamp, index) order") {
+    val h = CQ.accountBalanceHistory(tables("account_changes"), "alice.near")
+      .collect()
+    assert(h.length == 1)
+    assert(h(0).getAs[java.math.BigDecimal](
+      "affected_account_nonstaked_balance").intValue == 90)
+    assert(h(0).getAs[String]("caused_by_transaction_hash") == "T1")
+  }
+
+  test("batch file-directory ingest matches in-memory parse (S1 batch)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_batch_in")
+    Fixtures.chain.zipWithIndex.foreach { case (json, i) =>
+      java.nio.file.Files.write(dir.resolve(s"b$i.json"),
+        json.getBytes("UTF-8"))
+    }
+    val fromFiles = Ingest.allTables(
+      graft.near.Ingest.blocks(spark, dir.toString).toDF())
+    assert(fromFiles("blocks").count() == tables("blocks").count())
+    assert(fromFiles("receipts").collect()
+      .map(_.getAs[String]("receipt_id")).toSet ==
+      tables("receipts").collect().map(_.getAs[String]("receipt_id")).toSet)
+  }
+
+  test("access-keys delta compaction keeps latest permission") {
+    import SparkTestSession.spark.implicits._
+    val deltas = Seq(
+      ("pk1", "a.near", Some("R1"), None: Option[String], "FULL_ACCESS", 100L),
+      ("pk1", "a.near", Some("R9"), None: Option[String], "FUNCTION_CALL", 102L),
+      ("pk2", "a.near", None: Option[String], Some("R7"), "FULL_ACCESS", 101L))
+      .toDF("public_key", "account_id", "created_by_receipt_id",
+        "deleted_by_receipt_id", "permission_kind", "last_update_block_height")
+    val cur = graft.near.Warehouse.accessKeysCurrent(deltas).collect()
+      .map(r => r.getAs[String]("public_key") -> r).toMap
+    assert(cur("pk1").getAs[String]("permission_kind") == "FUNCTION_CALL")
+    assert(cur("pk1").getAs[Long]("last_update_block_height") == 102L)
+    assert(cur("pk1").getAs[String]("created_by_receipt_id") == "R9")
+    assert(cur("pk2").getAs[String]("deleted_by_receipt_id") == "R7")
+  }
+
   test("transaction receipt tree joins execution status") {
     val tree = CQ.transactionReceiptTree(tables("receipts"),
       tables("execution_outcomes"), "T1").collect()
