@@ -131,7 +131,10 @@ object Sketches {
       val nw = arr.numElements()
       val nShingles = nw - n + 1
       if (nShingles <= 0) return new GenericArrayData(Array.fill[Any](k)(null))
-      val words = Array.tabulate(nw)(i => arr.getUTF8String(i).getBytes)
+      // Null words become empty strings (window structure preserved,
+      // no NPE), matching MinHashSignature's null-element tolerance.
+      val words = Array.tabulate(nw)(i =>
+        if (arr.isNullAt(i)) Array.emptyByteArray else arr.getUTF8String(i).getBytes)
       val mins = Array.fill(k)(Long.MaxValue)
       val buf = new java.io.ByteArrayOutputStream(64)
       var i = 0
@@ -175,7 +178,9 @@ object Sketches {
       val out = new java.util.HashSet[String]()
       val nw = arr.numElements()
       if (nw - n + 1 <= 0) return out
-      val words = Array.tabulate(nw)(i => arr.getUTF8String(i).toString)
+      // Null words become empty strings — no NPE on dirty input.
+      val words = Array.tabulate(nw)(i =>
+        if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString)
       var i = 0
       while (i <= nw - n) {
         val sb = new java.lang.StringBuilder(64)
@@ -193,6 +198,9 @@ object Sketches {
     override def nullSafeEval(a: Any, b: Any): Any = {
       val sa = shingleSet(a.asInstanceOf[ArrayData])
       val sb = shingleSet(b.asInstanceOf[ArrayData])
+      // Two empty shingle sets share nothing: 0.0, not 0/0 = NaN
+      // (NaN would sort above every threshold under Spark ordering).
+      if (sa.isEmpty && sb.isEmpty) return 0.0
       var inter = 0
       val it = sb.iterator()
       while (it.hasNext) if (sa.contains(it.next())) inter += 1

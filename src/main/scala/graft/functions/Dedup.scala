@@ -74,8 +74,14 @@ object Dedup {
     // generalizing the registry is future work.
     require(k == 16 && shingleN == 3, "native minhash path is k=16, n=3")
     val rows = k / bands
+    // Docs with fewer than shingleN words have an EMPTY shingle set:
+    // their minhash signature is all-NULL, every band hash degenerates
+    // to md5('') and all of them would collide pairwise, then verify at
+    // jaccard = 0/0 = NaN (> any threshold under Spark NaN ordering).
+    // They can never be near-duplicates, so drop them before banding.
     val base = docs.select(col(idCol).cast("long").as("id"),
       words(col(textCol)).as("w"))
+      .filter(size(col("w")) >= shingleN)
     val withSig = base
       .withColumn("sig",
         graft.expressions.Sketches.minhashSigFromWords(spark, col("w")))

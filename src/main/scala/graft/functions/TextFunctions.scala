@@ -44,10 +44,11 @@ object TextFunctions {
     array_distinct(shingles(words(text), n))
 
   /** BPE-ish token count: letter runs, digit runs, single punctuation.
-    * Same RE and explicit group 0 on both engines.
+    * Same RE and explicit group 0 on both engines. Built from the
+    * column parameter (not a hardcoded name) so any input column works.
     */
   def bpeTokenCount(text: Column): Column =
-    size(expr(s"regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
 
   /** Document fingerprint: md5 over the sorted distinct token set —
     * catches reordered/duplicated-content docs (bag-of-words identity).

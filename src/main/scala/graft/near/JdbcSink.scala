@@ -73,25 +73,27 @@ object JdbcSink {
   }
 
   /** The accounts-registry merge (accounts.rs:93-193): one statement
-    * per delta row. Implicit accounts (64-char ids) that are not
-    * deleted must NOT overwrite a live row's created_by_receipt_id
-    * (issue #68) — the reference routes them through an extra
-    * `deleted_by_receipt_id IS NOT NULL` filter; delete-only deltas
-    * (created NULL) must not null out an existing created receipt.
-    * COALESCE against the stored row reproduces the column-wise merge.
+    * per delta row. Implicit accounts (64-char ids) arriving as a
+    * re-create (created set, deleted NULL) may only update a row that
+    * is already deleted (issue #68, accounts.rs:137-151: the reference
+    * filters `deleted_by_receipt_id IS NOT NULL` and otherwise skips
+    * the UPDATE entirely — including the height bump); delete-only
+    * deltas (created NULL) must not null out an existing created
+    * receipt, hence the COALESCE column-wise merge.
     */
   def accountsUpsertSql: String =
     "INSERT INTO accounts (account_id, created_by_receipt_id, " +
       "deleted_by_receipt_id, last_update_block_height) VALUES (?, ?, ?, ?) " +
       "ON CONFLICT (account_id) DO UPDATE SET " +
-      "created_by_receipt_id = CASE WHEN length(excluded.account_id) = 64 " +
-      "AND excluded.deleted_by_receipt_id IS NULL " +
-      "AND accounts.deleted_by_receipt_id IS NULL " +
-      "THEN accounts.created_by_receipt_id " +
-      "ELSE COALESCE(excluded.created_by_receipt_id, accounts.created_by_receipt_id) END, " +
+      "created_by_receipt_id = COALESCE(excluded.created_by_receipt_id, " +
+      "accounts.created_by_receipt_id), " +
       "deleted_by_receipt_id = excluded.deleted_by_receipt_id, " +
       "last_update_block_height = excluded.last_update_block_height " +
-      "WHERE accounts.last_update_block_height < excluded.last_update_block_height"
+      "WHERE accounts.last_update_block_height < excluded.last_update_block_height " +
+      "AND NOT (length(excluded.account_id) = 64 " +
+      "AND excluded.created_by_receipt_id IS NOT NULL " +
+      "AND excluded.deleted_by_receipt_id IS NULL " +
+      "AND accounts.deleted_by_receipt_id IS NULL)"
 
   def accessKeysUpsertSql: String =
     "INSERT INTO access_keys (public_key, account_id, created_by_receipt_id, " +

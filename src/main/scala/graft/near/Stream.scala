@@ -62,10 +62,13 @@ object Stream {
     * timestamps are µs, so the raw number is bucketed directly
     * (SURVEY §7.6#2).
     */
-  private def dayCol(ts: String) = {
+  private[graft] def dayCol(ts: String) = {
     // SQL `div` = exact integral quotient (works on DECIMAL, yields BIGINT)
     val daysSinceEpoch = expr(s"CAST($ts AS DECIMAL(38,0)) div 86400000000000")
-    to_date(timestamp_seconds(daysSinceEpoch * 86400L))
+    // date_add from the epoch date is timezone-independent — the
+    // timestamp_seconds/to_date route converts via the SESSION timezone
+    // and would shift day partitions when the session isn't UTC.
+    date_add(lit(java.sql.Date.valueOf("1970-01-01")), daysSinceEpoch.cast("int"))
   }
 
   private val listenerRegistered = new java.util.concurrent.atomic.AtomicBoolean(false)

@@ -62,7 +62,8 @@ object PipelineOracles {
 
     "q15_lsh_near_dups" -> {
       val sigList = (0 until 16).map(minhashExpr).mkString("[", ", ", "]")
-      s"""WITH d AS (SELECT doc_id, $shingleSql AS sh FROM ($docsWithWords) d0),
+      s"""WITH d AS (SELECT doc_id, $shingleSql AS sh FROM ($docsWithWords) d0
+         |           WHERE len(w) >= 3),
          |h AS (SELECT doc_id, sh, list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS hs FROM d),
          |m AS (SELECT doc_id, sh, $sigList AS sig FROM h),
          |b AS (SELECT doc_id, j AS band,

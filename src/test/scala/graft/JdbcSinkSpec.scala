@@ -91,9 +91,14 @@ class JdbcSinkSpec extends AnyFunSuite {
 
   test("accounts merge SQL keeps implicit-account and delete-only rules") {
     val sql = JdbcSink.accountsUpsertSql
-    // implicit (64-char) non-deleted rows must not steal created_by
-    assert(sql.contains("length(excluded.account_id) = 64"))
-    assert(sql.contains("THEN accounts.created_by_receipt_id"))
+    // issue #68: an implicit (64-char) re-create against a LIVE stored
+    // row skips the WHOLE update (no deleted/height overwrite either) —
+    // the gate is on the statement's WHERE, not per-column
+    assert(sql.contains(
+      "AND NOT (length(excluded.account_id) = 64 " +
+        "AND excluded.created_by_receipt_id IS NOT NULL " +
+        "AND excluded.deleted_by_receipt_id IS NULL " +
+        "AND accounts.deleted_by_receipt_id IS NULL)"))
     // delete-only deltas keep the stored created receipt
     assert(sql.contains(
       "COALESCE(excluded.created_by_receipt_id, accounts.created_by_receipt_id)"))

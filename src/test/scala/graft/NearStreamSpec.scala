@@ -147,4 +147,19 @@ class NearStreamSpec extends AnyFunSuite {
     assert(receipts("R5") == "T1")
     assert(receipts("R1") == "T1")
   }
+
+  test("block_date partitioning is the UTC day regardless of session timezone") {
+    import spark.implicits._
+    // 2023-11-14T23:30Z in nanos: still Nov 14 UTC, but Nov 15 in
+    // Asia/Tokyo — to_date(timestamp_seconds(...)) would shift it.
+    val nanos = BigDecimal("1700004600000000000")
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      val d = Seq(nanos).toDF("ts")
+        .select(Stream.dayCol("ts").cast("string").as("d"))
+        .collect()(0).getString(0)
+      assert(d == "2023-11-14")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
 }

@@ -109,4 +109,49 @@ class PipelineSpec extends AnyFunSuite {
     val expected = Tables.events(spark, sf).count()
     assert(total == expected)
   }
+
+  test("LSH near-dup: sub-shingle-length docs never pair (no NaN jaccard)") {
+    import spark.implicits._
+    // Three docs shorter than the 3-word shingle, which used to share
+    // the degenerate md5('') band hash and verify at 0/0 = NaN, plus a
+    // genuine near-dup pair that must still be found.
+    val docs = Seq(
+      (1L, "hi"), (2L, "ok"), (3L, "one two"),
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "the quick brown fox jumps over the lazy dog"),
+    ).toDF("doc_id", "text")
+    val pairs = graft.functions.Dedup
+      .lshNearDupPairs(spark, docs, "doc_id", "text").collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((10L, 11L)))
+    pairs.foreach(r => assert(!r.getAs[Double]("jaccard").isNaN))
+  }
+
+  test("sketch expressions tolerate empty and null-element word arrays") {
+    import spark.implicits._
+    import graft.expressions.Sketches
+    val df = Seq(
+      (1L, Seq[String]("a")),                       // < n words: empty shingle set
+      (2L, Seq[String]("x", null, "z", "w")),       // null element: no NPE
+    ).toDF("id", "w")
+    // empty vs empty shingle sets → 0.0, not NaN
+    val jEmpty = df.filter($"id" === 1L)
+      .select(Sketches.shingleJaccard(spark, $"w", $"w").as("j"))
+      .collect()(0).getDouble(0)
+    assert(jEmpty == 0.0)
+    // identical null-bearing arrays → jaccard 1.0, signature non-null
+    val r = df.filter($"id" === 2L).select(
+      Sketches.shingleJaccard(spark, $"w", $"w").as("j"),
+      Sketches.minhashSigFromWords(spark, $"w").as("sig")).collect()(0)
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getAs[Seq[Long]]("sig").forall(_ >= 0L))
+  }
+
+  test("bpeTokenCount follows its column argument, not a hardcoded name") {
+    import spark.implicits._
+    val df = Seq("Hello, world 42!").toDF("body")
+    val n = df.select(graft.functions.TextFunctions
+      .bpeTokenCount(col("body")).as("n")).collect()(0).getInt(0)
+    // hello | , | world | 42 | !
+    assert(n == 5)
+  }
 }
