@@ -125,5 +125,5 @@ object SparkEntry {
         |  count(*) AS n,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-  ) ++ PipelineOracles.sql
+  ) ++ PipelineOracles.sql ++ graft.queries.NearOracles.sql
 }

@@ -7,9 +7,10 @@ import graft.near.{Fixtures, Ingest}
 /** Driver-facing NEAR-indexer queries: each runs the real ETL DAG
   * (parse → transform → lineage) over the embedded fixture chain and
   * returns one of the 17 output tables, ordered deterministically.
-  * No DuckDB oracle (the fixture stream isn't a parquet table in the
-  * driver's sfDir) — these get the rows-only check; the golden-value
-  * assertions live in NearSpec.
+  * The normalized chain (and the lockup states) are ALSO materialized
+  * to [[NearOracles.fixtureDir]] as parquet so the driver's DuckDB can
+  * independently recompute every table from the same input — the
+  * `oracleSql` twins live in NearOracles.
   */
 object NearQueries {
 
@@ -23,6 +24,15 @@ object NearQueries {
     cache.computeIfAbsent(s, (s2: SparkSession) => {
       val norm = Ingest.blocksFromJson(s2, Fixtures.chain).toDF().persist()
       norm.count()
+      // Deterministic parquet mirror of the oracle's input: the
+      // normalized chain plus the S4 point-source states. DuckDB
+      // recomputes all 17 tables from these (NearOracles.sql).
+      norm.coalesce(1).write.mode("overwrite")
+        .parquet(s"${NearOracles.fixtureDir}/norm")
+      s2.createDataset(Fixtures.lockupStates)(
+          org.apache.spark.sql.Encoders.product[graft.near.Lockup.State])
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"${NearOracles.fixtureDir}/lockup_states")
       Ingest.allTables(norm).map { case (n, df) => (n, df.persist()) }
     })
 
