@@ -562,7 +562,7 @@ FROM ara"""
   private val eventOrder =
     "ORDER BY emitted_at_block_timestamp, emitted_in_shard_id, emitted_index_of_event_entry_in_shard"
 
-  val sql: Map[String, String] = Map(
+  private val rawSql: Map[String, String] = Map(
     "near_blocks" -> (withR(NORM, BLOCKS) +
       "SELECT * FROM blocks ORDER BY block_height, block_hash"),
 
@@ -665,4 +665,70 @@ ORDER BY changed_in_block_timestamp, index_in_block"""),
       (withR(NORM, BLOCKS, CHX, TX, RCX, OCX, EOR, LIN, RECEIPTS, ACCTS, LOCKV,
         SUPPLY) + SupplySelect),
   )
+
+  /** Hash-stable outer projection, the DuckDB twin of
+    * NearQueries.hashStable: the driver canonicalizes via pandas
+    * `astype(str)` and DuckDB's `.df()` floats DECIMAL columns
+    * ('1.7e+18' vs Spark's exact '1700000000000000000') and yields
+    * unhashable bytearrays for BLOB. Emit DECIMAL as VARCHAR and BLOB
+    * as lowercase hex so both sides hash identical strings.
+    */
+  private def stable(inner: String, dec: Seq[String], bin: Seq[String]): String =
+    if (dec.isEmpty && bin.isEmpty) inner
+    else {
+      val reps = dec.map(c => s"CAST($c AS VARCHAR) AS $c") ++
+        bin.map(c => s"lower(hex($c)) AS $c")
+      s"SELECT * REPLACE (${reps.mkString(", ")}) FROM (\n$inner\n) stable_q"
+    }
+
+  private val txDec =
+    Seq("block_timestamp", "nonce", "receipt_conversion_gas_burnt",
+      "receipt_conversion_tokens_burnt")
+  private val eventDec = Seq("emitted_at_block_timestamp", "emitted_in_shard_id")
+
+  /** DECIMAL (and BLOB) output columns per query — everything else is
+    * already hash-stable (VARCHAR/BIGINT/BOOLEAN).
+    */
+  private val decCols: Map[String, (Seq[String], Seq[String])] = Map(
+    "near_blocks" ->
+      (Seq("block_height", "block_timestamp", "total_supply", "gas_price"), Nil),
+    "near_chunks" -> (Seq("shard_id", "gas_limit", "gas_used"), Nil),
+    "near_transactions" -> (txDec, Nil),
+    "near_transaction_actions" -> (Nil, Nil),
+    "near_receipts" -> (Seq("included_in_block_timestamp"), Nil),
+    "near_action_receipt_actions" ->
+      (Seq("receipt_included_in_block_timestamp"), Nil),
+    "near_data_receipts" -> (Nil, Seq("data")),
+    "near_execution_outcomes" ->
+      (Seq("executed_in_block_timestamp", "gas_burnt", "tokens_burnt", "shard_id"), Nil),
+    "near_execution_outcome_receipts" -> (Nil, Nil),
+    "near_account_changes" ->
+      (Seq("changed_in_block_timestamp", "affected_account_nonstaked_balance",
+        "affected_account_staked_balance", "affected_account_storage_usage"), Nil),
+    "near_accounts" -> (Seq("last_update_block_height"), Nil),
+    "near_access_keys" -> (Seq("last_update_block_height"), Nil),
+    "near_ft_events" -> (eventDec, Nil),
+    "near_nft_events" -> (eventDec, Nil),
+    "near_lockups" ->
+      (Seq("creation_block_height", "deletion_block_height"), Nil),
+    "near_q_tx_by_signer" -> (txDec, Nil),
+    "near_q_receipts_by_receiver" -> (Seq("included_in_block_timestamp"), Nil),
+    "near_q_method_calls" -> (Seq("receipt_included_in_block_timestamp"), Nil),
+    "near_q_ft_history" -> (eventDec, Nil),
+    "near_q_nft_history" -> (eventDec, Nil),
+    "near_q_tx_receipt_tree" ->
+      (Seq("included_in_block_timestamp", "gas_burnt", "tokens_burnt"), Nil),
+    "near_q_balance_history" ->
+      (Seq("changed_in_block_timestamp", "affected_account_nonstaked_balance",
+        "affected_account_staked_balance"), Nil),
+    "near_circulating_supply" ->
+      (Seq("computed_at_block_timestamp", "circulating_tokens_supply",
+        "total_tokens_supply", "foundation_locked_tokens",
+        "lockups_locked_tokens"), Nil),
+  )
+
+  val sql: Map[String, String] = rawSql.map { case (name, q) =>
+    val (dec, bin) = decCols.getOrElse(name, (Nil, Nil))
+    name -> stable(q, dec, bin)
+  }
 }

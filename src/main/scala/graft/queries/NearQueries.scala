@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, DecimalType}
 import graft.near.{Fixtures, Ingest}
 
 /** Driver-facing NEAR-indexer queries: each runs the real ETL DAG
@@ -40,7 +41,24 @@ object NearQueries {
       s: SparkSession, dir: String): DataFrame =
     tables(s)(name).orderBy(order.map(col): _*)
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Hash-stable final projection: the driver's compare canonicalizes
+    * cells via pandas `astype(str)`, which floats DuckDB DECIMALs
+    * ('1.7e+18') and chokes on BINARY. Project DECIMAL → exact string
+    * and BINARY → lowercase hex on BOTH sides ([[NearOracles.stable]]
+    * is the twin) so the hash sees identical representations.
+    */
+  private def hashStable(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.toSeq.map { f =>
+      f.dataType match {
+        case _: DecimalType => col(f.name).cast("string").as(f.name)
+        case BinaryType     => lower(hex(col(f.name))).as(f.name)
+        case _              => col(f.name)
+      }
+    }
+    df.select(cols: _*)
+  }
+
+  private val raw: Map[String, (SparkSession, String) => DataFrame] = Map(
     "near_blocks" -> table("blocks", Seq("block_height", "block_hash")) _,
     "near_chunks" -> table("chunks", Seq("chunk_hash")) _,
     "near_transactions" -> table("transactions", Seq("transaction_hash")) _,
@@ -104,4 +122,9 @@ object NearQueries {
         Fixtures.foundationLocked)
     }),
   )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    raw.map { case (name, f) =>
+      name -> ((s: SparkSession, dir: String) => hashStable(f(s, dir)))
+    }
 }
