@@ -44,6 +44,7 @@ object SparkEntry {
     "q22_multimodal_meta"   -> (Multimodal.q22MultimodalMeta _),
     "q23_stream_hourly"     -> (StreamingJobs.hourlyEventCounts _),
     "q24_embedding_dups"    -> (PipelineQueries.q24EmbeddingDups _),
+    "q24b_embedding_dups_lsh" -> (PipelineQueries.q24bEmbeddingDupsLsh _),
     "q25_ann_ivf"           -> (PipelineQueries.q25AnnIvf _),
   ) ++ graft.queries.NearQueries.queries
 

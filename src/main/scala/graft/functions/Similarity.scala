@@ -75,13 +75,24 @@ object Similarity {
   private def plane(planeIdx: Int, dims: Int): Array[Double] =
     Array.tabulate(dims)(i => planeComponent(planeIdx, i + 1))
 
-  /** nBits-bit LSH bucket signature of an embedding: bit j = sign of
-    * the dot product with deterministic hyperplane j. Map-only.
+  /** The hyperplane as a DuckDB list literal — the components are
+    * k/1000 rationals whose shortest decimal repr round-trips exactly,
+    * so the oracle twin sees bit-identical doubles.
     */
-  def lshBucket(emb: Column, dims: Int, nBits: Int): Column = {
+  private[graft] def planeSqlLiteral(planeIdx: Int, dims: Int): String =
+    plane(planeIdx, dims).mkString("[", ", ", "]")
+
+  /** nBits-bit LSH bucket signature of an embedding: bit j = sign of
+    * the dot product with deterministic hyperplane `planeOffset + j`.
+    * Map-only. Distinct `planeOffset`s give independent hash tables
+    * (the OR-amplification bands of [[nearDupPairsLsh]]).
+    */
+  def lshBucket(emb: Column, dims: Int, nBits: Int,
+      planeOffset: Int = 0): Column = {
     val bits = (0 until nBits).map { j =>
       val dot = aggregate(
-        zip_with(emb, typedLit(plane(j, dims)), (x, p) => x.cast("double") * p),
+        zip_with(emb, typedLit(plane(planeOffset + j, dims)),
+          (x, p) => x.cast("double") * p),
         lit(0.0), (acc, v) => acc + v)
       when(dot > 0, lit(1L << j)).otherwise(lit(0L))
     }
@@ -109,22 +120,38 @@ object Similarity {
       .orderBy(col("vec_id_a"), col("vec_id_b"))
   }
 
-  /** Scale path for near-dup pairs: candidates limited to equal LSH
-    * buckets (map-only bucketing + an equi-join on the bucket key, no
-    * cross join), exact cosine inside. Misses cross-bucket pairs by
-    * construction — recall < 1, the documented trade.
+  /** Scale path for near-dup pairs: banded (OR-amplified) hyperplane
+    * LSH — `nBands` independent hash tables of `rBits` sign-bits each;
+    * a pair is a candidate if it collides in ANY band. Bucketing is
+    * map-only, the candidate join is an equi-join on (band, bucket),
+    * and exact cosine confirms inside the (deduped) candidate set —
+    * no cross join anywhere. Misses pairs colliding in no band —
+    * recall < 1, the documented trade; recall tunes with
+    * `1 - (1 - p^rBits)^nBands`, cost with `n²/2^rBits` per band.
     */
   def nearDupPairsLsh(embeddings: DataFrame, threshold: Double,
-      dims: Int = 64, nBits: Int = 8): DataFrame = {
+      dims: Int = 64, rBits: Int = 6, nBands: Int = 4): DataFrame = {
     val dot = ndot(embeddings.sparkSession) _
-    val bucketed = embeddings.select(col("vec_id"), col("embedding"),
-      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"),
-      lshBucket(col("embedding"), dims, nBits).as("bucket"))
-    val a = bucketed.select(col("bucket"), col("vec_id").as("vec_id_a"),
-      col("embedding").as("ea"), col("nrm").as("na"))
-    val b = bucketed.select(col("bucket"), col("vec_id").as("vec_id_b"),
-      col("embedding").as("eb"), col("nrm").as("nb"))
-    a.join(b, Seq("bucket")).filter(col("vec_id_a") < col("vec_id_b"))
+    val bands = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        lshBucket(col("embedding"), dims, rBits, b * rBits).as("bucket"))
+    }
+    val keyed = embeddings
+      .select(col("vec_id"), explode(array(bands: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+    val cand = keyed.as("x")
+      .join(keyed.as("y"), Seq("band", "bucket"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_id_a"), col("y.vec_id").as("vec_id_b"))
+      .distinct()
+    val n = embeddings.select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    cand
+      .join(n.select(col("vec_id").as("vec_id_a"), col("embedding").as("ea"),
+        col("nrm").as("na")), Seq("vec_id_a"))
+      .join(n.select(col("vec_id").as("vec_id_b"), col("embedding").as("eb"),
+        col("nrm").as("nb")), Seq("vec_id_b"))
       .withColumn("cos_sim",
         round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
       .filter(col("cos_sim") >= threshold)

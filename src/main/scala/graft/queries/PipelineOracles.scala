@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.functions.{Dedup, TextFunctions => TF}
+import graft.functions.{Dedup, Similarity, TextFunctions => TF}
 
 /** DuckDB twins of the pipeline queries. The portable-hash identity
   * (md5 prefix → BIGINT) makes even MinHash/SimHash/LSH exactly
@@ -28,6 +28,28 @@ object PipelineOracles {
     "SELECT doc_id, text, string_split(trim(text), ' ') AS w FROM documents"
 
   private def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
+
+  /** Sequential dot product of two 64-dim float lists (the DuckDB twin
+    * of Sketches.fdot's left fold — q19 proves the parity).
+    */
+  private def vdot(x: String, y: String) =
+    s"list_sum(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+
+  /** Random-hyperplane LSH bucket of `embedding` from `rBits` sign
+    * bits starting at plane `offset` — the plane components are inlined
+    * from the same md5-seeded generator the Spark side ships as
+    * literals (Similarity.planeSqlLiteral), so bucket membership is
+    * bit-identical.
+    */
+  private def bandBucketSql(offset: Int, rBits: Int): String =
+    (0 until rBits).map { j =>
+      val pl = Similarity.planeSqlLiteral(offset + j, 64)
+      s"""CASE WHEN list_sum(list_transform(range(1, 65),
+         |    i -> CAST(embedding[i] AS DOUBLE) * CAST(($pl)[i] AS DOUBLE))) > 0
+         |  THEN ${1L << j} ELSE 0 END""".stripMargin
+    }.mkString("(", "\n + ", ")")
+
+  private val bucketSql: String = bandBucketSql(0, 8)
 
   val sql: Map[String, String] = Map(
     "q11_token_stats" ->
@@ -170,5 +192,68 @@ object PipelineOracles {
       """SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS hour_us,
         |  event_type, count(*) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q21_ann_lsh" ->
+      s"""WITH b AS (SELECT vec_id, embedding,
+         |             sqrt(${vdot("embedding", "embedding")}) AS norm,
+         |             $bucketSql AS bucket
+         |           FROM embeddings),
+         |a AS (SELECT vec_id AS anchor_id, embedding AS aemb,
+         |        norm AS anorm, bucket
+         |      FROM b WHERE vec_id IN (0, 1, 2)),
+         |s AS (SELECT anchor_id, b.vec_id AS vec_id,
+         |        round(${vdot("b.embedding", "aemb")} / (b.norm * anorm), 6) AS cos_sim
+         |      FROM b JOIN a USING (bucket) WHERE b.vec_id <> anchor_id)
+         |SELECT anchor_id, vec_id, cos_sim, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY anchor_id
+         |    ORDER BY cos_sim DESC, vec_id) AS rank FROM s) r
+         |WHERE rank <= 3 ORDER BY anchor_id, rank""".stripMargin,
+
+    "q25_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |             sqrt(${vdot("embedding", "embedding")}) AS norm
+         |           FROM embeddings),
+         |c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         |        embedding AS cemb,
+         |        sqrt(${vdot("embedding", "embedding")}) AS cnorm
+         |      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+         |asg AS (SELECT vec_id, embedding, norm, cell FROM (
+         |    SELECT e.vec_id, e.embedding, e.norm, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY -${vdot("e.embedding", "c.cemb")} / c.cnorm, c.cell) AS rn
+         |    FROM e, c) t WHERE rn = 1),
+         |probe AS (SELECT anchor_id, aemb, anorm, cell FROM (
+         |    SELECT e.vec_id AS anchor_id, e.embedding AS aemb,
+         |      e.norm AS anorm, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY -${vdot("e.embedding", "c.cemb")} / c.cnorm, c.cell) AS rn
+         |    FROM e, c WHERE e.vec_id IN (0, 1, 2)) t WHERE rn <= 2),
+         |s AS (SELECT anchor_id, asg.vec_id AS vec_id,
+         |        round(${vdot("asg.embedding", "aemb")} / (asg.norm * anorm), 6) AS cos_sim
+         |      FROM asg JOIN probe USING (cell) WHERE asg.vec_id <> anchor_id)
+         |SELECT anchor_id, vec_id, cos_sim, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY anchor_id
+         |    ORDER BY cos_sim DESC, vec_id) AS rank FROM s) r
+         |WHERE rank <= 3 ORDER BY anchor_id, rank""".stripMargin,
+
+    "q24b_embedding_dups_lsh" -> {
+      val bandSelects = (0 until 4).map { b =>
+        s"SELECT vec_id, $b AS band, ${bandBucketSql(b * 6, 6)} AS bucket FROM embeddings"
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH k AS (
+         |$bandSelects),
+         |p AS (SELECT DISTINCT x.vec_id AS vec_id_a, y.vec_id AS vec_id_b
+         |      FROM k x JOIN k y ON x.band = y.band AND x.bucket = y.bucket
+         |       AND x.vec_id < y.vec_id),
+         |n AS (SELECT vec_id, embedding,
+         |        sqrt(${vdot("embedding", "embedding")}) AS nrm
+         |      FROM embeddings)
+         |SELECT vec_id_a, vec_id_b, cos_sim FROM (
+         |  SELECT vec_id_a, vec_id_b,
+         |    round(${vdot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cos_sim
+         |  FROM p JOIN n a ON p.vec_id_a = a.vec_id
+         |         JOIN n b ON p.vec_id_b = b.vec_id) s
+         |WHERE cos_sim >= 0.45 ORDER BY vec_id_a, vec_id_b""".stripMargin
+    },
   )
 }

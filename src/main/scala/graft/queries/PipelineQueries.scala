@@ -133,6 +133,13 @@ object PipelineQueries {
   def q24EmbeddingDups(s: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairs(Tables.embeddings(s, dir), threshold = 0.45)
 
+  /** Bucketed near-duplicate pairs — the 100 TB path: LSH bucket
+    * assignment is map-only and the candidate join is an equi-join on
+    * the bucket key (no nested-loop/cross product in the plan).
+    */
+  def q24bEmbeddingDupsLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairsLsh(Tables.embeddings(s, dir), threshold = 0.45)
+
   /** IVF-partitioned ANN (second scale path; recall<1 — rows-only). */
   def q25AnnIvf(s: SparkSession, dir: String): DataFrame =
     Similarity.annTopKIvf(Tables.embeddings(s, dir), Seq(0L, 1L, 2L), k = 3)

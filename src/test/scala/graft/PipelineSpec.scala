@@ -68,6 +68,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh.subsetOf(exact)) // bucketing only prunes, never invents
   }
 
+  test("q24b banded-LSH plan has no nested-loop/cartesian join") {
+    val df = SparkEntry.queries("q24b_embedding_dups_lsh")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // And it still finds at least one confirmed near-dup pair
+    assert(df.count() > 0)
+  }
+
   test("q25 IVF ANN: dense ranks, bounded cosine, hits its probed cells") {
     val ivf = SparkEntry.queries("q25_ann_ivf")(spark, sf).collect()
     assert(ivf.nonEmpty)
