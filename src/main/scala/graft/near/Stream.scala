@@ -40,6 +40,7 @@ object Stream {
   val PendingDir = "_pending"
   val PendingEdgesDir = "_pending_edges"
   val LineageAheadDir = "_lineage_ahead"
+  val TxRecentDir = "_tx_recent"
 
   /** Tables carrying a block timestamp, with its column name — written
     * partitioned by UTC day of that column so time predicates prune
@@ -152,31 +153,35 @@ object Stream {
   def processBatch(spark: SparkSession, norm0: DataFrame,
       warehouseDir: String, maxRetries: Int = 4,
       enableAccountChanges: Boolean = true,
-      enableEvents: Boolean = true): Unit = {
+      enableEvents: Boolean = true,
+      collisionWindowBlocks: Long = 1000L): Unit = {
     if (norm0.isEmpty) return
     val norm = norm0.persist()
     try {
       // S9: block counter + latest-height gauge (metrics.rs:6-14)
       val stats = norm.agg(count(lit(1)),
         max(col("blockHeight").cast("long"))).collect()(0)
-      Metrics.recordBatch(stats.getLong(0),
-        if (stats.isNullAt(1)) 0L else stats.getLong(1))
+      val maxHeight = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+      Metrics.recordBatch(stats.getLong(0), maxHeight)
       // Cross-batch issue84 handling (transactions.rs:43-89): within-
-      // batch duplicates are resolved by transactionsBase; against the
-      // WAREHOUSE (earlier batches), the discriminator is the converted
-      // receipt id — same hash + same receipt = fork re-delivery
-      // (dropped, PK dedup), same hash + different receipt = genuine
-      // collision (`_issue84_<height>` suffix). The batch's hash set
-      // broadcasts against the warehouse hash column.
+      // batch duplicates are resolved by transactionsBase; against
+      // EARLIER batches the discriminator is the converted receipt id —
+      // same hash + same receipt = fork re-delivery (dropped, PK
+      // dedup), same hash + different receipt = genuine collision
+      // (`_issue84_<height>` suffix). The lookup side is NOT the
+      // warehouse (an O(history) scan per batch) but the `_tx_recent`
+      // state: first-seen (hash, receipt) pairs from the trailing
+      // `collisionWindowBlocks` blocks — the deterministic analogue of
+      // the reference's bounded recent-tx cache. Collisions older than
+      // the window are missed, the same trade the reference's eviction
+      // makes; the state is broadcast-sized by construction.
       val txBase0 = Transforms.transactionsBase(norm)
-      val txBase = readIfExists(spark, s"$warehouseDir/transactions") match {
-        case Some(wt) =>
-          val whPairs = wt.select(col("transaction_hash").as("wh_hash"),
-              col("converted_into_receipt_id").as("wh_cid"))
-            .join(broadcast(txBase0.select(col("transaction_hash")).distinct()),
-              col("wh_hash") === col("transaction_hash"), "left_semi")
-            .dropDuplicates("wh_hash")
-          txBase0.join(broadcast(whPairs),
+      val txRecent = readState(spark, s"$warehouseDir/$TxRecentDir")
+      val txBase = txRecent match {
+        case Some(recent) =>
+          txBase0.join(
+              broadcast(recent.select(col("tx_hash").as("wh_hash"),
+                col("cid").as("wh_cid"))),
               txBase0("transaction_hash") === col("wh_hash"), "left")
             .filter(col("wh_cid").isNull ||
               col("wh_cid") =!= col("t.convertedIntoReceiptId"))
@@ -374,6 +379,19 @@ object Stream {
           w.mode("append").parquet(s"$warehouseDir/$name")
         }
       }
+      // Roll the recent-hash state forward AFTER the appends (a crash
+      // between state write and append would otherwise drop the
+      // replayed rows as fork re-deliveries): first-seen receipt per
+      // stored hash, pruned to the trailing collision window.
+      val batchPairs = txBase.select(
+        col("transaction_hash").as("tx_hash"),
+        col("t.convertedIntoReceiptId").as("cid"),
+        col("blockHeight").cast("long").as("h"))
+      val merged = txRecent.map(batchPairs.unionByName(_)).getOrElse(batchPairs)
+      swapInto(spark,
+        Transforms.dedupPk(merged, Seq(col("tx_hash")), Seq(col("h")))
+          .filter(col("h") >= lit(maxHeight - collisionWindowBlocks)),
+        s"$warehouseDir/$TxRecentDir")
     } finally norm.unpersist()
   }
 }

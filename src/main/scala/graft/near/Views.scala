@@ -151,6 +151,25 @@ object Views {
         col("lockups").cast(D38).as("lockups_locked_tokens"))
   }
 
+  /** A3 without pre-built state tables: the lockup states and the
+    * foundation balances come from the S4 RPC point source at the
+    * block's height (main.rs:160-236 end-to-end).
+    */
+  def circulatingSupplyViaRpc(spark: SparkSession, block: DataFrame,
+      lockupsView: DataFrame, transport: Rpc.Transport): DataFrame = {
+    val blockHeight = block.select(col("block_height").cast("long"))
+      .collect() match {
+      case Array(row) => row.getLong(0)
+      case rows => throw new IllegalStateException(
+        s"expected exactly one block row, got ${rows.length}")
+    }
+    val states = Rpc.lockupStates(spark,
+      lockupAccountIdsAtHeight(lockupsView, blockHeight), transport,
+      blockHeight)
+    circulatingSupply(spark, block, lockupsView, states,
+      Rpc.foundationLockedTokens(transport, blockHeight))
+  }
+
   /** Nanosecond start-of-day bucketing (main.rs:112-114):
     * `ts − ts % DAY` on raw nanos (NOT TimestampType — µs only).
     */

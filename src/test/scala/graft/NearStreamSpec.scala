@@ -118,6 +118,44 @@ class NearStreamSpec extends AnyFunSuite {
     assert(t6.toSeq == Seq("T6"))
   }
 
+  test("cross-batch issue84 collision suffixes via bounded recent-hash state") {
+    val root = Files.createTempDirectory("graft_stream_i84").toString
+    val wh = s"$root/wh"
+    val chain = Fixtures.chain
+    import SparkTestSession.spark.implicits._
+    def norm(js: String*) = graft.near.Ingest.blocksFromJson(spark, js).toDF()
+
+    // Batch 1: block 100 carries T1 → R1. Batch 2: block 102a carries
+    // the SAME hash T1 → R9 (a genuine collision, different converted
+    // receipt) plus T5/T6. The collision must be detected against the
+    // `_tx_recent` state — the warehouse transactions table is never
+    // scanned on this path.
+    Stream.processBatch(spark, norm(chain(0)), wh)
+    Stream.processBatch(spark, norm(chain(2)), wh)
+    val hashes = Warehouse.table(spark, wh, "transactions")
+      .select("transaction_hash").collect().map(_.getString(0)).toSet
+    assert(hashes.contains("T1"))
+    assert(hashes.contains("T1_issue84_102"), s"got $hashes")
+    assert(hashes.contains("T6")) // first arrival, no suffix
+
+    // The state holds first-seen (hash, receipt) pairs, one per hash.
+    val st = spark.read.parquet(s"$wh/${Stream.TxRecentDir}")
+    assert(st.count() == st.select("tx_hash").distinct().count())
+    val t1 = st.filter(col("tx_hash") === "T1").collect()(0)
+    assert(t1.getAs[String]("cid") == "R1") // first occurrence wins
+
+    // Out-of-window hashes are pruned: with a 1-block window at height
+    // 102, batch-1's T1 (height 100) is evicted while the height-102
+    // entries survive. (The re-delivered T6 in chain(3) carries the
+    // same converted receipt → dropped, no state churn.)
+    Stream.processBatch(spark, norm(chain(3)), wh,
+      collisionWindowBlocks = 1L)
+    val st2 = spark.read.parquet(s"$wh/${Stream.TxRecentDir}")
+      .select("tx_hash").collect().map(_.getString(0)).toSet
+    assert(st2 == Set("T1_issue84_102", "T5", "T6"),
+      s"expected window prune of T1, got $st2")
+  }
+
   test("pending receipt resolves when its parent block arrives late") {
     val root = Files.createTempDirectory("graft_stream_late").toString
     val input = s"$root/input"; val wh = s"$root/wh"; val ckpt = s"$root/ckpt"
