@@ -31,9 +31,13 @@ object Events {
       StructField("token_ids", ArrayType(StringType)))))),
   ))
 
-  private val escapeUdf = udf(BlockParser.escapeDefault _)
-
-  private def esc(c: Column): Column = escapeUdf(coalesce(c, lit("")))
+  /** escape_default as a native Catalyst expression (no UDF in the
+    * events path); registration binds to the plan-construction-time
+    * active session.
+    */
+  private def esc(c: Column): Column =
+    graft.expressions.Strings.escapeDefault(
+      org.apache.spark.sql.SparkSession.active, coalesce(c, lit("")))
 
   /** Parsed EVENT_JSON logs joined with their outcome context: one row
     * per (outcome, log) that parsed into a NearEvent envelope.

@@ -23,8 +23,7 @@ object Genesis {
   private val D20 = DecimalType(20, 0)
 
   /** Parse a whole genesis file. Fine up to a few GB on one multiLine
-    * read; for larger files pre-split `records` into JSONL and use
-    * [[fromRecords]] directly.
+    * read; for larger files use [[loadStreamed]] — the >memory route.
     */
   def load(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
     val g = spark.read.option("multiLine", "true").json(path)
@@ -32,6 +31,73 @@ object Genesis {
     val records = g.select(explode(col("records")).as("r"))
     (accountsFromRecords(records, height),
       accessKeysFromRecords(records, height))
+  }
+
+  /** The multi-GB route (genesis.rs:43-132 streams the file for the
+    * same reason): a single pass with Jackson's streaming parser —
+    * O(one record) driver memory — splits `records` into a JSONL file,
+    * which Spark then reads line-splittable and DISTRIBUTED (a
+    * multiLine JSON document is one unsplittable task; JSONL shards by
+    * `maxPartitionBytes`). Returns the same (accounts, access_keys)
+    * pair as [[load]].
+    */
+  def loadStreamed(spark: SparkSession, genesisPath: String,
+      jsonlPath: String): (DataFrame, DataFrame) = {
+    val height = splitRecordsToJsonl(spark, genesisPath, jsonlPath)
+    loadJsonl(spark, jsonlPath, height)
+  }
+
+  /** Seed tables from an already-split records JSONL (one record object
+    * per line).
+    */
+  def loadJsonl(spark: SparkSession, jsonlPath: String,
+      genesisHeight: Long): (DataFrame, DataFrame) = {
+    val records = spark.read.json(jsonlPath)
+      .select(struct(col("*")).as("r"))
+    (accountsFromRecords(records, genesisHeight),
+      accessKeysFromRecords(records, genesisHeight))
+  }
+
+  /** Stream the genesis JSON once (token-level, never materializing the
+    * records array), writing each record as a JSONL line; returns
+    * `genesis_height`. Works on any Hadoop filesystem.
+    */
+  def splitRecordsToJsonl(spark: SparkSession, genesisPath: String,
+      jsonlPath: String): Long = {
+    import com.fasterxml.jackson.core.JsonToken
+    val conf = spark.sparkContext.hadoopConfiguration
+    val inPath = new org.apache.hadoop.fs.Path(genesisPath)
+    val outPath = new org.apache.hadoop.fs.Path(jsonlPath)
+    val in = inPath.getFileSystem(conf).open(inPath)
+    val out = new java.io.PrintWriter(new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(
+        outPath.getFileSystem(conf).create(outPath, true), "UTF-8")))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val parser = mapper.getFactory.createParser(in: java.io.InputStream)
+    var height = -1L
+    try {
+      while (parser.nextToken() != null) {
+        if (parser.currentToken() == JsonToken.FIELD_NAME &&
+            parser.currentName() != null) {
+          parser.currentName() match {
+            case "genesis_height" =>
+              parser.nextToken()
+              height = parser.getLongValue
+            case "records" =>
+              require(parser.nextToken() == JsonToken.START_ARRAY,
+                "genesis `records` must be an array")
+              while (parser.nextToken() != JsonToken.END_ARRAY)
+                out.println(mapper.readTree[
+                  com.fasterxml.jackson.databind.JsonNode](parser).toString)
+            case _ =>
+              parser.nextToken()
+              parser.skipChildren() // no-op for scalars
+          }
+        }
+      }
+    } finally { parser.close(); out.close() }
+    require(height >= 0, s"no genesis_height in $genesisPath")
+    height
   }
 
   /** accounts seed rows (accounts.rs Account::new_from_genesis): no

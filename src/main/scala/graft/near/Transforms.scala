@@ -270,10 +270,17 @@ object Transforms {
 
   /** account_changes (schema.rs:30-47; model account_changes.rs:24-82):
     * AccountUpdate/AccountDeletion state changes only, deletion zeroes
-    * the balance snapshot.
+    * the balance snapshot. Duplicated state changes collapse per the
+    * three partial unique indexes
+    * (2021-05-27-154211_account_changes_unique_idx/up.sql:7-43): key =
+    * (account, block hash, cause columns, reason, balance snapshot),
+    * partitioned by the cause-null pattern; first insert wins. Rows
+    * with BOTH cause columns set fall under no index and pass through.
+    * Every key includes the block hash, so the dedup is block-local —
+    * no cross-batch state, a plain window inside the batch.
     */
-  def accountChanges(norm: DataFrame): DataFrame =
-    norm.select(col("blockHash"), col("blockTimestamp"),
+  def accountChanges(norm: DataFrame): DataFrame = {
+    val rows = norm.select(col("blockHash"), col("blockTimestamp"),
         explode(col("stateChanges")).as("sc"))
       .filter(col("sc.valueType").isin("account_update", "account_deletion"))
       .select(
@@ -291,6 +298,16 @@ object Transforms {
         coalesce(d20(col("sc.storageUsage")), lit(0).cast(D20))
           .as("affected_account_storage_usage"),
         col("sc.indexInBlock").as("index_in_block"))
+    val bothSet = col("caused_by_transaction_hash").isNotNull &&
+      col("caused_by_receipt_id").isNotNull
+    val key = Seq("affected_account_id", "changed_in_block_hash",
+      "caused_by_transaction_hash", "caused_by_receipt_id", "update_reason",
+      "affected_account_nonstaked_balance", "affected_account_staked_balance",
+      "affected_account_storage_usage").map(col)
+    dedupPk(rows.filter(!bothSet), key,
+        Seq(col("changed_in_block_timestamp"), col("index_in_block")))
+      .unionByName(rows.filter(bothSet))
+  }
 
   // ---- Mutable entity registries (P21/P22 + S7) -----------------------
 

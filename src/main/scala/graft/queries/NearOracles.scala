@@ -229,7 +229,11 @@ lin AS (
   FROM ocx
 )"""
 
-  private val AC = """account_changes AS (
+  /** Partial-unique-index dedup twin (up.sql:7-43): DuckDB window
+    * PARTITION BY groups NULLs together, matching the per-null-pattern
+    * index keys; both-cause rows are index-exempt and kept whole.
+    */
+  private val AC = """ac_raw AS (
   SELECT sc.affectedAccountId AS affected_account_id,
          CAST(blockTimestamp AS DECIMAL(20,0)) AS changed_in_block_timestamp,
          blockHash AS changed_in_block_hash,
@@ -243,6 +247,18 @@ lin AS (
          sc.indexInBlock AS index_in_block
   FROM (SELECT blockHash, blockTimestamp, unnest(stateChanges) AS sc FROM norm)
   WHERE sc.valueType IN ('account_update', 'account_deletion')
+),
+account_changes AS (
+  SELECT * EXCLUDE (uni_rn) FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY affected_account_id, changed_in_block_hash,
+          caused_by_transaction_hash, caused_by_receipt_id, update_reason,
+          affected_account_nonstaked_balance, affected_account_staked_balance,
+          affected_account_storage_usage
+        ORDER BY changed_in_block_timestamp, index_in_block) AS uni_rn
+    FROM ac_raw)
+  WHERE uni_rn = 1
+     OR (caused_by_transaction_hash IS NOT NULL AND caused_by_receipt_id IS NOT NULL)
 )"""
 
   /** accounts lifecycle fold (accounts.rs:22-83): ord = zero-padded

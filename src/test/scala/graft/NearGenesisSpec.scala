@@ -53,6 +53,27 @@ class NearGenesisSpec extends AnyFunSuite {
       .getAs[String]("permission_kind") == "FUNCTION_CALL")
   }
 
+  test("streamed genesis (>memory route) matches the one-shot load") {
+    val dir = Files.createTempDirectory("graft_genesis_stream")
+    val path = dir.resolve("genesis.json")
+    Files.write(path, genesisJson.getBytes("UTF-8"))
+    val jsonl = dir.resolve("records.jsonl").toString
+
+    val (accounts, accessKeys) =
+      Genesis.loadStreamed(spark, path.toString, jsonl)
+    val (a0, k0) = Genesis.load(spark, path.toString)
+
+    // JSONL actually materialized one record per line (splittable).
+    val lines = Files.readAllLines(Paths.get(jsonl))
+    assert(lines.size == 5) // incl. the ignored Contract record
+    assert(lines.get(0).contains("alice.near"))
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf)).toSet
+    assert(rows(accounts) == rows(a0))
+    assert(rows(accessKeys) == rows(k0))
+  }
+
   test("metrics: counters, gauge, and the /metrics endpoint") {
     Metrics.reset()
     Metrics.recordBatch(3, 102)

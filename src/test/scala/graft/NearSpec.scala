@@ -144,6 +144,28 @@ class NearSpec extends AnyFunSuite {
     assert(carol.getAs[String]("caused_by_receipt_id") == "R2")
   }
 
+  test("account_changes: partial-unique-index dedup of duplicated changes") {
+    import graft.near.{Fixtures => F}
+    // One block whose shard carries the SAME account_update twice (same
+    // cause, reason and balance snapshot — only index_in_block differs)
+    // plus a third with a different amount: the duplicate collapses per
+    // up.sql:7-43, the different snapshot survives.
+    val dup = F.block(200, "B200", "B199", "1700000100000000000", Seq(
+      F.shard(0, None, Seq(), Seq(
+        F.scAccountUpdate("dup.near", F.causeReceipt("RX"), amount = "77"),
+        F.scAccountUpdate("dup.near", F.causeReceipt("RX"), amount = "77"),
+        F.scAccountUpdate("dup.near", F.causeReceipt("RX"), amount = "88")))))
+    val ac = graft.near.Transforms.accountChanges(
+        graft.near.Ingest.blocksFromJson(spark, Seq(dup)).toDF())
+      .orderBy(col("index_in_block")).collect()
+    assert(ac.length == 2, s"expected dedup to 2 rows, got ${ac.length}")
+    assert(ac(0).getAs[Int]("index_in_block") == 0) // first insert wins
+    assert(ac(0).getAs[java.math.BigDecimal](
+      "affected_account_nonstaked_balance").intValue == 77)
+    assert(ac(1).getAs[java.math.BigDecimal](
+      "affected_account_nonstaked_balance").intValue == 88)
+  }
+
   test("ft events: rows, kinds, escape_default on null byte, dense ordinals") {
     val ft = tables("assets__fungible_token_events")
       .orderBy(col("emitted_at_block_timestamp"),
