@@ -46,6 +46,7 @@ object SparkEntry {
     "q24_embedding_dups"    -> (PipelineQueries.q24EmbeddingDups _),
     "q24b_embedding_dups_lsh" -> (PipelineQueries.q24bEmbeddingDupsLsh _),
     "q25_ann_ivf"           -> (PipelineQueries.q25AnnIvf _),
+    "q26_multimodal_features" -> (Multimodal.q26MultimodalFeatures _),
   ) ++ graft.queries.NearQueries.queries
 
   def oracleSql: Map[String, String] = Map(

@@ -236,6 +236,17 @@ object PipelineOracles {
          |    ORDER BY cos_sim DESC, vec_id) AS rank FROM s) r
          |WHERE rank <= 3 ORDER BY anchor_id, rank""".stripMargin,
 
+    "q26_multimodal_features" -> {
+      // Twin of Multimodal.featureStub: md5("<payload>_<j>") prefix /
+      // 2^32 — division by a power of two is exact, so no rounding is
+      // needed for hash stability.
+      val cols = (0 until 8).map(j =>
+        f"  CAST('0x' || substr(md5(text || '_' || $j), 1, 8) AS BIGINT) / 4294967296.0 AS f$j%02d")
+      s"""SELECT doc_id,
+         |${cols.mkString(",\n")}
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
     "q24b_embedding_dups_lsh" -> {
       val bandSelects = (0 until 4).map { b =>
         s"SELECT vec_id, $b AS band, ${bandBucketSql(b * 6, 6)} AS bucket FROM embeddings"

@@ -68,6 +68,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh.subsetOf(exact)) // bucketing only prunes, never invents
   }
 
+  test("multimodal transform stage: resize/frame shapes, executor-local") {
+    import graft.functions.Multimodal
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val out = Multimodal.transformMedia(docs, "doc_id", "payload",
+      outLen = 64, nFrames = 4, frameLen = 16)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    val payloads = docs.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    rows.foreach { r =>
+      val bytes = payloads(r.getLong(0))
+      val resized = r.getAs[Array[Byte]]("resized")
+      assert(resized.length == (if (bytes.isEmpty) 0 else 64))
+      // resampled bytes come from the source payload
+      if (bytes.nonEmpty) assert(resized.toSet.subsetOf(bytes.toSet))
+      val frames = r.getSeq[Array[Byte]](2)
+      assert(frames.length == 4)
+      frames.foreach { f =>
+        assert(f.length <= 16)
+        if (bytes.length >= 16) assert(f.length == 16)
+        // each frame is a contiguous window of the payload
+        assert(new String(bytes, "ISO-8859-1")
+          .contains(new String(f, "ISO-8859-1")))
+      }
+    }
+    // Deterministic: a second run yields identical bytes.
+    val again = Multimodal.transformMedia(docs, "doc_id", "payload",
+      outLen = 64, nFrames = 4, frameLen = 16).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("resized").toSeq).toMap
+    rows.foreach(r =>
+      assert(again(r.getLong(0)) == r.getAs[Array[Byte]]("resized").toSeq))
+  }
+
+  test("q26 stub features are [0,1) and deterministic") {
+    val f = SparkEntry.queries("q26_multimodal_features")(spark, sf).collect()
+    assert(f.nonEmpty)
+    f.foreach { r =>
+      (1 to 8).foreach { i =>
+        val v = r.getDouble(i)
+        assert(v >= 0.0 && v < 1.0)
+      }
+    }
+  }
+
   test("q24b banded-LSH plan has no nested-loop/cartesian join") {
     val df = SparkEntry.queries("q24b_embedding_dups_lsh")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
