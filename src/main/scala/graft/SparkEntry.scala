@@ -47,6 +47,7 @@ object SparkEntry {
     "q24b_embedding_dups_lsh" -> (PipelineQueries.q24bEmbeddingDupsLsh _),
     "q25_ann_ivf"           -> (PipelineQueries.q25AnnIvf _),
     "q26_multimodal_features" -> (Multimodal.q26MultimodalFeatures _),
+    "q27_winnow_fingerprint"  -> (PipelineQueries.q27WinnowFingerprint _),
   ) ++ graft.queries.NearQueries.queries
 
   def oracleSql: Map[String, String] = Map(

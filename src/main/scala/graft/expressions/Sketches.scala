@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the sketch operators.
   *
@@ -210,6 +211,73 @@ object Sketches {
       copy(left = l, right = r)
   }
 
+  /** graft_winnow(words: array<string>): winnowing document
+    * fingerprint — hash the ordered n-word shingles, min of each
+    * w-wide rolling window, distinct-sort the mins, md5 the
+    * comma-joined decimal string (MOSS-style fingerprinting). One
+    * pass, one md5 per shingle; bit-identical to the HOF/DuckDB form
+    * (md5 of '' for fewer than w windows).
+    */
+  case class Winnow(child: Expression, n: Int, w: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireStringArray(child, "graft_winnow")
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_shingles", LongType, nullable = false),
+      StructField("n_fingerprints", LongType, nullable = false),
+      StructField("fingerprint", StringType, nullable = false)))
+    private def md5hex(md: java.security.MessageDigest, s: String): UTF8String = {
+      md.reset()
+      UTF8String.fromString(md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)
+    }
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val nw = arr.numElements()
+      val nSh = nw - n + 1
+      if (nSh <= 0)
+        return org.apache.spark.sql.catalyst.InternalRow(0L, 0L, md5hex(md, ""))
+      val words = Array.tabulate(nw)(i =>
+        if (arr.isNullAt(i)) Array.emptyByteArray else arr.getUTF8String(i).getBytes)
+      val hs = new Array[Long](nSh)
+      val buf = new java.io.ByteArrayOutputStream(64)
+      var i = 0
+      while (i < nSh) {
+        buf.reset()
+        var t = 0
+        while (t < n) {
+          if (t > 0) buf.write(' ')
+          buf.write(words(i + t))
+          t += 1
+        }
+        hs(i) = hash32(buf.toByteArray, md)
+        i += 1
+      }
+      val nWin = nSh - w + 1
+      if (nWin <= 0)
+        return org.apache.spark.sql.catalyst.InternalRow(nSh.toLong, 0L, md5hex(md, ""))
+      val mins = new java.util.TreeSet[java.lang.Long]()
+      var j = 0
+      while (j < nWin) {
+        var m = hs(j)
+        var t = 1
+        while (t < w) { if (hs(j + t) < m) m = hs(j + t); t += 1 }
+        mins.add(m)
+        j += 1
+      }
+      val sb = new java.lang.StringBuilder(mins.size * 11)
+      val it = mins.iterator()
+      while (it.hasNext) {
+        if (sb.length > 0) sb.append(',')
+        sb.append(it.next().longValue)
+      }
+      org.apache.spark.sql.catalyst.InternalRow(nSh.toLong, mins.size.toLong,
+        md5hex(md, sb.toString))
+    }
+    override protected def withNewChildInternal(c: Expression): Winnow = copy(c)
+  }
+
   /** graft_fdot(x: array<float|double>, y: array<float|double>):
     * double — the dot product Σ (double)x_i · (double)y_i as a strict
     * left fold, bit-identical to
@@ -277,6 +345,14 @@ object Sketches {
       exprs => ShingleJaccard(exprs(0), exprs(1), 3), "scala_udf")
     reg.createOrReplaceTempFunction("graft_fdot",
       exprs => FloatDot(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_winnow",
+      exprs => Winnow(exprs.head, 3, 4), "scala_udf")
+  }
+
+  /** Winnowing fingerprint struct (3-word shingles, 4-wide windows). */
+  def winnow(spark: SparkSession, words: Column): Column = {
+    register(spark)
+    call_function("graft_winnow", words)
   }
 
   /** Exact left-fold dot product of two float/double array columns. */

@@ -236,6 +236,25 @@ object PipelineOracles {
          |    ORDER BY cos_sim DESC, vec_id) AS rank FROM s) r
          |WHERE rank <= 3 ORDER BY anchor_id, rank""".stripMargin,
 
+    "q27_winnow_fingerprint" ->
+      s"""WITH d AS ($docsWithWords),
+         |h AS (SELECT doc_id,
+         |        CASE WHEN len(w) < 3 THEN CAST([] AS BIGINT[])
+         |        ELSE list_transform(range(1, len(w)-1),
+         |          i -> CAST('0x' || substr(md5(array_to_string(w[i:i+2], ' ')), 1, 8) AS BIGINT))
+         |        END AS hs
+         |      FROM d),
+         |wn AS (SELECT doc_id, len(hs) AS n_shingles,
+         |         CASE WHEN len(hs) < 4 THEN CAST([] AS BIGINT[])
+         |         ELSE list_transform(range(1, len(hs)-2), j -> list_min(hs[j:j+3]))
+         |         END AS wins
+         |       FROM h)
+         |SELECT doc_id,
+         |  CAST(n_shingles AS BIGINT) AS n_shingles,
+         |  CAST(len(list_distinct(wins)) AS BIGINT) AS n_fingerprints,
+         |  md5(coalesce(array_to_string(list_sort(list_distinct(wins)), ','), '')) AS fingerprint
+         |FROM wn ORDER BY doc_id""".stripMargin,
+
     "q26_multimodal_features" -> {
       // Twin of Multimodal.featureStub: md5("<payload>_<j>") prefix /
       // 2^32 — division by a power of two is exact, so no rounding is

@@ -143,4 +143,23 @@ object PipelineQueries {
   /** IVF-partitioned ANN (second scale path; recall<1 — rows-only). */
   def q25AnnIvf(s: SparkSession, dir: String): DataFrame =
     Similarity.annTopKIvf(Tables.embeddings(s, dir), Seq(0L, 1L, 2L), k = 3)
+
+  /** Winnowing document fingerprint (the rolling-hash fingerprint
+    * class): hash the ORDERED 3-word shingles, take the min of each
+    * 4-wide rolling window, and fingerprint the distinct min set —
+    * guarantees any sufficiently long shared run of text contributes a
+    * common fingerprint, unlike whole-document hashing. Map-only
+    * (codegen'd built-ins + interpreted HOF lambdas over short arrays);
+    * the digest column joins/groups for partial-overlap detection.
+    */
+  def q27WinnowFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    d.select(col("doc_id"),
+        graft.expressions.Sketches.winnow(s, TF.words(col("text"))).as("wn"))
+      .select(col("doc_id"),
+        col("wn.n_shingles").as("n_shingles"),
+        col("wn.n_fingerprints").as("n_fingerprints"),
+        col("wn.fingerprint").as("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -113,6 +113,26 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q27 winnowing: identical texts share fingerprints, windows are mins") {
+    val rows = SparkEntry.queries("q27_winnow_fingerprint")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0) // n_shingles
+      assert(r.getLong(2) <= math.max(r.getLong(1) - 3, 0)) // wins ⊆ windows
+      assert(r.getString(3).length == 32) // md5 hex
+    }
+    // Exact-duplicate texts (q12 found some at this SF) must agree on
+    // the winnowing fingerprint: same text ⇒ same shingles ⇒ same mins.
+    val d = Tables.documents(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val byText = d.groupBy(_._2).values.filter(_.length > 1)
+    val fp = rows.map(r => r.getLong(0) -> r.getString(3)).toMap
+    byText.foreach { grp =>
+      val fps = grp.map { case (id, _) => fp(id) }.distinct
+      assert(fps.length == 1, s"dup texts ${grp.map(_._1).toSeq} disagree")
+    }
+  }
+
   test("q24b banded-LSH plan has no nested-loop/cartesian join") {
     val df = SparkEntry.queries("q24b_embedding_dups_lsh")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
