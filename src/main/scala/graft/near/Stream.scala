@@ -154,7 +154,8 @@ object Stream {
       warehouseDir: String, maxRetries: Int = 4,
       enableAccountChanges: Boolean = true,
       enableEvents: Boolean = true,
-      collisionWindowBlocks: Long = 1000L): Unit = {
+      collisionWindowBlocks: Long = 1000L,
+      mirror: Option[JdbcSink.ConnectionFactory] = None): Unit = {
     if (norm0.isEmpty) return
     val norm = norm0.persist()
     try {
@@ -249,14 +250,24 @@ object Stream {
         .localCheckpoint(true)
 
       // Warehouse fallback — the reference's three DB lookups
-      // (J3 receipts.rs:409-429, J2 :348-375, J1 :249-264) as joins of
-      // the unresolved frontier against already-written tables. Runs
-      // ONLY when the frontier is non-empty: with the ahead map,
-      // in-order delivery keeps it empty, so steady-state batches never
-      // rescan warehouse history (the scans below are O(history) and
-      // exist for out-of-order/recovery cases; a JDBC mirror serves
-      // them as indexed point lookups instead at scale).
-      val resolved = (if (frontier.isEmpty) pass1 else {
+      // (J3 receipts.rs:409-429, J2 :348-375, J1 :249-264). Runs ONLY
+      // when the frontier is non-empty: with the ahead map, in-order
+      // delivery keeps it empty, so steady-state batches never rescan
+      // warehouse history. With a JDBC `mirror` configured the lookups
+      // are indexed point queries over the bounded frontier
+      // (MirrorLookup — the reference's own access pattern); the
+      // parquet joins below are the mirrorless O(history) recovery
+      // route.
+      val resolved = (if (frontier.isEmpty) pass1
+      else mirror match {
+        case Some(factory) =>
+          val ids = frontier.collect().map(_.getString(0)).toSeq
+          val found = MirrorLookup.resolveFrontier(factory, ids)
+          val extra = spark.createDataFrame(found).toDF("child", "tx")
+          Lineage.resolveGraph(
+            seeded.unionByName(pass1).unionByName(extra), edgeSet)
+        case None =>
+      {
         val whReceipts = readIfExists(spark, s"$warehouseDir/receipts")
           .map(_.select(col("receipt_id"),
             col("originated_from_transaction_hash").as("tx")))
@@ -298,6 +309,7 @@ object Stream {
           .reduce(_ unionByName _)
         // Pass 2: re-run the fixpoint with the warehouse seeds folded in.
         Lineage.resolveGraph(allSeeds, edgeSet)
+      }
       }).localCheckpoint(true)
 
       // Carry forward mappings whose ids haven't arrived/been consumed.

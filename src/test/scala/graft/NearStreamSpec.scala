@@ -3,7 +3,67 @@ package graft
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.near.{Fixtures, Stream, Warehouse}
+import graft.near.{Fixtures, JdbcSink, MirrorLookup, Stream, Warehouse}
+
+/** java.sql proxy answering the three MirrorLookup point queries from
+  * canned (id → tx) maps; records every SQL issued.
+  */
+object MirrorStub {
+  import java.lang.reflect.{InvocationHandler, Method, Proxy}
+  import java.sql.{Connection, PreparedStatement, ResultSet}
+  import scala.collection.mutable
+
+  val issued = mutable.ArrayBuffer[String]()
+  var j3, j2, j1 = Map.empty[String, String]
+  def reset(j3m: Map[String, String], j2m: Map[String, String],
+      j1m: Map[String, String]): Unit =
+    synchronized { issued.clear(); j3 = j3m; j2 = j2m; j1 = j1m }
+
+  private class RsHandler(rows: Seq[(String, String)]) extends InvocationHandler {
+    private var i = -1
+    def invoke(proxy: Any, m: Method, args: Array[AnyRef]): AnyRef =
+      m.getName match {
+        case "next" => i += 1; java.lang.Boolean.valueOf(i < rows.length)
+        case "getString" =>
+          val c = args(0).asInstanceOf[Int]
+          if (c == 1) rows(i)._1 else rows(i)._2
+        case _ => null
+      }
+  }
+
+  private class PsHandler(sql: String) extends InvocationHandler {
+    private val bound = mutable.ArrayBuffer[String]()
+    def invoke(proxy: Any, m: Method, args: Array[AnyRef]): AnyRef =
+      m.getName match {
+        case "setString" => bound += args(1).asInstanceOf[String]; null
+        case "executeQuery" =>
+          MirrorStub.synchronized { MirrorStub.issued += sql }
+          val table =
+            if (sql.startsWith(MirrorLookup.J3Sql.take(40))) j3
+            else if (sql.startsWith(MirrorLookup.J2Sql.take(40))) j2
+            else j1
+          val rows = bound.toSeq.flatMap(id => table.get(id).map(id -> _))
+          Proxy.newProxyInstance(getClass.getClassLoader,
+            Array(classOf[ResultSet]), new RsHandler(rows))
+            .asInstanceOf[ResultSet]
+        case "close" => null
+        case _ => null
+      }
+  }
+
+  class Factory extends JdbcSink.ConnectionFactory {
+    def connect(): Connection = Proxy.newProxyInstance(
+      getClass.getClassLoader, Array(classOf[Connection]),
+      (proxy: Any, m: Method, args: Array[AnyRef]) => m.getName match {
+        case "prepareStatement" =>
+          Proxy.newProxyInstance(getClass.getClassLoader,
+            Array(classOf[PreparedStatement]),
+            new PsHandler(args(0).asInstanceOf[String]))
+        case "close" => null
+        case _ => null
+      }).asInstanceOf[Connection]
+  }
+}
 
 /** End-to-end Structured-Streaming ingestion (S1/S2/§2.9): block files
   * land in a directory across multiple microbatches; the warehouse must
@@ -184,6 +244,35 @@ class NearStreamSpec extends AnyFunSuite {
     assert(receipts("R3") == "T1")
     assert(receipts("R5") == "T1")
     assert(receipts("R1") == "T1")
+  }
+
+  test("J1/J2/J3 via JDBC mirror: point lookups, no warehouse scan") {
+    val root = Files.createTempDirectory("graft_stream_mirror").toString
+    val wh = s"$root/wh"
+    val chain = Fixtures.chain
+    import SparkTestSession.spark.implicits._
+    def norm(js: String*) = graft.near.Ingest.blocksFromJson(spark, js).toDF()
+
+    // Block 101 FIRST into a FRESH warehouse: R3 (produced by block
+    // 100's R1) and R5 (data receipt for D1 declared by R1) have no
+    // local parents and no warehouse to fall back on — only the mirror
+    // can resolve them. J2 answers R3, J1 answers D1.
+    MirrorStub.reset(j3m = Map.empty,
+      j2m = Map("R3" -> "T1"), j1m = Map("D1" -> "T1"))
+    Stream.processBatch(spark, norm(chain(1)), wh,
+      mirror = Some(new MirrorStub.Factory))
+
+    val receipts = Warehouse.table(spark, wh, "receipts")
+      .select("receipt_id", "originated_from_transaction_hash").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(receipts.get("R3").contains("T1")) // via J2 point lookup
+    assert(receipts.get("R5").contains("T1")) // via J1 + batch data edge
+    assert(!receipts.contains("R6")) // orphan still parks
+    // All three lookup shapes were issued as chunked IN queries.
+    assert(MirrorStub.issued.exists(_.startsWith(MirrorLookup.J3Sql.take(40))))
+    assert(MirrorStub.issued.exists(_.startsWith(MirrorLookup.J2Sql.take(40))))
+    assert(MirrorStub.issued.exists(_.startsWith(MirrorLookup.J1Sql.take(40))))
+    assert(MirrorStub.issued.forall(_.contains("IN (?")))
   }
 
   test("block_date partitioning is the UTC day regardless of session timezone") {
