@@ -48,6 +48,7 @@ object SparkEntry {
     "q25_ann_ivf"           -> (PipelineQueries.q25AnnIvf _),
     "q26_multimodal_features" -> (Multimodal.q26MultimodalFeatures _),
     "q27_winnow_fingerprint"  -> (PipelineQueries.q27WinnowFingerprint _),
+    "q28_dup_clusters"        -> (PipelineQueries.q28DupClusters _),
   ) ++ graft.queries.NearQueries.queries
 
   def oracleSql: Map[String, String] = Map(

@@ -119,4 +119,39 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Near-dup CLUSTERING — connected components over the pair graph,
+    * the stage that turns pairwise matches into dedup groups (keep the
+    * representative, drop the rest). Label = min id reachable,
+    * computed by iterative min-label propagation: each round is one
+    * shuffle on the node key and the round count is the graph
+    * diameter, which for near-dup clusters (small, dense components)
+    * is tiny. No driver-side graph, no cross join.
+    */
+  def dupClusters(pairs: DataFrame, aCol: String = "vec_id_a",
+      bCol: String = "vec_id_b", maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("u").as("node")).distinct()
+      .withColumn("lbl", col("node")).localCheckpoint(true)
+    var changed = true
+    var iter = 0
+    while (changed && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels, col("v") === col("node"))
+        .groupBy(col("u")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels
+        .join(nbrMin, col("node") === col("u"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      changed = !next.alias("n")
+        .join(labels.alias("o"), col("n.node") === col("o.node"))
+        .filter(col("n.lbl") =!= col("o.lbl")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select(col("node").as("vec_id"), col("lbl").as("cluster_id"))
+      .orderBy(col("vec_id"))
+  }
 }

@@ -236,6 +236,37 @@ object PipelineOracles {
          |    ORDER BY cos_sim DESC, vec_id) AS rank FROM s) r
          |WHERE rank <= 3 ORDER BY anchor_id, rank""".stripMargin,
 
+    "q28_dup_clusters" -> {
+      // Same pair set as q24b (banded LSH), then the component
+      // representative (min reachable id) via a recursive closure.
+      val bandSelects = (0 until 4).map { b =>
+        s"SELECT vec_id, $b AS band, ${bandBucketSql(b * 6, 6)} AS bucket FROM embeddings"
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH RECURSIVE k AS (
+         |$bandSelects),
+         |cand AS (SELECT DISTINCT x.vec_id AS vec_id_a, y.vec_id AS vec_id_b
+         |      FROM k x JOIN k y ON x.band = y.band AND x.bucket = y.bucket
+         |       AND x.vec_id < y.vec_id),
+         |nn AS (SELECT vec_id, embedding,
+         |        sqrt(${vdot("embedding", "embedding")}) AS nrm
+         |      FROM embeddings),
+         |p AS (
+         |  SELECT vec_id_a, vec_id_b FROM (
+         |    SELECT vec_id_a, vec_id_b,
+         |      round(${vdot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cos_sim
+         |    FROM cand JOIN nn a ON cand.vec_id_a = a.vec_id
+         |              JOIN nn b ON cand.vec_id_b = b.vec_id) s
+         |  WHERE cos_sim >= 0.45),
+         |e AS (SELECT vec_id_a AS u, vec_id_b AS v FROM p
+         |      UNION SELECT vec_id_b, vec_id_a FROM p),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM e
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u)
+         |SELECT u AS vec_id, least(u, min(v)) AS cluster_id
+         |FROM reach GROUP BY u ORDER BY vec_id""".stripMargin
+    },
+
     "q27_winnow_fingerprint" ->
       s"""WITH d AS ($docsWithWords),
          |h AS (SELECT doc_id,

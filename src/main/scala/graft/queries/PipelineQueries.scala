@@ -144,6 +144,15 @@ object PipelineQueries {
   def q25AnnIvf(s: SparkSession, dir: String): DataFrame =
     Similarity.annTopKIvf(Tables.embeddings(s, dir), Seq(0L, 1L, 2L), k = 3)
 
+  /** Near-dup clusters: connected components over the banded-LSH pair
+    * graph (min-id representative per component) — the dedup grouping
+    * stage, composed on the scale path end-to-end: no all-pairs join
+    * anywhere in the lineage.
+    */
+  def q28DupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupClusters(
+      Similarity.nearDupPairsLsh(Tables.embeddings(s, dir), threshold = 0.45))
+
   /** Winnowing document fingerprint (the rolling-hash fingerprint
     * class): hash the ORDERED 3-word shingles, take the min of each
     * 4-wide rolling window, and fingerprint the distinct min set —

@@ -133,6 +133,23 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q28 clusters: labels are component minima over the pair graph") {
+    val pairs = SparkEntry.queries("q24b_embedding_dups_lsh")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = SparkEntry.queries("q28_dup_clusters")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.nonEmpty)
+    // Every paired node is labeled; both ends of an edge share a label
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"edge ($a,$b) split across clusters")
+    }
+    // The label IS a member of its own cluster and is the minimum
+    clusters.groupBy(_._2).foreach { case (lbl, members) =>
+      assert(members.keySet.contains(lbl))
+      assert(members.keys.min == lbl)
+    }
+  }
+
   test("q24b banded-LSH plan has no nested-loop/cartesian join") {
     val df = SparkEntry.queries("q24b_embedding_dups_lsh")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
