@@ -110,6 +110,51 @@ class NearRpcSpec extends AnyFunSuite {
     }
   }
 
+  test("borsh round-trip property: arbitrary u128/u64/option layouts") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val balance = Gen.chooseNum(0L, Long.MaxValue)
+      .map(n => (BigInt(n) * BigInt(n).max(1)).toString) // up to ~2^126
+    val optLong = Gen.option(Gen.chooseNum(0L, Long.MaxValue))
+    val genState = for {
+      amount <- balance
+      withdrawn <- balance
+      dur <- Gen.chooseNum(0L, Long.MaxValue)
+      rel <- optLong
+      lts <- optLong
+      vt <- Gen.oneOf(Lockup.VestingNone, Lockup.VestingHash,
+        Lockup.VestingSchedule, Lockup.VestingTerminating)
+      vs <- Gen.chooseNum(0L, Long.MaxValue)
+      vc <- Gen.chooseNum(0L, Long.MaxValue)
+      ve <- Gen.chooseNum(0L, Long.MaxValue)
+      tua <- balance
+    } yield Fixtures.lockupStates.head.copy(
+      lockupAmount = amount, terminationWithdrawnTokens = withdrawn,
+      lockupDuration = dur, releaseDuration = rel, lockupTimestamp = lts,
+      vestingType = vt,
+      vestingStart = if (vt == Lockup.VestingSchedule) Some(vs) else None,
+      vestingCliff = if (vt == Lockup.VestingSchedule) Some(vc) else None,
+      vestingEnd = if (vt == Lockup.VestingSchedule) Some(ve) else None,
+      terminatingUnvestedAmount =
+        if (vt == Lockup.VestingTerminating) Some(tua) else None)
+    // Deterministic sweep (fixed seeds) — no flaky generators.
+    (0 until 200).foreach { i =>
+      val s = genState.apply(Gen.Parameters.default, Seed(i.toLong)).get
+      val raw = Rpc.decodeLockupContract(encodeContract(s))
+      assert(raw.lockupAmount.toString == s.lockupAmount)
+      assert(raw.terminationWithdrawnTokens.toString ==
+        s.terminationWithdrawnTokens)
+      assert(raw.lockupDuration == s.lockupDuration)
+      assert(raw.releaseDuration == s.releaseDuration)
+      assert(raw.lockupTimestamp == s.lockupTimestamp)
+      assert(raw.vestingType == s.vestingType)
+      assert((raw.vestingStart, raw.vestingCliff, raw.vestingEnd) ==
+        ((s.vestingStart, s.vestingCliff, s.vestingEnd)))
+      assert(raw.terminatingUnvestedAmount.map(_.toString) ==
+        s.terminatingUnvestedAmount)
+    }
+  }
+
   test("S4 end-to-end: circulating supply from the RPC point source") {
     val tables = Ingest.allTables(
       Ingest.blocksFromJson(spark, Fixtures.chain).toDF())
