@@ -148,6 +148,11 @@ class PipelineSpec extends AnyFunSuite {
       assert(members.keySet.contains(lbl))
       assert(members.keys.min == lbl)
     }
+    // The whole lineage (LSH pairs + propagation) stays equi-join only.
+    val plan = SparkEntry.queries("q28_dup_clusters")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
   test("q24b banded-LSH plan has no nested-loop/cartesian join") {
