@@ -389,6 +389,26 @@ object Stream {
             case None => df.write
           }
           w.mode("append").parquet(s"$warehouseDir/$name")
+          // Dual-write to the JDBC mirror when configured (S5/S7):
+          // ON CONFLICT DO NOTHING for the append-only tables, guarded
+          // upserts for the mutable registries — exactly-once-effective
+          // under replay, and it keeps MirrorLookup's lookup side
+          // current for the lineage fallbacks.
+          mirror.foreach { f =>
+            name match {
+              case "accounts" => JdbcSink.write(
+                df.select("account_id", "created_by_receipt_id",
+                  "deleted_by_receipt_id", "last_update_block_height"),
+                f, JdbcSink.accountsUpsertSql)
+              case "access_keys" => JdbcSink.write(
+                df.select("public_key", "account_id",
+                  "created_by_receipt_id", "deleted_by_receipt_id",
+                  "permission_kind", "last_update_block_height"),
+                f, JdbcSink.accessKeysUpsertSql)
+              case _ => JdbcSink.write(df, f,
+                JdbcSink.insertDoNothingSql(name, df.columns.toSeq))
+            }
+          }
         }
       }
       // Roll the recent-hash state forward AFTER the appends (a crash

@@ -14,10 +14,11 @@ object MirrorStub {
   import scala.collection.mutable
 
   val issued = mutable.ArrayBuffer[String]()
+  val inserts = mutable.ArrayBuffer[String]() // executeBatch'd SQL
   var j3, j2, j1 = Map.empty[String, String]
   def reset(j3m: Map[String, String], j2m: Map[String, String],
       j1m: Map[String, String]): Unit =
-    synchronized { issued.clear(); j3 = j3m; j2 = j2m; j1 = j1m }
+    synchronized { issued.clear(); inserts.clear(); j3 = j3m; j2 = j2m; j1 = j1m }
 
   private class RsHandler(rows: Seq[(String, String)]) extends InvocationHandler {
     private var i = -1
@@ -36,6 +37,11 @@ object MirrorStub {
     def invoke(proxy: Any, m: Method, args: Array[AnyRef]): AnyRef =
       m.getName match {
         case "setString" => bound += args(1).asInstanceOf[String]; null
+        case n if n.startsWith("set") => null
+        case "addBatch" | "clearBatch" => null
+        case "executeBatch" =>
+          MirrorStub.synchronized { MirrorStub.inserts += sql }
+          Array.empty[Int]
         case "executeQuery" =>
           MirrorStub.synchronized { MirrorStub.issued += sql }
           val table =
@@ -273,6 +279,14 @@ class NearStreamSpec extends AnyFunSuite {
     assert(MirrorStub.issued.exists(_.startsWith(MirrorLookup.J2Sql.take(40))))
     assert(MirrorStub.issued.exists(_.startsWith(MirrorLookup.J1Sql.take(40))))
     assert(MirrorStub.issued.forall(_.contains("IN (?")))
+    // And the batch's tables were dual-written to the mirror: plain
+    // ON-CONFLICT inserts plus the guarded registry upserts.
+    assert(MirrorStub.inserts.exists(_.startsWith(
+      "INSERT INTO blocks ")))
+    assert(MirrorStub.inserts.exists(s =>
+      s.startsWith("INSERT INTO receipts ") &&
+        s.endsWith("ON CONFLICT DO NOTHING")))
+    assert(MirrorStub.inserts.contains(JdbcSink.accountsUpsertSql))
   }
 
   test("block_date partitioning is the UTC day regardless of session timezone") {
