@@ -36,12 +36,40 @@ object Strings {
       copy(c)
   }
 
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  /** graft_embed_args_json(args): the 2021-05-07 args_json backfill's
+    * per-row conversion (see BlockParser.embedArgsJson).
+    */
+  case class EmbedArgsJson(child: Expression) extends UnaryExpression
+      with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case StringType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"graft_embed_args_json requires string, got ${other.catalogString}")
+      }
+    override def dataType: DataType = StringType
+    override def nullSafeEval(input: Any): Any =
+      UTF8String.fromString(graft.near.BlockParser.embedArgsJson(
+        input.asInstanceOf[UTF8String].toString))
+    override protected def withNewChildInternal(c: Expression): EmbedArgsJson =
+      copy(c)
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "graft_escape_default", exprs => EscapeDefault(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_embed_args_json", exprs => EmbedArgsJson(exprs.head), "scala_udf")
+  }
 
   def escapeDefault(spark: SparkSession, c: Column): Column = {
     register(spark)
     call_function("graft_escape_default", c)
+  }
+
+  def embedArgsJson(spark: SparkSession, c: Column): Column = {
+    register(spark)
+    call_function("graft_embed_args_json", c)
   }
 }

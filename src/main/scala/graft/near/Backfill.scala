@@ -41,4 +41,19 @@ object Backfill {
       .join(chunks.select(col("chunk_hash").as("bf_chunk"),
         col("shard_id")), Seq("bf_chunk"), "left")
       .drop("bf_chunk")
+
+  /** 2021-05-07-115559: embed `args_json` into historical FUNCTION_CALL
+    * rows of `action_receipt_actions` — decode_or_null semantics
+    * (invalid payloads become `{}`), `client.bridge.near` receivers
+    * excluded, exactly like the migration's WHERE. Map-only; the
+    * conversion is a native expression.
+    */
+  def convertArgsJson(actions: DataFrame): DataFrame = {
+    val s = org.apache.spark.sql.SparkSession.active
+    actions.withColumn("args",
+      when(col("action_kind") === "FUNCTION_CALL" &&
+          col("receipt_receiver_account_id") =!= "client.bridge.near",
+        graft.expressions.Strings.embedArgsJson(s, col("args")))
+        .otherwise(col("args")))
+  }
 }

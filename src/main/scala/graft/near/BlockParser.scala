@@ -83,6 +83,31 @@ object BlockParser {
   private def canonicalString(node: JsonNode): String =
     mapper.writeValueAsString(canonicalize(node))
 
+  /** Migration parity for `2021-05-07-115559_convert_args_base64_to_
+    * args_json/up.sql`: embed `args_json` into a stored canonical args
+    * string — decode args_base64, parse, and on ANY failure set `{}`
+    * (the migration's decode_or_null), unlike the live parser's
+    * decode-or-SKIP. jsonb's key sorting = our canonical form. Args
+    * without args_base64 (non-FunctionCall) pass through untouched.
+    */
+  def embedArgsJson(args: String): String = {
+    val node = mapper.readTree(args)
+    node match {
+      case o: ObjectNode if o.has("args_base64") =>
+        val parsed =
+          try {
+            val p = mapper.readTree(
+              java.util.Base64.getDecoder.decode(o.get("args_base64").asText()))
+            // ::jsonb accepts scalars too — only unparseable payloads
+            // fall back to {} (the migration's decode_or_null)
+            if (p == null || p.isMissingNode) nf.objectNode() else p
+          } catch { case _: Exception => nf.objectNode() }
+        o.set[JsonNode]("args_json", parsed)
+        canonicalString(o)
+      case _ => args
+    }
+  }
+
   private def optText(n: JsonNode, field: String): Option[String] =
     Option(n.get(field)).filterNot(_.isNull).map(_.asText)
 

@@ -31,6 +31,35 @@ class NearBackfillSpec extends AnyFunSuite {
     assert(r1.getAs[java.math.BigDecimal]("shard_id").intValue == 0)
   }
 
+  test("J7: args_base64 → args_json backfill (decode_or_null, bridge skip)") {
+    import spark.implicits._
+    val validB64 = java.util.Base64.getEncoder
+      .encodeToString("""{"b":2,"a":1}""".getBytes("UTF-8"))
+    val badB64 = java.util.Base64.getEncoder
+      .encodeToString("not json".getBytes("UTF-8"))
+    val rows = Seq(
+      ("R1", "FUNCTION_CALL", "app.near",
+        s"""{"args_base64":"$validB64","deposit":"0"}"""),
+      ("R2", "FUNCTION_CALL", "app.near",
+        s"""{"args_base64":"$badB64","deposit":"0"}"""),
+      ("R3", "FUNCTION_CALL", "client.bridge.near",
+        s"""{"args_base64":"$validB64","deposit":"0"}"""),
+      ("R4", "TRANSFER", "app.near", """{"deposit":"5"}"""))
+      .toDF("receipt_id", "action_kind", "receipt_receiver_account_id", "args")
+    val out = Backfill.convertArgsJson(rows).collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    // valid JSON embedded canonically (keys sorted, jsonb parity)
+    assert(out("R1") ==
+      s"""{"args_base64":"$validB64","args_json":{"a":1,"b":2},"deposit":"0"}""")
+    // unparseable payload → {} (decode_or_null)
+    assert(out("R2") ==
+      s"""{"args_base64":"$badB64","args_json":{},"deposit":"0"}""")
+    // bridge receiver excluded by the migration's WHERE
+    assert(out("R3") == s"""{"args_base64":"$validB64","deposit":"0"}""")
+    // non-FUNCTION_CALL untouched
+    assert(out("R4") == """{"deposit":"5"}""")
+  }
+
   test("A4 + daily orchestration: compute once, then skip") {
     import spark.implicits._
     val v = Views.aggregatedLockups(tables("accounts"), tables("receipts"),
