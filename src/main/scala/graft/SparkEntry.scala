@@ -49,6 +49,7 @@ object SparkEntry {
     "q26_multimodal_features" -> (Multimodal.q26MultimodalFeatures _),
     "q27_winnow_fingerprint"  -> (PipelineQueries.q27WinnowFingerprint _),
     "q28_dup_clusters"        -> (PipelineQueries.q28DupClusters _),
+    "q29_quantize_int8"       -> (PipelineQueries.q29QuantizeInt8 _),
   ) ++ graft.queries.NearQueries.queries
 
   def oracleSql: Map[String, String] = Map(

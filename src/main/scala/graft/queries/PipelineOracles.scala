@@ -236,6 +236,22 @@ object PipelineOracles {
          |    ORDER BY cos_sim DESC, vec_id) AS rank FROM s) r
          |WHERE rank <= 3 ORDER BY anchor_id, rank""".stripMargin,
 
+    "q29_quantize_int8" ->
+      // Twin of q29: max-abs is order-insensitive, x·127/max divides
+      // identical doubles, and round-half matches the q20 precedent.
+      """SELECT vec_id, mx,
+        |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+        |  md5(array_to_string(q, ',')) AS q_checksum
+        |FROM (
+        |  SELECT vec_id, mx,
+        |    CASE WHEN mx = 0 THEN list_transform(embedding, v -> CAST(0 AS BIGINT))
+        |    ELSE list_transform(embedding,
+        |      v -> CAST(round(CAST(v AS DOUBLE) * 127.0 / mx, 0) AS BIGINT)) END AS q
+        |  FROM (SELECT vec_id, embedding,
+        |          list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS mx
+        |        FROM embeddings) t0) t1
+        |ORDER BY vec_id""".stripMargin,
+
     "q28_dup_clusters" -> {
       // Same pair set as q24b (banded LSH), then the component
       // representative (min reachable id) via a recursive closure.

@@ -144,6 +144,30 @@ object PipelineQueries {
   def q25AnnIvf(s: SparkSession, dir: String): DataFrame =
     Similarity.annTopKIvf(Tables.embeddings(s, dir), Seq(0L, 1L, 2L), k = 3)
 
+  /** Symmetric int8 quantization per embedding (the storage-compression
+    * stage): scale = max|x|/127, q_i = round(x_i·127/max|x|); zero
+    * vectors quantize to zeros. Map-only. The checksum/sum columns make
+    * the full 64-wide result oracle-checkable without 64 columns.
+    */
+  def q29QuantizeInt8(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    e.select(col("vec_id"),
+        expr("aggregate(embedding, cast(0.0 as double), " +
+          "(acc, v) -> greatest(acc, abs(cast(v as double))))").as("mx"),
+        col("embedding"))
+      .withColumn("q", expr(
+        """CASE WHEN mx = 0.0
+          |THEN transform(embedding, v -> cast(0 as bigint))
+          |ELSE transform(embedding,
+          |  v -> cast(round(cast(v as double) * 127.0 / mx, 0) as bigint))
+          |END""".stripMargin))
+      .select(col("vec_id"), col("mx"),
+        expr("aggregate(q, cast(0 as bigint), (a, v) -> a + v)").as("q_sum"),
+        expr("md5(array_join(transform(q, v -> cast(v as string)), ','))")
+          .as("q_checksum"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Near-dup clusters: connected components over the banded-LSH pair
     * graph (min-id representative per component) — the dedup grouping
     * stage, composed on the scale path end-to-end: no all-pairs join

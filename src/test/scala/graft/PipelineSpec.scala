@@ -133,6 +133,20 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q29 int8 quantization: bounded values, deterministic checksum") {
+    val rows = SparkEntry.queries("q29_quantize_int8")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(1) >= 0.0) // max|x|
+      // |q_i| ≤ 127 ⇒ |sum over 64 dims| ≤ 64·127
+      assert(math.abs(r.getLong(2)) <= 64L * 127L)
+      assert(r.getString(3).length == 32)
+    }
+    val again = SparkEntry.queries("q29_quantize_int8")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    rows.foreach(r => assert(again(r.getLong(0)) == r.getString(3)))
+  }
+
   test("q28 clusters: labels are component minima over the pair graph") {
     val pairs = SparkEntry.queries("q24b_embedding_dups_lsh")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
