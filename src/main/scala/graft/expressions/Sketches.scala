@@ -278,18 +278,18 @@ object Sketches {
     override protected def withNewChildInternal(c: Expression): Winnow = copy(c)
   }
 
-  /** graft_fdot(x: array<float|double>, y: array<float|double>):
+  /** graft_dot(x: array<float|double>, y: array<float|double>):
     * double — the dot product Σ (double)x_i · (double)y_i as a strict
     * left fold, bit-identical to
     * `aggregate(zip_with(x, y, (p,q) => p.cast(double)*q.cast(double)),
     * 0.0, _+_)` but one tight loop instead of per-element interpreted
     * lambdas (the embedding hot path: 12.5M pairs × 64 dims at sf0.1).
     * Null parity with the HOF form: null result on length mismatch or
-    * any null element.
+    * any null element. Implements doGenCode so the loop inlines into
+    * whole-stage codegen (no per-row virtual call on the pair join).
     */
   case class FloatDot(left: Expression, right: Expression)
-      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-      with CodegenFallback {
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
     private def elemType(e: Expression): Option[DataType] = e.dataType match {
       case ArrayType(FloatType, _) => Some(FloatType)
       case ArrayType(DoubleType, _) => Some(DoubleType)
@@ -320,6 +320,35 @@ object Sketches {
         i += 1
       }
       s
+    }
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val lFloat = elemType(left).contains(FloatType)
+      val rFloat = elemType(right).contains(FloatType)
+      nullSafeCodeGen(ctx, ev, (x, y) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        val bad = ctx.freshName("bad")
+        val xv = if (lFloat) s"(double) $x.getFloat($i)" else s"$x.getDouble($i)"
+        val yv = if (rFloat) s"(double) $y.getFloat($i)" else s"$y.getDouble($i)"
+        s"""
+           |int $n = $x.numElements();
+           |if ($y.numElements() != $n) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  double $acc = 0.0;
+           |  boolean $bad = false;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($x.isNullAt($i) || $y.isNullAt($i)) { $bad = true; break; }
+           |    $acc += $xv * $yv;
+           |  }
+           |  if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+           |}
+         """.stripMargin
+      })
     }
     override protected def withNewChildrenInternal(l: Expression,
         r: Expression): FloatDot = copy(l, r)
