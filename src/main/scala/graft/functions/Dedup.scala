@@ -95,16 +95,13 @@ object Dedup {
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
 
-    // Candidate pairs: same (band, band_hash), a < b. Distinct because a
-    // pair can collide in several bands.
-    val a = banded.alias("a")
-    val b = banded.alias("b")
-    val cand = a.join(b,
-        col("a.band") === col("b.band") &&
-        col("a.band_hash") === col("b.band_hash") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
-      .distinct()
+    // Candidate pairs: same (band, band_hash), a < b, distinct because
+    // a pair can collide in several bands; a degenerate hot band hash
+    // is bounded by the exact triangle salting (same pair set).
+    val cand = Similarity.bucketCandidatePairs(
+        banded.select(col("id").as("vec_id"), col("band"),
+          col("band_hash").as("bucket")), maxBucket = 4096)
+      .select(col("vec_id_a").as("doc_a"), col("vec_id_b").as("doc_b"))
 
     // Verify with exact Jaccard over the distinct shingle sets — the
     // native pair expression runs only on candidates, so the quadratic

@@ -120,17 +120,54 @@ object Similarity {
       .orderBy(col("vec_id_a"), col("vec_id_b"))
   }
 
+  /** Candidate id pairs from equal-(band,bucket) groups, with
+    * degenerate hot buckets bounded by EXACT triangle salting: a
+    * bucket of m > maxBucket members shards s = ceil(m/maxBucket)
+    * ways on the id; an element in shard r replicates as the LEFT of
+    * shard-cells (r, r..s-1) and the RIGHT of cells (0..r, r), so
+    * every intra-bucket pair meets in exactly one cell and the
+    * largest join task is ~maxBucket² instead of m². No pair is
+    * gained or lost — same output as the plain self-join, which is
+    * what normal-size buckets (s = 1) still take.
+    */
+  private[graft] def bucketCandidatePairs(keyed: DataFrame,
+      maxBucket: Int): DataFrame = {
+    val sized = keyed.join(
+      keyed.groupBy(col("band"), col("bucket"))
+        .agg(ceil(count(lit(1)).cast("double") / maxBucket).cast("int").as("s")),
+      Seq("band", "bucket"))
+      .withColumn("r", pmod(col("vec_id"), col("s")).cast("int"))
+    val lhs = sized
+      .withColumn("cy", explode(sequence(col("r"), col("s") - 1)))
+      .select(col("band"), col("bucket"), col("r").as("cx"), col("cy"),
+        col("vec_id").as("vec_id_a"))
+    val rhs = sized
+      .withColumn("cx", explode(sequence(lit(0), col("r"))))
+      .select(col("band"), col("bucket"), col("cx"), col("r").as("cy"),
+        col("vec_id").as("vec_id_b"))
+    // A pair meets in one cell with an arbitrary left/right
+    // orientation (shard order, not id order) — normalize to
+    // (min, max) rather than filtering on the orientation.
+    lhs.join(rhs, Seq("band", "bucket", "cx", "cy"))
+      .filter(col("vec_id_a") =!= col("vec_id_b"))
+      .select(least(col("vec_id_a"), col("vec_id_b")).as("vec_id_a"),
+        greatest(col("vec_id_a"), col("vec_id_b")).as("vec_id_b"))
+      .distinct()
+  }
+
   /** Scale path for near-dup pairs: banded (OR-amplified) hyperplane
     * LSH — `nBands` independent hash tables of `rBits` sign-bits each;
     * a pair is a candidate if it collides in ANY band. Bucketing is
-    * map-only, the candidate join is an equi-join on (band, bucket),
-    * and exact cosine confirms inside the (deduped) candidate set —
-    * no cross join anywhere. Misses pairs colliding in no band —
+    * map-only, the candidate join is an equi-join on (band, bucket)
+    * with hot buckets bounded by [[bucketCandidatePairs]]' exact
+    * salting, and exact cosine confirms inside the (deduped) candidate
+    * set — no cross join anywhere. Misses pairs colliding in no band —
     * recall < 1, the documented trade; recall tunes with
     * `1 - (1 - p^rBits)^nBands`, cost with `n²/2^rBits` per band.
     */
   def nearDupPairsLsh(embeddings: DataFrame, threshold: Double,
-      dims: Int = 64, rBits: Int = 6, nBands: Int = 4): DataFrame = {
+      dims: Int = 64, rBits: Int = 6, nBands: Int = 4,
+      maxBucket: Int = 4096): DataFrame = {
     val dot = ndot(embeddings.sparkSession) _
     val bands = (0 until nBands).map { b =>
       struct(lit(b).as("band"),
@@ -140,11 +177,7 @@ object Similarity {
       .select(col("vec_id"), explode(array(bands: _*)).as("bb"))
       .select(col("vec_id"), col("bb.band").as("band"),
         col("bb.bucket").as("bucket"))
-    val cand = keyed.as("x")
-      .join(keyed.as("y"), Seq("band", "bucket"))
-      .filter(col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_id_a"), col("y.vec_id").as("vec_id_b"))
-      .distinct()
+    val cand = bucketCandidatePairs(keyed, maxBucket)
     val n = embeddings.select(col("vec_id"), col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
     cand

@@ -169,6 +169,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("hot-bucket triangle salting is exact: same pairs as plain join") {
+    import spark.implicits._
+    import graft.functions.Similarity
+    // 40 identical embeddings land in ONE bucket per band; with
+    // maxBucket=8 the salted path activates (s = 5 shards). Exactness:
+    // every C(40,2) pair must survive, matching the unsalted join.
+    val base = Array.tabulate(64)(i => (math.sin(i + 1) * 0.5).toFloat)
+    val df = (0L until 40L).map(id => (id, base)).toDF("vec_id", "embedding")
+    def pairs(maxBucket: Int) =
+      Similarity.nearDupPairsLsh(df, threshold = 0.99, maxBucket = maxBucket)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val salted = pairs(8)
+    val plain = pairs(Int.MaxValue)
+    assert(salted == plain)
+    assert(salted.size == 40 * 39 / 2, s"got ${salted.size}")
+    salted.foreach { case (a, b) => assert(a < b) }
+  }
+
   test("q24b banded-LSH plan has no nested-loop/cartesian join") {
     val df = SparkEntry.queries("q24b_embedding_dups_lsh")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
