@@ -50,6 +50,7 @@ object SparkEntry {
     "q27_winnow_fingerprint"  -> (PipelineQueries.q27WinnowFingerprint _),
     "q28_dup_clusters"        -> (PipelineQueries.q28DupClusters _),
     "q29_quantize_int8"       -> (PipelineQueries.q29QuantizeInt8 _),
+    "q30_simhash_dups"        -> (PipelineQueries.q30SimhashDups _),
   ) ++ graft.queries.NearQueries.queries
 
   def oracleSql: Map[String, String] = Map(

@@ -115,6 +115,28 @@ object PipelineOracles {
          |      FROM ($docsWithWords) d0)
          |ORDER BY doc_id""".stripMargin,
 
+    "q30_simhash_dups" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, CAST(
+         |    list_sum(list_transform(range(0, 32), j ->
+         |      CASE WHEN list_sum(list_transform(hw, h ->
+         |             CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |           THEN 1 << j ELSE 0 END)) AS BIGINT) AS h
+         |  FROM (SELECT doc_id,
+         |          list_transform(w, t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)) AS hw
+         |        FROM ($docsWithWords) d0)),
+         |k AS (SELECT doc_id, j AS band, (h >> (8*j)) & 255 AS bucket
+         |      FROM sh, UNNEST(range(0, 4)) AS t(j)),
+         |p AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |      FROM k x JOIN k y ON x.band = y.band AND x.bucket = y.bucket
+         |       AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(bit_count(xor(sa.h, sb.h)) AS BIGINT) AS hamming
+         |FROM p JOIN sh sa ON doc_a = sa.doc_id
+         |       JOIN sh sb ON doc_b = sb.doc_id
+         |WHERE bit_count(xor(sa.h, sb.h)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     "q17_quality" ->
       s"""SELECT doc_id,
          |  CAST(length(text) AS BIGINT) AS n_chars,

@@ -144,6 +144,33 @@ object PipelineQueries {
   def q25AnnIvf(s: SparkSession, dir: String): DataFrame =
     Similarity.annTopKIvf(Tables.embeddings(s, dir), Seq(0L, 1L, 2L), k = 3)
 
+  /** SimHash near-duplicate pairs: Charikar block banding — the 32-bit
+    * simhash splits into 4 byte-blocks; any pair within hamming
+    * distance ≤ 3 must agree on ≥ 1 block (pigeonhole), so candidates
+    * are an equi-join on (block, value) — exact for the distance bound,
+    * map-only bucketing, salted hot buckets, no cross join.
+    */
+  def q30SimhashDups(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val sh = d.select(col("doc_id"),
+      graft.expressions.Sketches.simhash32(s, TF.words(col("text")))
+        .cast("long").as("h"))
+    val keyed = sh.select(col("doc_id").as("vec_id"), explode(expr(
+        "transform(sequence(0, 3), " +
+          "j -> struct(j as band, shiftright(h, 8*j) & 255 as bucket))"))
+        .as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+    Similarity.bucketCandidatePairs(keyed, maxBucket = 4096)
+      .select(col("vec_id_a").as("doc_a"), col("vec_id_b").as("doc_b"))
+      .join(sh.select(col("doc_id").as("doc_a"), col("h").as("ha")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("h").as("hb")), Seq("doc_b"))
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Symmetric int8 quantization per embedding (the storage-compression
     * stage): scale = max|x|/127, q_i = round(x_i·127/max|x|); zero
     * vectors quantize to zeros. Map-only. The checksum/sum columns make

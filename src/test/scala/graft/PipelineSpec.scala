@@ -133,6 +133,25 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q30 simhash near-dups: exact-dup texts at hamming 0, bound holds") {
+    val rows = SparkEntry.queries("q30_simhash_dups")(spark, sf).collect()
+    assert(rows.nonEmpty) // the planted exact dups collide at hamming 0
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 3)
+    }
+    // Every exact-duplicate text pair (same md5) must appear at 0.
+    val byText = Tables.documents(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+      .groupBy(_._2).values.filter(_.length > 1)
+    val got = rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    byText.foreach { grp =>
+      val ids = grp.map(_._1).sorted
+      for (a <- ids; b <- ids if a < b)
+        assert(got.get((a, b)).contains(0L), s"missing exact-dup pair ($a,$b)")
+    }
+  }
+
   test("q29 int8 quantization: bounded values, deterministic checksum") {
     val rows = SparkEntry.queries("q29_quantize_int8")(spark, sf).collect()
     assert(rows.nonEmpty)
