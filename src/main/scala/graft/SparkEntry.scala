@@ -51,6 +51,12 @@ object SparkEntry {
     "q28_dup_clusters"        -> (PipelineQueries.q28DupClusters _),
     "q29_quantize_int8"       -> (PipelineQueries.q29QuantizeInt8 _),
     "q30_simhash_dups"        -> (PipelineQueries.q30SimhashDups _),
+    "q31_text_chunks"         -> (PipelineQueries.q31TextChunks _),
+    "q32_tfidf_terms"         -> (PipelineQueries.q32TfidfTerms _),
+    "q33_train_split"         -> (PipelineQueries.q33TrainSplit _),
+    "q34_dedup_apply"         -> (PipelineQueries.q34DedupApply _),
+    "q35_stream_dedup_users"  -> (StreamingJobs.distinctUsersPerType _),
+    "q36_contamination"       -> (PipelineQueries.q36Contamination _),
   ) ++ graft.queries.NearQueries.queries
 
   def oracleSql: Map[String, String] = Map(

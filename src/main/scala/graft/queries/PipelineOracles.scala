@@ -51,6 +51,35 @@ object PipelineOracles {
 
   private val bucketSql: String = bandBucketSql(0, 8)
 
+  /** q15's banded-LSH + exact-Jaccard pair pipeline as a CTE block —
+    * the final CTE `v` holds (doc_a, doc_b, jaccard) candidates.
+    * Shared by the q15 oracle and the q34 dedup-apply oracle.
+    */
+  private val q15PairCtes: String = {
+    val sigList = (0 until 16).map(minhashExpr).mkString("[", ", ", "]")
+    s"""d AS (SELECT doc_id, $shingleSql AS sh FROM ($docsWithWords) d0
+       |           WHERE len(w) >= 3),
+       |h AS (SELECT doc_id, sh, list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS hs FROM d),
+       |m AS (SELECT doc_id, sh, $sigList AS sig FROM h),
+       |b AS (SELECT doc_id, j AS band,
+       |        md5(array_to_string(sig[4*j+1:4*j+4], '|')) AS band_hash
+       |      FROM m, UNNEST(range(0, 4)) AS t(j)),
+       |p AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |      FROM b x JOIN b y
+       |        ON x.band = y.band AND x.band_hash = y.band_hash
+       |       AND x.doc_id < y.doc_id),
+       |v AS (SELECT doc_a, doc_b,
+       |        round(CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE) /
+       |          (len(da.sh) + len(db.sh) - CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)), 4) AS jaccard
+       |      FROM p JOIN d da ON p.doc_a = da.doc_id
+       |             JOIN d db ON p.doc_b = db.doc_id)""".stripMargin
+  }
+
+  private val q15PairsSql: String =
+    s"""WITH $q15PairCtes
+       |SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q11_token_stats" ->
       s"""SELECT doc_id,
@@ -82,27 +111,7 @@ object PipelineOracles {
          |ORDER BY doc_id""".stripMargin
     },
 
-    "q15_lsh_near_dups" -> {
-      val sigList = (0 until 16).map(minhashExpr).mkString("[", ", ", "]")
-      s"""WITH d AS (SELECT doc_id, $shingleSql AS sh FROM ($docsWithWords) d0
-         |           WHERE len(w) >= 3),
-         |h AS (SELECT doc_id, sh, list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS hs FROM d),
-         |m AS (SELECT doc_id, sh, $sigList AS sig FROM h),
-         |b AS (SELECT doc_id, j AS band,
-         |        md5(array_to_string(sig[4*j+1:4*j+4], '|')) AS band_hash
-         |      FROM m, UNNEST(range(0, 4)) AS t(j)),
-         |p AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |      FROM b x JOIN b y
-         |        ON x.band = y.band AND x.band_hash = y.band_hash
-         |       AND x.doc_id < y.doc_id),
-         |v AS (SELECT doc_a, doc_b,
-         |        round(CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE) /
-         |          (len(da.sh) + len(db.sh) - CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)), 4) AS jaccard
-         |      FROM p JOIN d da ON p.doc_a = da.doc_id
-         |             JOIN d db ON p.doc_b = db.doc_id)
-         |SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= 0.8
-         |ORDER BY doc_a, doc_b""".stripMargin
-    },
+    "q15_lsh_near_dups" -> q15PairsSql,
 
     "q16_simhash" ->
       s"""SELECT doc_id, CAST(
@@ -354,5 +363,83 @@ object PipelineOracles {
          |         JOIN n b ON p.vec_id_b = b.vec_id) s
          |WHERE cos_sim >= 0.45 ORDER BY vec_id_a, vec_id_b""".stripMargin
     },
+
+    "q31_text_chunks" ->
+      s"""WITH n AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n,
+         |             CASE WHEN len(w) <= 32 THEN 1
+         |                  ELSE (len(w) - 32 + 23) // 24 + 1 END AS n_chunks
+         |           FROM ($docsWithWords) d0),
+         |e AS (SELECT doc_id, w, n, i AS chunk_idx
+         |      FROM n, UNNEST(range(n_chunks)) AS t(i))
+         |SELECT doc_id,
+         |  CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |  CAST(chunk_idx * 24 AS BIGINT) AS chunk_start,
+         |  CAST(len(w[chunk_idx*24 + 1 : least(chunk_idx*24 + 32, n)]) AS BIGINT) AS n_chunk_tokens,
+         |  md5(array_to_string(w[chunk_idx*24 + 1 : least(chunk_idx*24 + 32, n)], ' ')) AS chunk_md5
+         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q32_tfidf_terms" ->
+      s"""WITH t AS (SELECT doc_id, unnest(w) AS term FROM ($docsWithWords) d0),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM t GROUP BY doc_id, term),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         |nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents),
+         |sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         |         CAST(round(ln((nd.n_docs + 1.0) / (df.df + 1.0)) * 1000000.0, 0) AS BIGINT) AS idf_micro
+         |       FROM tf JOIN df USING (term) CROSS JOIN nd),
+         |r AS (SELECT doc_id, term, tf, df, tf * idf_micro AS tfidf_micro,
+         |        row_number() OVER (PARTITION BY doc_id
+         |          ORDER BY tf * idf_micro DESC, term ASC) AS rn
+         |      FROM sc)
+         |SELECT doc_id, CAST(rn AS BIGINT) AS rn, term, tf, df, tfidf_micro
+         |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+
+    "q33_train_split" ->
+      """SELECT doc_id,
+        |  CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket,
+        |  CASE WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 90 THEN 'train'
+        |       WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 95 THEN 'validation'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q34_dedup_apply" ->
+      // q15's pair pipeline as a CTE block, then connected components
+      // via a recursive reachability closure (min reachable id =
+      // canonical survivor).
+      s"""WITH RECURSIVE $q15PairCtes,
+         |pr AS (SELECT doc_a, doc_b FROM v WHERE jaccard >= 0.8),
+         |edges AS (SELECT doc_a AS u, doc_b AS vtx FROM pr
+         |          UNION SELECT doc_b, doc_a FROM pr),
+         |reach(u, vtx) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) n0
+         |  UNION
+         |  SELECT r.u, e.vtx FROM reach r JOIN edges e ON r.vtx = e.u),
+         |lbl AS (SELECT u AS doc_id, min(vtx) AS cluster_id FROM reach GROUP BY u)
+         |SELECT CAST(docs.doc_id AS BIGINT) AS doc_id,
+         |  CAST(coalesce(lbl.cluster_id, docs.doc_id) AS BIGINT) AS canonical_id,
+         |  coalesce(lbl.cluster_id, docs.doc_id) = docs.doc_id AS is_kept
+         |FROM documents docs LEFT JOIN lbl ON docs.doc_id = lbl.doc_id
+         |ORDER BY doc_id""".stripMargin,
+
+    "q36_contamination" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    list_distinct(list_transform(range(1, len(w)-3),
+         |      i -> array_to_string(w[i:i+4], ' '))) AS sh,
+         |    CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket
+         |  FROM ($docsWithWords) d0),
+         |tr AS (SELECT DISTINCT unnest(sh) AS s FROM d WHERE bucket < 90),
+         |te AS (SELECT doc_id, unnest(sh) AS s FROM d WHERE bucket >= 95),
+         |cont AS (SELECT te.doc_id, CAST(count(tr.s) AS BIGINT) AS n_cont
+         |         FROM te LEFT JOIN tr USING (s) GROUP BY te.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(len(d.sh) AS BIGINT) AS n_shingles,
+         |  CAST(coalesce(c.n_cont, 0) AS BIGINT) AS n_contaminated,
+         |  round(CAST(coalesce(c.n_cont, 0) AS DOUBLE) / greatest(len(d.sh), 1), 4) AS contamination_ratio
+         |FROM d LEFT JOIN cont c ON d.doc_id = c.doc_id
+         |WHERE d.bucket >= 95 ORDER BY d.doc_id""".stripMargin,
+
+    "q35_stream_dedup_users" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

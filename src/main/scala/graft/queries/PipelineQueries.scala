@@ -204,6 +204,134 @@ object PipelineQueries {
     Dedup.dupClusters(
       Similarity.nearDupPairsLsh(Tables.embeddings(s, dir), threshold = 0.45))
 
+  /** Training-window chunking: split each document into overlapping
+    * token windows (win=32, stride=24) — the stage that turns a corpus
+    * into fixed-size training examples. Map-only: `posexplode` over a
+    * computed chunk-index sequence, `slice` per chunk; no shuffle at
+    * all, so it scales linearly with corpus bytes.
+    */
+  def q31TextChunks(s: SparkSession, dir: String): DataFrame = {
+    val win = 32; val stride = 24
+    val d = Tables.documents(s, dir)
+    d.withColumn("w", TF.words(col("text")))
+      .withColumn("n", size(col("w")).cast("long"))
+      .withColumn("n_chunks",
+        when(col("n") <= win, lit(1L))
+          .otherwise(expr(s"(n - $win + $stride - 1) div $stride + 1")))
+      .select(col("doc_id"), col("w"), col("n"),
+        posexplode(expr("sequence(0, n_chunks - 1)")))
+      .withColumn("chunk_start", col("col") * stride)
+      .withColumn("cw", slice(col("w"), col("chunk_start") + 1, lit(win)))
+      .select(col("doc_id"),
+        col("col").cast("long").as("chunk_idx"),
+        col("chunk_start").cast("long").as("chunk_start"),
+        size(col("cw")).cast("long").as("n_chunk_tokens"),
+        md5(array_join(col("cw"), " ")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** Top-3 TF-IDF terms per document. The IDF is snapped to an exact
+    * integer (micro-scaled, one rounding per distinct df value) so the
+    * ranking compares exact BIGINTs — bit-identical across engines,
+    * immune to float summation order. Two shuffles (doc-term counts,
+    * vocabulary df) + a broadcast of the vocabulary; the per-doc top-k
+    * is a window over the doc key.
+    */
+  def q32TfidfTerms(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir).withColumn("w", TF.words(col("text")))
+    val tf = d.select(col("doc_id"), explode(col("w")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("long").as("df"))
+    val nDocs = d.agg(countDistinct(col("doc_id")).cast("long").as("n_docs"))
+    val scored = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf_micro",
+        round(log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) * 1e6, 0)
+          .cast("long"))
+      .withColumn("tfidf_micro", col("tf") * col("idf_micro"))
+    scored
+      .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf_micro").desc, col("term").asc)))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("rn").cast("long").as("rn"), col("term"),
+        col("tf"), col("df"), col("tfidf_micro"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
+  /** Deterministic train/validation/test split (90/5/5) by salted
+    * md5 of the document id — the standard reshuffle-proof corpus
+    * split: membership depends only on the id, so re-runs, late
+    * arrivals, and repartitions never move a document across splits.
+    * Map-only.
+    */
+  def q33TrainSplit(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        (conv(substring(md5(concat(lit("split:"),
+            col("doc_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % 100).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 90, lit("train"))
+          .when(col("bucket") < 95, lit("validation"))
+          .otherwise(lit("test")))
+      .orderBy(col("doc_id"))
+
+  /** Dedup APPLY — the end of the near-dup pipeline: LSH pairs (q15)
+    * → connected components (q28's operator) → per-document keep/drop
+    * decision with the min-id cluster representative as the canonical
+    * survivor. The whole lineage is equi-join only; the final step is
+    * one left join of the corpus against the (tiny) cluster map.
+    */
+  def q34DedupApply(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.lshNearDupPairs(s, docs, "doc_id", "text",
+      k = 16, bands = 4, shingleN = 3, threshold = 0.8)
+    val clusters = Dedup.dupClusters(pairs, "doc_a", "doc_b")
+      .withColumnRenamed("vec_id", "doc_id")
+    docs.select(col("doc_id").cast("long").as("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("canonical_id"),
+        (coalesce(col("cluster_id"), col("doc_id")) === col("doc_id"))
+          .as("is_kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Test-set contamination scan: for every test-split document
+    * (q33's hash split), the fraction of its 5-gram shingles that also
+    * appear anywhere in the train split — the standard eval-leakage
+    * check run before training. Scale shape: distinct train shingles
+    * and exploded test shingles meet in ONE equi-join on the shingle
+    * key (shuffle-on-key both sides, no broadcast of the corpus-sized
+    * train set), then a per-doc aggregate.
+    */
+  def q36Contamination(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val bucket = conv(substring(md5(concat(lit("split:"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 100
+    val base = d.select(col("doc_id"), TF.shingleSet(col("text"), 5).as("sh"),
+      bucket.as("bucket"))
+    val trainSh = base.filter(col("bucket") < 90)
+      .select(explode(col("sh")).as("s")).distinct()
+    val testDocs = base.filter(col("bucket") >= 95)
+    val hits = testDocs.select(col("doc_id"), explode(col("sh")).as("s"))
+      .join(trainSh.withColumn("hit", lit(1L)), Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_contaminated"))
+    testDocs.select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        round(coalesce(col("n_contaminated"), lit(0L)).cast("double") /
+          greatest(col("n_shingles"), lit(1L)).cast("double"), 4)
+          .as("contamination_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Winnowing document fingerprint (the rolling-hash fingerprint
     * class): hash the ORDERED 3-word shingles, take the min of each
     * 4-wide rolling window, and fingerprint the distinct min set —

@@ -51,4 +51,34 @@ object StreamingJobs {
       // materialize before the memory sink's table goes stale
       .localCheckpoint(true)
   }
+
+  /** Streaming DEDUPLICATION: distinct users per event type computed
+    * through a real streaming query with `dropDuplicates` keyed state —
+    * the streaming sibling of the batch exact-dedup operator. The dedup
+    * state is keyed on (user_id, event_type); at scale the key space is
+    * the distinct-user set, which the state store shards across
+    * executors, and a production deployment bounds it with
+    * `dropDuplicatesWithinWatermark` once the dedup horizon is an
+    * event-time window rather than all-time.
+    */
+  def distinctUsersPerType(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val name = "dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val stream = s.readStream.schema(eventsSchema)
+      .option("basePath", dir)
+      .parquet(s"$dir/events.parque[t]")
+    val agg = stream
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_users"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(name)
+      .orderBy(col("event_type"))
+      .localCheckpoint(true)
+  }
 }

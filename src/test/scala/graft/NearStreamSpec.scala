@@ -133,6 +133,13 @@ class NearStreamSpec extends AnyFunSuite {
     val parts = Files.list(Paths.get(s"$wh/blocks")).toArray.map(_.toString)
     assert(parts.exists(_.contains("block_date=2023-11-14")),
       s"expected day partition dir, got ${parts.mkString(",")}")
+    // …and a day-ranged read PRUNES at the scan (the 100 TB read path:
+    // a time-predicate query touches only its day's files).
+    val prunedScan = Warehouse.table(spark, wh, "blocks")
+      .filter(col("block_date") === "2023-11-14")
+      .queryExecution.executedPlan.toString
+    assert(prunedScan.contains("PartitionFilters: [isnotnull(block_date"),
+      prunedScan.take(2000))
 
     // Registry deltas collapse to the same current state as batch mode.
     val accounts = Warehouse.accountsCurrent(

@@ -301,4 +301,122 @@ class PipelineSpec extends AnyFunSuite {
     // hello | , | world | 42 | !
     assert(n == 5)
   }
+
+  test("q31 chunks tile each document: stride-spaced starts, clamped tails") {
+    val rows = SparkEntry.queries("q31_text_chunks")(spark, sf).collect()
+    val nTok = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(graft.functions.TextFunctions.words(col("text"))).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (doc, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("chunk_idx"))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Long]("chunk_idx") == i)
+        assert(r.getAs[Long]("chunk_start") == i * 24L)
+        assert(r.getAs[Long]("n_chunk_tokens") > 0 &&
+          r.getAs[Long]("n_chunk_tokens") <= 32)
+      }
+      // the last chunk reaches exactly the end of the token list
+      val last = sorted.last
+      assert(last.getAs[Long]("chunk_start") + last.getAs[Long]("n_chunk_tokens") == nTok(doc))
+      // and no extra chunk would fit: second-to-last must end before n
+      if (sorted.length > 1)
+        assert(sorted(sorted.length - 2).getAs[Long]("chunk_start") + 32L < nTok(doc) + 24L)
+    }
+  }
+
+  test("q31 plan is map-only: no shuffle exchange anywhere") {
+    val plan = SparkEntry.queries("q31_text_chunks")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the trailing orderBy is a range-partition sort for presentation;
+    // everything before it must be generate/project over the scan
+    assert(!plan.contains("HashAggregate"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
+  test("q32 top-3 TF-IDF ranks are dense, ordered, integer-exact") {
+    val rows = SparkEntry.queries("q32_tfidf_terms")(spark, sf).collect()
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rn"))
+      assert(sorted.map(_.getAs[Long]("rn")).sameElements(1L to sorted.length))
+      // scores non-increasing; equal scores tie-break by term asc
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val (sa, sb) = (a.getAs[Long]("tfidf_micro"), b.getAs[Long]("tfidf_micro"))
+          assert(sa > sb || (sa == sb &&
+            a.getAs[String]("term") < b.getAs[String]("term")))
+        case _ => ()
+      }
+      val terms = sorted.map(_.getAs[String]("term"))
+      assert(terms.distinct.length == terms.length)
+    }
+  }
+
+  test("q33 split is a pure function of doc_id with correct thresholds") {
+    val rows = SparkEntry.queries("q33_train_split")(spark, sf).collect()
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(b >= 0 && b < 100)
+      val expected = if (b < 90) "train" else if (b < 95) "validation" else "test"
+      assert(r.getAs[String]("split") == expected)
+    }
+    // determinism: identical assignment on a re-run
+    val again = SparkEntry.queries("q33_train_split")(spark, sf).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
+  test("q34 dedup-apply keeps exactly the cluster representatives") {
+    val rows = SparkEntry.queries("q34_dedup_apply")(spark, sf).collect()
+    val canon = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canonical_id")).toMap
+    rows.foreach { r =>
+      val (id, c, kept) = (r.getAs[Long]("doc_id"), r.getAs[Long]("canonical_id"),
+        r.getAs[Boolean]("is_kept"))
+      assert(c <= id)              // min-id representative
+      assert(kept == (c == id))    // kept iff canonical
+      assert(canon(c) == c)        // the canonical doc is itself kept
+    }
+    // every near-dup pair collapses to one canonical id
+    SparkEntry.queries("q15_lsh_near_dups")(spark, sf).collect().foreach { p =>
+      assert(canon(p.getAs[Long]("doc_a")) == canon(p.getAs[Long]("doc_b")))
+    }
+  }
+
+  test("q36 contamination matches a driver-side brute force") {
+    import graft.functions.TextFunctions
+    val rows = SparkEntry.queries("q36_contamination")(spark, sf).collect()
+    // brute force with plain Scala sets
+    val all = Tables.documents(spark, sf)
+      .select(col("doc_id"), TextFunctions.shingleSet(col("text"), 5).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    def bucket(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(h.take(4).map(b => f"$b%02x").mkString, 16) % 100
+    }
+    val trainSh = all.collect { case (id, sh) if bucket(id) < 90 => sh }
+      .foldLeft(Set.empty[String])(_ ++ _)
+    val testIds = all.keySet.filter(bucket(_) >= 95)
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == testIds)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val nCont = all(id).count(trainSh.contains)
+      assert(r.getAs[Long]("n_shingles") == all(id).size)
+      assert(r.getAs[Long]("n_contaminated") == nCont, s"doc $id")
+    }
+    // scale shape: the shingle meet is an equi-join, never a broadcast
+    // nested loop / cartesian over the corpus
+    val plan = SparkEntry.queries("q36_contamination")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("q35 streaming dedup equals batch count-distinct") {
+    val streamed = SparkEntry.queries("q35_stream_dedup_users")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+  }
 }
