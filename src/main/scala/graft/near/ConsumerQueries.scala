@@ -133,4 +133,37 @@ object ConsumerQueries {
       .join(executionOutcomes.select(col("receipt_id"), col("status"),
         col("gas_burnt"), col("tokens_burnt")), Seq("receipt_id"), "left")
       .orderBy(col("included_in_block_timestamp"), col("index_in_chunk"))
+
+  /** Nanosecond UTC-day bucket — all bucketing on the raw number, like
+    * the reference (circulating-supply/src/main.rs:112-114); Spark
+    * timestamps are µs so DECIMAL arithmetic is the exact route
+    * (SURVEY §7.6).
+    */
+  private def dayNs(ts: Column): Column =
+    (ts - (ts % lit(86400000000000L))).as("day_ns")
+
+  /** Daily gas/fee analytics over execution outcomes — the network-
+    * activity dashboard query the execution_outcomes timestamp index
+    * serves. One shuffle on the day bucket; partial aggregation
+    * map-side, so it scans once at any history length (and partition
+    * pruning bounds it when a day range is pushed down).
+    */
+  def dailyGasStats(executionOutcomes: DataFrame): DataFrame =
+    executionOutcomes
+      .groupBy(dayNs(col("executed_in_block_timestamp")))
+      .agg(count(lit(1)).cast("long").as("n_outcomes"),
+        sum(col("gas_burnt")).as("gas_burnt_total"),
+        sum(col("tokens_burnt")).as("tokens_burnt_total"))
+      .orderBy(col("day_ns"))
+
+  /** Daily active signers (the transactions signer index, up.sql:
+    * 648-651, aggregated by day): distinct signers + tx count per
+    * UTC day.
+    */
+  def dailyActiveAccounts(transactions: DataFrame): DataFrame =
+    transactions
+      .groupBy(dayNs(col("block_timestamp")))
+      .agg(countDistinct(col("signer_account_id")).cast("long").as("n_signers"),
+        count(lit(1)).cast("long").as("n_txs"))
+      .orderBy(col("day_ns"))
 }

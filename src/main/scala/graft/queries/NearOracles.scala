@@ -670,6 +670,23 @@ $eventOrder"""),
 SELECT * FROM tx_tree WHERE originated_from_transaction_hash = 'T1'
 ORDER BY included_in_block_timestamp, index_in_chunk"""),
 
+    "near_q_daily_gas" -> (withR(NORM, OCX, XO) + """
+SELECT day_ns, CAST(count(*) AS BIGINT) AS n_outcomes,
+       sum(gas_burnt) AS gas_burnt_total,
+       sum(tokens_burnt) AS tokens_burnt_total
+FROM (SELECT *,
+        executed_in_block_timestamp - (executed_in_block_timestamp % 86400000000000) AS day_ns
+      FROM execution_outcomes) t
+GROUP BY day_ns ORDER BY day_ns"""),
+
+    "near_q_active_accounts" -> (preTx + """
+SELECT day_ns, CAST(count(DISTINCT signer_account_id) AS BIGINT) AS n_signers,
+       CAST(count(*) AS BIGINT) AS n_txs
+FROM (SELECT *,
+        block_timestamp - (block_timestamp % 86400000000000) AS day_ns
+      FROM transactions) t
+GROUP BY day_ns ORDER BY day_ns"""),
+
     "near_q_balance_history" -> (withR(NORM, AC) + """
 SELECT changed_in_block_timestamp, index_in_block,
        affected_account_nonstaked_balance, affected_account_staked_balance,
@@ -737,6 +754,9 @@ ORDER BY changed_in_block_timestamp, index_in_block"""),
     "near_q_balance_history" ->
       (Seq("changed_in_block_timestamp", "affected_account_nonstaked_balance",
         "affected_account_staked_balance"), Nil),
+    "near_q_daily_gas" ->
+      (Seq("day_ns", "gas_burnt_total", "tokens_burnt_total"), Nil),
+    "near_q_active_accounts" -> (Seq("day_ns"), Nil),
     "near_circulating_supply" ->
       (Seq("computed_at_block_timestamp", "circulating_tokens_supply",
         "total_tokens_supply", "foundation_locked_tokens",

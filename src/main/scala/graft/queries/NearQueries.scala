@@ -110,6 +110,12 @@ object NearQueries {
     "near_q_balance_history" -> ((s: SparkSession, dir: String) =>
       graft.near.ConsumerQueries.accountBalanceHistory(
         tables(s)("account_changes"), "alice.near")),
+    "near_q_daily_gas" -> ((s: SparkSession, dir: String) =>
+      graft.near.ConsumerQueries.dailyGasStats(
+        tables(s)("execution_outcomes"))),
+    "near_q_active_accounts" -> ((s: SparkSession, dir: String) =>
+      graft.near.ConsumerQueries.dailyActiveAccounts(
+        tables(s)("transactions"))),
     "near_circulating_supply" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val t = tables(s)

@@ -119,4 +119,22 @@ class NearConsumerSpec extends AnyFunSuite {
     assert(tree("R1") == "SUCCESS_VALUE")
     assert(tree("R5") == null) // data receipt: no outcome row
   }
+
+  test("daily gas and active-account aggregates conserve totals") {
+    import org.apache.spark.sql.functions._
+    val gas = CQ.dailyGasStats(tables("execution_outcomes")).collect()
+    assert(gas.map(_.getAs[Long]("n_outcomes")).sum ==
+      tables("execution_outcomes").count())
+    val totalGas = tables("execution_outcomes")
+      .agg(sum(col("gas_burnt"))).collect()(0).getDecimal(0)
+    assert(gas.map(_.getAs[java.math.BigDecimal]("gas_burnt_total"))
+      .map(BigDecimal(_)).sum == BigDecimal(totalGas))
+    gas.foreach { r =>
+      val d = r.getAs[java.math.BigDecimal]("day_ns")
+      assert(BigDecimal(d) % BigDecimal(86400000000000L) == 0)
+    }
+    val act = CQ.dailyActiveAccounts(tables("transactions")).collect()
+    assert(act.map(_.getAs[Long]("n_txs")).sum == tables("transactions").count())
+    act.foreach(r => assert(r.getAs[Long]("n_signers") <= r.getAs[Long]("n_txs")))
+  }
 }
