@@ -65,4 +65,26 @@ class AnalyticsSpec extends AnyFunSuite {
     val subUs = e.selectExpr("sum(ts % 1000) AS s").collect()(0).getAs[Long]("s")
     assert(subUs > 0, "expected non-zero sub-microsecond digits")
   }
+
+  test("q04 filter is pushed to the parquet scan") {
+    val plan = SparkEntry.queries("q04_cust_no_orders")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45"),
+      plan.take(3000))
+  }
+
+  test("q02 scans are column-pruned and dims broadcast") {
+    val plan = SparkEntry.queries("q02_revenue_by_nation")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the lineitem scan must read only the 3 projected columns
+    val liScan = plan.linesIterator
+      .find(l => l.contains("lineitem.parquet") && l.contains("ReadSchema"))
+    assert(liScan.exists { l =>
+      val schema = l.substring(l.indexOf("ReadSchema"))
+      schema.contains("l_orderkey") && schema.contains("l_extendedprice") &&
+        schema.contains("l_discount") && !schema.contains("l_shipdate") &&
+        !schema.contains("l_quantity")
+    }, plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
 }
