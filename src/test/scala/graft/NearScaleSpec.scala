@@ -55,15 +55,40 @@ class NearScaleSpec extends AnyFunSuite {
     assert(eor.count() == (n - 1) * txPerBlock)
   }
 
-  /** Seeded random chain with ground-truth lineage: txs convert to
-    * receipts 1–2 blocks later; each arriving receipt's outcome
-    * produces 0–2 child receipts, again 1–2 blocks later, branching
-    * into random DAGs. The generator records the tx every receipt must
-    * resolve to, so the invariant is exact equality, not just
-    * "resolved". Tail receipts scheduled past the last block never
-    * arrive (their eor edges still must).
-    */
-  private def randomChain(seed: Long): (Seq[String], Map[String, String], Int, Int) = {
+  test("random chains: lineage equals the generator's ground truth") {
+    Seq(11L, 42L, 1337L).foreach { seed =>
+      val (chain, truth, nTx, nEdges) = RandomChains.chain(seed)
+      val t = Ingest.allTables(Ingest.blocksFromJson(spark, chain).toDF())
+      val got = t("receipts").collect()
+        .map(r => r.getAs[String]("receipt_id") ->
+          r.getAs[String]("originated_from_transaction_hash")).toMap
+      assert(got == truth, s"seed=$seed lineage mismatch: " +
+        s"missing=${truth.keySet -- got.keySet} extra=${got.keySet -- truth.keySet} " +
+        s"wrong=${truth.collect { case (k, v) if got.get(k).exists(_ != v) => k }}")
+      assert(t("transactions").count() == nTx, s"seed=$seed tx count")
+      assert(t("execution_outcome_receipts").count() == nEdges, s"seed=$seed edges")
+      // receipts PK + ordinal density per chunk
+      val ords = t("receipts").collect()
+        .groupBy(_.getAs[String]("included_in_chunk_hash"))
+      ords.values.foreach { rs =>
+        assert(rs.map(_.getAs[Int]("index_in_chunk")).sorted
+          .sameElements(rs.indices), s"seed=$seed ordinals not dense")
+      }
+    }
+  }
+}
+
+/** Seeded random chain with ground-truth lineage: txs convert to
+  * receipts 1–2 blocks later; each arriving receipt's outcome
+  * produces 0–2 child receipts, again 1–2 blocks later, branching
+  * into random DAGs. The generator records the tx every receipt must
+  * resolve to, so invariants are exact equality, not just "resolved".
+  * Tail receipts scheduled past the last block never arrive (their
+  * eor edges still must). Returns (blocks, receipt→tx ground truth,
+  * n transactions, n produced edges).
+  */
+object RandomChains {
+  def chain(seed: Long): (Seq[String], Map[String, String], Int, Int) = {
     val rnd = new scala.util.Random(seed)
     val nBlocks = 6 + rnd.nextInt(10)
     val scheduled = scala.collection.mutable.Map[Int, Vector[(String, String)]]()
@@ -105,27 +130,5 @@ class NearScaleSpec extends AnyFunSuite {
         Seq(F.shard(0, Some(F.chunk(s"C$i", 0, txs, receipts)), outcomes, Seq.empty)))
     }
     (blocks, lineage.toMap, nTxTotal, nEdges)
-  }
-
-  test("random chains: lineage equals the generator's ground truth") {
-    Seq(11L, 42L, 1337L).foreach { seed =>
-      val (chain, truth, nTx, nEdges) = randomChain(seed)
-      val t = Ingest.allTables(Ingest.blocksFromJson(spark, chain).toDF())
-      val got = t("receipts").collect()
-        .map(r => r.getAs[String]("receipt_id") ->
-          r.getAs[String]("originated_from_transaction_hash")).toMap
-      assert(got == truth, s"seed=$seed lineage mismatch: " +
-        s"missing=${truth.keySet -- got.keySet} extra=${got.keySet -- truth.keySet} " +
-        s"wrong=${truth.collect { case (k, v) if got.get(k).exists(_ != v) => k }}")
-      assert(t("transactions").count() == nTx, s"seed=$seed tx count")
-      assert(t("execution_outcome_receipts").count() == nEdges, s"seed=$seed edges")
-      // receipts PK + ordinal density per chunk
-      val ords = t("receipts").collect()
-        .groupBy(_.getAs[String]("included_in_chunk_hash"))
-      ords.values.foreach { rs =>
-        assert(rs.map(_.getAs[Int]("index_in_chunk")).sorted
-          .sameElements(rs.indices), s"seed=$seed ordinals not dense")
-      }
-    }
   }
 }

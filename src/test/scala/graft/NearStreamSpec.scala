@@ -296,6 +296,37 @@ class NearStreamSpec extends AnyFunSuite {
     assert(MirrorStub.inserts.contains(JdbcSink.accountsUpsertSql))
   }
 
+  test("random chains streamed in random batch splits match ground truth") {
+    // Same generator as the batch property test, but driven through
+    // processBatch with random microbatch boundaries — exercises the
+    // J2/J3 warehouse fallbacks, the _lineage_ahead announced-receipt
+    // state, and empty-frontier gating under arbitrary DAG shapes.
+    Seq(7L, 99L).foreach { seed =>
+      val (chain, truth, nTx, nEdges) = RandomChains.chain(seed)
+      assume(nTx > 0)
+      val rnd = new scala.util.Random(seed * 31)
+      val batches = chain.foldLeft(Vector(Vector.empty[String])) { (acc, b) =>
+        if (acc.last.nonEmpty && rnd.nextBoolean()) acc :+ Vector(b)
+        else acc.init :+ (acc.last :+ b)
+      }
+      assert(batches.length > 1, "want a real multi-batch split")
+      val wh = Files.createTempDirectory(s"graft_rand_stream_$seed").toString
+      batches.foreach { bs =>
+        Stream.processBatch(spark,
+          graft.near.Ingest.blocksFromJson(spark, bs).toDF(), wh,
+          maxRetries = Int.MaxValue)
+      }
+      val got = Warehouse.table(spark, wh, "receipts").collect()
+        .map(r => r.getAs[String]("receipt_id") ->
+          r.getAs[String]("originated_from_transaction_hash")).toMap
+      assert(got == truth, s"seed=$seed streamed lineage mismatch: " +
+        s"missing=${truth.keySet -- got.keySet} extra=${got.keySet -- truth.keySet}")
+      assert(Warehouse.table(spark, wh, "transactions").count() == nTx)
+      assert(Warehouse.table(spark, wh, "execution_outcome_receipts")
+        .count() == nEdges)
+    }
+  }
+
   test("block_date partitioning is the UTC day regardless of session timezone") {
     import spark.implicits._
     // 2023-11-14T23:30Z in nanos: still Nov 14 UTC, but Nov 15 in
