@@ -57,6 +57,7 @@ object SparkEntry {
     "q34_dedup_apply"         -> (PipelineQueries.q34DedupApply _),
     "q35_stream_dedup_users"  -> (StreamingJobs.distinctUsersPerType _),
     "q36_contamination"       -> (PipelineQueries.q36Contamination _),
+    "q37_stream_sessions"     -> (StreamingJobs.userSessions _),
   ) ++ graft.queries.NearQueries.queries
 
   def oracleSql: Map[String, String] = Map(

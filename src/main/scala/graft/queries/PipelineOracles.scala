@@ -441,5 +441,20 @@ object PipelineOracles {
     "q35_stream_dedup_users" ->
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Gaps-and-islands twin of Spark's session_window(ev_ts, 30 min):
+    // a session breaks when the gap to the previous event (per user)
+    // exceeds the 30-minute gap; session end = last event + gap.
+    "q37_stream_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |o AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |         OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+        |SELECT user_id, min(us) AS session_start_us,
+        |  max(us) + 1800000000 AS session_end_us,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin,
   )
 }

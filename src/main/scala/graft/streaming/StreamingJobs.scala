@@ -52,6 +52,38 @@ object StreamingJobs {
       .localCheckpoint(true)
   }
 
+  /** SESSIONIZATION through a real streaming query: `session_window`
+    * with a 30-minute inactivity gap, keyed per user — the dynamic-
+    * window state operator (tumbling q23 and dedup q35 are the other
+    * two streaming state shapes). Emitted as µs epochs for oracle
+    * parity; the DuckDB twin is the classic gaps-and-islands window
+    * construction.
+    */
+  def userSessions(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val name = "sessions_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val stream = s.readStream.schema(eventsSchema)
+      .option("basePath", dir)
+      .parquet(s"$dir/events.parque[t]")
+      .withColumn("ev_ts", timestamp_micros(expr("ts div 1000")))
+    val agg = stream
+      .withWatermark("ev_ts", "1 hour")
+      .groupBy(session_window(col("ev_ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_events"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(name)
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start_us"))
+      .localCheckpoint(true)
+  }
+
   /** Streaming DEDUPLICATION: distinct users per event type computed
     * through a real streaming query with `dropDuplicates` keyed state —
     * the streaming sibling of the batch exact-dedup operator. The dedup

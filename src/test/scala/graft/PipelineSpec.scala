@@ -410,6 +410,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("q37 streaming sessions equal batch gaps-and-islands") {
+    import org.apache.spark.sql.expressions.Window
+    val streamed = SparkEntry.queries("q37_stream_sessions")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val gapUs = 1800000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+    val batch = Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts div 1000").as("us"))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .withColumn("brk", when(col("prev").isNull ||
+        col("us") - col("prev") >= gapUs, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("us")).as("s"), (max(col("us")) + gapUs).as("e"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("s"),
+        r.getAs[Long]("e"), r.getAs[Long]("n"))).toSet
+    assert(streamed == batch)
+    // sessions are disjoint per user and separated by >= the gap
+    streamed.groupBy(_._1).values.foreach { ss =>
+      ss.toSeq.sortBy(_._2).sliding(2).foreach {
+        case Seq(a, b) => assert(b._2 >= a._3, s"overlap: $a $b")
+        case _ => ()
+      }
+    }
+  }
+
   test("q35 streaming dedup equals batch count-distinct") {
     val streamed = SparkEntry.queries("q35_stream_dedup_users")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
