@@ -41,6 +41,7 @@ object Stream {
   val PendingEdgesDir = "_pending_edges"
   val LineageAheadDir = "_lineage_ahead"
   val TxRecentDir = "_tx_recent"
+  val BlocksRecentDir = "_blocks_recent"
 
   /** Tables carrying a block timestamp, with its column name — written
     * partitioned by UTC day of that column so time predicates prune
@@ -157,7 +158,23 @@ object Stream {
       collisionWindowBlocks: Long = 1000L,
       mirror: Option[JdbcSink.ConnectionFactory] = None): Unit = {
     if (norm0.isEmpty) return
-    val norm = norm0.persist()
+    // Replay idempotency (S2's from-interruption −500 rewind,
+    // configs.rs:118-119): the reference replays whole blocks and
+    // relies on ON CONFLICT DO NOTHING; the parquet warehouse has no
+    // PKs, so an already-processed block hash inside the bounded
+    // `_blocks_recent` window is dropped WHOLE before any transform —
+    // one state covers every per-block table. A block hash identifies
+    // its content, so partial re-delivery cannot occur; same-height
+    // forks have distinct hashes and pass through untouched.
+    val blocksSeen = readState(spark, s"$warehouseDir/$BlocksRecentDir")
+    val normIn = blocksSeen match {
+      case Some(seen) => norm0.join(
+        broadcast(seen.select(col("block_hash").as("seen_bh"))),
+        norm0("blockHash") === col("seen_bh"), "left_anti")
+      case None => norm0
+    }
+    if (blocksSeen.isDefined && normIn.isEmpty) return
+    val norm = normIn.persist()
     try {
       // S9: block counter + latest-height gauge (metrics.rs:6-14)
       val stats = norm.agg(count(lit(1)),
@@ -180,18 +197,27 @@ object Stream {
       val txRecent = readState(spark, s"$warehouseDir/$TxRecentDir")
       val txBase = txRecent match {
         case Some(recent) =>
-          txBase0.join(
-              broadcast(recent.select(col("tx_hash").as("wh_hash"),
-                col("cid").as("wh_cid"))),
+          // A tx row's identity is its converted receipt id (globally
+          // unique): a batch row whose cid is already in state is a
+          // fork re-delivery of an ALREADY-WRITTEN row — original or
+          // suffixed collision — and is dropped outright, the parquet
+          // analogue of ON CONFLICT DO NOTHING. (Pair-equality against
+          // the hash's single stored cid would re-suffix a re-delivered
+          // collision row into a duplicate.) Surviving rows whose hash
+          // is known under a different cid are genuine collisions.
+          txBase0
+            .join(broadcast(recent.select(col("cid").as("seen_cid"))),
+              txBase0("t.convertedIntoReceiptId") === col("seen_cid"), "left")
+            .filter(col("seen_cid").isNull)
+            .join(broadcast(recent.select(col("tx_hash").as("wh_hash"))
+                .distinct()),
               txBase0("transaction_hash") === col("wh_hash"), "left")
-            .filter(col("wh_cid").isNull ||
-              col("wh_cid") =!= col("t.convertedIntoReceiptId"))
             .withColumn("transaction_hash",
               when(col("wh_hash").isNotNull,
                 concat(col("transaction_hash"), lit("_issue84_"),
                   col("blockHeight")))
                 .otherwise(col("transaction_hash")))
-            .drop("wh_hash", "wh_cid")
+            .drop("seen_cid", "wh_hash")
         case None => txBase0
       }
       val transactions = Transforms.transactions(txBase)
@@ -424,6 +450,17 @@ object Stream {
         Transforms.dedupPk(merged, Seq(col("tx_hash")), Seq(col("h")))
           .filter(col("h") >= lit(maxHeight - collisionWindowBlocks)),
         s"$warehouseDir/$TxRecentDir")
+      // Same crash-safe ordering for the replay-dedup state: processed
+      // block hashes, pruned to the trailing window (≥ the 500-block
+      // interruption rewind).
+      val batchBlocks = norm.select(col("blockHash").as("block_hash"),
+        col("blockHeight").cast("long").as("h"))
+      val mergedBlocks =
+        blocksSeen.map(batchBlocks.unionByName(_)).getOrElse(batchBlocks)
+      swapInto(spark,
+        Transforms.dedupPk(mergedBlocks, Seq(col("block_hash")), Seq(col("h")))
+          .filter(col("h") >= lit(maxHeight - collisionWindowBlocks)),
+        s"$warehouseDir/$BlocksRecentDir")
     } finally norm.unpersist()
   }
 }

@@ -57,16 +57,21 @@ class NearScaleSpec extends AnyFunSuite {
 
   test("random chains: lineage equals the generator's ground truth") {
     Seq(11L, 42L, 1337L).foreach { seed =>
-      val (chain, truth, nTx, nEdges) = RandomChains.chain(seed)
-      val t = Ingest.allTables(Ingest.blocksFromJson(spark, chain).toDF())
+      val g = RandomChains.chain(seed)
+      val t = Ingest.allTables(Ingest.blocksFromJson(spark, g.blocks).toDF())
       val got = t("receipts").collect()
         .map(r => r.getAs[String]("receipt_id") ->
           r.getAs[String]("originated_from_transaction_hash")).toMap
-      assert(got == truth, s"seed=$seed lineage mismatch: " +
-        s"missing=${truth.keySet -- got.keySet} extra=${got.keySet -- truth.keySet} " +
-        s"wrong=${truth.collect { case (k, v) if got.get(k).exists(_ != v) => k }}")
-      assert(t("transactions").count() == nTx, s"seed=$seed tx count")
-      assert(t("execution_outcome_receipts").count() == nEdges, s"seed=$seed edges")
+      assert(got == g.lineage, s"seed=$seed lineage mismatch: " +
+        s"missing=${g.lineage.keySet -- got.keySet} extra=${got.keySet -- g.lineage.keySet} " +
+        s"wrong=${g.lineage.collect { case (k, v) if got.get(k).exists(_ != v) => k }}")
+      val gotTx = t("transactions").collect()
+        .map(_.getAs[String]("transaction_hash"))
+      assert(gotTx.length == gotTx.distinct.length, s"seed=$seed dup tx rows")
+      assert(gotTx.toSet == g.txHashes, s"seed=$seed tx hashes: " +
+        s"missing=${g.txHashes -- gotTx} extra=${gotTx.toSet -- g.txHashes}")
+      assert(t("blocks").count() == g.nBlockRows, s"seed=$seed block rows")
+      assert(t("execution_outcome_receipts").count() == g.nEdges, s"seed=$seed edges")
       // receipts PK + ordinal density per chunk
       val ords = t("receipts").collect()
         .groupBy(_.getAs[String]("included_in_chunk_hash"))
@@ -84,19 +89,35 @@ class NearScaleSpec extends AnyFunSuite {
   * into random DAGs. The generator records the tx every receipt must
   * resolve to, so invariants are exact equality, not just "resolved".
   * Tail receipts scheduled past the last block never arrive (their
-  * eor edges still must). Returns (blocks, receipt→tx ground truth,
-  * n transactions, n produced edges).
+  * eor edges still must).
+  *
+  * Adversarial shapes mixed in with known ground truth:
+  *  - issue84 collisions: a later block reuses an earlier tx hash
+  *    with a NEW receipt — expected to surface as `hash_issue84_<h>`
+  *    and its receipt lineage carries the suffixed hash;
+  *  - same-height fork blocks re-delivering the canonical block's txs
+  *    (same hash + same receipt) — expected to dedup to nothing but
+  *    still contribute a blocks row.
   */
 object RandomChains {
-  def chain(seed: Long): (Seq[String], Map[String, String], Int, Int) = {
+  final case class Generated(
+      blocks: Seq[String],
+      lineage: Map[String, String],
+      txHashes: Set[String],
+      nBlockRows: Int,
+      nEdges: Int)
+
+  def chain(seed: Long): Generated = {
     val rnd = new scala.util.Random(seed)
     val nBlocks = 6 + rnd.nextInt(10)
     val scheduled = scala.collection.mutable.Map[Int, Vector[(String, String)]]()
       .withDefaultValue(Vector.empty)
     val lineage = scala.collection.mutable.Map[String, String]()
+    val txHashes = scala.collection.mutable.Set[String]()
+    val priorTx = scala.collection.mutable.ArrayBuffer[String]()
     var rc = 0
-    var nTxTotal = 0
     var nEdges = 0
+    var nBlockRows = 0
     def schedule(from: Int, tx: String): String = {
       val rid = s"R$rc"; rc += 1
       val tgt = from + 1 + rnd.nextInt(2)
@@ -107,13 +128,23 @@ object RandomChains {
       rid
     }
     val F = Fixtures
-    val blocks = (0 until nBlocks).map { i =>
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    for (i <- 0 until nBlocks) {
       val nTx = rnd.nextInt(4)
-      nTxTotal += nTx
-      val txs = (0 until nTx).map { j =>
+      var txs = (0 until nTx).map { j =>
         val h = s"TX${i}_$j"
+        txHashes += h; priorTx += h
         F.tx(h, s"user$j.near", "app.near", F.transfer, F.svOk,
           schedule(i, h))
+      }.toVector
+      // issue84: reuse an EARLIER original hash with a fresh receipt;
+      // ground truth expects the suffixed row and suffixed lineage.
+      if (i >= 2 && priorTx.nonEmpty && rnd.nextInt(100) < 30) {
+        val h = priorTx(rnd.nextInt(priorTx.length))
+        val suffixed = s"${h}_issue84_$i"
+        txHashes += suffixed
+        txs :+= F.tx(h, "mallory.near", "app.near", F.transfer, F.svOk,
+          schedule(i, suffixed))
       }
       val arriving = scheduled(i)
       val receipts = arriving.map { case (rid, _) =>
@@ -125,10 +156,20 @@ object RandomChains {
         F.outcome(rid, s"B$i", F.svOk, produced, Seq.empty,
           F.actionReceipt(rid, "app.near", "bob.near", "app.near", F.transfer))
       }
-      F.block(i, s"B$i", if (i == 0) "G" else s"B${i - 1}",
-        (1700000000000000000L + i * 1000000000L).toString,
+      val ts = (1700000000000000000L + i * 1000000000L).toString
+      val prev = if (i == 0) "G" else s"B${i - 1}"
+      out += F.block(i, s"B$i", prev, ts,
         Seq(F.shard(0, Some(F.chunk(s"C$i", 0, txs, receipts)), outcomes, Seq.empty)))
+      nBlockRows += 1
+      // Same-height fork re-delivering this block's txs (same hash AND
+      // same converted receipt ⇒ dropped wholesale, never suffixed).
+      if (txs.nonEmpty && rnd.nextInt(100) < 25) {
+        out += F.block(i, s"B${i}F", prev, ts,
+          Seq(F.shard(0, Some(F.chunk(s"C${i}F", 0, txs, Seq.empty)),
+            Seq.empty, Seq.empty)))
+        nBlockRows += 1
+      }
     }
-    (blocks, lineage.toMap, nTxTotal, nEdges)
+    Generated(out.toSeq, lineage.toMap, txHashes.toSet, nBlockRows, nEdges)
   }
 }

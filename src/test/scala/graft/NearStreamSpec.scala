@@ -227,6 +227,33 @@ class NearStreamSpec extends AnyFunSuite {
       .select("tx_hash").collect().map(_.getString(0)).toSet
     assert(st2 == Set("T1_issue84_102", "T5", "T6"),
       s"expected window prune of T1, got $st2")
+
+    // Replay idempotency: re-delivering block 102a WHOLE (same block
+    // hash, the −500 rewind case) is dropped by `_blocks_recent`
+    // before any transform — no table grows.
+    val countsBefore = Seq("transactions", "receipts", "blocks")
+      .map(t => t -> Warehouse.table(spark, wh, t).count()).toMap
+    Stream.processBatch(spark, norm(chain(2)), wh)
+    countsBefore.foreach { case (t, n) =>
+      assert(Warehouse.table(spark, wh, t).count() == n, s"$t grew on replay")
+    }
+
+    // Re-delivering the COLLISION row (T1→R9, already written as
+    // T1_issue84_102) under a NEW fork block hash must be a no-op for
+    // transactions: the row's identity is its converted receipt id, so
+    // it is dropped, not re-suffixed into a duplicate (ON CONFLICT DO
+    // NOTHING parity).
+    val forkRedelivery = Fixtures.block(102, "B102c", "B101",
+      "1700000002000000000", Seq(Fixtures.shard(0,
+        Some(Fixtures.chunk("C102c", 0,
+          Seq(Fixtures.tx("T1", "mallory.near", "bob.near",
+            Fixtures.transfer, Fixtures.svOk, "R9")), Seq.empty)),
+        Seq.empty, Seq.empty)))
+    Stream.processBatch(spark, norm(forkRedelivery), wh)
+    val t1Rows = Warehouse.table(spark, wh, "transactions")
+      .filter(col("transaction_hash").startsWith("T1")).collect()
+      .map(_.getAs[String]("transaction_hash")).sorted
+    assert(t1Rows.toSeq == Seq("T1", "T1_issue84_102"), t1Rows.mkString(","))
   }
 
   test("pending receipt resolves when its parent block arrives late") {
@@ -302,10 +329,10 @@ class NearStreamSpec extends AnyFunSuite {
     // J2/J3 warehouse fallbacks, the _lineage_ahead announced-receipt
     // state, and empty-frontier gating under arbitrary DAG shapes.
     Seq(7L, 99L).foreach { seed =>
-      val (chain, truth, nTx, nEdges) = RandomChains.chain(seed)
-      assume(nTx > 0)
+      val g = RandomChains.chain(seed)
+      assume(g.txHashes.nonEmpty)
       val rnd = new scala.util.Random(seed * 31)
-      val batches = chain.foldLeft(Vector(Vector.empty[String])) { (acc, b) =>
+      val batches = g.blocks.foldLeft(Vector(Vector.empty[String])) { (acc, b) =>
         if (acc.last.nonEmpty && rnd.nextBoolean()) acc :+ Vector(b)
         else acc.init :+ (acc.last :+ b)
       }
@@ -319,11 +346,16 @@ class NearStreamSpec extends AnyFunSuite {
       val got = Warehouse.table(spark, wh, "receipts").collect()
         .map(r => r.getAs[String]("receipt_id") ->
           r.getAs[String]("originated_from_transaction_hash")).toMap
-      assert(got == truth, s"seed=$seed streamed lineage mismatch: " +
-        s"missing=${truth.keySet -- got.keySet} extra=${got.keySet -- truth.keySet}")
-      assert(Warehouse.table(spark, wh, "transactions").count() == nTx)
+      assert(got == g.lineage, s"seed=$seed streamed lineage mismatch: " +
+        s"missing=${g.lineage.keySet -- got.keySet} extra=${got.keySet -- g.lineage.keySet}")
+      val gotTx = Warehouse.table(spark, wh, "transactions").collect()
+        .map(_.getAs[String]("transaction_hash"))
+      assert(gotTx.length == gotTx.distinct.length, s"seed=$seed dup tx rows")
+      assert(gotTx.toSet == g.txHashes, s"seed=$seed tx hashes: " +
+        s"missing=${g.txHashes -- gotTx} extra=${gotTx.toSet -- g.txHashes}")
+      assert(Warehouse.table(spark, wh, "blocks").count() == g.nBlockRows)
       assert(Warehouse.table(spark, wh, "execution_outcome_receipts")
-        .count() == nEdges)
+        .count() == g.nEdges)
     }
   }
 
