@@ -131,7 +131,7 @@ object Fixtures {
         tx("T7", "relayer.near", "bob.near", transfer, svOk, "R12")),
       receipts = Seq(
         actionReceipt("R3", "bob.near", "alice.near", "alice.near",
-          fcall(B64Args)),
+          fcall(B64Args), inputData = """["D1"]"""),
         dataReceipt("R5", "D1"),
         actionReceipt("R6", "ghost.near", "bob.near", "ghost.near",
           fcall(B64Args)),

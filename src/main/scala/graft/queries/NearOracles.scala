@@ -606,9 +606,34 @@ FROM ta ORDER BY transaction_hash, index_in_transaction"""),
 
     "near_receipts" -> (preFull + "SELECT * FROM receipts ORDER BY receipt_id"),
 
+    "near_action_receipts" ->
+      (withR(NORM, CHX, TX, RCX, OCX, EOR, LIN, RESOLVED) + """
+SELECT r.receiptId AS receipt_id,
+       r.signerAccountId AS signer_account_id,
+       r.signerPublicKey AS signer_public_key,
+       CAST(r.gasPrice AS DECIMAL(38,0)) AS gas_price
+FROM resolved WHERE r.receiptKind = 'ACTION' ORDER BY receipt_id"""),
+
     "near_action_receipt_actions" ->
       (withR(NORM, CHX, TX, RCX, OCX, EOR, LIN, RESOLVED, ARA) + araSelect +
         " ORDER BY receipt_id, index_in_action_receipt"),
+
+    "near_action_receipt_input_data" ->
+      (withR(NORM, CHX, TX, RCX, OCX, EOR, LIN, RESOLVED) + """
+SELECT input_data_id, input_to_receipt_id FROM (
+  SELECT unnest(r.inputDataIds) AS input_data_id,
+         r.receiptId AS input_to_receipt_id
+  FROM resolved WHERE r.receiptKind = 'ACTION')
+ORDER BY input_data_id, input_to_receipt_id"""),
+
+    "near_action_receipt_output_data" ->
+      (withR(NORM, CHX, TX, RCX, OCX, EOR, LIN, RESOLVED) + """
+SELECT odr.dataId AS output_data_id, output_from_receipt_id,
+       odr.receiverAccountId AS receiver_account_id FROM (
+  SELECT unnest(r.outputDataReceivers) AS odr,
+         r.receiptId AS output_from_receipt_id
+  FROM resolved WHERE r.receiptKind = 'ACTION')
+ORDER BY output_data_id"""),
 
     "near_data_receipts" -> (withR(NORM, CHX, TX, RCX, OCX, EOR, LIN, RESOLVED) + """
 SELECT r.dataId AS data_id, r.receiptId AS receipt_id, r.data AS data
@@ -729,8 +754,11 @@ ORDER BY changed_in_block_timestamp, index_in_block"""),
     "near_transactions" -> (txDec, Nil),
     "near_transaction_actions" -> (Nil, Nil),
     "near_receipts" -> (Seq("included_in_block_timestamp"), Nil),
+    "near_action_receipts" -> (Seq("gas_price"), Nil),
     "near_action_receipt_actions" ->
       (Seq("receipt_included_in_block_timestamp"), Nil),
+    "near_action_receipt_input_data" -> (Nil, Nil),
+    "near_action_receipt_output_data" -> (Nil, Nil),
     "near_data_receipts" -> (Nil, Seq("data")),
     "near_execution_outcomes" ->
       (Seq("executed_in_block_timestamp", "gas_burnt", "tokens_burnt", "shard_id"), Nil),

@@ -65,8 +65,14 @@ object NearQueries {
     "near_transaction_actions" ->
       table("transaction_actions", Seq("transaction_hash", "index_in_transaction")) _,
     "near_receipts" -> table("receipts", Seq("receipt_id")) _,
+    "near_action_receipts" -> table("action_receipts", Seq("receipt_id")) _,
     "near_action_receipt_actions" ->
       table("action_receipt_actions", Seq("receipt_id", "index_in_action_receipt")) _,
+    "near_action_receipt_input_data" ->
+      table("action_receipt_input_data",
+        Seq("input_data_id", "input_to_receipt_id")) _,
+    "near_action_receipt_output_data" ->
+      table("action_receipt_output_data", Seq("output_data_id")) _,
     "near_data_receipts" -> table("data_receipts", Seq("data_id")) _,
     "near_execution_outcomes" -> table("execution_outcomes", Seq("receipt_id")) _,
     "near_execution_outcome_receipts" ->
