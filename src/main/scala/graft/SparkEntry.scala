@@ -58,6 +58,9 @@ object SparkEntry {
     "q35_stream_dedup_users"  -> (StreamingJobs.distinctUsersPerType _),
     "q36_contamination"       -> (PipelineQueries.q36Contamination _),
     "q37_stream_sessions"     -> (StreamingJobs.userSessions _),
+    "q38_ngram_jaccard"       -> ((s: SparkSession, dir: String) =>
+      PipelineQueries.q38NgramJaccard(s, dir)),
+    "q39_repetition"          -> (PipelineQueries.q39Repetition _),
   ) ++ graft.queries.NearQueries.queries
 
   def oracleSql: Map[String, String] = Map(

@@ -456,5 +456,45 @@ object PipelineOracles {
         |  max(us) + 1800000000 AS session_end_us,
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin,
+
+    // Exact 4-gram Jaccard via the same inverted index + df prune.
+    "q38_ngram_jaccard" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    list_distinct(list_transform(range(1, len(w)-2),
+         |      i -> array_to_string(w[i:i+3], ' '))) AS sh
+         |  FROM ($docsWithWords) d0 WHERE len(w) >= 4),
+         |inv AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM d),
+         |rare AS (SELECT s FROM inv GROUP BY s HAVING count(*) <= 64),
+         |ix AS (SELECT inv.* FROM inv JOIN rare USING (s)),
+         |p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |        x.sz AS sz_a, y.sz AS sz_b, count(*) AS n_shared
+         |      FROM ix x JOIN ix y ON x.s = y.s AND x.doc_id < y.doc_id
+         |      GROUP BY 1, 2, 3, 4)
+         |SELECT doc_a, doc_b, n_shared,
+         |  round(CAST(n_shared AS DOUBLE) / (sz_a + sz_b - n_shared), 4) AS jaccard
+         |FROM p
+         |WHERE round(CAST(n_shared AS DOUBLE) / (sz_a + sz_b - n_shared), 4) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Bigram repetition signals; list_filter/list_sum mirror the HOF
+    // counting, coalesce(., 0) mirrors Spark's 0-initial aggregate.
+    "q39_repetition" ->
+      s"""WITH g AS (SELECT doc_id,
+         |    list_transform(range(1, len(w)),
+         |      i -> array_to_string(w[i:i+1], ' ')) AS g
+         |  FROM ($docsWithWords) d0 WHERE len(w) >= 2),
+         |c AS (SELECT doc_id, len(g) AS n_bigrams,
+         |    list_transform(list_distinct(g),
+         |      u -> len(list_filter(g, x -> x = u))) AS cnts
+         |  FROM g)
+         |SELECT doc_id,
+         |  CAST(n_bigrams AS BIGINT) AS n_bigrams,
+         |  CAST(list_max(cnts) AS BIGINT) AS max_bigram_count,
+         |  CAST(coalesce(list_sum(list_filter(cnts, x -> x > 1)), 0) AS BIGINT)
+         |    AS n_repeated_bigrams,
+         |  round(CAST(list_max(cnts) AS DOUBLE) / n_bigrams, 4) AS top_bigram_frac,
+         |  round(CAST(coalesce(list_sum(list_filter(cnts, x -> x > 1)), 0) AS DOUBLE)
+         |    / n_bigrams, 4) AS repeated_frac
+         |FROM c ORDER BY doc_id""".stripMargin,
   )
 }

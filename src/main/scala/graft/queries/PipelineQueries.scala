@@ -350,4 +350,66 @@ object PipelineQueries {
         col("wn.fingerprint").as("fingerprint"))
       .orderBy(col("doc_id"))
   }
+
+  /** EXACT n-gram Jaccard near-dup pairs (the set-similarity dedup
+    * class without MinHash approximation): inverted index on 4-word
+    * shingles → shared-shingle counts per candidate pair → exact
+    * Jaccard from set sizes. Any pair with J > 0 shares a shingle, so
+    * the equi-join on the shingle IS the exact candidate set — no
+    * theta/cartesian join anywhere. Shingles above `maxDf` docs are
+    * pruned from the index on BOTH sides (standard frequency filtering:
+    * a shingle in >maxDf docs identifies boilerplate, not a dup pair);
+    * work is then bounded by sum(df²) ≤ maxDf · corpus shingle count.
+    */
+  def q38NgramJaccard(s: SparkSession, dir: String,
+      threshold: Double = 0.5, maxDf: Int = 64): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val sets = d.select(col("doc_id"), TF.shingleSet(col("text"), 4).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val inv = sets.select(col("doc_id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("s"))
+    val rare = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("s"))
+    val indexed = inv.join(rare, Seq("s"))
+    val shared = indexed.as("x").join(indexed.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sz").as("sz_a"), col("y.sz").as("sz_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .withColumn("jaccard", round(col("n_shared").cast("double") /
+        (col("sz_a") + col("sz_b") - col("n_shared")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Gopher-style repetition quality signals: a doc dominated by one
+    * repeated bigram (or whose bigrams are mostly non-unique) is
+    * boilerplate/spam. Integer counts + one terminally-rounded ratio
+    * keep it hash-exact; map-side only (per-doc HOFs, one pass).
+    */
+  def q39Repetition(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val grams = TF.shingles(TF.words(col("text")), 2)
+    d.select(col("doc_id"), grams.as("g"))
+      .filter(size(col("g")) > 0)
+      .select(col("doc_id"), size(col("g")).cast("long").as("n_bigrams"),
+        // counts of each distinct bigram, via HOF aggregate over the
+        // distinct set (no explode/shuffle: stays map-side)
+        transform(array_distinct(col("g")), u =>
+          aggregate(col("g"), lit(0L), (acc, x) =>
+            when(x === u, acc + 1L).otherwise(acc))).as("cnts"))
+      .select(col("doc_id"), col("n_bigrams"),
+        array_max(col("cnts")).as("max_bigram_count"),
+        aggregate(col("cnts"), lit(0L), (acc, c) =>
+          when(c > 1L, acc + c).otherwise(acc)).as("n_repeated_bigrams"))
+      .withColumn("top_bigram_frac", round(
+        col("max_bigram_count").cast("double") /
+          col("n_bigrams").cast("double"), 4))
+      .withColumn("repeated_frac", round(
+        col("n_repeated_bigrams").cast("double") /
+          col("n_bigrams").cast("double"), 4))
+      .orderBy(col("doc_id"))
+  }
 }

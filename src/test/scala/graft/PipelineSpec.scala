@@ -380,6 +380,63 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q38 exact n-gram Jaccard matches a driver-side brute force") {
+    import graft.functions.TextFunctions
+    val rows = SparkEntry.queries("q38_ngram_jaccard")(spark, sf).collect()
+    assert(rows.nonEmpty, "expected planted near-dups to pair")
+    // brute force over plain Scala sets, WITHOUT the df prune: every
+    // reported pair must carry the true Jaccard of the full sets, and
+    // every qualifying pair that shares at least one rare shingle must
+    // be reported.
+    val all = Tables.documents(spark, sf)
+      .select(col("doc_id"), TextFunctions.shingleSet(col("text"), 4).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+      .filter(_._2.nonEmpty)
+    val df = all.flatMap(_._2).groupBy(identity).view.mapValues(_.length)
+    val rare = all.map { case (id, sh) => id -> sh.filter(df(_) <= 64) }.toMap
+    val expected = (for {
+      (a, sa) <- all; (b, sb) <- all if a < b
+      if (rare(a) intersect rare(b)).nonEmpty
+      inter = (sa intersect sb).size
+      j = BigDecimal(inter.toDouble / (sa.size + sb.size - inter))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if j >= 0.5
+    } yield (a, b) -> (inter.toLong, j)).toMap
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == expected.keySet)
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      assert((r.getAs[Long]("n_shared"), r.getAs[Double]("jaccard")) ==
+        expected(k), s"pair $k")
+    }
+    // scale shape: shingle equi-join only — never a nested loop over
+    // the corpus
+    val plan = SparkEntry.queries("q38_ngram_jaccard")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("q39 repetition signals match a driver-side brute force") {
+    val rows = SparkEntry.queries("q39_repetition")(spark, sf).collect()
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val w = texts(id).trim.split(" ", -1)
+      val grams = w.sliding(2).map(_.mkString(" ")).toSeq
+      val cnts = grams.groupBy(identity).view.mapValues(_.length)
+      assert(r.getAs[Long]("n_bigrams") == grams.length, s"doc $id")
+      assert(r.getAs[Long]("max_bigram_count") == cnts.values.max, s"doc $id")
+      assert(r.getAs[Long]("n_repeated_bigrams") ==
+        cnts.values.filter(_ > 1).sum, s"doc $id")
+      assert(r.getAs[Double]("top_bigram_frac") <= 1.0)
+      assert(r.getAs[Double]("repeated_frac") <= 1.0)
+    }
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == texts.keySet
+      .filter(id => texts(id).trim.split(" ", -1).length >= 2))
+  }
+
   test("q36 contamination matches a driver-side brute force") {
     import graft.functions.TextFunctions
     val rows = SparkEntry.queries("q36_contamination")(spark, sf).collect()
