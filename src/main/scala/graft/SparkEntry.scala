@@ -56,6 +56,8 @@ object SparkEntry {
     "q33_train_split"         -> (PipelineQueries.q33TrainSplit _),
     "q34_dedup_apply"         -> (PipelineQueries.q34DedupApply _),
     "q35_stream_dedup_users"  -> (StreamingJobs.distinctUsersPerType _),
+    "q35b_stream_dedup_windowed" ->
+      (StreamingJobs.distinctUsersPerTypeWindowed _),
     "q36_contamination"       -> (PipelineQueries.q36Contamination _),
     "q37_stream_sessions"     -> (StreamingJobs.userSessions _),
     "q38_ngram_jaccard"       -> ((s: SparkSession, dir: String) =>

@@ -101,10 +101,18 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate PAIRS (the dedup operator):
     * every (a, b) with a < b and rounded cosine ≥ threshold. Exact
-    * all-pairs — the oracle-checkable baseline. At corpus scale use
-    * [[nearDupPairsLsh]] (bucketed candidates, recall < 1).
+    * all-pairs — the oracle-checkable SMALL-SCALE baseline, guarded by
+    * `maxRows`: the O(n²) plan must never silently ride into a corpus-
+    * sized input (an oversized input raises instead of launching a
+    * quadratic job). At corpus scale use [[nearDupPairsLsh]] (bucketed
+    * candidates, recall < 1).
     */
-  def nearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+  def nearDupPairs(embeddings: DataFrame, threshold: Double,
+      maxRows: Long = 65536L): DataFrame = {
+    val n0 = embeddings.count()
+    require(n0 <= maxRows,
+      s"nearDupPairs is the exact all-pairs baseline: input has $n0 rows " +
+        s"(> maxRows=$maxRows); use nearDupPairsLsh for corpus-scale inputs")
     val dot = ndot(embeddings.sparkSession) _
     val n = embeddings.select(col("vec_id"), col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
@@ -127,32 +135,50 @@ object Similarity {
     * shard-cells (r, r..s-1) and the RIGHT of cells (0..r, r), so
     * every intra-bucket pair meets in exactly one cell and the
     * largest join task is ~maxBucket² instead of m². No pair is
-    * gained or lost — same output as the plain self-join, which is
-    * what normal-size buckets (s = 1) still take.
+    * gained or lost — same output as the plain self-join.
+    *
+    * Fast path: one cheap sizing aggregate first; when NO bucket
+    * exceeds `maxBucket` (the common case — skew is the exception),
+    * the salting machinery (sizing join + explode replication) is
+    * skipped entirely and the candidates come from the plain
+    * self-equi-join. Skew safety is kept — the salted path engages
+    * exactly when a hot bucket actually exists.
     */
   private[graft] def bucketCandidatePairs(keyed: DataFrame,
       maxBucket: Int): DataFrame = {
-    val sized = keyed.join(
-      keyed.groupBy(col("band"), col("bucket"))
-        .agg(ceil(count(lit(1)).cast("double") / maxBucket).cast("int").as("s")),
-      Seq("band", "bucket"))
-      .withColumn("r", pmod(col("vec_id"), col("s")).cast("int"))
-    val lhs = sized
-      .withColumn("cy", explode(sequence(col("r"), col("s") - 1)))
-      .select(col("band"), col("bucket"), col("r").as("cx"), col("cy"),
-        col("vec_id").as("vec_id_a"))
-    val rhs = sized
-      .withColumn("cx", explode(sequence(lit(0), col("r"))))
-      .select(col("band"), col("bucket"), col("cx"), col("r").as("cy"),
-        col("vec_id").as("vec_id_b"))
-    // A pair meets in one cell with an arbitrary left/right
-    // orientation (shard order, not id order) — normalize to
-    // (min, max) rather than filtering on the orientation.
-    lhs.join(rhs, Seq("band", "bucket", "cx", "cy"))
-      .filter(col("vec_id_a") =!= col("vec_id_b"))
-      .select(least(col("vec_id_a"), col("vec_id_b")).as("vec_id_a"),
-        greatest(col("vec_id_a"), col("vec_id_b")).as("vec_id_b"))
-      .distinct()
+    val mx = keyed.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("m")).agg(max(col("m"))).collect()(0)
+    val maxSize = if (mx.isNullAt(0)) 0L else mx.getLong(0)
+    if (maxSize <= maxBucket) {
+      keyed.select(col("band"), col("bucket"), col("vec_id").as("vec_id_a"))
+        .join(keyed.select(col("band"), col("bucket"),
+          col("vec_id").as("vec_id_b")), Seq("band", "bucket"))
+        .filter(col("vec_id_a") < col("vec_id_b"))
+        .select(col("vec_id_a"), col("vec_id_b"))
+        .distinct()
+    } else {
+      val sized = keyed.join(
+        keyed.groupBy(col("band"), col("bucket"))
+          .agg(ceil(count(lit(1)).cast("double") / maxBucket).cast("int").as("s")),
+        Seq("band", "bucket"))
+        .withColumn("r", pmod(col("vec_id"), col("s")).cast("int"))
+      val lhs = sized
+        .withColumn("cy", explode(sequence(col("r"), col("s") - 1)))
+        .select(col("band"), col("bucket"), col("r").as("cx"), col("cy"),
+          col("vec_id").as("vec_id_a"))
+      val rhs = sized
+        .withColumn("cx", explode(sequence(lit(0), col("r"))))
+        .select(col("band"), col("bucket"), col("cx"), col("r").as("cy"),
+          col("vec_id").as("vec_id_b"))
+      // A pair meets in one cell with an arbitrary left/right
+      // orientation (shard order, not id order) — normalize to
+      // (min, max) rather than filtering on the orientation.
+      lhs.join(rhs, Seq("band", "bucket", "cx", "cy"))
+        .filter(col("vec_id_a") =!= col("vec_id_b"))
+        .select(least(col("vec_id_a"), col("vec_id_b")).as("vec_id_a"),
+          greatest(col("vec_id_a"), col("vec_id_b")).as("vec_id_b"))
+        .distinct()
+    }
   }
 
   /** Scale path for near-dup pairs: banded (OR-amplified) hyperplane

@@ -5,11 +5,13 @@ import java.sql.Connection
 /** J1/J2/J3 as indexed point lookups against the JDBC mirror — the
   * queries the reference itself runs on lineage misses
   * (`receipts.rs:249-264` tx conversion, `:348-375` produced-by,
-  * `:409-429` declared-data-id). The unresolved frontier is bounded by
-  * construction (in-flight receipts, not history), so the lookups run
-  * from the driver in 500-id chunks over one connection — O(frontier)
-  * per batch, replacing the parquet fallback's O(history) scans when a
-  * mirror is configured.
+  * `:409-429` declared-data-id). The lookups are O(frontier) per batch,
+  * replacing the parquet fallback's O(history) scans when a mirror is
+  * configured. [[resolveFrontierDistributed]] is the streaming path:
+  * each executor partition resolves its own slice of the frontier over
+  * its own connection in 500-id chunks, so even a worst-case recovery
+  * frontier never materializes on the driver; [[resolveFrontier]] is
+  * the driver-side variant for bounded ad-hoc lookups.
   */
 object MirrorLookup {
 
@@ -59,5 +61,28 @@ object MirrorLookup {
     try query(conn, J3Sql, ids) ++ query(conn, J2Sql, ids) ++
       query(conn, J1Sql, ids)
     finally conn.close()
+  }
+
+  /** Executor-side frontier resolution: one connection per partition,
+    * each resolving its slice of `frontier` (a DataFrame with a
+    * `parent` string column) → a (child, tx) seed DataFrame. Memory is
+    * bounded per partition, not per driver — the streaming path.
+    */
+  def resolveFrontierDistributed(factory: JdbcSink.ConnectionFactory,
+      frontier: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = frontier.sparkSession
+    import spark.implicits._
+    frontier.select("parent").as[String].mapPartitions { it =>
+      val ids = it.toVector
+      if (ids.isEmpty) Iterator.empty
+      else {
+        val conn = factory.connect()
+        val out =
+          try query(conn, J3Sql, ids) ++ query(conn, J2Sql, ids) ++
+            query(conn, J1Sql, ids)
+          finally conn.close()
+        out.iterator
+      }
+    }.toDF("child", "tx")
   }
 }

@@ -29,12 +29,44 @@ object Rpc {
     def post(body: String): String
   }
 
-  /** JDK-only HTTP transport; the client is rebuilt per JVM (it is not
-    * serializable and must not ride in the closure).
+  /** Exponential-backoff retry around one transport call — the RPC twin
+    * of [[JdbcSink.retry]] (reference wraps every DB/RPC interaction in
+    * the same schedule, `database/src/retryable.rs:1-43`): 100 ms,
+    * doubling while below the cap. Retries transient transport faults
+    * (I/O); RPC-level errors (the JSON `error` member) are NOT retried —
+    * they are deterministic answers, not faults. `sleep` injectable for
+    * tests.
     */
-  final case class HttpTransport(url: String) extends Transport {
+  def withRetry[T](policy: JdbcSink.RetryPolicy = JdbcSink.RetryPolicy(),
+      sleep: Long => Unit = Thread.sleep)(body: () => T): T = {
+    var interval = policy.initialBackoffMs
+    var attempt = 0
+    var last: Throwable = null
+    while (attempt < policy.maxAttempts) {
+      attempt += 1
+      try return body()
+      catch {
+        case e: java.io.IOException =>
+          last = e
+          if (attempt < policy.maxAttempts) {
+            sleep(interval)
+            if (interval < policy.maxBackoffMs) interval = interval * 2
+          }
+      }
+    }
+    throw new java.io.IOException(
+      s"RPC failed after ${policy.maxAttempts} attempts. Stop trying.", last)
+  }
+
+  /** JDK-only HTTP transport; the client is rebuilt per JVM (it is not
+    * serializable and must not ride in the closure). Each POST is
+    * retried with [[withRetry]]'s backoff — one flaky fetch inside a
+    * 1000-lockup `mapPartitions` pass must not fail the whole stage.
+    */
+  final case class HttpTransport(url: String,
+      policy: JdbcSink.RetryPolicy = JdbcSink.RetryPolicy()) extends Transport {
     @transient private lazy val client = java.net.http.HttpClient.newHttpClient()
-    def post(body: String): String = {
+    def post(body: String): String = withRetry(policy) { () =>
       val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
         .header("Content-Type", "application/json")
         .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))

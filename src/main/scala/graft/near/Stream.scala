@@ -156,7 +156,9 @@ object Stream {
       enableAccountChanges: Boolean = true,
       enableEvents: Boolean = true,
       collisionWindowBlocks: Long = 1000L,
-      mirror: Option[JdbcSink.ConnectionFactory] = None): Unit = {
+      mirror: Option[JdbcSink.ConnectionFactory] = None,
+      recoveryLookbackDays: Int = 2,
+      fullRecoveryScan: Boolean = false): Unit = {
     if (norm0.isEmpty) return
     // Replay idempotency (S2's from-interruption −500 rewind,
     // configs.rs:118-119): the reference replays whole blocks and
@@ -178,9 +180,24 @@ object Stream {
     try {
       // S9: block counter + latest-height gauge (metrics.rs:6-14)
       val stats = norm.agg(count(lit(1)),
-        max(col("blockHeight").cast("long"))).collect()(0)
+        max(col("blockHeight").cast("long")),
+        min(expr("CAST(blockTimestamp AS DECIMAL(38,0)) div 86400000000000")
+          .cast("long"))).collect()(0)
       val maxHeight = if (stats.isNullAt(1)) 0L else stats.getLong(1)
       Metrics.recordBatch(stats.getLong(0), maxHeight)
+      // Recovery watermark for the mirrorless lineage fallback: parents
+      // of an in-flight receipt live within the replay window (the
+      // reference rewinds 500 blocks ≈ minutes; lookback days are a
+      // generous cover), so the J1/J2/J3 parquet reads below prune to
+      // `block_date >= batch-min-day − lookback` instead of O(history).
+      val minDay = if (stats.isNullAt(2)) 0L else stats.getLong(2)
+      // LocalDate.ofEpochDay → valueOf is a plain y/m/d construction —
+      // no millis-via-local-timezone shift (same rationale as dayCol).
+      val recoveryFloor = java.sql.Date.valueOf(
+        java.time.LocalDate.ofEpochDay(minDay - recoveryLookbackDays))
+      def pruneRecovery(df: DataFrame): DataFrame =
+        if (fullRecoveryScan) df
+        else df.filter(col("block_date") >= lit(recoveryFloor))
       // Cross-batch issue84 handling (transactions.rs:43-89): within-
       // batch duplicates are resolved by transactionsBase; against
       // EARLIER batches the discriminator is the converted receipt id —
@@ -287,17 +304,26 @@ object Stream {
       val resolved = (if (frontier.isEmpty) pass1
       else mirror match {
         case Some(factory) =>
-          val ids = frontier.collect().map(_.getString(0)).toSeq
-          val found = MirrorLookup.resolveFrontier(factory, ids)
-          val extra = spark.createDataFrame(found).toDF("child", "tx")
+          // Point lookups run ON THE EXECUTORS (each partition of the
+          // frontier opens its own mirror connection and resolves its
+          // slice) — a worst-case recovery frontier never rides the
+          // driver heap.
+          val extra = MirrorLookup.resolveFrontierDistributed(factory, frontier)
           Lineage.resolveGraph(
             seeded.unionByName(pass1).unionByName(extra), edgeSet)
         case None =>
       {
+        // The two time-partitioned lookup tables prune to the recovery
+        // window (pruneRecovery); execution_outcome_receipts and
+        // action_receipt_output_data carry no timestamp column (their
+        // reference schema has none) and are narrow 2-3 column scans —
+        // the expensive receipts/transactions history is what the
+        // partition predicate bounds.
         val whReceipts = readIfExists(spark, s"$warehouseDir/receipts")
-          .map(_.select(col("receipt_id"),
+          .map(df => pruneRecovery(df).select(col("receipt_id"),
             col("originated_from_transaction_hash").as("tx")))
         val whTx = readIfExists(spark, s"$warehouseDir/transactions")
+          .map(pruneRecovery)
         val whEor = readIfExists(spark,
           s"$warehouseDir/execution_outcome_receipts")
         val whOutput = readIfExists(spark,

@@ -19,8 +19,24 @@ object Transforms {
   private val D20 = DecimalType(20, 0)
   private val D38 = DecimalType(38, 0)
 
-  private def d20(c: Column): Column = c.cast(D20)
-  private def d38(c: Column): Column = c.cast(D38)
+  /** CHECKED numeric cast (SURVEY §7.6#1): under default ANSI-off, a
+    * value exceeding the target precision casts to NULL silently —
+    * which downstream coalesce/agg would quietly absorb as 0. The
+    * reference's `numeric(45,0)` DDL (initial_schema/up.sql:163) cannot
+    * overflow on u128; DECIMAL(38,0) can (> ~1e38), so overflow (or a
+    * malformed numeric string) must fail the job loudly instead of
+    * corrupting balances. The error branch is codegen-lazy — the hot
+    * path pays one null-check per value.
+    */
+  private[graft] def checkedCast(c: Column, t: DecimalType): Column = {
+    val casted = c.cast(t)
+    when(c.isNotNull && casted.isNull,
+      raise_error(concat(lit(s"value does not fit $t: "), c.cast(StringType))))
+      .otherwise(casted).cast(t)
+  }
+
+  private def d20(c: Column): Column = checkedCast(c, D20)
+  private[graft] def d38(c: Column): Column = checkedCast(c, D38)
 
   /** blocks (schema.rs:174-186). */
   def blocks(norm: DataFrame): DataFrame =

@@ -442,6 +442,12 @@ object PipelineOracles {
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // Single-batch fixture: every duplicate falls inside the watermark
+    // window, so the bounded variant's oracle equals the unbounded one.
+    "q35b_stream_dedup_windowed" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // Gaps-and-islands twin of Spark's session_window(ev_ts, 30 min):
     // a session breaks when the gap to the previous event (per user)
     // exceeds the 30-minute gap; session end = last event + gap.
@@ -457,22 +463,27 @@ object PipelineOracles {
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin,
 
-    // Exact 4-gram Jaccard via the same inverted index + df prune.
+    // Exact 4-gram Jaccard: candidates from the df-pruned inverted
+    // index, verified with the TRUE intersection of the full shingle
+    // sets (the prune bounds candidate generation only).
     "q38_ngram_jaccard" ->
       s"""WITH d AS (SELECT doc_id,
          |    list_distinct(list_transform(range(1, len(w)-2),
          |      i -> array_to_string(w[i:i+3], ' '))) AS sh
          |  FROM ($docsWithWords) d0 WHERE len(w) >= 4),
-         |inv AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM d),
+         |inv AS (SELECT doc_id, unnest(sh) AS s FROM d),
          |rare AS (SELECT s FROM inv GROUP BY s HAVING count(*) <= 64),
          |ix AS (SELECT inv.* FROM inv JOIN rare USING (s)),
-         |p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-         |        x.sz AS sz_a, y.sz AS sz_b, count(*) AS n_shared
-         |      FROM ix x JOIN ix y ON x.s = y.s AND x.doc_id < y.doc_id
-         |      GROUP BY 1, 2, 3, 4)
+         |p AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |      FROM ix x JOIN ix y ON x.s = y.s AND x.doc_id < y.doc_id),
+         |j AS (SELECT doc_a, doc_b,
+         |        CAST(len(list_intersect(da.sh, db.sh)) AS BIGINT) AS n_shared,
+         |        len(da.sh) AS sz_a, len(db.sh) AS sz_b
+         |      FROM p JOIN d da ON p.doc_a = da.doc_id
+         |             JOIN d db ON p.doc_b = db.doc_id)
          |SELECT doc_a, doc_b, n_shared,
          |  round(CAST(n_shared AS DOUBLE) / (sz_a + sz_b - n_shared), 4) AS jaccard
-         |FROM p
+         |FROM j
          |WHERE round(CAST(n_shared AS DOUBLE) / (sz_a + sz_b - n_shared), 4) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
 

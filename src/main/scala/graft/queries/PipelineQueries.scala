@@ -234,8 +234,11 @@ object PipelineQueries {
     * integer (micro-scaled, one rounding per distinct df value) so the
     * ranking compares exact BIGINTs — bit-identical across engines,
     * immune to float summation order. Two shuffles (doc-term counts,
-    * vocabulary df) + a broadcast of the vocabulary; the per-doc top-k
-    * is a window over the doc key.
+    * vocabulary df); the df join is left to AQE — vocabulary size is
+    * unbounded (it grows with distinct terms/typos/ids), so a forced
+    * broadcast would OOM at corpus scale; AQE broadcasts it only when
+    * the runtime size is actually small. The per-doc top-k is a window
+    * over the doc key.
     */
   def q32TfidfTerms(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -246,7 +249,7 @@ object PipelineQueries {
     val dfreq = tf.groupBy(col("term"))
       .agg(count(lit(1)).cast("long").as("df"))
     val nDocs = d.agg(countDistinct(col("doc_id")).cast("long").as("n_docs"))
-    val scored = tf.join(broadcast(dfreq), "term")
+    val scored = tf.join(dfreq, "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("idf_micro",
         round(log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) * 1e6, 0)
@@ -353,32 +356,39 @@ object PipelineQueries {
 
   /** EXACT n-gram Jaccard near-dup pairs (the set-similarity dedup
     * class without MinHash approximation): inverted index on 4-word
-    * shingles → shared-shingle counts per candidate pair → exact
-    * Jaccard from set sizes. Any pair with J > 0 shares a shingle, so
-    * the equi-join on the shingle IS the exact candidate set — no
-    * theta/cartesian join anywhere. Shingles above `maxDf` docs are
-    * pruned from the index on BOTH sides (standard frequency filtering:
-    * a shingle in >maxDf docs identifies boilerplate, not a dup pair);
-    * work is then bounded by sum(df²) ≤ maxDf · corpus shingle count.
+    * shingles → candidate pairs from the shingle equi-join → exact
+    * Jaccard verified against the FULL shingle sets. The df prune
+    * (shingles in > `maxDf` docs identify boilerplate, not dup pairs)
+    * bounds CANDIDATE GENERATION only — work ≤ sum(df²) ≤ maxDf ·
+    * corpus shingle count — while the verify step joins each candidate
+    * back to both full sets and computes the true intersection, so the
+    * reported jaccard is exact (a pair sharing only pruned shingles can
+    * be missed — the documented recall trade — but no surviving pair is
+    * mis-scored). No theta/cartesian join anywhere.
     */
   def q38NgramJaccard(s: SparkSession, dir: String,
       threshold: Double = 0.5, maxDf: Int = 64): DataFrame = {
     val d = Tables.documents(s, dir)
     val sets = d.select(col("doc_id"), TF.shingleSet(col("text"), 4).as("sh"))
       .filter(size(col("sh")) > 0)
-    val inv = sets.select(col("doc_id"), size(col("sh")).as("sz"),
-      explode(col("sh")).as("s"))
+    val inv = sets.select(col("doc_id"), explode(col("sh")).as("s"))
     val rare = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select(col("s"))
     val indexed = inv.join(rare, Seq("s"))
-    val shared = indexed.as("x").join(indexed.as("y"),
+    val cand = indexed.as("x").join(indexed.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.sz").as("sz_a"), col("y.sz").as("sz_b"))
-      .agg(count(lit(1)).as("n_shared"))
-    shared
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+        Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        Seq("doc_b"))
+      .withColumn("n_shared",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("jaccard", round(col("n_shared").cast("double") /
-        (col("sz_a") + col("sz_b") - col("n_shared")).cast("double"), 4))
+        (size(col("sh_a")) + size(col("sh_b")) - col("n_shared"))
+          .cast("double"), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("n_shared"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -387,23 +397,25 @@ object PipelineQueries {
   /** Gopher-style repetition quality signals: a doc dominated by one
     * repeated bigram (or whose bigrams are mostly non-unique) is
     * boilerplate/spam. Integer counts + one terminally-rounded ratio
-    * keep it hash-exact; map-side only (per-doc HOFs, one pass).
+    * keep it hash-exact. Linear in document length: explode bigrams →
+    * count per (doc, bigram) → per-doc aggregate — two shuffles on the
+    * doc key, no per-row quadratic work (a 100k-token document costs
+    * 100k rows, not 10^10 lambda evaluations). Docs with no bigrams
+    * produce no exploded rows and drop out, matching the oracle's
+    * len(w) >= 2 filter.
     */
   def q39Repetition(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
     val grams = TF.shingles(TF.words(col("text")), 2)
-    d.select(col("doc_id"), grams.as("g"))
-      .filter(size(col("g")) > 0)
-      .select(col("doc_id"), size(col("g")).cast("long").as("n_bigrams"),
-        // counts of each distinct bigram, via HOF aggregate over the
-        // distinct set (no explode/shuffle: stays map-side)
-        transform(array_distinct(col("g")), u =>
-          aggregate(col("g"), lit(0L), (acc, x) =>
-            when(x === u, acc + 1L).otherwise(acc))).as("cnts"))
-      .select(col("doc_id"), col("n_bigrams"),
-        array_max(col("cnts")).as("max_bigram_count"),
-        aggregate(col("cnts"), lit(0L), (acc, c) =>
-          when(c > 1L, acc + c).otherwise(acc)).as("n_repeated_bigrams"))
+    d.select(col("doc_id"), explode(grams).as("bg"))
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).cast("long").as("n_bigrams"),
+        max(col("c")).cast("long").as("max_bigram_count"),
+        sum(when(col("c") > 1, col("c")).otherwise(lit(0L)))
+          .cast("long").as("n_repeated_bigrams"))
       .withColumn("top_bigram_frac", round(
         col("max_bigram_count").cast("double") /
           col("n_bigrams").cast("double"), 4))

@@ -20,37 +20,65 @@ object StreamingJobs {
     StructField("props", StringType),
   ))
 
+  private val NanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+
+  /** Run `body` with the legacy nanos-as-long parquet flag set,
+    * restoring the prior session value afterwards — the flag must not
+    * leak into every subsequent parquet read in a shared session.
+    */
+  private def withNanosConf[T](s: SparkSession)(body: => T): T = {
+    val prior = s.conf.getOption(NanosKey)
+    s.conf.set(NanosKey, "true")
+    try body
+    finally prior match {
+      case Some(v) => s.conf.set(NanosKey, v)
+      case None    => s.conf.unset(NanosKey)
+    }
+  }
+
+  /** Drive a streaming aggregate to a memory sink, drain it, project
+    * the result, and clean up: the query is stopped and the UUID-named
+    * sink table is dropped from the catalog (repeated invocations must
+    * not leak temp tables into the shared session).
+    */
+  private def drain(s: SparkSession, agg: DataFrame, prefix: String)(
+      project: DataFrame => DataFrame): DataFrame = {
+    val name = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    try {
+      try q.processAllAvailable() finally q.stop()
+      // materialize before the memory sink's table is dropped
+      project(s.table(name)).localCheckpoint(true)
+    } finally s.catalog.dropTempView(name)
+  }
+
+  private def eventsStream(s: SparkSession, dir: String): DataFrame =
+    // The file stream source wants a directory or a glob; a bare file
+    // path is rejected. The [t] glob makes it a pattern that matches
+    // exactly the events file.
+    s.readStream.schema(eventsSchema)
+      .option("basePath", dir)
+      .parquet(s"$dir/events.parque[t]")
+
   /** Hourly tumbling-window counts per event type, computed through a
     * real streaming query (file source → event-time window → memory
     * sink), drained synchronously. Window start is emitted as µs epoch
     * for oracle parity.
     */
-  def hourlyEventCounts(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val name = "hourly_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    // The file stream source wants a directory or a glob; a bare file
-    // path is rejected. The [t] glob makes it a pattern that matches
-    // exactly the events file.
-    val stream = s.readStream.schema(eventsSchema)
-      .option("basePath", dir)
-      .parquet(s"$dir/events.parque[t]")
-      .withColumn("ev_ts", timestamp_micros(expr("ts div 1000")))
-    val agg = stream
-      .withWatermark("ev_ts", "1 hour")
-      .groupBy(window(col("ev_ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"))
-    val q = agg.writeStream.outputMode("complete")
-      .format("memory").queryName(name).start()
-    try {
-      q.processAllAvailable()
-    } finally q.stop()
-    s.table(name)
-      .select(unix_micros(col("window.start")).as("hour_us"),
-        col("event_type"), col("n_events"))
-      .orderBy(col("hour_us"), col("event_type"))
-      // materialize before the memory sink's table goes stale
-      .localCheckpoint(true)
-  }
+  def hourlyEventCounts(s: SparkSession, dir: String): DataFrame =
+    withNanosConf(s) {
+      val agg = eventsStream(s, dir)
+        .withColumn("ev_ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ev_ts", "1 hour")
+        .groupBy(window(col("ev_ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+      drain(s, agg, "hourly_") { t =>
+        t.select(unix_micros(col("window.start")).as("hour_us"),
+            col("event_type"), col("n_events"))
+          .orderBy(col("hour_us"), col("event_type"))
+      }
+    }
 
   /** SESSIONIZATION through a real streaming query: `session_window`
     * with a 30-minute inactivity gap, keyed per user — the dynamic-
@@ -58,59 +86,67 @@ object StreamingJobs {
     * two streaming state shapes). Emitted as µs epochs for oracle
     * parity; the DuckDB twin is the classic gaps-and-islands window
     * construction.
+    *
+    * Complete mode drains the WHOLE fixture so the result matches the
+    * batch oracle; in complete mode Spark never uses the watermark to
+    * evict session state, so on an unbounded production stream this
+    * exact query would grow state without bound — a real deployment
+    * runs the same aggregation in append mode, where the 1 h watermark
+    * finalizes and evicts closed sessions (at the price of never
+    * emitting sessions newer than the watermark horizon).
     */
-  def userSessions(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val name = "sessions_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val stream = s.readStream.schema(eventsSchema)
-      .option("basePath", dir)
-      .parquet(s"$dir/events.parque[t]")
-      .withColumn("ev_ts", timestamp_micros(expr("ts div 1000")))
-    val agg = stream
-      .withWatermark("ev_ts", "1 hour")
-      .groupBy(session_window(col("ev_ts"), "30 minutes"), col("user_id"))
-      .agg(count(lit(1)).cast("long").as("n_events"))
-    val q = agg.writeStream.outputMode("complete")
-      .format("memory").queryName(name).start()
-    try {
-      q.processAllAvailable()
-    } finally q.stop()
-    s.table(name)
-      .select(col("user_id"),
-        unix_micros(col("session_window.start")).as("session_start_us"),
-        unix_micros(col("session_window.end")).as("session_end_us"),
-        col("n_events"))
-      .orderBy(col("user_id"), col("session_start_us"))
-      .localCheckpoint(true)
-  }
+  def userSessions(s: SparkSession, dir: String): DataFrame =
+    withNanosConf(s) {
+      val agg = eventsStream(s, dir)
+        .withColumn("ev_ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ev_ts", "1 hour")
+        .groupBy(session_window(col("ev_ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).cast("long").as("n_events"))
+      drain(s, agg, "sessions_") { t =>
+        t.select(col("user_id"),
+            unix_micros(col("session_window.start")).as("session_start_us"),
+            unix_micros(col("session_window.end")).as("session_end_us"),
+            col("n_events"))
+          .orderBy(col("user_id"), col("session_start_us"))
+      }
+    }
 
   /** Streaming DEDUPLICATION: distinct users per event type computed
     * through a real streaming query with `dropDuplicates` keyed state —
     * the streaming sibling of the batch exact-dedup operator. The dedup
     * state is keyed on (user_id, event_type); at scale the key space is
     * the distinct-user set, which the state store shards across
-    * executors, and a production deployment bounds it with
-    * `dropDuplicatesWithinWatermark` once the dedup horizon is an
-    * event-time window rather than all-time.
+    * executors. [[distinctUsersPerTypeWindowed]] is the
+    * production-bounded variant.
     */
-  def distinctUsersPerType(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val name = "dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val stream = s.readStream.schema(eventsSchema)
-      .option("basePath", dir)
-      .parquet(s"$dir/events.parque[t]")
-    val agg = stream
-      .select(col("user_id"), col("event_type"))
-      .dropDuplicates("user_id", "event_type")
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).cast("long").as("n_users"))
-    val q = agg.writeStream.outputMode("complete")
-      .format("memory").queryName(name).start()
-    try {
-      q.processAllAvailable()
-    } finally q.stop()
-    s.table(name)
-      .orderBy(col("event_type"))
-      .localCheckpoint(true)
-  }
+  def distinctUsersPerType(s: SparkSession, dir: String): DataFrame =
+    withNanosConf(s) {
+      val agg = eventsStream(s, dir)
+        .select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n_users"))
+      drain(s, agg, "dedup_")(_.orderBy(col("event_type")))
+    }
+
+  /** Watermark-BOUNDED streaming dedup: `dropDuplicatesWithinWatermark`
+    * keeps dedup state only for the trailing event-time window instead
+    * of all time, so state size is bounded by the dedup horizon — the
+    * production shape once the horizon is a window rather than forever.
+    * On the single-batch fixture every duplicate falls inside the
+    * window, so the result (and the oracle) is identical to the
+    * unbounded variant; on a real stream, re-occurrences older than the
+    * watermark delay would count again — the documented trade for
+    * bounded state.
+    */
+  def distinctUsersPerTypeWindowed(s: SparkSession, dir: String): DataFrame =
+    withNanosConf(s) {
+      val agg = eventsStream(s, dir)
+        .withColumn("ev_ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ev_ts", "1 hour")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n_users"))
+      drain(s, agg, "dedupw_")(_.orderBy(col("event_type")))
+    }
 }
