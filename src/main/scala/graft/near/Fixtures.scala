@@ -13,8 +13,9 @@ package graft.near
   */
 object Fixtures {
 
-  private val B64Args = java.util.Base64.getEncoder.encodeToString(
+  val b64Args: String = java.util.Base64.getEncoder.encodeToString(
     """{"receiver_id":"app.near","amount":"12"}""".getBytes("UTF-8"))
+  private val B64Args = b64Args
   private val B64NotJson = java.util.Base64.getEncoder.encodeToString(
     "not json at all".getBytes("UTF-8"))
 

@@ -30,8 +30,14 @@ object NearOracles {
   private def withR(ctes: String*): String =
     "WITH RECURSIVE " + ctes.mkString(",\n") + "\n"
 
+  // The same SQL is instantiated twice — over the 4-block hand fixture
+  // (`norm`) and the 256-block ScaleChain volume fixture (`scale_norm`)
+  // — so these two spots are tokens substituted at the bottom.
+  private val NormTok = "@@NORM_DIR@@"
+  private val TreeTok = "@@TREE_TX@@"
+
   private val NORM = s"""norm AS (
-  SELECT * FROM read_parquet('$fixtureDir/norm/*.parquet')
+  SELECT * FROM read_parquet('$NormTok/*.parquet')
 )"""
 
   private val CHX = """chx AS (
@@ -691,8 +697,8 @@ WHERE emitted_by_contract_account_id = 'carol.near' AND token_id = 'tk1'
 $eventOrder"""),
 
     "near_q_tx_receipt_tree" ->
-      (withR(NORM, CHX, TX, RCX, OCX, EOR, LIN, RECEIPTS, XO, TX_TREE) + """
-SELECT * FROM tx_tree WHERE originated_from_transaction_hash = 'T1'
+      (withR(NORM, CHX, TX, RCX, OCX, EOR, LIN, RECEIPTS, XO, TX_TREE) + s"""
+SELECT * FROM tx_tree WHERE originated_from_transaction_hash = '$TreeTok'
 ORDER BY included_in_block_timestamp, index_in_chunk"""),
 
     "near_q_daily_gas" -> (withR(NORM, OCX, XO) + """
@@ -791,8 +797,30 @@ ORDER BY changed_in_block_timestamp, index_in_block"""),
         "lockups_locked_tokens"), Nil),
   )
 
-  val sql: Map[String, String] = rawSql.map { case (name, q) =>
-    val (dec, bin) = decCols.getOrElse(name, (Nil, Nil))
-    name -> stable(q, dec, bin)
+  /** Queries re-instantiated over the ScaleChain volume fixture (the
+    * rest stay fixture-only: supply/lockups need the RPC states, and
+    * the point-lookup consumer queries filter on hand-fixture ids).
+    */
+  private val scaleKeys = Seq(
+    "near_blocks", "near_chunks", "near_transactions", "near_receipts",
+    "near_action_receipt_actions", "near_execution_outcomes",
+    "near_account_changes", "near_ft_events",
+    "near_q_tx_receipt_tree", "near_q_daily_gas", "near_q_active_accounts")
+
+  private def finish(q: String, normDir: String, treeTx: String): String =
+    q.replace(NormTok, normDir).replace(TreeTok, treeTx)
+
+  val sql: Map[String, String] = {
+    def wrap(name: String, q: String) = {
+      val (dec, bin) = decCols.getOrElse(name, (Nil, Nil))
+      stable(q, dec, bin)
+    }
+    rawSql.map { case (name, q) =>
+      name -> wrap(name, finish(q, s"$fixtureDir/norm", "T1"))
+    } ++ scaleKeys.map { k =>
+      ("near_scale_" + k.stripPrefix("near_")) ->
+        wrap(k, finish(rawSql(k), s"$fixtureDir/scale_norm",
+          graft.near.ScaleChain.WhaleTx))
+    }
   }
 }

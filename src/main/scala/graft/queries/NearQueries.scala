@@ -37,9 +37,30 @@ object NearQueries {
       Ingest.allTables(norm).map { case (n, df) => (n, df.persist()) }
     })
 
+  // Second, independent gate input: the deterministic 256-block
+  // ScaleChain — same ETL, thousands of rows, so the DuckDB oracle
+  // checks volume-dependent semantics (window tie-breaks, ordinals,
+  // fork/issue84 dedup, deep lineage) and not just the hand fixture.
+  private val scaleCache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, Map[String, DataFrame]]()
+
+  private def scaleTables(s: SparkSession): Map[String, DataFrame] =
+    scaleCache.computeIfAbsent(s, (s2: SparkSession) => {
+      val norm = Ingest.blocksFromJson(s2, graft.near.ScaleChain.chain())
+        .toDF().persist()
+      norm.count()
+      norm.coalesce(1).write.mode("overwrite")
+        .parquet(s"${NearOracles.fixtureDir}/scale_norm")
+      Ingest.allTables(norm).map { case (n, df) => (n, df.persist()) }
+    })
+
   private def table(name: String, order: Seq[String])(
       s: SparkSession, dir: String): DataFrame =
     tables(s)(name).orderBy(order.map(col): _*)
+
+  private def scaleTable(name: String, order: Seq[String])(
+      s: SparkSession, dir: String): DataFrame =
+    scaleTables(s)(name).orderBy(order.map(col): _*)
 
   /** Hash-stable final projection: the driver's compare canonicalizes
     * cells via pandas `astype(str)`, which floats DuckDB DECIMALs
@@ -133,6 +154,35 @@ object NearQueries {
         s.createDataset(Fixtures.lockupStates),
         Fixtures.foundationLocked)
     }),
+    // --- volume gate over the 256-block ScaleChain ---
+    "near_scale_blocks" ->
+      scaleTable("blocks", Seq("block_height", "block_hash")) _,
+    "near_scale_chunks" -> scaleTable("chunks", Seq("chunk_hash")) _,
+    "near_scale_transactions" ->
+      scaleTable("transactions", Seq("transaction_hash")) _,
+    "near_scale_receipts" -> scaleTable("receipts", Seq("receipt_id")) _,
+    "near_scale_action_receipt_actions" ->
+      scaleTable("action_receipt_actions",
+        Seq("receipt_id", "index_in_action_receipt")) _,
+    "near_scale_execution_outcomes" ->
+      scaleTable("execution_outcomes", Seq("receipt_id")) _,
+    "near_scale_account_changes" ->
+      scaleTable("account_changes",
+        Seq("changed_in_block_timestamp", "index_in_block")) _,
+    "near_scale_ft_events" ->
+      scaleTable("assets__fungible_token_events",
+        Seq("emitted_at_block_timestamp", "emitted_in_shard_id",
+          "emitted_index_of_event_entry_in_shard")) _,
+    "near_scale_q_tx_receipt_tree" -> ((s: SparkSession, dir: String) =>
+      graft.near.ConsumerQueries.transactionReceiptTree(
+        scaleTables(s)("receipts"), scaleTables(s)("execution_outcomes"),
+        graft.near.ScaleChain.WhaleTx)),
+    "near_scale_q_daily_gas" -> ((s: SparkSession, dir: String) =>
+      graft.near.ConsumerQueries.dailyGasStats(
+        scaleTables(s)("execution_outcomes"))),
+    "near_scale_q_active_accounts" -> ((s: SparkSession, dir: String) =>
+      graft.near.ConsumerQueries.dailyActiveAccounts(
+        scaleTables(s)("transactions"))),
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -55,6 +55,36 @@ class NearScaleSpec extends AnyFunSuite {
     assert(eor.count() == (n - 1) * txPerBlock)
   }
 
+  test("ScaleChain is deterministic across invocations") {
+    // The volume gate depends on the chain (and thus the parquet the
+    // DuckDB oracle reads) being bit-identical on every JVM/run.
+    val a = graft.near.ScaleChain.chain()
+    val b = graft.near.ScaleChain.chain()
+    assert(a == b)
+    assert(a.size >= 256) // 256 canonical blocks + forks
+  }
+
+  test("ScaleChain ETL invariants at small n") {
+    val t = Ingest.allTables(
+      Ingest.blocksFromJson(spark, graft.near.ScaleChain.chain(7L, 48)).toDF())
+      .map { case (k, v) => k -> v.cache() }
+    Seq("blocks" -> Seq("block_hash"), "transactions" -> Seq("transaction_hash"),
+      "receipts" -> Seq("receipt_id"),
+      "execution_outcomes" -> Seq("receipt_id")).foreach { case (name, pk) =>
+      val df = t(name)
+      assert(df.count() == df.select(pk.map(
+        org.apache.spark.sql.functions.col): _*).distinct().count(),
+        s"PK violation in $name")
+    }
+    // every receipt row resolved (receipts table only keeps resolved)
+    assert(t("receipts").filter(org.apache.spark.sql.functions
+      .col("originated_from_transaction_hash").isNull).count() == 0)
+    // the whale subtree exists and is multi-generation
+    val whale = t("receipts").filter(org.apache.spark.sql.functions
+      .col("originated_from_transaction_hash") === graft.near.ScaleChain.WhaleTx)
+    assert(whale.count() >= 50)
+  }
+
   test("random chains: lineage equals the generator's ground truth") {
     Seq(11L, 42L, 1337L).foreach { seed =>
       val g = RandomChains.chain(seed)
