@@ -46,11 +46,47 @@ object Bench {
       dt
     }
     val allResults = results :+ (s"near_ingest_${nBlocks}_blocks" -> ingestSec)
+
+    // Isolated re-runs: the shared-session numbers above can drift with
+    // scheduling/codegen-cache noise accumulated across 70 queries, so
+    // creep-prone entries are re-measured in a FRESH session each (same
+    // JVM — JIT stays warm, Spark-session state does not). A query that
+    // regressed in the shared run but is stable here moved because of
+    // session noise, not a plan change.
+    spark.stop()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val isolatedNames = sys.env.getOrElse("SPARK_GRAFT_ISOLATED",
+        "q25_ann_ivf,q29_quantize_int8,q31_text_chunks")
+      .split(",").map(_.trim).filter(SparkEntry.queries.contains).toSeq
+    val isolated = isolatedNames.map { n =>
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      try {
+        def execS(): Unit = SparkEntry.queries(n)(s, sfDir)
+          .write.mode("overwrite").format("noop").save()
+        try execS() catch { case _: Throwable => () } // warmup
+        val t0 = System.nanoTime()
+        try execS() catch { case _: Throwable => () }
+        n -> (System.nanoTime() - t0) / 1e9
+      } finally {
+        s.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+      }
+    }
+
     val qs = allResults.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val iso = isolated.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = allResults.map(_._2).sum
     val bps = nBlocks / ingestSec
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ingest_blocks_per_sec":$bps,"sf":"$sfDir"}""")
-    spark.stop()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"isolated":$iso,"ingest_blocks_per_sec":$bps,"sf":"$sfDir"}""")
   }
 }

@@ -60,6 +60,8 @@ object SparkEntry {
       (StreamingJobs.distinctUsersPerTypeWindowed _),
     "q36_contamination"       -> (PipelineQueries.q36Contamination _),
     "q37_stream_sessions"     -> (StreamingJobs.userSessions _),
+    "q37b_stream_sessions_append" ->
+      (StreamingJobs.userSessionsAppend _),
     "q38_ngram_jaccard"       -> ((s: SparkSession, dir: String) =>
       PipelineQueries.q38NgramJaccard(s, dir)),
     "q39_repetition"          -> (PipelineQueries.q39Repetition _),

@@ -109,10 +109,14 @@ object Similarity {
     */
   def nearDupPairs(embeddings: DataFrame, threshold: Double,
       maxRows: Long = 65536L): DataFrame = {
-    val n0 = embeddings.count()
-    require(n0 <= maxRows,
-      s"nearDupPairs is the exact all-pairs baseline: input has $n0 rows " +
-        s"(> maxRows=$maxRows); use nearDupPairsLsh for corpus-scale inputs")
+    // Guard cost is bounded by the guard itself: scan at most
+    // maxRows+1 rows instead of count()-ing the full input (which
+    // doubled the source reads on every call).
+    val over = embeddings.limit(
+      (math.min(maxRows, Int.MaxValue - 1L) + 1L).toInt).count() > maxRows
+    require(!over,
+      s"nearDupPairs is the exact all-pairs baseline: input has more than " +
+        s"maxRows=$maxRows rows; use nearDupPairsLsh for corpus-scale inputs")
     val dot = ndot(embeddings.sparkSession) _
     val n = embeddings.select(col("vec_id"), col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
@@ -146,8 +150,15 @@ object Similarity {
     */
   private[graft] def bucketCandidatePairs(keyed: DataFrame,
       maxBucket: Int): DataFrame = {
-    val mx = keyed.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("m")).agg(max(col("m"))).collect()(0)
+    // One sizing aggregate, materialized once (localCheckpoint truncates
+    // the lineage so the keyed plan is NOT recomputed by the sizing
+    // join when the salted path engages — it is exactly the skewed
+    // inputs that made the double computation expensive). The
+    // checkpoint is one row per non-empty bucket: bounded by the
+    // corpus, tiny in practice.
+    val sizes = keyed.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("m")).localCheckpoint(true)
+    val mx = sizes.agg(max(col("m"))).collect()(0)
     val maxSize = if (mx.isNullAt(0)) 0L else mx.getLong(0)
     if (maxSize <= maxBucket) {
       keyed.select(col("band"), col("bucket"), col("vec_id").as("vec_id_a"))
@@ -158,8 +169,8 @@ object Similarity {
         .distinct()
     } else {
       val sized = keyed.join(
-        keyed.groupBy(col("band"), col("bucket"))
-          .agg(ceil(count(lit(1)).cast("double") / maxBucket).cast("int").as("s")),
+        sizes.select(col("band"), col("bucket"),
+          ceil(col("m").cast("double") / maxBucket).cast("int").as("s")),
         Seq("band", "bucket"))
         .withColumn("r", pmod(col("vec_id"), col("s")).cast("int"))
       val lhs = sized
@@ -244,15 +255,22 @@ object Similarity {
       }
       sort_array(array(scored: _*))
     }
-    val assigned = embeddings.select(col("vec_id"), col("embedding"),
+    // The ranking expression (nCells inline literal-array dot products
+    // + sort) is built ONCE and shared by both branches — corpus rows
+    // take element 0, anchors the first nProbe cells. One expression
+    // tree means one codegen'd projection, not two near-identical
+    // 2×nCells-dot-product giants compiled side by side.
+    val ranked = embeddings.select(col("vec_id"), col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("norm"),
-      cellRank(col("embedding"))(0).getField("cell").as("cell"))
-    val anchors = embeddings
+      cellRank(col("embedding")).as("ranked"))
+    val assigned = ranked.select(col("vec_id"), col("embedding"),
+      col("norm"), col("ranked")(0).getField("cell").as("cell"))
+    val anchors = ranked
       .filter(col("vec_id").isin(anchorIds: _*))
       .select(col("vec_id").as("anchor_id"),
         col("embedding").as("anchor_emb"),
-        sqrt(dot(col("embedding"), col("embedding"))).as("anchor_norm"),
-        slice(transform(cellRank(col("embedding")),
+        col("norm").as("anchor_norm"),
+        slice(transform(col("ranked"),
           s => s.getField("cell")), 1, nProbe).as("probe_cells"))
       .withColumn("cell", explode(col("probe_cells")))
       .drop("probe_cells")

@@ -145,10 +145,10 @@ object JdbcSink {
       }
     } else false
 
-  /** Run `body` with the reference's retry schedule. Reference parity
-    * note: the doubling applies while the interval is BELOW the cap
-    * (retryable.rs:34-36), so the last sleep can reach just under
-    * 2×maxBackoffMs — identical overshoot to the reference. `sleep`
+  /** Run `body` with the reference's retry schedule (retryable.rs:
+    * 34-36), except the interval is clamped AT the cap — the
+    * reference's "double while below" lets the last sleep overshoot to
+    * just under 2×maxBackoffMs, a quirk not worth keeping. `sleep`
     * is injectable for tests.
     */
   def retry[T](policy: RetryPolicy, sleep: Long => Unit = Thread.sleep)(
@@ -164,7 +164,7 @@ object JdbcSink {
           last = e
           if (attempt < policy.maxAttempts) {
             sleep(interval)
-            if (interval < policy.maxBackoffMs) interval = interval * 2
+            interval = math.min(interval * 2, policy.maxBackoffMs)
           }
       }
     }

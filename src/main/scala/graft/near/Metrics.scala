@@ -14,14 +14,30 @@ object Metrics {
   val blockCount = new AtomicLong(0)
   val latestBlockHeight = new AtomicLong(0)
   val microbatchCount = new AtomicLong(0)
+  val lineageFullRescans = new AtomicLong(0)
+  val lineageRescanReceipts = new AtomicLong(0)
 
   def recordBatch(blocks: Long, maxHeight: Long): Unit = {
     blockCount.addAndGet(blocks)
     latestBlockHeight.getAndUpdate(h => math.max(h, maxHeight))
   }
 
+  /** A mirrorless lineage pass left `rows` frontier entries unresolved
+    * after the PRUNED warehouse scan — the batch fell back to an
+    * unpruned rescan of the residue (Stream.processBatch). A steadily
+    * climbing counter says the lookback is too short for the delivery
+    * pattern, or a mirror should be configured.
+    */
+  def recordLineageFullRescan(rows: Long): Unit = {
+    lineageFullRescans.incrementAndGet()
+    lineageRescanReceipts.addAndGet(rows)
+    System.err.println(s"[graft-stream] pruned lineage recovery left " +
+      s"$rows receipts unresolved; retrying residue against full history")
+  }
+
   def reset(): Unit = {
     blockCount.set(0); latestBlockHeight.set(0); microbatchCount.set(0)
+    lineageFullRescans.set(0); lineageRescanReceipts.set(0)
   }
 
   /** Prometheus text exposition (metric names mirror the reference's). */
@@ -32,6 +48,10 @@ object Metrics {
        |indexer_explorer_latest_block_height ${latestBlockHeight.get}
        |# TYPE indexer_explorer_microbatch_count counter
        |indexer_explorer_microbatch_count ${microbatchCount.get}
+       |# TYPE indexer_explorer_lineage_full_rescans counter
+       |indexer_explorer_lineage_full_rescans ${lineageFullRescans.get}
+       |# TYPE indexer_explorer_lineage_rescan_receipts counter
+       |indexer_explorer_lineage_rescan_receipts ${lineageRescanReceipts.get}
        |""".stripMargin
 
   /** Serve GET /metrics; returns the server (call .stop(0) to close). */

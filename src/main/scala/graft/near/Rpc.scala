@@ -50,7 +50,7 @@ object Rpc {
           last = e
           if (attempt < policy.maxAttempts) {
             sleep(interval)
-            if (interval < policy.maxBackoffMs) interval = interval * 2
+            interval = math.min(interval * 2, policy.maxBackoffMs)
           }
       }
     }
@@ -62,6 +62,10 @@ object Rpc {
     * serializable and must not ride in the closure). Each POST is
     * retried with [[withRetry]]'s backoff — one flaky fetch inside a
     * 1000-lockup `mapPartitions` pass must not fail the whole stage.
+    * Server-side transient failures (429 rate limit, 5xx) arrive as
+    * normal responses, not I/O faults — they are converted to
+    * IOException so the retry engages; 4xx others are deterministic
+    * answers and fail fast.
     */
   final case class HttpTransport(url: String,
       policy: JdbcSink.RetryPolicy = JdbcSink.RetryPolicy()) extends Transport {
@@ -71,8 +75,12 @@ object Rpc {
         .header("Content-Type", "application/json")
         .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
         .build()
-      client.send(req,
-        java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+      val resp = client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      val sc = resp.statusCode()
+      if (sc == 429 || sc >= 500)
+        throw new java.io.IOException(s"HTTP $sc from RPC endpoint")
+      resp.body()
     }
   }
 

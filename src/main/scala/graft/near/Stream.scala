@@ -16,10 +16,14 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *     unfinished microbatch — the analogue of the reference's
   *     −500-block rewind). Delivery guarantee parity: the JDBC mirror
   *     is exactly-once-effective under replay (ON CONFLICT, like the
-  *     reference); the parquet warehouse appends are at-least-once
-  *     across a mid-batch crash — a replayed batch can re-append rows,
-  *     which `Warehouse.dedupedByPk` collapses on read (within a
-  *     batch, fork duplicates are PK-deduped before writing).
+  *     reference); the parquet warehouse is exactly-once-effective too
+  *     — each batch's table appends and state updates commit atomically
+  *     through [[BatchCommit]]'s manifest protocol, so a mid-batch
+  *     crash rolls back (or forward) cleanly and the replayed batch
+  *     writes each row exactly once. (Readers racing a batch between
+  *     its file moves and a crash can observe a torn prefix until the
+  *     next batch's recovery — the one remaining, disclosed window;
+  *     `Warehouse.dedupedByPk` stays available as belt and braces.)
   *
   * Cross-batch lineage (§2.4, the §7.4 "batch-iterative" design):
   * within a batch the fixpoint resolves everything reachable from this
@@ -107,39 +111,14 @@ object Stream {
       scala.util.Try(spark.read.parquet(path)).toOption
     else None
 
-  /** Read a swapInto-managed state dir, recovering from a crash that
-    * happened mid-swap (live dir renamed away, replacement not in yet).
+  /** Read a cross-batch state table at the COMMITTED version (absent =
+    * empty) — the test/ops read surface; processBatch itself threads
+    * its own version handle.
     */
-  private def readState(spark: SparkSession, path: String): Option[DataFrame] = {
-    val f = fs(spark, path)
-    val live = new org.apache.hadoop.fs.Path(path)
-    val old = new org.apache.hadoop.fs.Path(path + "_old")
-    if (!f.exists(live) && f.exists(old)) f.rename(old, live)
-    readIfExists(spark, path)
-  }
-
-  /** Replace a state dir crash-safely: write aside, rename the live
-    * dir away (it is never deleted while it is the only copy), rename
-    * the replacement in, then drop the old copy — a crash at any point
-    * leaves old or new state recoverable via readState. An empty
-    * DataFrame clears the state (empty parquet writes leave no
-    * schema'd files to read back, so absence IS the empty state).
-    */
-  private def swapInto(spark: SparkSession, df: DataFrame, path: String): Unit = {
-    val f = fs(spark, path)
-    val live = new org.apache.hadoop.fs.Path(path)
-    val old = new org.apache.hadoop.fs.Path(path + "_old")
-    val tmp = new org.apache.hadoop.fs.Path(path + "_next")
-    f.delete(old, true)
-    if (df.isEmpty) {
-      f.delete(live, true)
-    } else {
-      df.write.mode("overwrite").parquet(tmp.toString)
-      if (f.exists(live)) f.rename(live, old)
-      f.rename(tmp, live)
-      f.delete(old, true)
-    }
-  }
+  def stateTable(spark: SparkSession, warehouseDir: String,
+      name: String): Option[DataFrame] =
+    readIfExists(spark, BatchCommit.statePath(warehouseDir,
+      BatchCommit.currentVersion(spark, warehouseDir), name))
 
   /** One microbatch of the §3.1 DAG. Public so batch jobs and tests
     * can drive it without a streaming query.
@@ -150,6 +129,11 @@ object Stream {
     * deterministic analogue of strict mode's infinite retry,
     * main.rs:261-272). `enableAccountChanges` / `enableEvents` mirror
     * the reference's cargo feature gates (indexer/Cargo.toml:43-45).
+    *
+    * `commitHook` is a crash-injection seam for tests: invoked with a
+    * label at each step of the [[BatchCommit]] protocol ("staged",
+    * "manifest", "moved", "committed"); throwing from it simulates a
+    * crash at that point.
     */
   def processBatch(spark: SparkSession, norm0: DataFrame,
       warehouseDir: String, maxRetries: Int = 4,
@@ -158,8 +142,18 @@ object Stream {
       collisionWindowBlocks: Long = 1000L,
       mirror: Option[JdbcSink.ConnectionFactory] = None,
       recoveryLookbackDays: Int = 2,
-      fullRecoveryScan: Boolean = false): Unit = {
+      fullRecoveryScan: Boolean = false,
+      commitHook: String => Unit = _ => ()): Unit = {
     if (norm0.isEmpty) return
+    // Roll any interrupted previous batch back/forward FIRST, then read
+    // every state table at the committed version; this batch's state
+    // goes to version+1, invisible until the commit point.
+    val committed = BatchCommit.recover(spark, warehouseDir)
+    val nextVersion = committed + 1
+    def readStateV(name: String): Option[DataFrame] =
+      readIfExists(spark, BatchCommit.statePath(warehouseDir, committed, name))
+    def writeStateV(name: String, df: DataFrame): Unit =
+      BatchCommit.writeState(spark, warehouseDir, nextVersion, name, df)
     // Replay idempotency (S2's from-interruption −500 rewind,
     // configs.rs:118-119): the reference replays whole blocks and
     // relies on ON CONFLICT DO NOTHING; the parquet warehouse has no
@@ -168,7 +162,7 @@ object Stream {
     // one state covers every per-block table. A block hash identifies
     // its content, so partial re-delivery cannot occur; same-height
     // forks have distinct hashes and pass through untouched.
-    val blocksSeen = readState(spark, s"$warehouseDir/$BlocksRecentDir")
+    val blocksSeen = readStateV(BlocksRecentDir)
     val normIn = blocksSeen match {
       case Some(seen) => norm0.join(
         broadcast(seen.select(col("block_hash").as("seen_bh"))),
@@ -189,15 +183,26 @@ object Stream {
       // of an in-flight receipt live within the replay window (the
       // reference rewinds 500 blocks ≈ minutes; lookback days are a
       // generous cover), so the J1/J2/J3 parquet reads below prune to
-      // `block_date >= batch-min-day − lookback` instead of O(history).
-      val minDay = if (stats.isNullAt(2)) 0L else stats.getLong(2)
+      // `block_date >= floor-day − lookback` instead of O(history).
+      // The floor folds in the OLDEST carried `_pending` receipt's day
+      // — a parked receipt's parent lives near the PARK day, not this
+      // batch's day, and a batch-day-only floor would hide it forever
+      // (the reference's DB lookups have no horizon, receipts.rs:
+      // 409-429).
+      val minBatchDay = if (stats.isNullAt(2)) 0L else stats.getLong(2)
+      val pendingState = readStateV(PendingDir)
+      val minDay = pendingState.map { p =>
+        val r = p.agg(min(
+          expr("CAST(blockTimestamp AS DECIMAL(38,0)) div 86400000000000")
+            .cast("long"))).collect()(0)
+        if (r.isNullAt(0)) minBatchDay else math.min(minBatchDay, r.getLong(0))
+      }.getOrElse(minBatchDay)
       // LocalDate.ofEpochDay → valueOf is a plain y/m/d construction —
       // no millis-via-local-timezone shift (same rationale as dayCol).
       val recoveryFloor = java.sql.Date.valueOf(
         java.time.LocalDate.ofEpochDay(minDay - recoveryLookbackDays))
       def pruneRecovery(df: DataFrame): DataFrame =
-        if (fullRecoveryScan) df
-        else df.filter(col("block_date") >= lit(recoveryFloor))
+        df.filter(col("block_date") >= lit(recoveryFloor))
       // Cross-batch issue84 handling (transactions.rs:43-89): within-
       // batch duplicates are resolved by transactionsBase; against
       // EARLIER batches the discriminator is the converted receipt id —
@@ -211,7 +216,7 @@ object Stream {
       // the window are missed, the same trade the reference's eviction
       // makes; the state is broadcast-sized by construction.
       val txBase0 = Transforms.transactionsBase(norm)
-      val txRecent = readState(spark, s"$warehouseDir/$TxRecentDir")
+      val txRecent = readStateV(TxRecentDir)
       val txBase = txRecent match {
         case Some(recent) =>
           // A tx row's identity is its converted receipt id (globally
@@ -259,7 +264,7 @@ object Stream {
       // receipts row AND satellites are written in the batch where
       // they finally resolve (the reference skips satellites for
       // skipped receipts, receipts.rs:137-147).
-      val rBase = readState(spark, s"$warehouseDir/$PendingDir")
+      val rBase = pendingState
         .map(p => Transforms.dedupPk(rBaseNew.unionByName(p),
           Seq(col("r.receiptId")),
           Seq(col("blockTimestamp"), col("blockHash"), col("retries"))))
@@ -269,7 +274,7 @@ object Stream {
       val newEdges = Lineage
         .edges(outcomeReceipts, outputDataNew, dataReceiptsNew)
         .withColumn("retries", lit(0))
-      val edges = readState(spark, s"$warehouseDir/$PendingEdgesDir")
+      val edges = readStateV(PendingEdgesDir)
         .map(newEdges.unionByName(_)).getOrElse(newEdges)
         .localCheckpoint(true)
       val edgeSet = edges.select(col("child"), col("parent"))
@@ -282,7 +287,7 @@ object Stream {
       // cache (receipts.rs:191-202) — so the state stays bounded by
       // in-flight receipts, not chain length.
       val seeds = Lineage.seeds(transactions)
-      val ahead = readState(spark, s"$warehouseDir/$LineageAheadDir")
+      val ahead = readStateV(LineageAheadDir)
       val seeded = ahead.map(seeds.unionByName(_)).getOrElse(seeds)
       val pass1 = Lineage.resolveGraph(seeded, edgeSet)
 
@@ -319,48 +324,80 @@ object Stream {
         // reference schema has none) and are narrow 2-3 column scans —
         // the expensive receipts/transactions history is what the
         // partition predicate bounds.
-        val whReceipts = readIfExists(spark, s"$warehouseDir/receipts")
-          .map(df => pruneRecovery(df).select(col("receipt_id"),
-            col("originated_from_transaction_hash").as("tx")))
-        val whTx = readIfExists(spark, s"$warehouseDir/transactions")
-          .map(pruneRecovery)
-        val whEor = readIfExists(spark,
-          s"$warehouseDir/execution_outcome_receipts")
-        val whOutput = readIfExists(spark,
-          s"$warehouseDir/action_receipt_output_data")
-        // J3: id was a transaction's converted receipt
-        val j3 = whTx.map(wt =>
-          broadcast(frontier)
-            .join(wt.select(col("converted_into_receipt_id").as("cid"),
-              col("transaction_hash")), col("parent") === col("cid"))
-            .select(col("parent").as("child"),
-              col("transaction_hash").as("tx"))).toSeq
-        // J2: id was produced by an executed receipt already written
-        val j2 = (whEor, whReceipts) match {
-          case (Some(we), Some(wr)) => Seq(
-            broadcast(frontier)
-              .join(we.select(col("produced_receipt_id").as("pid"),
-                col("executed_receipt_id").as("eid")),
-                col("parent") === col("pid"))
-              .join(wr, col("eid") === col("receipt_id"))
-              .select(col("parent").as("child"), col("tx")))
-          case _ => Seq.empty
+        def warehouseSeeds(fr: DataFrame, prune: Boolean): Seq[DataFrame] = {
+          def bound(df: DataFrame) = if (prune) pruneRecovery(df) else df
+          val whReceipts = readIfExists(spark, s"$warehouseDir/receipts")
+            .map(df => bound(df).select(col("receipt_id"),
+              col("originated_from_transaction_hash").as("tx")))
+          val whTx = readIfExists(spark, s"$warehouseDir/transactions")
+            .map(bound)
+          val whEor = readIfExists(spark,
+            s"$warehouseDir/execution_outcome_receipts")
+          val whOutput = readIfExists(spark,
+            s"$warehouseDir/action_receipt_output_data")
+          // J3: id was a transaction's converted receipt
+          val j3 = whTx.map(wt =>
+            broadcast(fr)
+              .join(wt.select(col("converted_into_receipt_id").as("cid"),
+                col("transaction_hash")), col("parent") === col("cid"))
+              .select(col("parent").as("child"),
+                col("transaction_hash").as("tx"))).toSeq
+          // J2: id was produced by an executed receipt already written
+          val j2 = (whEor, whReceipts) match {
+            case (Some(we), Some(wr)) => Seq(
+              broadcast(fr)
+                .join(we.select(col("produced_receipt_id").as("pid"),
+                  col("executed_receipt_id").as("eid")),
+                  col("parent") === col("pid"))
+                .join(wr, col("eid") === col("receipt_id"))
+                .select(col("parent").as("child"), col("tx")))
+            case _ => Seq.empty
+          }
+          // J1: id is a data_id declared by an already-written receipt
+          val j1 = (whOutput, whReceipts) match {
+            case (Some(wo), Some(wr)) => Seq(
+              broadcast(fr)
+                .join(wo.select(col("output_data_id").as("did"),
+                  col("output_from_receipt_id").as("oid")),
+                  col("parent") === col("did"))
+                .join(wr, col("oid") === col("receipt_id"))
+                .select(col("parent").as("child"), col("tx")))
+            case _ => Seq.empty
+          }
+          j3 ++ j2 ++ j1
         }
-        // J1: id is a data_id declared by an already-written receipt
-        val j1 = (whOutput, whReceipts) match {
-          case (Some(wo), Some(wr)) => Seq(
-            broadcast(frontier)
-              .join(wo.select(col("output_data_id").as("did"),
-                col("output_from_receipt_id").as("oid")),
-                col("parent") === col("did"))
-              .join(wr, col("oid") === col("receipt_id"))
-              .select(col("parent").as("child"), col("tx")))
-          case _ => Seq.empty
+        // Pass 2: re-run the fixpoint with the (pruned) warehouse
+        // seeds folded in.
+        val pass2 = Lineage.resolveGraph(
+          (Seq(seeded, pass1) ++ warehouseSeeds(frontier,
+            prune = !fullRecoveryScan)).reduce(_ unionByName _), edgeSet)
+        if (fullRecoveryScan) pass2
+        else {
+          // A frontier residue after the PRUNED pass means a parent
+          // older than the lookback (long-postponed data receipt,
+          // recovery after extended downtime). Silently parking it
+          // would drop data the reference's unbounded indexed lookups
+          // (receipts.rs:409-429) resolve — so the residue retries
+          // against the UNPRUNED history, metered via Metrics (the
+          // rescan runs only for batches that actually have such a
+          // residue, and only over the residue rows).
+          val residue = frontier
+            .join(pass2, col("parent") === col("child"), "left_anti")
+            .localCheckpoint(true)
+          val unpruned =
+            if (residue.isEmpty) Seq.empty
+            else warehouseSeeds(residue, prune = false)
+          // An empty seed list means no lookup tables exist yet — the
+          // residue is ordinary out-of-order arrivals on a young
+          // warehouse, not a lookback miss; parking handles it.
+          if (unpruned.isEmpty) pass2
+          else {
+            Metrics.recordLineageFullRescan(residue.count())
+            Lineage.resolveGraph(
+              (Seq(seeded, pass2) ++ unpruned).reduce(_ unionByName _),
+              edgeSet)
+          }
         }
-        val allSeeds = (Seq(seeded, pass1) ++ j3 ++ j2 ++ j1)
-          .reduce(_ unionByName _)
-        // Pass 2: re-run the fixpoint with the warehouse seeds folded in.
-        Lineage.resolveGraph(allSeeds, edgeSet)
       }
       }).localCheckpoint(true)
 
@@ -372,7 +409,7 @@ object Stream {
       val aheadNext = resolved
         .join(consumed, col("child") === col("seen"), "left_anti")
         .select(col("child"), col("tx"))
-      swapInto(spark, aheadNext, s"$warehouseDir/$LineageAheadDir")
+      writeStateV(LineageAheadDir, aheadNext)
       val lineage = resolved.select(
         col("child").as("lineage_receipt_id"),
         col("tx").as("originated_from_transaction_hash"))
@@ -385,13 +422,13 @@ object Stream {
           "left_anti")
         .filter(col("retries") < maxRetries)
         .withColumn("retries", col("retries") + 1)
-      swapInto(spark, unresolvedReceipts, s"$warehouseDir/$PendingDir")
+      writeStateV(PendingDir, unresolvedReceipts)
       val unresolvedEdges = edges
         .join(resolved.select(col("child").as("rc")),
           col("child") === col("rc"), "left_anti")
         .filter(col("retries") < maxRetries)
         .withColumn("retries", col("retries") + 1)
-      swapInto(spark, unresolvedEdges, s"$warehouseDir/$PendingEdgesDir")
+      writeStateV(PendingEdgesDir, unresolvedEdges)
 
       val tables = Map(
         "blocks" -> Transforms.blocks(norm),
@@ -430,63 +467,80 @@ object Stream {
           "assets__fungible_token_events" -> eventPk(Events.ftEvents(norm)),
           "assets__non_fungible_token_events" -> eventPk(Events.nftEvents(norm)))
       } else Map.empty)
-      tables.foreach { case (name, df) =>
-        // Empty appends are skipped — zero-row parquet writes leave
-        // schema-less dirs that poison later reads; table absence is
-        // handled by Warehouse.tableOpt / readIfExists.
-        if (!df.isEmpty) {
-          val w = TimePartitioned.get(name) match {
-            case Some(ts) => df.withColumn("block_date", dayCol(ts))
-              .write.partitionBy("block_date")
-            case None => df.write
-          }
-          w.mode("append").parquet(s"$warehouseDir/$name")
-          // Dual-write to the JDBC mirror when configured (S5/S7):
-          // ON CONFLICT DO NOTHING for the append-only tables, guarded
-          // upserts for the mutable registries — exactly-once-effective
-          // under replay, and it keeps MirrorLookup's lookup side
-          // current for the lineage fallbacks.
-          mirror.foreach { f =>
-            name match {
-              case "accounts" => JdbcSink.write(
-                df.select("account_id", "created_by_receipt_id",
-                  "deleted_by_receipt_id", "last_update_block_height"),
-                f, JdbcSink.accountsUpsertSql)
-              case "access_keys" => JdbcSink.write(
-                df.select("public_key", "account_id",
-                  "created_by_receipt_id", "deleted_by_receipt_id",
-                  "permission_kind", "last_update_block_height"),
-                f, JdbcSink.accessKeysUpsertSql)
-              case _ => JdbcSink.write(df, f,
-                JdbcSink.insertDoNothingSql(name, df.columns.toSeq))
-            }
-          }
-        }
-      }
-      // Roll the recent-hash state forward AFTER the appends (a crash
-      // between state write and append would otherwise drop the
-      // replayed rows as fork re-deliveries): first-seen receipt per
-      // stored hash, pruned to the trailing collision window.
+      // Recent-hash states (no ordering hazard anymore — states and
+      // table files become visible together at the commit point):
+      // first-seen receipt per stored hash / processed block hashes,
+      // both pruned to the trailing collision window (≥ the 500-block
+      // interruption rewind).
       val batchPairs = txBase.select(
         col("transaction_hash").as("tx_hash"),
         col("t.convertedIntoReceiptId").as("cid"),
         col("blockHeight").cast("long").as("h"))
       val merged = txRecent.map(batchPairs.unionByName(_)).getOrElse(batchPairs)
-      swapInto(spark,
+      writeStateV(TxRecentDir,
         Transforms.dedupPk(merged, Seq(col("tx_hash")), Seq(col("h")))
-          .filter(col("h") >= lit(maxHeight - collisionWindowBlocks)),
-        s"$warehouseDir/$TxRecentDir")
-      // Same crash-safe ordering for the replay-dedup state: processed
-      // block hashes, pruned to the trailing window (≥ the 500-block
-      // interruption rewind).
+          .filter(col("h") >= lit(maxHeight - collisionWindowBlocks)))
       val batchBlocks = norm.select(col("blockHash").as("block_hash"),
         col("blockHeight").cast("long").as("h"))
       val mergedBlocks =
         blocksSeen.map(batchBlocks.unionByName(_)).getOrElse(batchBlocks)
-      swapInto(spark,
-        Transforms.dedupPk(mergedBlocks, Seq(col("block_hash")), Seq(col("h")))
-          .filter(col("h") >= lit(maxHeight - collisionWindowBlocks)),
-        s"$warehouseDir/$BlocksRecentDir")
+      writeStateV(BlocksRecentDir,
+        Transforms.dedupPk(mergedBlocks, Seq(col("block_hash")),
+          Seq(col("h")))
+          .filter(col("h") >= lit(maxHeight - collisionWindowBlocks)))
+
+      // Stage every non-empty table, then commit atomically: manifest
+      // (the exact target file list) → moves → pointer advance. Empty
+      // outputs are skipped — zero-row parquet writes leave schema-less
+      // dirs that poison later reads; table absence is handled by
+      // Warehouse.tableOpt / readIfExists.
+      val stagedMoves = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      val written = scala.collection.mutable.ArrayBuffer[(String, DataFrame)]()
+      tables.foreach { case (name, df) =>
+        if (!df.isEmpty) {
+          val (out, part) = TimePartitioned.get(name) match {
+            case Some(ts) =>
+              (df.withColumn("block_date", dayCol(ts)), Some("block_date"))
+            case None => (df, None)
+          }
+          stagedMoves ++= BatchCommit.stageTable(spark, warehouseDir, name,
+            out, part)
+          written += ((name, df))
+        }
+      }
+      commitHook("staged")
+      BatchCommit.writeManifest(spark, warehouseDir, nextVersion,
+        stagedMoves.map(_._2).toSeq)
+      commitHook("manifest")
+      BatchCommit.applyMoves(spark, warehouseDir, stagedMoves.toSeq)
+      commitHook("moved")
+      // Dual-write to the JDBC mirror when configured (S5/S7):
+      // ON CONFLICT DO NOTHING for the append-only tables, guarded
+      // upserts for the mutable registries. Idempotent by construction,
+      // so the mirror sits OUTSIDE the parquet commit protocol — a
+      // replayed batch re-issues the same statements harmlessly — and
+      // it keeps MirrorLookup's lookup side current for the lineage
+      // fallbacks.
+      mirror.foreach { f =>
+        written.foreach { case (name, df) =>
+          name match {
+            case "accounts" => JdbcSink.write(
+              df.select("account_id", "created_by_receipt_id",
+                "deleted_by_receipt_id", "last_update_block_height"),
+              f, JdbcSink.accountsUpsertSql)
+            case "access_keys" => JdbcSink.write(
+              df.select("public_key", "account_id",
+                "created_by_receipt_id", "deleted_by_receipt_id",
+                "permission_kind", "last_update_block_height"),
+              f, JdbcSink.accessKeysUpsertSql)
+            case _ => JdbcSink.write(df, f,
+              JdbcSink.insertDoNothingSql(name, df.columns.toSeq))
+          }
+        }
+      }
+      BatchCommit.advance(spark, warehouseDir, nextVersion)
+      commitHook("committed")
+      BatchCommit.cleanup(spark, warehouseDir, nextVersion)
     } finally norm.unpersist()
   }
 }
@@ -502,9 +556,10 @@ object Warehouse {
       name: String): Option[DataFrame] =
     scala.util.Try(table(spark, warehouseDir, name)).toOption
 
-  /** Collapse at-least-once replay duplicates on read (see the
-    * delivery-guarantee note on [[Stream]]): first row per PK under a
-    * stable order.
+  /** First row per PK under a stable order. With [[BatchCommit]] the
+    * warehouse is exactly-once-effective, so this is belt and braces
+    * for readers racing an in-flight batch (see the delivery-guarantee
+    * note on [[Stream]]), not a correctness requirement.
     */
   def dedupedByPk(df: DataFrame, pk: Seq[String],
       order: Seq[String]): DataFrame =

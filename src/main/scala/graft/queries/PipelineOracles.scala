@@ -463,6 +463,25 @@ object PipelineOracles {
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin,
 
+    // Append-mode twin of q37: Spark emits a session only once the
+    // watermark (final batch max event time, ms-floored, minus 1 h)
+    // has passed its END — so the oracle is the same gaps-and-islands
+    // construction filtered to sessions with end <= watermark.
+    "q37b_stream_sessions_append" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |wm AS (SELECT ((max(us) // 1000) - 3600000) * 1000 AS wm_us FROM e),
+        |o AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |         OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+        |SELECT user_id, min(us) AS session_start_us,
+        |  max(us) + 1800000000 AS session_end_us,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY user_id, sid
+        |HAVING max(us) + 1800000000 <= (SELECT wm_us FROM wm)
+        |ORDER BY user_id, session_start_us""".stripMargin,
+
     // Exact 4-gram Jaccard: candidates from the df-pruned inverted
     // index, verified with the TRUE intersection of the full shingle
     // sets (the prune bounds candidate generation only).

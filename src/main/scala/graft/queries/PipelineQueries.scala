@@ -375,11 +375,40 @@ object PipelineQueries {
     val rare = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select(col("s"))
     val indexed = inv.join(rare, Seq("s"))
+    // Candidate pairs carry their PRUNED-index overlap for free (the
+    // groupBy that replaces distinct()); with per-doc total/pruned
+    // sizes that yields an upper bound on the true intersection —
+    //   true_shared ≤ shared_pruned + min(pruned_away_a, pruned_away_b)
+    // — so the expensive full-set verify join (two wide array columns
+    // through a shuffle per candidate) runs only for pairs whose
+    // jaccard UPPER BOUND can reach the threshold. The bound is exact
+    // arithmetic on counts; the 1e-9 slack only ever ADMITS extra
+    // candidates, so the exact verify's output is unchanged.
+    val docStats = sets.select(col("doc_id"), size(col("sh")).as("n_total"))
+      .join(indexed.groupBy(col("doc_id")).agg(count(lit(1)).as("n_pruned")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_total"),
+        coalesce(col("n_pruned"), lit(0L)).as("n_pruned"))
     val cand = indexed.as("x").join(indexed.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    cand
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_pruned"))
+    val screened = cand
+      .join(docStats.select(col("doc_id").as("doc_a"),
+        col("n_total").as("ta"), col("n_pruned").as("pa")), Seq("doc_a"))
+      .join(docStats.select(col("doc_id").as("doc_b"),
+        col("n_total").as("tb"), col("n_pruned").as("pb")), Seq("doc_b"))
+      .withColumn("ub_inter", col("shared_pruned") +
+        least(col("ta") - col("pa"), col("tb") - col("pb")))
+      // Slack = the 4-decimal rounding half-width (the exact stage
+      // keeps round(j,4) >= threshold, so true j down to threshold −
+      // 0.00005 must survive the screen) + fp epsilon.
+      .filter(col("ub_inter").cast("double") /
+        (col("ta") + col("tb") - col("ub_inter")).cast("double")
+        >= threshold - 5e-5 - 1e-9)
+      .select(col("doc_a"), col("doc_b"))
+    screened
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
         Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),

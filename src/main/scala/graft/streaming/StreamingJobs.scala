@@ -41,10 +41,11 @@ object StreamingJobs {
     * sink table is dropped from the catalog (repeated invocations must
     * not leak temp tables into the shared session).
     */
-  private def drain(s: SparkSession, agg: DataFrame, prefix: String)(
+  private def drain(s: SparkSession, agg: DataFrame, prefix: String,
+      outputMode: String = "complete")(
       project: DataFrame => DataFrame): DataFrame = {
     val name = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = agg.writeStream.outputMode("complete")
+    val q = agg.writeStream.outputMode(outputMode)
       .format("memory").queryName(name).start()
     try {
       try q.processAllAvailable() finally q.stop()
@@ -103,6 +104,36 @@ object StreamingJobs {
         .groupBy(session_window(col("ev_ts"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).cast("long").as("n_events"))
       drain(s, agg, "sessions_") { t =>
+        t.select(col("user_id"),
+            unix_micros(col("session_window.start")).as("session_start_us"),
+            unix_micros(col("session_window.end")).as("session_end_us"),
+            col("n_events"))
+          .orderBy(col("user_id"), col("session_start_us"))
+      }
+    }
+
+  /** APPEND-mode sessionization — the production shape the
+    * [[userSessions]] docstring names: the same `session_window`
+    * aggregation, but emitting each session exactly once when the 1 h
+    * watermark passes its end, at which point its state is EVICTED —
+    * state stays bounded by the watermark horizon on an unbounded
+    * stream, where complete mode would grow forever. The price is the
+    * emission horizon: sessions still open — or closed but newer than
+    * `max event time − 1 h` when the input ends — are never emitted
+    * (Spark finalizes a window only when `window.end <= watermark`).
+    * On the fixture that makes the result the gaps-and-islands oracle
+    * FILTERED to sessions ending at or before the final watermark —
+    * a genuinely different (and state-bounded) result than q37's
+    * complete-mode drain of everything.
+    */
+  def userSessionsAppend(s: SparkSession, dir: String): DataFrame =
+    withNanosConf(s) {
+      val agg = eventsStream(s, dir)
+        .withColumn("ev_ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ev_ts", "1 hour")
+        .groupBy(session_window(col("ev_ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).cast("long").as("n_events"))
+      drain(s, agg, "sessionsa_", outputMode = "append") { t =>
         t.select(col("user_id"),
             unix_micros(col("session_window.start")).as("session_start_us"),
             unix_micros(col("session_window.end")).as("session_end_us"),

@@ -152,7 +152,7 @@ class NearStreamSpec extends AnyFunSuite {
 
     // Orphan R6 parked with retry budget, then dropped after maxRetries
     // batches: drive empty-ish batches by adding fork-only blocks.
-    val pendingAfter2 = spark.read.parquet(s"$wh/${Stream.PendingDir}")
+    val pendingAfter2 = Stream.stateTable(spark, wh, Stream.PendingDir).get
     assert(pendingAfter2.select("r.receiptId").collect()
       .map(_.getString(0)).toSet == Set("R6"))
   }
@@ -175,7 +175,7 @@ class NearStreamSpec extends AnyFunSuite {
       Stream.processBatch(spark, norm(chain(3)), wh,
         maxRetries = Int.MaxValue) // fork block re-delivery: idempotent-ish driver
     }
-    val pending = spark.read.parquet(s"$wh/${Stream.PendingDir}")
+    val pending = Stream.stateTable(spark, wh, Stream.PendingDir).get
       .select("r.receiptId").collect().map(_.getString(0)).toSet
     assert(pending.contains("R6"))
     val written = Warehouse.table(spark, wh, "receipts")
@@ -212,7 +212,7 @@ class NearStreamSpec extends AnyFunSuite {
     assert(hashes.contains("T6")) // first arrival, no suffix
 
     // The state holds first-seen (hash, receipt) pairs, one per hash.
-    val st = spark.read.parquet(s"$wh/${Stream.TxRecentDir}")
+    val st = Stream.stateTable(spark, wh, Stream.TxRecentDir).get
     assert(st.count() == st.select("tx_hash").distinct().count())
     val t1 = st.filter(col("tx_hash") === "T1").collect()(0)
     assert(t1.getAs[String]("cid") == "R1") // first occurrence wins
@@ -223,7 +223,7 @@ class NearStreamSpec extends AnyFunSuite {
     // same converted receipt → dropped, no state churn.)
     Stream.processBatch(spark, norm(chain(3)), wh,
       collisionWindowBlocks = 1L)
-    val st2 = spark.read.parquet(s"$wh/${Stream.TxRecentDir}")
+    val st2 = Stream.stateTable(spark, wh, Stream.TxRecentDir).get
       .select("tx_hash").collect().map(_.getString(0)).toSet
     assert(st2 == Set("T1_issue84_102", "T5", "T6"),
       s"expected window prune of T1, got $st2")
@@ -270,7 +270,7 @@ class NearStreamSpec extends AnyFunSuite {
       .map(_.select("receipt_id").collect().map(_.getString(0)).toSet)
       .getOrElse(Set.empty[String])
     assert(!r1.contains("R3"))
-    assert(spark.read.parquet(s"$wh/${Stream.PendingDir}")
+    assert(Stream.stateTable(spark, wh, Stream.PendingDir).get
       .select("r.receiptId").collect().map(_.getString(0)).toSet
       .contains("R3"))
 
@@ -357,6 +357,72 @@ class NearStreamSpec extends AnyFunSuite {
       assert(Warehouse.table(spark, wh, "execution_outcome_receipts")
         .count() == g.nEdges)
     }
+  }
+
+  test("mid-batch crash rolls back; replayed batch writes rows exactly once") {
+    val chain = Fixtures.chain
+    import SparkTestSession.spark.implicits._
+    def norm(js: String*) = graft.near.Ingest.blocksFromJson(spark, js).toDF()
+    // Crash at every step of the commit protocol: before the commit
+    // point ("staged"/"manifest"/"moved") recovery must ROLL BACK the
+    // half-applied batch; after it ("committed") roll FORWARD. Either
+    // way the replayed batch must leave every table with each row
+    // exactly once — no dedup-on-read involved.
+    Seq("staged", "manifest", "moved", "committed").foreach { crashAt =>
+      val wh = Files.createTempDirectory(s"graft_crash_$crashAt").toString + "/wh"
+      Stream.processBatch(spark, norm(chain(0)), wh)
+      val boom = intercept[RuntimeException] {
+        Stream.processBatch(spark, norm(chain(1), chain(2), chain(3)), wh,
+          commitHook = step =>
+            if (step == crashAt) throw new RuntimeException(s"boom@$step"))
+      }
+      assert(boom.getMessage == s"boom@$crashAt")
+      // The -500-rewind replay of the same batch.
+      Stream.processBatch(spark, norm(chain(1), chain(2), chain(3)), wh)
+      val receipts = Warehouse.table(spark, wh, "receipts")
+      assert(receipts.select("receipt_id").collect().map(_.getString(0))
+        .toSet == Set("R1", "R3", "R5", "R10", "R12"), s"crashAt=$crashAt")
+      assert(receipts.count() == 5, s"crashAt=$crashAt: duplicate rows")
+      Seq("blocks" -> "block_hash", "transactions" -> "transaction_hash",
+        "execution_outcomes" -> "receipt_id").foreach { case (t, pk) =>
+        val df = Warehouse.table(spark, wh, t)
+        assert(df.count() == df.select(pk).distinct().count(),
+          s"crashAt=$crashAt: $t has replay duplicates")
+      }
+    }
+  }
+
+  test("parent older than the pruned lookback resolves via automatic rescan") {
+    val wh = Files.createTempDirectory("graft_old_parent").toString + "/wh"
+    import SparkTestSession.spark.implicits._
+    def norm(js: String*) = graft.near.Ingest.blocksFromJson(spark, js).toDF()
+    // Day 0: T1 → R1 arrives; R1's outcome announces R3.
+    Stream.processBatch(spark, norm(Fixtures.chain(0)), wh)
+    // Drop the announced-mapping cache (the reference's LRU-eviction /
+    // restart analogue) so R3's lineage must come from the warehouse
+    // J2 lookup when it finally arrives.
+    val v = graft.near.BatchCommit.currentVersion(spark, wh)
+    val aheadPath = new org.apache.hadoop.fs.Path(
+      graft.near.BatchCommit.statePath(wh, v, Stream.LineageAheadDir))
+    aheadPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(aheadPath, true)
+    // Day 5: R3 arrives — its parent receipt row sits 5 days back,
+    // OUTSIDE the default 2-day pruned recovery window. The pruned
+    // pass must detect the residue and automatically rescan unpruned
+    // (no fullRecoveryScan flag), resolving R3 instead of parking it.
+    val rescansBefore = graft.near.Metrics.lineageFullRescans.get
+    val lateTs = (1700000000000000000L + 5L * 86400L * 1000000000L).toString
+    val lateBlock = Fixtures.block(105, "B105", "B100", lateTs,
+      Seq(Fixtures.shard(0, Some(Fixtures.chunk("C105", 0, Seq.empty,
+        Seq(Fixtures.actionReceipt("R3", "bob.near", "carol.near",
+          "alice.near", Fixtures.transfer)))), Seq.empty, Seq.empty)))
+    Stream.processBatch(spark, norm(lateBlock), wh)
+    val receipts = Warehouse.table(spark, wh, "receipts")
+      .select("receipt_id", "originated_from_transaction_hash").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(receipts.get("R3").contains("T1"))
+    assert(graft.near.Metrics.lineageFullRescans.get > rescansBefore,
+      "expected the metered unpruned-rescan path to have engaged")
   }
 
   test("block_date partitioning is the UTC day regardless of session timezone") {

@@ -215,6 +215,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("q25 IVF plan: broadcast candidate join, no nested-loop/cartesian") {
+    // Pins the plan shape behind the bench number (VERDICT r6 flagged
+    // unexplained creep): anchors must reach the corpus through a
+    // BROADCAST equi-join on the cell key — never a nested loop — and
+    // the ranking window is the only wide shuffle.
+    val plan = SparkEntry.queries("q25_ann_ivf")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
   test("q25 IVF ANN: dense ranks, bounded cosine, hits its probed cells") {
     val ivf = SparkEntry.queries("q25_ann_ivf")(spark, sf).collect()
     assert(ivf.nonEmpty)
@@ -493,6 +506,29 @@ class PipelineSpec extends AnyFunSuite {
         case _ => ()
       }
     }
+  }
+
+  test("q37b append-mode sessions = complete-mode sessions up to the watermark") {
+    // Append mode emits a session exactly once, when the final
+    // watermark (max event time − 1 h) passes its end — so the result
+    // must equal q37's complete drain FILTERED to that horizon: a
+    // strict subset proving eviction actually happened (sessions near
+    // the stream end stay open), with no duplicates and no extras.
+    val appended = SparkEntry.queries("q37b_stream_sessions_append")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(appended.length == appended.distinct.length, "duplicate emissions")
+    val complete = SparkEntry.queries("q37_stream_sessions")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val maxUs = Tables.events(spark, sf)
+      .agg(max(expr("ts div 1000"))).collect()(0).getLong(0)
+    val wmUs = (maxUs / 1000L - 3600000L) * 1000L
+    val expected = complete.filter(_._3 <= wmUs).toSet
+    assert(appended.toSet == expected,
+      s"missing=${expected -- appended.toSet} extra=${appended.toSet -- expected}")
+    assert(appended.length < complete.length,
+      "append emitted everything — watermark eviction did not engage")
   }
 
   test("q35 streaming dedup equals batch count-distinct") {
