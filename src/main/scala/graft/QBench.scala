@@ -1,0 +1,33 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** One-query micro-bench in a fresh session: `runMain graft.QBench
+  * <query> [reps]` — warmup + reps timed executions, min/median
+  * printed. The isolated counterpart of [[Bench]]'s shared-session
+  * sweep, for distinguishing plan regressions from session noise.
+  */
+object QBench {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def exec(): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    exec() // warmup
+    val times = (1 to reps).map(_ => exec()).sorted
+    println(f"""{"query":"$name","min":${times.head}%.3f,"median":${times(times.length / 2)}%.3f,"reps":$reps}""")
+    spark.stop()
+  }
+}

@@ -316,8 +316,12 @@ object PipelineQueries {
     val bucket = conv(substring(md5(concat(lit("split:"),
         col("doc_id").cast("string"))), 1, 8), 16, 10)
       .cast("long") % 100
+    // Materialized once: three branches (train index, test explode,
+    // test sizes) would each re-evaluate the expensive shingleSet over
+    // the full corpus otherwise — same rationale as q38's checkpoint.
     val base = d.select(col("doc_id"), TF.shingleSet(col("text"), 5).as("sh"),
       bucket.as("bucket"))
+      .localCheckpoint(true)
     val trainSh = base.filter(col("bucket") < 90)
       .select(explode(col("sh")).as("s")).distinct()
     val testDocs = base.filter(col("bucket") >= 95)
@@ -369,8 +373,16 @@ object PipelineQueries {
   def q38NgramJaccard(s: SparkSession, dir: String,
       threshold: Double = 0.5, maxDf: Int = 64): DataFrame = {
     val d = Tables.documents(s, dir)
+    // The shingle-set table is materialized ONCE (shingleSet — regex
+    // split + windowed distinct per doc — is the plan's most expensive
+    // expression, and four branches need it: the inverted index, the
+    // size stats, and both verify sides; without the checkpoint each
+    // branch re-evaluates it over the full corpus). At warehouse scale
+    // this is the standard "write the shingle table first" step of a
+    // set-similarity join.
     val sets = d.select(col("doc_id"), TF.shingleSet(col("text"), 4).as("sh"))
       .filter(size(col("sh")) > 0)
+      .localCheckpoint(true)
     val inv = sets.select(col("doc_id"), explode(col("sh")).as("s"))
     val rare = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select(col("s"))
