@@ -57,7 +57,8 @@ object Bench {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     val isolatedNames = sys.env.getOrElse("SPARK_GRAFT_ISOLATED",
-        "q25_ann_ivf,q29_quantize_int8,q31_text_chunks")
+        "q02_revenue_by_nation,q25_ann_ivf,q29_quantize_int8," +
+          "q31_text_chunks,q36_contamination,q38_ngram_jaccard")
       .split(",").map(_.trim).filter(SparkEntry.queries.contains).toSeq
     val isolated = isolatedNames.map { n =>
       val s = SparkSession.builder()

@@ -65,6 +65,7 @@ object SparkEntry {
     "q38_ngram_jaccard"       -> ((s: SparkSession, dir: String) =>
       PipelineQueries.q38NgramJaccard(s, dir)),
     "q39_repetition"          -> (PipelineQueries.q39Repetition _),
+    "q40_unigram_surprisal"   -> (PipelineQueries.q40UnigramSurprisal _),
   ) ++ graft.queries.NearQueries.queries
 
   def oracleSql: Map[String, String] = Map(

@@ -506,6 +506,21 @@ object PipelineOracles {
          |WHERE round(CAST(n_shared AS DOUBLE) / (sz_a + sz_b - n_shared), 4) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // Unigram surprisal: one log10 per DISTINCT token, rounded to
+    // integer micro-units before the per-doc integer sum (the q32
+    // integer-exactness trick), one terminal rounded division.
+    "q40_unigram_surprisal" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(w) AS t FROM ($docsWithWords) d0),
+         |f AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+         |n AS (SELECT count(*) AS nc FROM tok),
+         |sc AS (SELECT t, CAST(round(log10(CAST(nc AS DOUBLE) / c) * 1e6)
+         |         AS BIGINT) AS sm FROM f, n)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(sm) AS BIGINT) AS surprisal_micro_total,
+         |  round(CAST(sum(sm) AS DOUBLE) / 1e6 / count(*), 4) AS avg_surprisal
+         |FROM tok JOIN sc USING (t)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // Bigram repetition signals; list_filter/list_sum mirror the HOF
     // counting, coalesce(., 0) mirrors Spark's 0-initial aggregate.
     "q39_repetition" ->

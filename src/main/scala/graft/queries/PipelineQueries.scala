@@ -435,6 +435,40 @@ object PipelineQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Unigram-surprisal quality score — the language-model-based filter
+    * class (a KenLM-style perplexity filter's stand-in, built from the
+    * corpus's own unigram stats): per-token surprisal −log10 p(t) under
+    * the corpus unigram model, averaged per document. High average
+    * surprisal = improbable token stream (noise); low = boilerplate.
+    * Hash-exact by the q32 trick: surprisal is computed ONCE PER
+    * DISTINCT TOKEN, scaled to integer micro-units (one log10 per vocab
+    * entry — a ±1 ulp engine difference cannot move the rounded micro
+    * value off by 1 except exactly at a .5 boundary), so the per-doc
+    * totals are integer sums and the only terminal double is one
+    * rounded division. Scale shape: explode → two key shuffles (token,
+    * doc) with map-side combine; the scored vocab joins back to the
+    * token stream — AQE broadcasts it when small, shuffles when the
+    * vocabulary is corpus-sized (never a driver collect).
+    */
+  def q40UnigramSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val tok = d.select(col("doc_id"), explode(TF.words(col("text"))).as("t"))
+    val freq = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val total = tok.agg(count(lit(1)).as("n_corpus"))
+    val scored = freq.crossJoin(total)
+      .withColumn("sm", round(log10(col("n_corpus").cast("double") /
+        col("c").cast("double")) * 1e6).cast("long"))
+      .select(col("t"), col("sm"))
+    tok.join(scored, Seq("t"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("sm")).as("surprisal_micro_total"))
+      .withColumn("avg_surprisal",
+        round(col("surprisal_micro_total").cast("double") / 1e6 /
+          col("n_tokens").cast("double"), 4))
+      .orderBy(col("doc_id"))
+  }
+
   /** Gopher-style repetition quality signals: a doc dominated by one
     * repeated bigram (or whose bigrams are mostly non-unique) is
     * boilerplate/spam. Integer counts + one terminally-rounded ratio

@@ -450,6 +450,32 @@ class PipelineSpec extends AnyFunSuite {
       .filter(id => texts(id).trim.split(" ", -1).length >= 2))
   }
 
+  test("q40 unigram surprisal matches a driver-side brute force") {
+    val rows = SparkEntry.queries("q40_unigram_surprisal")(spark, sf).collect()
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.nonEmpty)
+    val allToks = texts.values.toSeq.flatMap(_.trim.split(" ", -1))
+    val n = allToks.length.toDouble
+    val freq = allToks.groupBy(identity).view.mapValues(_.length).toMap
+    val sm = freq.map { case (t, c) =>
+      t -> math.round(math.log10(n / c) * 1e6) }
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val toks = texts(id).trim.split(" ", -1).toSeq
+      assert(r.getAs[Long]("n_tokens") == toks.length, s"doc $id")
+      val total = toks.map(sm).sum
+      assert(r.getAs[Long]("surprisal_micro_total") == total, s"doc $id")
+      assert(r.getAs[Double]("avg_surprisal") ==
+        BigDecimal(total / 1e6 / toks.length)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, s"doc $id")
+    }
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == texts.keySet)
+    // the score genuinely discriminates on this corpus (it would be
+    // vacuous if every doc scored identically)
+    assert(rows.map(_.getAs[Double]("avg_surprisal")).distinct.length > 1)
+  }
+
   test("q36 contamination matches a driver-side brute force") {
     import graft.functions.TextFunctions
     val rows = SparkEntry.queries("q36_contamination")(spark, sf).collect()
