@@ -18,18 +18,47 @@ object Bench {
     // under-report (e.g. minhash columns never evaluated).
     def exec(df: DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
+    // The q* entries leave localCheckpoint blocks behind (released only
+    // on GC); across an 80-query sweep the residue measurably slows
+    // later queries. Unpersist exactly the blocks a query created —
+    // the near section's shared ETL caches (snapshot `before`) stay.
+    def execReleasing(df: DataFrame): Unit = {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      exec(df)
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!before.contains(id)) rdd.unpersist(false)
+      }
+    }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
+    val isNear = (n: String) => n.startsWith("near_")
     // Warmup pass: JVM/JIT + parquet footer caches; excluded from timing.
     names.foreach { n =>
-      try exec(SparkEntry.queries(n)(spark, sfDir))
-      catch { case _: Throwable => () }
+      try {
+        if (isNear(n)) exec(SparkEntry.queries(n)(spark, sfDir))
+        else execReleasing(SparkEntry.queries(n)(spark, sfDir))
+      } catch { case _: Throwable => () }
+    }
+    val lastNear = names.filter(isNear) match {
+      case Seq() => None
+      case ns    => Some(ns.max)
     }
     val results = names.map { n =>
       val t0 = System.nanoTime()
-      try exec(SparkEntry.queries(n)(spark, sfDir))
-      catch { case _: Throwable => () }
-      n -> (System.nanoTime() - t0) / 1e9
+      try {
+        if (isNear(n)) exec(SparkEntry.queries(n)(spark, sfDir))
+        else execReleasing(SparkEntry.queries(n)(spark, sfDir))
+      } catch { case _: Throwable => () }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Once the timed near section is done its ~34 cached ETL tables
+      // are dead weight for every later query — drop them (outside the
+      // timed window; the cost lands on no entry).
+      if (lastNear.contains(n)) {
+        graft.queries.NearQueries.releaseCaches(spark)
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        spark.catalog.clearCache()
+      }
+      n -> dt
     }
     // NEAR ingest throughput: full block-JSON → 17-table ETL (incl.
     // lineage fixpoint) over a synthetic 512-block chain. The

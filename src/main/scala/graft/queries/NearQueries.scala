@@ -54,6 +54,17 @@ object NearQueries {
       Ingest.allTables(norm).map { case (n, df) => (n, df.persist()) }
     })
 
+  /** Drop this session's cached ETL outputs (hand fixture + scale
+    * chain). Long-lived sessions (the bench sweep) call this once the
+    * near section is done — the ~34 persisted tables otherwise add
+    * block-manager/GC pressure to every later query. Safe at any time:
+    * a later near query simply rebuilds the cache.
+    */
+  def releaseCaches(s: SparkSession): Unit = {
+    Option(cache.remove(s)).foreach(_.values.foreach(_.unpersist(false)))
+    Option(scaleCache.remove(s)).foreach(_.values.foreach(_.unpersist(false)))
+  }
+
   private def table(name: String, order: Seq[String])(
       s: SparkSession, dir: String): DataFrame =
     tables(s)(name).orderBy(order.map(col): _*)
