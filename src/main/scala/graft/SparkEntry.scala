@@ -66,6 +66,8 @@ object SparkEntry {
       PipelineQueries.q38NgramJaccard(s, dir)),
     "q39_repetition"          -> (PipelineQueries.q39Repetition _),
     "q40_unigram_surprisal"   -> (PipelineQueries.q40UnigramSurprisal _),
+    "q41_sequence_packing"    -> ((s: SparkSession, dir: String) =>
+      PipelineQueries.q41SequencePacking(s, dir)),
   ) ++ graft.queries.NearQueries.queries
 
   def oracleSql: Map[String, String] = Map(

@@ -506,6 +506,23 @@ object PipelineOracles {
          |WHERE round(CAST(n_shared AS DOUBLE) / (sz_a + sz_b - n_shared), 4) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // Concat-and-chunk sequence packing within md5 hash buckets; the
+    // running-token window mirrors Spark's per-bucket cumsum exactly
+    // (integer arithmetic end to end).
+    "q41_sequence_packing" ->
+      s"""WITH sized AS (SELECT doc_id,
+         |    CAST(len(w) AS BIGINT) AS n_tokens,
+         |    CAST('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8)
+         |      AS BIGINT) % 16 AS pack_bucket
+         |  FROM ($docsWithWords) d0),
+         |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY pack_bucket
+         |        ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_end
+         |      FROM sized)
+         |SELECT doc_id, pack_bucket, n_tokens,
+         |  CAST((cum_end - n_tokens) // 512 AS BIGINT) AS bin_in_bucket,
+         |  CAST((cum_end - n_tokens) % 512 AS BIGINT) AS offset_in_bin
+         |FROM c ORDER BY doc_id""".stripMargin,
+
     // Unigram surprisal: one log10 per DISTINCT token, rounded to
     // integer micro-units before the per-doc integer sum (the q32
     // integer-exactness trick), one terminal rounded division.

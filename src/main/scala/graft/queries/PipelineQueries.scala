@@ -435,6 +435,41 @@ object PipelineQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Sequence PACKING for training (the concat-and-chunk batcher): docs
+    * are concatenated in deterministic order and cut into fixed-token
+    * training sequences; each doc reports the bin it starts in and its
+    * token offset inside that bin. Distributed shape: a single global
+    * ordering would serialize the cumsum into one partition, so docs
+    * first hash into `nBuckets` independent packing streams (the
+    * standard distributed approximation — each bucket packs its own
+    * bins), and the running-token window runs PER BUCKET: parallelism =
+    * nBuckets, raise it with the corpus. Integer-exact everywhere.
+    */
+  def q41SequencePacking(s: SparkSession, dir: String,
+      binTokens: Int = 512, nBuckets: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir)
+    val bucket = conv(substring(md5(concat(lit("pack:"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long") % nBuckets
+    val sized = d.select(col("doc_id"),
+      size(TF.words(col("text"))).cast("long").as("n_tokens"),
+      bucket.as("pack_bucket"))
+    val w = Window.partitionBy(col("pack_bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sized
+      .withColumn("cum_end", sum(col("n_tokens")).over(w))
+      // SQL `div` = exact integral quotient (a `/` would go through
+      // doubles)
+      .withColumn("bin_in_bucket",
+        expr(s"(cum_end - n_tokens) div $binTokens"))
+      .withColumn("offset_in_bin",
+        (col("cum_end") - col("n_tokens")) % binTokens)
+      .select(col("doc_id"), col("pack_bucket"), col("n_tokens"),
+        col("bin_in_bucket"), col("offset_in_bin"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Unigram-surprisal quality score — the language-model-based filter
     * class (a KenLM-style perplexity filter's stand-in, built from the
     * corpus's own unigram stats): per-token surprisal −log10 p(t) under

@@ -392,6 +392,51 @@ class NearStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("random chains with random mid-commit crashes converge exactly-once") {
+    // The property-test sibling of the fixed-point crash test: every
+    // batch of a random chain may die at a random step of the commit
+    // protocol and is then replayed; the final warehouse must equal the
+    // ground truth exactly — same rows, no duplicates — with no
+    // dedup-on-read anywhere.
+    val seed = 31L
+    val g = RandomChains.chain(seed)
+    assume(g.txHashes.nonEmpty)
+    val rnd = new scala.util.Random(seed * 13)
+    val batches = g.blocks.foldLeft(Vector(Vector.empty[String])) { (acc, b) =>
+      if (acc.last.nonEmpty && rnd.nextBoolean()) acc :+ Vector(b)
+      else acc.init :+ (acc.last :+ b)
+    }
+    assert(batches.length > 1, "want a real multi-batch split")
+    val wh = Files.createTempDirectory("graft_crash_prop").toString + "/wh"
+    val steps = Vector("staged", "manifest", "moved", "committed")
+    batches.foreach { bs =>
+      val mk = () => graft.near.Ingest.blocksFromJson(spark, bs).toDF()
+      if (rnd.nextBoolean()) {
+        val step = steps(rnd.nextInt(steps.length))
+        intercept[RuntimeException] {
+          Stream.processBatch(spark, mk(), wh, maxRetries = Int.MaxValue,
+            commitHook = s =>
+              if (s == step) throw new RuntimeException(s"boom@$s"))
+        }
+      }
+      Stream.processBatch(spark, mk(), wh, maxRetries = Int.MaxValue)
+    }
+    val got = Warehouse.table(spark, wh, "receipts").collect()
+      .map(r => r.getAs[String]("receipt_id") ->
+        r.getAs[String]("originated_from_transaction_hash"))
+    assert(got.length == got.toMap.size, "duplicate receipt rows after crashes")
+    assert(got.toMap == g.lineage, s"crash-replay lineage mismatch: " +
+      s"missing=${g.lineage.keySet -- got.toMap.keySet} " +
+      s"extra=${got.toMap.keySet -- g.lineage.keySet}")
+    val gotTx = Warehouse.table(spark, wh, "transactions").collect()
+      .map(_.getAs[String]("transaction_hash"))
+    assert(gotTx.length == gotTx.distinct.length, "dup tx rows")
+    assert(gotTx.toSet == g.txHashes)
+    assert(Warehouse.table(spark, wh, "blocks").count() == g.nBlockRows)
+    assert(Warehouse.table(spark, wh, "execution_outcome_receipts")
+      .count() == g.nEdges)
+  }
+
   test("parent older than the pruned lookback resolves via automatic rescan") {
     val wh = Files.createTempDirectory("graft_old_parent").toString + "/wh"
     import SparkTestSession.spark.implicits._

@@ -476,6 +476,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Double]("avg_surprisal")).distinct.length > 1)
   }
 
+  test("q41 sequence packing matches a driver-side greedy concat-and-chunk") {
+    val rows = SparkEntry.queries("q41_sequence_packing")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("pack_bucket"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("bin_in_bucket"), r.getAs[Long]("offset_in_bin")))
+      .toMap
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.keySet == texts.keySet)
+    def bucket(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"pack:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(h.take(4).map(b => f"$b%02x").mkString, 16) % 16
+    }
+    // replay the packing stream per bucket in doc_id order
+    texts.keys.toSeq.sorted.groupBy(bucket).foreach { case (b, ids) =>
+      var cum = 0L
+      ids.foreach { id =>
+        val n = texts(id).trim.split(" ", -1).length.toLong
+        val (gotB, gotN, gotBin, gotOff) = rows(id)
+        assert(gotB == b && gotN == n, s"doc $id")
+        assert(gotBin == cum / 512, s"doc $id bin")
+        assert(gotOff == cum % 512, s"doc $id offset")
+        cum += n
+      }
+    }
+    // packing is tight: inside a bucket, consecutive bins never skip
+    rows.values.groupBy(_._1).values.foreach { vs =>
+      val bins = vs.map(_._3).toSeq.sorted.distinct
+      assert(bins == (bins.head to bins.last), "gap in bin numbering")
+    }
+  }
+
   test("q36 contamination matches a driver-side brute force") {
     import graft.functions.TextFunctions
     val rows = SparkEntry.queries("q36_contamination")(spark, sf).collect()
