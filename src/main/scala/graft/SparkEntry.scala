@@ -68,6 +68,8 @@ object SparkEntry {
     "q40_unigram_surprisal"   -> (PipelineQueries.q40UnigramSurprisal _),
     "q41_sequence_packing"    -> ((s: SparkSession, dir: String) =>
       PipelineQueries.q41SequencePacking(s, dir)),
+    "q42_cross_split_contamination" -> ((s: SparkSession, dir: String) =>
+      PipelineQueries.q42CrossSplitContamination(s, dir)),
   ) ++ graft.queries.NearQueries.queries
 
   def oracleSql: Map[String, String] = Map(

@@ -506,6 +506,34 @@ object PipelineOracles {
          |WHERE round(CAST(n_shared AS DOUBLE) / (sz_a + sz_b - n_shared), 4) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // Fuzzy train/eval decontamination: the q15 LSH pair pipeline
+    // restricted to train-test cross pairs, then the best match per
+    // test doc (window: jaccard DESC, train id DESC) left-joined onto
+    // the full eval split.
+    "q42_cross_split_contamination" ->
+      s"""WITH $q15PairCtes,
+         |sp AS (SELECT doc_id,
+         |    CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+         |      AS BIGINT) % 100 AS b FROM documents),
+         |x AS (SELECT
+         |    CASE WHEN ba.b >= 95 THEN v.doc_a ELSE v.doc_b END AS test_doc,
+         |    CASE WHEN ba.b >= 95 THEN v.doc_b ELSE v.doc_a END AS train_doc,
+         |    v.jaccard
+         |  FROM v JOIN sp ba ON v.doc_a = ba.doc_id
+         |         JOIN sp bb ON v.doc_b = bb.doc_id
+         |  WHERE v.jaccard >= 0.8
+         |    AND ((ba.b >= 95 AND bb.b < 90) OR (ba.b < 90 AND bb.b >= 95))),
+         |best AS (SELECT test_doc, train_doc AS best_train_doc,
+         |    jaccard AS best_jaccard
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY test_doc
+         |          ORDER BY jaccard DESC, train_doc DESC) AS rn FROM x)
+         |  WHERE rn = 1)
+         |SELECT sp.doc_id,
+         |  best.test_doc IS NOT NULL AS is_contaminated,
+         |  best.best_train_doc, best.best_jaccard
+         |FROM sp LEFT JOIN best ON sp.doc_id = best.test_doc
+         |WHERE sp.b >= 95 ORDER BY sp.doc_id""".stripMargin,
+
     // Concat-and-chunk sequence packing within md5 hash buckets; the
     // running-token window mirrors Spark's per-bucket cumsum exactly
     // (integer arithmetic end to end).

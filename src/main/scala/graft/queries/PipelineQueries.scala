@@ -435,6 +435,56 @@ object PipelineQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** FUZZY train/eval decontamination — the near-dup sibling of q36's
+    * exact 5-gram scan: every test-split document (q33's hash split) is
+    * reported with whether any TRAIN document is a minhash-LSH near
+    * duplicate of it (the q15 pipeline: banded signatures → bucket
+    * join → exact-Jaccard verify), plus its best train match. The
+    * production "eval set leaked into training data, fuzzily" check.
+    * Scale shape: identical to q15 (one band-key shuffle, verify only
+    * inside buckets) + two split-tag broadcasts and a per-test-doc
+    * window over the (tiny) cross-pair set; the final left join keeps
+    * every eval doc in the report.
+    */
+  def q42CrossSplitContamination(s: SparkSession, dir: String,
+      threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir)
+    val bucket = conv(substring(md5(concat(lit("split:"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 100
+    val split = d.select(col("doc_id"), bucket.as("b"))
+    val pairs = graft.functions.Dedup
+      .lshNearDupPairs(s, d, "doc_id", "text", threshold = threshold)
+    val cross = pairs
+      .join(split.select(col("doc_id").as("doc_a"), col("b").as("ba")),
+        Seq("doc_a"))
+      .join(split.select(col("doc_id").as("doc_b"), col("b").as("bb")),
+        Seq("doc_b"))
+      .filter((col("ba") >= 95 && col("bb") < 90) ||
+        (col("ba") < 90 && col("bb") >= 95))
+      .select(
+        when(col("ba") >= 95, col("doc_a")).otherwise(col("doc_b"))
+          .as("test_doc"),
+        when(col("ba") >= 95, col("doc_b")).otherwise(col("doc_a"))
+          .as("train_doc"),
+        col("jaccard"))
+    // Deterministic best match: highest jaccard, ties to the highest
+    // train id (the oracle's window mirrors this exactly).
+    val w = Window.partitionBy(col("test_doc"))
+      .orderBy(col("jaccard").desc, col("train_doc").desc)
+    val best = cross.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("test_doc"), col("train_doc").as("best_train_doc"),
+        col("jaccard").as("best_jaccard"))
+    split.filter(col("b") >= 95).select(col("doc_id"))
+      .join(best, col("doc_id") === col("test_doc"), "left")
+      .select(col("doc_id"),
+        col("test_doc").isNotNull.as("is_contaminated"),
+        col("best_train_doc"), col("best_jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Sequence PACKING for training (the concat-and-chunk batcher): docs
     * are concatenated in deterministic order and cut into fixed-token
     * training sequences; each doc reports the bin it starts in and its

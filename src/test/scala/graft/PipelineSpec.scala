@@ -509,6 +509,43 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q42 cross-split contamination agrees with q15 pairs + q33 buckets") {
+    val rows = SparkEntry.queries("q42_cross_split_contamination")(spark, sf)
+      .collect()
+    def bucket(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(h.take(4).map(b => f"$b%02x").mkString, 16) % 100
+    }
+    val allIds = Tables.documents(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // the report covers the test split exactly
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet ==
+      allIds.filter(bucket(_) >= 95))
+    // ground truth from the (already brute-force-verified) q15 pairs
+    val pairs = SparkEntry.queries("q15_lsh_near_dups")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard")))
+    val expected = pairs.flatMap { case (a, b, j) =>
+      if (bucket(a) >= 95 && bucket(b) < 90) Seq((a, b, j))
+      else if (bucket(b) >= 95 && bucket(a) < 90) Seq((b, a, j))
+      else Seq.empty
+    }.groupBy(_._1).view
+      .mapValues(_.maxBy(p => (p._3, p._2))).toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      expected.get(id) match {
+        case Some((_, train, j)) =>
+          assert(r.getAs[Boolean]("is_contaminated"), s"doc $id")
+          assert(r.getAs[Long]("best_train_doc") == train, s"doc $id")
+          assert(r.getAs[Double]("best_jaccard") == j, s"doc $id")
+        case None =>
+          assert(!r.getAs[Boolean]("is_contaminated"), s"doc $id")
+          assert(r.isNullAt(r.fieldIndex("best_train_doc")), s"doc $id")
+      }
+    }
+  }
+
   test("q36 contamination matches a driver-side brute force") {
     import graft.functions.TextFunctions
     val rows = SparkEntry.queries("q36_contamination")(spark, sf).collect()
