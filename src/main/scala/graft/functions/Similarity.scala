@@ -111,9 +111,12 @@ object Similarity {
       maxRows: Long = 65536L): DataFrame = {
     // Guard cost is bounded by the guard itself: scan at most
     // maxRows+1 rows instead of count()-ing the full input (which
-    // doubled the source reads on every call).
-    val over = embeddings.limit(
-      (math.min(maxRows, Int.MaxValue - 1L) + 1L).toInt).count() > maxRows
+    // doubled the source reads on every call). limit() takes an Int —
+    // for a cap at or beyond Int.MaxValue fall back to the full count
+    // rather than silently disabling the guard.
+    val over =
+      if (maxRows >= Int.MaxValue) embeddings.count() > maxRows
+      else embeddings.limit(maxRows.toInt + 1).count() > maxRows
     require(!over,
       s"nearDupPairs is the exact all-pairs baseline: input has more than " +
         s"maxRows=$maxRows rows; use nearDupPairsLsh for corpus-scale inputs")

@@ -54,13 +54,24 @@ object BatchCommit {
     finally in.close()
   }
 
+  /** Hadoop rename reports many failures (dst exists, src missing,
+    * transient store errors) by returning FALSE, not throwing. Every
+    * rename in this protocol is load-bearing — a silent failure would
+    * corrupt the exactly-once guarantee — so a false return fails the
+    * batch loudly; the replay then recovers.
+    */
+  private def renameOrThrow(f: FileSystem, src: Path, dst: Path): Unit =
+    if (!f.rename(src, dst))
+      throw new java.io.IOException(s"batch commit: rename $src -> $dst " +
+        "failed (filesystem returned false)")
+
   /** Create-then-rename so the file appears atomically. */
   private def writeSmallAtomic(f: FileSystem, p: Path, body: String): Unit = {
     val tmp = new Path(p.toString + "_tmp")
     val out = f.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
     f.delete(p, false)
-    f.rename(tmp, p)
+    renameOrThrow(f, tmp, p)
   }
 
   /** Committed state version (0 = fresh warehouse). Repairs a pointer
@@ -71,7 +82,7 @@ object BatchCommit {
     val f = fs(spark, warehouseDir)
     if (!f.exists(currentPath(warehouseDir)) &&
         f.exists(nextPath(warehouseDir)))
-      f.rename(nextPath(warehouseDir), currentPath(warehouseDir))
+      renameOrThrow(f, nextPath(warehouseDir), currentPath(warehouseDir))
     if (!f.exists(currentPath(warehouseDir))) 0L
     else readSmall(f, currentPath(warehouseDir)).trim.toLong
   }
@@ -167,7 +178,7 @@ object BatchCommit {
     moves.foreach { case (src, dst) =>
       val d = new Path(dst)
       f.mkdirs(d.getParent)
-      f.rename(new Path(src), d)
+      renameOrThrow(f, new Path(src), d)
     }
   }
 
@@ -177,7 +188,7 @@ object BatchCommit {
     val f = fs(spark, warehouseDir)
     writeSmallAtomic(f, nextPath(warehouseDir), version.toString)
     f.delete(currentPath(warehouseDir), false)
-    f.rename(nextPath(warehouseDir), currentPath(warehouseDir))
+    renameOrThrow(f, nextPath(warehouseDir), currentPath(warehouseDir))
   }
 
   def cleanup(spark: SparkSession, warehouseDir: String,

@@ -373,26 +373,40 @@ object Stream {
             prune = !fullRecoveryScan)).reduce(_ unionByName _), edgeSet)
         if (fullRecoveryScan) pass2
         else {
-          // A frontier residue after the PRUNED pass means a parent
-          // older than the lookback (long-postponed data receipt,
-          // recovery after extended downtime). Silently parking it
-          // would drop data the reference's unbounded indexed lookups
-          // (receipts.rs:409-429) resolve — so the residue retries
-          // against the UNPRUNED history, metered via Metrics (the
-          // rescan runs only for batches that actually have such a
-          // residue, and only over the residue rows).
+          // A frontier residue after the PRUNED pass that has ALREADY
+          // waited a full batch (retries >= 1) means a parent older
+          // than the lookback (long-postponed data receipt, recovery
+          // after extended downtime). Silently parking it would drop
+          // data the reference's unbounded indexed lookups
+          // (receipts.rs:409-429) resolve — so that residue retries
+          // against the UNPRUNED history, metered via Metrics. The
+          // retries gate keeps ordinary out-of-order arrivals (parent
+          // simply in a FUTURE block, the common case) from paying a
+          // full-history scan: they park for one batch first, and
+          // almost always resolve from the next batch's seeds.
           val residue = frontier
             .join(pass2, col("parent") === col("child"), "left_anti")
             .localCheckpoint(true)
+          val rescan =
+            if (residue.isEmpty) residue
+            else {
+              val retriedIds = rBase.filter(col("retries") >= 1)
+                .select(col("r.receiptId").as("parent"))
+                .unionByName(edges.filter(col("retries") >= 1)
+                  .select(col("parent")))
+                .distinct()
+              residue.join(retriedIds, Seq("parent"), "left_semi")
+                .localCheckpoint(true)
+            }
           val unpruned =
-            if (residue.isEmpty) Seq.empty
-            else warehouseSeeds(residue, prune = false)
+            if (rescan.isEmpty) Seq.empty
+            else warehouseSeeds(rescan, prune = false)
           // An empty seed list means no lookup tables exist yet — the
           // residue is ordinary out-of-order arrivals on a young
           // warehouse, not a lookback miss; parking handles it.
           if (unpruned.isEmpty) pass2
           else {
-            Metrics.recordLineageFullRescan(residue.count())
+            Metrics.recordLineageFullRescan(rescan.count())
             Lineage.resolveGraph(
               (Seq(seeded, pass2) ++ unpruned).reduce(_ unionByName _),
               edgeSet)

@@ -21,6 +21,24 @@ object NearQueries {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, Map[String, DataFrame]]()
 
+  /** Write a one-file fixture mirror with a STABLE file name: Spark's
+    * part-file names embed a fresh write UUID, which made every run
+    * churn the git-tracked fixture tree even though the bytes are
+    * deterministic. Rename the single part file to `data.parquet` and
+    * drop the marker files so repeated runs are byte-identical on disk.
+    */
+  private def writeFixture(df: DataFrame, dir: String): Unit = {
+    df.coalesce(1).write.mode("overwrite").parquet(dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val f = p.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    f.listStatus(p).map(_.getPath).foreach { c =>
+      if (c.getName.startsWith("part-"))
+        f.rename(c, new org.apache.hadoop.fs.Path(p, "data.parquet"))
+      else if (c.getName == "_SUCCESS") f.delete(c, false)
+    }
+  }
+
   private def tables(s: SparkSession): Map[String, DataFrame] =
     cache.computeIfAbsent(s, (s2: SparkSession) => {
       val norm = Ingest.blocksFromJson(s2, Fixtures.chain).toDF().persist()
@@ -28,12 +46,10 @@ object NearQueries {
       // Deterministic parquet mirror of the oracle's input: the
       // normalized chain plus the S4 point-source states. DuckDB
       // recomputes all 17 tables from these (NearOracles.sql).
-      norm.coalesce(1).write.mode("overwrite")
-        .parquet(s"${NearOracles.fixtureDir}/norm")
-      s2.createDataset(Fixtures.lockupStates)(
+      writeFixture(norm, s"${NearOracles.fixtureDir}/norm")
+      writeFixture(s2.createDataset(Fixtures.lockupStates)(
           org.apache.spark.sql.Encoders.product[graft.near.Lockup.State])
-        .coalesce(1).write.mode("overwrite")
-        .parquet(s"${NearOracles.fixtureDir}/lockup_states")
+        .toDF(), s"${NearOracles.fixtureDir}/lockup_states")
       Ingest.allTables(norm).map { case (n, df) => (n, df.persist()) }
     })
 
@@ -49,8 +65,7 @@ object NearQueries {
       val norm = Ingest.blocksFromJson(s2, graft.near.ScaleChain.chain())
         .toDF().persist()
       norm.count()
-      norm.coalesce(1).write.mode("overwrite")
-        .parquet(s"${NearOracles.fixtureDir}/scale_norm")
+      writeFixture(norm, s"${NearOracles.fixtureDir}/scale_norm")
       Ingest.allTables(norm).map { case (n, df) => (n, df.persist()) }
     })
 

@@ -539,7 +539,9 @@ object PipelineQueries {
     val d = Tables.documents(s, dir)
     val tok = d.select(col("doc_id"), explode(TF.words(col("text"))).as("t"))
     val freq = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
-    val total = tok.agg(count(lit(1)).as("n_corpus"))
+    // corpus total from the (vocabulary-sized) freq table — a third
+    // full corpus explode would buy nothing
+    val total = freq.agg(sum(col("c")).as("n_corpus"))
     val scored = freq.crossJoin(total)
       .withColumn("sm", round(log10(col("n_corpus").cast("double") /
         col("c").cast("double")) * 1e6).cast("long"))

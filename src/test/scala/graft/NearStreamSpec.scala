@@ -452,9 +452,9 @@ class NearStreamSpec extends AnyFunSuite {
     aheadPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(aheadPath, true)
     // Day 5: R3 arrives — its parent receipt row sits 5 days back,
-    // OUTSIDE the default 2-day pruned recovery window. The pruned
-    // pass must detect the residue and automatically rescan unpruned
-    // (no fullRecoveryScan flag), resolving R3 instead of parking it.
+    // OUTSIDE the default 2-day pruned recovery window. First-time
+    // unresolved rows only PARK (the retries>=1 gate keeps ordinary
+    // out-of-order arrivals off the full-history scan)…
     val rescansBefore = graft.near.Metrics.lineageFullRescans.get
     val lateTs = (1700000000000000000L + 5L * 86400L * 1000000000L).toString
     val lateBlock = Fixtures.block(105, "B105", "B100", lateTs,
@@ -462,6 +462,18 @@ class NearStreamSpec extends AnyFunSuite {
         Seq(Fixtures.actionReceipt("R3", "bob.near", "carol.near",
           "alice.near", Fixtures.transfer)))), Seq.empty, Seq.empty)))
     Stream.processBatch(spark, norm(lateBlock), wh)
+    assert(!Warehouse.table(spark, wh, "receipts").collect()
+      .map(_.getString(0)).contains("R3"), "R3 should park one batch first")
+    assert(graft.near.Metrics.lineageFullRescans.get == rescansBefore,
+      "first-time unresolved must not trigger the full rescan")
+    // …then the NEXT batch detects the carried residue and rescans
+    // unpruned automatically (no fullRecoveryScan flag), resolving R3.
+    val lateTs2 = (1700000000000000000L + 5L * 86400L * 1000000000L +
+      7200000000000L).toString
+    val nextBlock = Fixtures.block(106, "B106", "B105", lateTs2,
+      Seq(Fixtures.shard(0, Some(Fixtures.chunk("C106", 0, Seq.empty,
+        Seq.empty)), Seq.empty, Seq.empty)))
+    Stream.processBatch(spark, norm(nextBlock), wh)
     val receipts = Warehouse.table(spark, wh, "receipts")
       .select("receipt_id", "originated_from_transaction_hash").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
