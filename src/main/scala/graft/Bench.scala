@@ -86,9 +86,9 @@ object Bench {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     val isolatedNames = sys.env.getOrElse("SPARK_GRAFT_ISOLATED",
-        "q02_revenue_by_nation,q24b_embedding_dups_lsh,q25_ann_ivf," +
-          "q28_dup_clusters,q29_quantize_int8,q31_text_chunks," +
-          "q34_dedup_apply,q36_contamination,q38_ngram_jaccard")
+        "q02_revenue_by_nation,q24_embedding_dups,q24b_embedding_dups_lsh," +
+          "q25_ann_ivf,q28_dup_clusters,q29_quantize_int8,q30_simhash_dups," +
+          "q31_text_chunks,q34_dedup_apply,q36_contamination,q38_ngram_jaccard")
       .split(",").map(_.trim).filter(SparkEntry.queries.contains).toSeq
     val isolated = isolatedNames.map { n =>
       val s = SparkSession.builder()

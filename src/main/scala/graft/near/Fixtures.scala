@@ -91,9 +91,19 @@ object Fixtures {
     "\"EVENT_JSON:{\\\"standard\\\":\\\"nep141\\\",\\\"version\\\":\\\"1.0.0\\\",\\\"event\\\":\\\"ft_transfer\\\",\\\"data\\\":[{\\\"old_owner_id\\\":\\\"bob.near\\\",\\\"new_owner_id\\\":\\\"alice.near\\\",\\\"amount\\\":\\\"7\\\"}]}\""
   val nftTransferLog =
     "\"EVENT_JSON:{\\\"standard\\\":\\\"nep171\\\",\\\"version\\\":\\\"1.0.0\\\",\\\"event\\\":\\\"nft_transfer\\\",\\\"data\\\":[{\\\"authorized_id\\\":\\\"app.near\\\",\\\"old_owner_id\\\":\\\"bob.near\\\",\\\"new_owner_id\\\":\\\"carol.near\\\",\\\"token_ids\\\":[\\\"tk1\\\",\\\"tk2\\\"]}]}\""
+  val nftMintLog =
+    "\"EVENT_JSON:{\\\"standard\\\":\\\"nep171\\\",\\\"version\\\":\\\"1.0.0\\\",\\\"event\\\":\\\"nft_mint\\\",\\\"data\\\":[{\\\"owner_id\\\":\\\"bob.near\\\",\\\"token_ids\\\":[\\\"tkm1\\\",\\\"tkm2\\\"]},{\\\"owner_id\\\":\\\"carol.near\\\",\\\"token_ids\\\":[\\\"tkm3\\\"]}]}\""
+  val nftBurnLog =
+    "\"EVENT_JSON:{\\\"standard\\\":\\\"nep171\\\",\\\"version\\\":\\\"1.0.0\\\",\\\"event\\\":\\\"nft_burn\\\",\\\"data\\\":[{\\\"owner_id\\\":\\\"carol.near\\\",\\\"authorized_id\\\":\\\"app.near\\\",\\\"token_ids\\\":[\\\"tk2\\\"]}]}\""
   val malformedEventLog =
     "\"EVENT_JSON:{\\\"standard\\\":\\\"nep141\\\",\\\"event\\\":\\\"ft_mint\\\",\\\"data\\\":5}\""
   val plainLog = "\"regular log line\""
+
+  /** FunctionCall access-key permission body (the non-FullAccess shape
+    * access_keys.rs:32-41 folds to FUNCTION_CALL).
+    */
+  val fcPermission =
+    """{"FunctionCall":{"allowance":"250000000000","receiver_id":"app.near","method_names":["mint","burn"]}}"""
 
   /** The full fixture chain. */
   def chain: Seq[String] = {

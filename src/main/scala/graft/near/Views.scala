@@ -170,6 +170,80 @@ object Views {
       Rpc.foundationLockedTokens(transport, blockHeight))
   }
 
+  /** A3 as a DAILY SERIES (main.rs:60-158 run over history): one
+    * supply row per UTC day present in `blocks`, computed at the day's
+    * LAST block (ties broken height desc then hash asc — same-height
+    * forks share (timestamp, height)).
+    *
+    * Scale shape: the day pick is one window over blocks partitioned
+    * by day (rows per day are bounded — ~70k on mainnet — so no
+    * skew risk); the per-day lockup set is a broadcast theta-join of
+    * the tiny day table (≤ days-since-genesis rows) against the
+    * lockups view; and the U256 locked-amount math runs distributed
+    * per (lockup, day) pair — no per-day driver loop, so a
+    * years-long backfill is a single job.
+    */
+  def dailyCirculatingSupply(spark: SparkSession, blocks: DataFrame,
+      lockupsView: DataFrame, states: Dataset[Lockup.State],
+      foundationLockedTokens: BigInt): DataFrame = {
+    import spark.implicits._
+    val dayBlk = blocks
+      .withColumn("day_ns",
+        (col("block_timestamp") - (col("block_timestamp") % lit(86400000000000L)))
+          .cast(D20))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("day_ns"))
+          .orderBy(col("block_timestamp").desc, col("block_height").desc,
+            col("block_hash").asc)))
+      .filter(col("rn") === 1)
+      .select(col("day_ns"), col("block_hash"),
+        col("block_height").cast("long").as("day_block_height"),
+        col("block_timestamp"), col("total_supply"))
+
+    val live = lockupsView.join(
+        broadcast(dayBlk.select(col("day_ns").cast("long").as("day"),
+          col("day_block_height"),
+          col("block_timestamp").cast("long").as("bts"))),
+        (col("creation_block_height").isNull ||
+          col("creation_block_height") <= col("day_block_height")) &&
+        (col("deletion_block_height").isNull ||
+          col("deletion_block_height") >= col("day_block_height")))
+      .select(col("day"), col("account_id"), col("bts"))
+
+    val locked = states
+      .join(live, states("accountId") === live("account_id"))
+      .select(col("day"), col("bts"),
+        struct(states.columns.map(states(_)): _*).as("s"))
+      .as[(Long, Long, Lockup.State)]
+      .map { case (day, bts, s) => (day, Lockup.lockedAmount(s, bts).toString) }
+      .toDF("day", "locked")
+      .select(col("day"), col("locked").cast(D38).as("locked"))
+
+    val agg = locked.groupBy(col("day"))
+      .agg(sum(col("locked")).cast(D38).as("lockups_locked"),
+        count(lit(1)).cast("int").as("total_lockups"),
+        count(when(col("locked") > 0, 1)).cast("int").as("unfinished_lockups"))
+
+    val f = lit(new java.math.BigDecimal(foundationLockedTokens.bigInteger))
+      .cast(D38)
+    dayBlk.join(agg, dayBlk("day_ns").cast("long") === agg("day"), "left")
+      .select(
+        col("block_timestamp").cast(D20).as("computed_at_block_timestamp"),
+        col("block_hash").as("computed_at_block_hash"),
+        (col("total_supply").cast(D38) - f -
+          coalesce(col("lockups_locked"), lit(0).cast(D38))).cast(D38)
+          .as("circulating_tokens_supply"),
+        col("total_supply").cast(D38).as("total_tokens_supply"),
+        coalesce(col("total_lockups"), lit(0)).cast("int")
+          .as("total_lockup_contracts_count"),
+        coalesce(col("unfinished_lockups"), lit(0)).cast("int")
+          .as("unfinished_lockup_contracts_count"),
+        f.as("foundation_locked_tokens"),
+        coalesce(col("lockups_locked"), lit(0).cast(D38)).cast(D38)
+          .as("lockups_locked_tokens"))
+      .orderBy(col("computed_at_block_timestamp"))
+  }
+
   /** Nanosecond start-of-day bucketing (main.rs:112-114):
     * `ts − ts % DAY` on raw nanos (NOT TimestampType — µs only).
     */

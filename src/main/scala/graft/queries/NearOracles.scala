@@ -32,9 +32,12 @@ object NearOracles {
 
   // The same SQL is instantiated twice — over the 4-block hand fixture
   // (`norm`) and the 256-block ScaleChain volume fixture (`scale_norm`)
-  // — so these two spots are tokens substituted at the bottom.
+  // — so these spots are tokens substituted at the bottom (the account
+  // filters differ between the fixtures' account populations).
   private val NormTok = "@@NORM_DIR@@"
   private val TreeTok = "@@TREE_TX@@"
+  private val FtTok = "@@FT_CONTRACT@@"
+  private val BalTok = "@@BAL_ACCT@@"
 
   private val NORM = s"""norm AS (
   SELECT * FROM read_parquet('$NormTok/*.parquet')
@@ -454,7 +457,7 @@ nft_events AS (
              CASE ev.event WHEN 'nft_mint' THEN ''
                            WHEN 'nft_transfer' THEN ${esc("d.old_owner_id")}
                            ELSE ${esc("d.owner_id")} END AS token_old_owner_account_id,
-             CASE ev.event WHEN 'nft_mint' THEN ${esc("d.new_owner_id")}
+             CASE ev.event WHEN 'nft_mint' THEN ${esc("d.owner_id")}
                            WHEN 'nft_transfer' THEN ${esc("d.new_owner_id")}
                            ELSE '' END AS token_new_owner_account_id,
              CASE ev.event WHEN 'nft_mint' THEN ''
@@ -687,7 +690,7 @@ ORDER BY receipt_included_in_block_timestamp, receipt_id, index_in_action_receip
 
     "near_q_ft_history" -> (withR(NORM, PEV, FT) + s"""
 SELECT * EXCLUDE (pk_rn) FROM ft_events
-WHERE emitted_by_contract_account_id = 'carol.near'
+WHERE emitted_by_contract_account_id = '$FtTok'
   AND (token_old_owner_account_id = 'bob.near' OR token_new_owner_account_id = 'bob.near')
 $eventOrder"""),
 
@@ -722,7 +725,7 @@ GROUP BY day_ns ORDER BY day_ns"""),
 SELECT changed_in_block_timestamp, index_in_block,
        affected_account_nonstaked_balance, affected_account_staked_balance,
        update_reason, caused_by_transaction_hash, caused_by_receipt_id
-FROM account_changes WHERE affected_account_id = 'alice.near'
+FROM account_changes WHERE affected_account_id = '@@BAL_ACCT@@'
 ORDER BY changed_in_block_timestamp, index_in_block"""),
 
     "near_circulating_supply" ->
@@ -797,18 +800,117 @@ ORDER BY changed_in_block_timestamp, index_in_block"""),
         "lockups_locked_tokens"), Nil),
   )
 
-  /** Queries re-instantiated over the ScaleChain volume fixture (the
-    * rest stay fixture-only: supply/lockups need the RPC states, and
-    * the point-lookup consumer queries filter on hand-fixture ids).
+  /** The daily circulating-supply series twin (Views
+    * .dailyCirculatingSupply / main.rs:60-158 over history): one row
+    * per UTC day, computed at the day's last block; per-day live
+    * lockups via the liveness theta-join; the same HUGEINT-safe
+    * locked-amount decomposition as SUPPLY, carried per (day, lockup).
+    * Scale-fixture-only (the hand fixture spans a single day).
+    */
+  private val DAILY = s"""day_blk AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY day_ns
+        ORDER BY block_timestamp DESC, block_height DESC, block_hash ASC) AS rn
+    FROM (SELECT *, CAST(block_timestamp AS HUGEINT)
+            - (CAST(block_timestamp AS HUGEINT) % 86400000000000) AS day_ns
+          FROM blocks)) WHERE rn = 1
+),
+states AS (
+  SELECT * FROM read_parquet('$fixtureDir/scale_lockup_states/*.parquet')
+),
+lock1 AS (
+  SELECT b.day_ns,
+         CAST(s.lockupAmount AS HUGEINT) AS amount,
+         CAST(s.terminationWithdrawnTokens AS HUGEINT) AS withdrawn,
+         CAST(b.block_timestamp AS HUGEINT) AS bts,
+         greatest(least(CAST(s.transfersTimestamp AS HUGEINT) + s.lockupDuration, $U64Max),
+                  coalesce(s.lockupTimestamp, 0)) AS lockup_ts,
+         s.codeHash IN $Buggy AS has_bug,
+         CAST(s.releaseDuration AS HUGEINT) AS rd,
+         s.transfersTimestamp, s.vestingType,
+         CAST(s.vestingStart AS HUGEINT) AS vstart,
+         CAST(s.vestingCliff AS HUGEINT) AS vcliff,
+         CAST(s.vestingEnd AS HUGEINT) AS vend,
+         s.terminatingUnvestedAmount
+  FROM day_blk b
+  JOIN lockups_view v
+    ON (v.creation_block_height IS NULL OR v.creation_block_height <= b.block_height)
+   AND (v.deletion_block_height IS NULL OR v.deletion_block_height >= b.block_height)
+  JOIN states s ON s.accountId = v.account_id
+),
+lock2 AS (
+  SELECT *, least(CASE WHEN has_bug THEN CAST(transfersTimestamp AS HUGEINT)
+                       ELSE lockup_ts END + rd, $U64Max) AS end_ts
+  FROM lock1
+),
+lock3 AS (
+  SELECT *,
+    CASE WHEN rd IS NULL THEN CAST(0 AS HUGEINT)
+         WHEN bts >= end_ts THEN CAST(0 AS HUGEINT)
+         ELSE (amount // rd) * (end_ts - bts) + ((amount % rd) * (end_ts - bts)) // rd
+    END AS unreleased,
+    CASE WHEN vestingType = 'SCHEDULE' THEN
+           CASE WHEN bts < vcliff THEN amount
+                WHEN bts >= vend THEN CAST(0 AS HUGEINT)
+                ELSE (amount // (vend - vstart)) * (vend - bts)
+                     + ((amount % (vend - vstart)) * (vend - bts)) // (vend - vstart) END
+         WHEN vestingType = 'TERMINATING' THEN CAST(coalesce(terminatingUnvestedAmount, '0') AS HUGEINT)
+         ELSE CAST(0 AS HUGEINT) END AS unvested
+  FROM lock2
+),
+locked AS (
+  SELECT day_ns,
+         CASE WHEN lockup_ts <= bts THEN
+           greatest(greatest(unreleased - withdrawn, CAST(0 AS HUGEINT)), unvested)
+         ELSE amount - withdrawn END AS locked
+  FROM lock3
+),
+supply_agg AS (
+  SELECT day_ns,
+         sum(locked) AS lockups_locked,
+         CAST(count(*) AS INTEGER) AS total_lockups,
+         CAST(count(*) FILTER (WHERE locked > 0) AS INTEGER) AS unfinished_lockups
+  FROM locked GROUP BY day_ns
+)"""
+
+  private val DailySelect = s"""
+SELECT b.block_timestamp AS computed_at_block_timestamp,
+       b.block_hash AS computed_at_block_hash,
+       CAST(CAST(b.total_supply AS HUGEINT) - $Foundation - coalesce(a.lockups_locked, 0) AS DECIMAL(38,0))
+         AS circulating_tokens_supply,
+       b.total_supply AS total_tokens_supply,
+       coalesce(a.total_lockups, 0) AS total_lockup_contracts_count,
+       coalesce(a.unfinished_lockups, 0) AS unfinished_lockup_contracts_count,
+       CAST($Foundation AS DECIMAL(38,0)) AS foundation_locked_tokens,
+       CAST(coalesce(a.lockups_locked, 0) AS DECIMAL(38,0)) AS lockups_locked_tokens
+FROM day_blk b LEFT JOIN supply_agg a ON b.day_ns = a.day_ns
+ORDER BY computed_at_block_timestamp"""
+
+  private val dailySupplySql =
+    withR(NORM, BLOCKS, CHX, TX, RCX, OCX, EOR, LIN, RECEIPTS, ACCTS, LOCKV,
+      DAILY) + DailySelect
+
+  /** Queries re-instantiated over the ScaleChain volume fixture — the
+    * full table surface plus the account-parameterized consumer
+    * queries (hand-fixture supply stays fixture-only: its states come
+    * from the hand Lockup fixture; the scale series is
+    * near_scale_q_daily_supply below).
     */
   private val scaleKeys = Seq(
-    "near_blocks", "near_chunks", "near_transactions", "near_receipts",
-    "near_action_receipt_actions", "near_execution_outcomes",
-    "near_account_changes", "near_ft_events",
-    "near_q_tx_receipt_tree", "near_q_daily_gas", "near_q_active_accounts")
+    "near_blocks", "near_chunks", "near_transactions",
+    "near_transaction_actions", "near_receipts", "near_action_receipts",
+    "near_action_receipt_actions", "near_action_receipt_input_data",
+    "near_action_receipt_output_data", "near_data_receipts",
+    "near_execution_outcomes", "near_execution_outcome_receipts",
+    "near_account_changes", "near_accounts", "near_access_keys",
+    "near_ft_events", "near_nft_events", "near_lockups",
+    "near_q_tx_receipt_tree", "near_q_daily_gas", "near_q_active_accounts",
+    "near_q_method_calls", "near_q_ft_history", "near_q_balance_history")
 
-  private def finish(q: String, normDir: String, treeTx: String): String =
+  private def finish(q: String, normDir: String, treeTx: String,
+      ftContract: String, balAcct: String): String =
     q.replace(NormTok, normDir).replace(TreeTok, treeTx)
+      .replace(FtTok, ftContract).replace(BalTok, balAcct)
 
   val sql: Map[String, String] = {
     def wrap(name: String, q: String) = {
@@ -816,11 +918,14 @@ ORDER BY changed_in_block_timestamp, index_in_block"""),
       stable(q, dec, bin)
     }
     rawSql.map { case (name, q) =>
-      name -> wrap(name, finish(q, s"$fixtureDir/norm", "T1"))
+      name -> wrap(name, finish(q, s"$fixtureDir/norm", "T1",
+        "carol.near", "alice.near"))
     } ++ scaleKeys.map { k =>
       ("near_scale_" + k.stripPrefix("near_")) ->
         wrap(k, finish(rawSql(k), s"$fixtureDir/scale_norm",
-          graft.near.ScaleChain.WhaleTx))
-    }
+          graft.near.ScaleChain.WhaleTx, "user1.near", "user1.near"))
+    } + ("near_scale_q_daily_supply" ->
+      wrap("near_circulating_supply",
+        finish(dailySupplySql, s"$fixtureDir/scale_norm", "", "", "")))
   }
 }

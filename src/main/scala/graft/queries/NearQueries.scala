@@ -66,6 +66,9 @@ object NearQueries {
         .toDF().persist()
       norm.count()
       writeFixture(norm, s"${NearOracles.fixtureDir}/scale_norm")
+      writeFixture(s2.createDataset(graft.near.ScaleChain.lockupStates)(
+          org.apache.spark.sql.Encoders.product[graft.near.Lockup.State])
+        .toDF(), s"${NearOracles.fixtureDir}/scale_lockup_states")
       Ingest.allTables(norm).map { case (n, df) => (n, df.persist()) }
     })
 
@@ -186,7 +189,28 @@ object NearQueries {
     "near_scale_chunks" -> scaleTable("chunks", Seq("chunk_hash")) _,
     "near_scale_transactions" ->
       scaleTable("transactions", Seq("transaction_hash")) _,
+    "near_scale_transaction_actions" ->
+      scaleTable("transaction_actions",
+        Seq("transaction_hash", "index_in_transaction")) _,
     "near_scale_receipts" -> scaleTable("receipts", Seq("receipt_id")) _,
+    "near_scale_action_receipts" ->
+      scaleTable("action_receipts", Seq("receipt_id")) _,
+    "near_scale_action_receipt_input_data" ->
+      scaleTable("action_receipt_input_data",
+        Seq("input_data_id", "input_to_receipt_id")) _,
+    "near_scale_action_receipt_output_data" ->
+      scaleTable("action_receipt_output_data", Seq("output_data_id")) _,
+    "near_scale_data_receipts" -> scaleTable("data_receipts", Seq("data_id")) _,
+    "near_scale_execution_outcome_receipts" ->
+      scaleTable("execution_outcome_receipts",
+        Seq("executed_receipt_id", "index_in_execution_outcome")) _,
+    "near_scale_accounts" -> scaleTable("accounts", Seq("account_id")) _,
+    "near_scale_access_keys" ->
+      scaleTable("access_keys", Seq("account_id", "public_key")) _,
+    "near_scale_nft_events" ->
+      scaleTable("assets__non_fungible_token_events",
+        Seq("emitted_at_block_timestamp", "emitted_in_shard_id",
+          "emitted_index_of_event_entry_in_shard")) _,
     "near_scale_action_receipt_actions" ->
       scaleTable("action_receipt_actions",
         Seq("receipt_id", "index_in_action_receipt")) _,
@@ -209,6 +233,30 @@ object NearQueries {
     "near_scale_q_active_accounts" -> ((s: SparkSession, dir: String) =>
       graft.near.ConsumerQueries.dailyActiveAccounts(
         scaleTables(s)("transactions"))),
+    "near_scale_q_method_calls" -> ((s: SparkSession, dir: String) =>
+      graft.near.ConsumerQueries.functionCallsByMethod(
+        scaleTables(s)("action_receipt_actions"), "do_it")),
+    "near_scale_q_ft_history" -> ((s: SparkSession, dir: String) =>
+      graft.near.ConsumerQueries.ftHistory(
+        scaleTables(s)("assets__fungible_token_events"),
+        "user1.near", "bob.near")),
+    "near_scale_q_balance_history" -> ((s: SparkSession, dir: String) =>
+      graft.near.ConsumerQueries.accountBalanceHistory(
+        scaleTables(s)("account_changes"), "user1.near")),
+    "near_scale_lockups" -> ((s: SparkSession, dir: String) => {
+      val t = scaleTables(s)
+      graft.near.Views.aggregatedLockups(t("accounts"), t("receipts"),
+        t("blocks")).orderBy("account_id")
+    }),
+    "near_scale_q_daily_supply" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val t = scaleTables(s)
+      graft.near.Views.dailyCirculatingSupply(s, t("blocks"),
+        graft.near.Views.aggregatedLockups(t("accounts"), t("receipts"),
+          t("blocks")),
+        s.createDataset(graft.near.ScaleChain.lockupStates),
+        Fixtures.foundationLocked)
+    }),
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
