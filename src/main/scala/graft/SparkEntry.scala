@@ -70,6 +70,8 @@ object SparkEntry {
       PipelineQueries.q41SequencePacking(s, dir)),
     "q42_cross_split_contamination" -> ((s: SparkSession, dir: String) =>
       PipelineQueries.q42CrossSplitContamination(s, dir)),
+    "q43_image_meta"          -> (Multimodal.q43ImageMeta _),
+    "q44_image_resize"        -> (Multimodal.q44ImageResize _),
   ) ++ graft.queries.NearQueries.queries
 
   def oracleSql: Map[String, String] = Map(

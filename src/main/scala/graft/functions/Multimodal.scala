@@ -9,11 +9,17 @@ import org.apache.spark.sql.types._
   * columns with typed metadata; decode/feature steps run as batched
   * partition-level functions (the Scala analog of `mapInPandas`).
   *
-  * The decode itself is STUBBED (no image/audio libs in this
-  * container): `decodeStub` derives deterministic fake metadata from
-  * the bytes. The Spark-side contract — schema, binary column,
-  * partition-batched UDF shape, no driver collection — is real and is
-  * what matters at 100 TB (payload bytes never leave the executor).
+  * Image decode is REAL — [[ImageCodec]] drives the JDK's built-in
+  * PNG/BMP/GIF/JPEG readers on the executors, and the q43/q44 oracle
+  * entries check the decoded pixels against a DuckDB twin that
+  * recomputes the fixture's pixel formula in SQL. Non-image payloads
+  * (e.g. a text corpus viewed as binary) fall back to deterministic
+  * byte-domain metadata/features, which is what the q22/q26 oracles
+  * pin. Only VIDEO frame-sampling remains a byte-domain stand-in (the
+  * JDK ships no video codec); its distributed shape — per-partition
+  * decoder init, typed binary outputs, no driver collection — is the
+  * real contract and is what matters at 100 TB (payload bytes never
+  * leave the executor).
   */
 object Multimodal {
 
@@ -26,22 +32,22 @@ object Multimodal {
     StructField("height", IntegerType, nullable = false),
   ))
 
-  /** STUB decoder: a real implementation would parse the media header
-    * here (e.g. JPEG SOF for width/height). The fake is a pure function
-    * of the payload so tests and the oracle can reproduce it.
-    */
-  private def decodeStub(bytes: Array[Byte]): (Int, Int) = {
-    val n = bytes.length
-    (n % 640, n % 480)
-  }
-
   private def md5hex(bytes: Array[Byte]): String =
     java.security.MessageDigest.getInstance("MD5").digest(bytes)
       .map("%02x".format(_)).mkString
 
+  /** Dimensions for any payload: real codec decode for images; for
+    * opaque/non-image payloads a deterministic byte-domain projection
+    * (length mod frame) — the documented fallback the q22 oracle pins
+    * for text corpora.
+    */
+  private def dimensions(bytes: Array[Byte]): (Int, Int) =
+    ImageCodec.decode(bytes).map(d => (d.width, d.height))
+      .getOrElse((bytes.length % 640, bytes.length % 480))
+
   /** Partition-batched metadata extraction over (id, binary) rows. Runs
-    * as mapPartitions so per-batch setup (a real decoder would init a
-    * codec once per partition, not per row) is amortized — the
+    * as mapPartitions so per-batch setup (codec readers are initialized
+    * once per partition, not per row) is amortized — the
     * `mapInPandas` batching contract.
     */
   def extractMeta(docs: DataFrame, idCol: String, binCol: String): DataFrame = {
@@ -51,7 +57,7 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        val (w, h) = decodeStub(bytes)
+        val (w, h) = dimensions(bytes)
         val first = if (bytes.nonEmpty) bytes(0) & 0xff else -1
         Row(id, bytes.length.toLong, md5hex(bytes), first, w, h)
       }
@@ -69,11 +75,41 @@ object Multimodal {
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
 
-  /** STUB feature extractor: k pseudo-embedding components, component j
-    * = md5-prefix hash of (payload ++ "_j") scaled into [0,1). A real
-    * implementation would run a codec + model forward pass here; the
-    * fake keeps the binary → fixed-dim-vector contract, is a pure
-    * function of the payload (test/oracle-reproducible), and the
+  /** Image feature vector from DECODED pixels: f0–f2 = global channel
+    * means /255, f3 = aspect ratio w/(w+h), f4+ = per-quadrant
+    * luminance means /255 (row-major quadrants, cycling). Every value
+    * is an exact integer sum divided once, so it is reproducible
+    * across JVMs.
+    */
+  def imageFeatures(d: DecodedImage, k: Int): Array[Double] = {
+    val (sr, sg, sb) = ImageCodec.channelSums(d)
+    val n = d.rgb.length.toDouble
+    val quads = Array.ofDim[Long](4); val qn = Array.ofDim[Long](4)
+    var i = 0
+    while (i < d.rgb.length) {
+      val x = i % d.width; val y = i / d.width
+      val q = (if (y * 2 >= d.height) 2 else 0) + (if (x * 2 >= d.width) 1 else 0)
+      val p = d.rgb(i)
+      // integer luminance: (2r + 5g + b) / 8 scaled by 8 to stay exact
+      quads(q) += 2L * ((p >> 16) & 0xff) + 5L * ((p >> 8) & 0xff) + (p & 0xff)
+      qn(q) += 1
+      i += 1
+    }
+    Array.tabulate(k) {
+      case 0 => sr / n / 255.0
+      case 1 => sg / n / 255.0
+      case 2 => sb / n / 255.0
+      case 3 => d.width.toDouble / (d.width + d.height)
+      case j =>
+        val q = (j - 4) % 4
+        if (qn(q) == 0) 0.0 else quads(q).toDouble / (8.0 * 255.0 * qn(q))
+    }
+  }
+
+  /** Byte-domain feature fallback for non-image payloads: k
+    * pseudo-embedding components, component j = md5-prefix hash of
+    * (payload ++ "_j") scaled into [0,1). Pure function of the payload
+    * (test/oracle-reproducible; the q26 oracle's twin), and the
     * division by 2^32 is exact in doubles so both engines emit the
     * identical value.
     */
@@ -90,18 +126,20 @@ object Multimodal {
     }
   }
 
-  /** STUB byte-domain resize: nearest-neighbor resample of the payload
-    * to `outLen` bytes (a real implementation: image rescale in the
-    * decoder). Pure, shape-fixed, executor-local.
+  /** Byte-domain resize for opaque payloads: nearest-neighbor resample
+    * of the payload to `outLen` bytes. The REAL image resize (decoded
+    * pixels, integer nearest-neighbor) is [[resizeImages]] / q44.
     */
   def resizeStub(bytes: Array[Byte], outLen: Int): Array[Byte] =
     if (bytes.isEmpty) Array.emptyByteArray
     else Array.tabulate(outLen)(i =>
       bytes(((i.toLong * bytes.length) / outLen).toInt))
 
-  /** STUB frame sampler: `n` fixed-length windows at evenly spaced
-    * offsets (a real implementation: video keyframe decode). Windows
-    * are clamped to the payload, so short payloads yield short frames.
+  /** Frame sampler stand-in: `n` fixed-length windows at evenly spaced
+    * offsets (a real implementation would decode video keyframes — the
+    * JDK ships no video codec, so this is the one remaining byte-domain
+    * stand-in). Windows are clamped to the payload, so short payloads
+    * yield short frames.
     */
   def frameSampleStub(bytes: Array[Byte], n: Int,
       frameLen: Int): Array[Array[Byte]] =
@@ -117,7 +155,9 @@ object Multimodal {
 
   /** Partition-batched feature extraction (the mapInPandas-shaped
     * stage): one fixed-width feature row per payload, bytes never leave
-    * the executor.
+    * the executor. Image payloads get REAL pixel-statistics features
+    * ([[imageFeatures]], exercised by MultimodalSpec over encoded
+    * PNGs); opaque payloads the byte-domain fallback (the q26 oracle).
     */
   def extractFeatures(docs: DataFrame, idCol: String, binCol: String,
       k: Int = 8): DataFrame = {
@@ -125,7 +165,9 @@ object Multimodal {
     val enc = RowEncoder.encoderFor(featureSchema(k))
     in.mapPartitions { rows =>
       rows.map { r =>
-        val fs = featureStub(r.getAs[Array[Byte]](1), k)
+        val bytes = r.getAs[Array[Byte]](1)
+        val fs = ImageCodec.decode(bytes).map(imageFeatures(_, k))
+          .getOrElse(featureStub(bytes, k))
         Row.fromSeq(r.getLong(0) +: fs.toSeq)
       }
     }(enc)
@@ -137,17 +179,16 @@ object Multimodal {
     StructField("frames", ArrayType(BinaryType, containsNull = false),
       nullable = false)))
 
-  /** Partition-batched resize + frame-sample over (id, binary) rows —
-    * the decode-transform stage of a media pipeline, stubbed but with
-    * the real distributed shape (per-partition codec init point, typed
-    * binary outputs, no driver collection).
+  /** Partition-batched byte-domain resize + frame-sample over
+    * (id, binary) rows — the transform stage for OPAQUE payloads
+    * (per-partition decoder init point, typed binary outputs, no
+    * driver collection). The real image transform is [[resizeImages]].
     */
   def transformMedia(docs: DataFrame, idCol: String, binCol: String,
       outLen: Int = 64, nFrames: Int = 4, frameLen: Int = 16): DataFrame = {
     val in = docs.select(col(idCol).cast("long").as("id"), col(binCol).as("data"))
     val enc = RowEncoder.encoderFor(transformSchema)
     in.mapPartitions { rows =>
-      // A real decoder would be initialized HERE, once per partition.
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](1)
         Row(r.getLong(0), resizeStub(bytes, outLen),
@@ -156,7 +197,9 @@ object Multimodal {
     }(enc)
   }
 
-  /** Driver-gated feature query: 8 stub features per document. */
+  /** Driver-gated feature query: 8 features per document (byte-domain
+    * path — the documents' payloads are text, not images).
+    */
   def q26MultimodalFeatures(s: SparkSession, dir: String): DataFrame =
     extractFeatures(
       graft.Tables.documents(s, dir).select(col("doc_id"),
@@ -164,4 +207,94 @@ object Multimodal {
       "doc_id", "payload")
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
+
+  // ---- Real image decode, oracle-gated (q43/q44) ----------------------
+
+  private val imageMetaSchema: StructType = StructType(Seq(
+    StructField("img_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("sum_r", LongType, nullable = false),
+    StructField("sum_g", LongType, nullable = false),
+    StructField("sum_b", LongType, nullable = false)))
+
+  private val imageResizeSchema: StructType = StructType(Seq(
+    StructField("img_id", LongType, nullable = false),
+    StructField("rgb_hex", StringType, nullable = false)))
+
+  // One PNG encode pass per session: the (img_id, png) table is also
+  // materialized to the fixture dir so the DuckDB twin can enumerate
+  // the same img_ids (it recomputes everything else from the formula).
+  private val imageCache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+
+  private def images(s: SparkSession): DataFrame =
+    imageCache.computeIfAbsent(s, (s2: SparkSession) => {
+      import s2.implicits._
+      val df = (0 until MediaFixture.nImages)
+        .map(id => (id.toLong, MediaFixture.png(id))).toDF("img_id", "png")
+        .persist()
+      df.count()
+      graft.queries.FixtureIO.writeStable(
+        df, s"${MediaFixture.fixtureDir}/images")
+      df
+    })
+
+  /** Decode each PNG on the executors and report dimensions plus exact
+    * per-channel pixel sums. The DuckDB twin recomputes the fixture's
+    * pixel formula in SQL — a decode defect (wrong size, channel
+    * order, pixel values) breaks the hash.
+    */
+  def q43ImageMeta(s: SparkSession, dir: String): DataFrame = {
+    val enc = RowEncoder.encoderFor(imageMetaSchema)
+    images(s).mapPartitions { rows =>
+      rows.map { r =>
+        val d = ImageCodec.decode(r.getAs[Array[Byte]](1)).getOrElse(
+          throw new IllegalStateException("fixture PNG failed to decode"))
+        val (sr, sg, sb) = ImageCodec.channelSums(d)
+        Row(r.getLong(0), d.width, d.height, sr, sg, sb)
+      }
+    }(enc).orderBy(col("img_id"))
+  }
+
+  /** Real image resize: decode → integer nearest-neighbor resample to
+    * `ow`×`oh` → hex-packed RGB (row-major). Executor-local pixels,
+    * mapPartitions shape.
+    */
+  def resizeImages(imgs: DataFrame, idCol: String, binCol: String,
+      ow: Int, oh: Int): DataFrame = {
+    val in = imgs.select(col(idCol).cast("long").as("id"), col(binCol).as("data"))
+    val enc = RowEncoder.encoderFor(imageResizeSchema)
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val d = ImageCodec.decode(r.getAs[Array[Byte]](1)).getOrElse(
+          throw new IllegalStateException("payload failed to decode"))
+        Row(r.getLong(0), ImageCodec.toHex(ImageCodec.resampleNearest(d, ow, oh)))
+      }
+    }(enc)
+  }
+
+  def q44ImageResize(s: SparkSession, dir: String): DataFrame =
+    resizeImages(images(s), "img_id", "png", 4, 4).orderBy(col("img_id"))
+}
+
+/** Deterministic media fixture: tiny truecolor PNGs built from a pure
+  * pixel formula, so the q43/q44 DuckDB twins can recompute the
+  * expected decode output in SQL without any image library. PNG is
+  * lossless — encode(formula) then decode must reproduce the formula
+  * exactly, making the engine's ImageIO decode load-bearing in the
+  * oracle gate.
+  */
+object MediaFixture {
+  val fixtureDir: String =
+    sys.env.getOrElse("GRAFT_MEDIA_FIXTURE_DIR", "/root/repo/.fixture/media")
+  val nImages = 96
+  def width(id: Int): Int = 4 + id % 13
+  def height(id: Int): Int = 3 + id % 11
+  def rgb(id: Int, x: Int, y: Int): Int =
+    (((17 * x + 29 * y + 31 * id) % 256) << 16) |
+    (((3 * x + 7 * y + 11 * id) % 256) << 8) |
+    ((13 * x + 5 * y + 19 * id) % 256)
+  def png(id: Int): Array[Byte] =
+    ImageCodec.encodePng(width(id), height(id), (x, y) => rgb(id, x, y))
 }

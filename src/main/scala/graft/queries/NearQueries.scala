@@ -21,23 +21,8 @@ object NearQueries {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, Map[String, DataFrame]]()
 
-  /** Write a one-file fixture mirror with a STABLE file name: Spark's
-    * part-file names embed a fresh write UUID, which made every run
-    * churn the git-tracked fixture tree even though the bytes are
-    * deterministic. Rename the single part file to `data.parquet` and
-    * drop the marker files so repeated runs are byte-identical on disk.
-    */
-  private def writeFixture(df: DataFrame, dir: String): Unit = {
-    df.coalesce(1).write.mode("overwrite").parquet(dir)
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val f = p.getFileSystem(
-      df.sparkSession.sparkContext.hadoopConfiguration)
-    f.listStatus(p).map(_.getPath).foreach { c =>
-      if (c.getName.startsWith("part-"))
-        f.rename(c, new org.apache.hadoop.fs.Path(p, "data.parquet"))
-      else if (c.getName == "_SUCCESS") f.delete(c, false)
-    }
-  }
+  private def writeFixture(df: DataFrame, dir: String): Unit =
+    FixtureIO.writeStable(df, dir)
 
   private def tables(s: SparkSession): Map[String, DataFrame] =
     cache.computeIfAbsent(s, (s2: SparkSession) => {

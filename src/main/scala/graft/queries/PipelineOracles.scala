@@ -586,5 +586,38 @@ object PipelineOracles {
          |  round(CAST(coalesce(list_sum(list_filter(cnts, x -> x > 1)), 0) AS DOUBLE)
          |    / n_bigrams, 4) AS repeated_frac
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Real-image-decode twins (q43/q44): the engine decodes the fixture
+    // PNGs with the JDK codec; the oracle recomputes the generator's
+    // pixel formula (MediaFixture.rgb) in SQL from img_id alone. Any
+    // decode defect — wrong dimensions, channel order, pixel values,
+    // resample offsets — breaks the value hash.
+    "q43_image_meta" ->
+      s"""WITH imgs AS (
+         |  SELECT img_id, 4 + img_id % 13 AS w, 3 + img_id % 11 AS h
+         |  FROM read_parquet('${graft.functions.MediaFixture.fixtureDir}/images/*.parquet')),
+         |xs AS (SELECT img_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM imgs),
+         |px AS (SELECT img_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs)
+         |SELECT img_id,
+         |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+         |  CAST(sum((17*x + 29*y + 31*img_id) % 256) AS BIGINT) AS sum_r,
+         |  CAST(sum((3*x + 7*y + 11*img_id) % 256) AS BIGINT) AS sum_g,
+         |  CAST(sum((13*x + 5*y + 19*img_id) % 256) AS BIGINT) AS sum_b
+         |FROM px GROUP BY img_id, w, h ORDER BY img_id""".stripMargin,
+
+    "q44_image_resize" ->
+      s"""WITH imgs AS (
+         |  SELECT img_id, 4 + img_id % 13 AS w, 3 + img_id % 11 AS h
+         |  FROM read_parquet('${graft.functions.MediaFixture.fixtureDir}/images/*.parquet')),
+         |ks AS (SELECT img_id, w, h, unnest(generate_series(0, 15)) AS k FROM imgs),
+         |rp AS (SELECT img_id, k,
+         |         ((k % 4) * w) // 4 AS x, ((k // 4) * h) // 4 AS y FROM ks)
+         |SELECT img_id,
+         |  string_agg(
+         |    format('{:02x}', (17*x + 29*y + 31*img_id) % 256) ||
+         |    format('{:02x}', (3*x + 7*y + 11*img_id) % 256) ||
+         |    format('{:02x}', (13*x + 5*y + 19*img_id) % 256),
+         |    '' ORDER BY k) AS rgb_hex
+         |FROM rp GROUP BY img_id ORDER BY img_id""".stripMargin,
   )
 }

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{ImageCodec, MediaFixture, Multimodal}
+
+/** Real image decode (q43/q44): PNG is lossless, so
+  * decode(encodePng(formula)) must reproduce the formula pixel-exactly
+  * — these tests pin that end-to-end, plus the image/byte-domain
+  * dispatch in the shared extractors.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("PNG encode→decode round-trips the pixel formula exactly") {
+    Seq(0, 7, 55, 95).foreach { id =>
+      val d = ImageCodec.decode(MediaFixture.png(id)).get
+      assert(d.width == MediaFixture.width(id))
+      assert(d.height == MediaFixture.height(id))
+      for (y <- 0 until d.height; x <- 0 until d.width)
+        assert(d.rgb(y * d.width + x) == MediaFixture.rgb(id, x, y),
+          s"pixel mismatch id=$id ($x,$y)")
+    }
+  }
+
+  test("nearest-neighbor resample picks floor-scaled source pixels") {
+    val d = ImageCodec.decode(MediaFixture.png(3)).get
+    val out = ImageCodec.resampleNearest(d, 4, 4)
+    for (j <- 0 until 4; i <- 0 until 4) {
+      val x = i * d.width / 4
+      val y = j * d.height / 4
+      assert(out(j * 4 + i) == d.rgb(y * d.width + x))
+    }
+  }
+
+  test("extractMeta dispatches: real dimensions for images, byte fallback otherwise") {
+    import spark.implicits._
+    val png = MediaFixture.png(11)
+    val txt = "just some text".getBytes("UTF-8")
+    val df = Seq((1L, png), (2L, txt)).toDF("id", "payload")
+    val got = Multimodal.extractMeta(df, "id", "payload").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("width"), r.getAs[Int]("height"))).toMap
+    assert(got(1L) == (MediaFixture.width(11), MediaFixture.height(11)))
+    assert(got(2L) == (txt.length % 640, txt.length % 480))
+  }
+
+  test("image features are exact channel statistics") {
+    val d = ImageCodec.decode(MediaFixture.png(20)).get
+    val f = Multimodal.imageFeatures(d, 8)
+    val (sr, sg, sb) = ImageCodec.channelSums(d)
+    val n = d.rgb.length.toDouble
+    assert(f(0) == sr / n / 255.0)
+    assert(f(1) == sg / n / 255.0)
+    assert(f(2) == sb / n / 255.0)
+    assert(f(3) == d.width.toDouble / (d.width + d.height))
+    f.foreach(v => assert(v >= 0.0 && v <= 1.0))
+  }
+
+  test("q43/q44 decode every fixture image") {
+    val meta = SparkEntry.queries("q43_image_meta")(spark, sf).collect()
+    assert(meta.length == MediaFixture.nImages)
+    meta.foreach { r =>
+      val id = r.getAs[Long]("img_id").toInt
+      assert(r.getAs[Int]("width") == MediaFixture.width(id))
+      assert(r.getAs[Int]("height") == MediaFixture.height(id))
+    }
+    val rs = SparkEntry.queries("q44_image_resize")(spark, sf).collect()
+    assert(rs.length == MediaFixture.nImages)
+    rs.foreach(r => assert(r.getAs[String]("rgb_hex").length == 16 * 6))
+  }
+}
