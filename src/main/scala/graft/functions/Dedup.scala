@@ -137,15 +137,16 @@ object Dedup {
       val nbrMin = edges
         .join(labels, col("v") === col("node"))
         .groupBy(col("u")).agg(min(col("lbl")).as("nlbl"))
+      // Carry the previous label through the propagation round so
+      // convergence is a filter over the (already materialized)
+      // checkpoint — not a second full label-join per iteration.
       val next = labels
         .join(nbrMin, col("node") === col("u"), "left")
-        .select(col("node"),
+        .select(col("node"), col("lbl").as("prev"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
         .localCheckpoint(true)
-      changed = !next.alias("n")
-        .join(labels.alias("o"), col("n.node") === col("o.node"))
-        .filter(col("n.lbl") =!= col("o.lbl")).isEmpty
-      labels = next
+      changed = !next.filter(col("lbl") =!= col("prev")).isEmpty
+      labels = next.select(col("node"), col("lbl"))
       iter += 1
     }
     labels.select(col("node").as("vec_id"), col("lbl").as("cluster_id"))

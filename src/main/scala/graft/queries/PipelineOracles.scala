@@ -541,7 +541,9 @@ object PipelineOracles {
       s"""WITH sized AS (SELECT doc_id,
          |    CAST(len(w) AS BIGINT) AS n_tokens,
          |    CAST('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8)
-         |      AS BIGINT) % 16 AS pack_bucket
+         |      AS BIGINT)
+         |      % (SELECT greatest(16, count(*) // 1000000) FROM documents)
+         |      AS pack_bucket
          |  FROM ($docsWithWords) d0),
          |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY pack_bucket
          |        ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_end

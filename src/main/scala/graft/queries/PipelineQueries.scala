@@ -485,6 +485,16 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Packing parallelism for [[q41SequencePacking]]: one running-token
+    * window task per bucket, so the bucket count scales with the
+    * corpus (~1M docs per packing stream, floor 16) instead of pinning
+    * the stage at a fixed width. The count() this needs is a
+    * metadata-cheap parquet row-count scan; the oracle twin mirrors
+    * the formula in SQL.
+    */
+  def packBuckets(nRows: Long): Int =
+    math.max(16L, nRows / 1000000L).toInt
+
   /** Sequence PACKING for training (the concat-and-chunk batcher): docs
     * are concatenated in deterministic order and cut into fixed-token
     * training sequences; each doc reports the bin it starts in and its
@@ -493,15 +503,18 @@ object PipelineQueries {
     * first hash into `nBuckets` independent packing streams (the
     * standard distributed approximation — each bucket packs its own
     * bins), and the running-token window runs PER BUCKET: parallelism =
-    * nBuckets, raise it with the corpus. Integer-exact everywhere.
+    * nBuckets, which is DERIVED from the corpus size by default
+    * ([[packBuckets]]) so no stage is pinned at a fixed width.
+    * Integer-exact everywhere.
     */
   def q41SequencePacking(s: SparkSession, dir: String,
-      binTokens: Int = 512, nBuckets: Int = 16): DataFrame = {
+      binTokens: Int = 512, nBuckets: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = Tables.documents(s, dir)
+    val buckets = if (nBuckets > 0) nBuckets else packBuckets(d.count())
     val bucket = conv(substring(md5(concat(lit("pack:"),
         col("doc_id").cast("string"))), 1, 8), 16, 10)
-      .cast("long") % nBuckets
+      .cast("long") % buckets
     val sized = d.select(col("doc_id"),
       size(TF.words(col("text"))).cast("long").as("n_tokens"),
       bucket.as("pack_bucket"))

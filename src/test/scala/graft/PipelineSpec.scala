@@ -636,4 +636,16 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(streamed == batch)
   }
+
+  test("q41 packing parallelism scales with the corpus (no fixed-width stage)") {
+    import graft.queries.PipelineQueries.packBuckets
+    assert(packBuckets(500L) == 16) // small corpora keep the floor
+    assert(packBuckets(50_000_000L) == 50)
+    assert(packBuckets(2_000_000_000L) == 2000)
+    // the derived count drives the actual bucket column
+    val out = graft.queries.PipelineQueries
+      .q41SequencePacking(spark, sf, binTokens = 512)
+    val nb = out.select(col("pack_bucket")).distinct().count()
+    assert(nb <= 16 && nb > 1) // 500 docs -> floor of 16 streams
+  }
 }
