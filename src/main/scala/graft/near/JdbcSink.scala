@@ -15,6 +15,12 @@ import org.apache.spark.sql.types._
   * duplicate = fine, other = logged broken data (S8,
   * assets/events.rs:20-42).
   *
+  * No database in the build container ever parses these statements
+  * (the spec records through a java.sql proxy), so the exact SQL text
+  * is frozen by golden assertions in JdbcSinkSpec and executed for
+  * real — parse + merge semantics — against DuckDB by
+  * `dev/check_sink_sql.py` (the executable twin of the goldens).
+  *
   * Plain `df.write.jdbc` cannot emit ON CONFLICT, hence this writer:
   * `df.foreachPartition` → chunked addBatch/executeBatch over a
   * driver-agnostic [[JdbcSink.ConnectionFactory]]. Each Spark

@@ -154,4 +154,47 @@ class JdbcSinkSpec extends AnyFunSuite {
     val other = new SQLException("connection reset", "08000")
     assert(!JdbcSink.handleUniqueViolation(other, "t_pkey", "t_unique"))
   }
+
+  // Golden statements: no database in this container ever parses these
+  // (the proxy records, it doesn't execute), so freeze the exact SQL.
+  // A refactor that changes conflict semantics — the COALESCE column
+  // merge, the strict `<` height guard, or the issue #68 implicit-
+  // account recreate screen (accounts.rs:93-193, access_keys.rs:79-144)
+  // — must consciously update these literals.
+  test("golden SQL: insert-do-nothing is the targetless diesel form") {
+    assert(JdbcSink.insertDoNothingSql("blocks",
+        Seq("block_height", "block_hash")) ==
+      "INSERT INTO blocks (block_height, block_hash) VALUES (?, ?) " +
+        "ON CONFLICT DO NOTHING")
+  }
+
+  test("golden SQL: accounts upsert (COALESCE merge + height guard + issue #68 screen)") {
+    assert(JdbcSink.accountsUpsertSql ==
+      "INSERT INTO accounts (account_id, created_by_receipt_id, " +
+        "deleted_by_receipt_id, last_update_block_height) VALUES (?, ?, ?, ?) " +
+        "ON CONFLICT (account_id) DO UPDATE SET " +
+        "created_by_receipt_id = COALESCE(excluded.created_by_receipt_id, " +
+        "accounts.created_by_receipt_id), " +
+        "deleted_by_receipt_id = excluded.deleted_by_receipt_id, " +
+        "last_update_block_height = excluded.last_update_block_height " +
+        "WHERE accounts.last_update_block_height < excluded.last_update_block_height " +
+        "AND NOT (length(excluded.account_id) = 64 " +
+        "AND excluded.created_by_receipt_id IS NOT NULL " +
+        "AND excluded.deleted_by_receipt_id IS NULL " +
+        "AND accounts.deleted_by_receipt_id IS NULL)")
+  }
+
+  test("golden SQL: access_keys upsert (composite key + COALESCE merge + height guard)") {
+    assert(JdbcSink.accessKeysUpsertSql ==
+      "INSERT INTO access_keys (public_key, account_id, created_by_receipt_id, " +
+        "deleted_by_receipt_id, permission_kind, last_update_block_height) " +
+        "VALUES (?, ?, ?, ?, ?, ?) " +
+        "ON CONFLICT (public_key, account_id) DO UPDATE SET " +
+        "created_by_receipt_id = COALESCE(excluded.created_by_receipt_id, " +
+        "access_keys.created_by_receipt_id), " +
+        "deleted_by_receipt_id = excluded.deleted_by_receipt_id, " +
+        "permission_kind = excluded.permission_kind, " +
+        "last_update_block_height = excluded.last_update_block_height " +
+        "WHERE access_keys.last_update_block_height < excluded.last_update_block_height")
+  }
 }
