@@ -29,6 +29,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * only cleanup remains). Every step is idempotent, so a crash during
   * recovery itself re-recovers.
   *
+  * PRECONDITIONS (the protocol is sound only under both):
+  *
+  *  - '''Atomic rename.''' Every transition rides on `FileSystem
+  *    .rename` being atomic (HDFS, local file://, and other
+  *    HDFS-semantics stores). On object stores (s3/s3a/gs/abfs/…)
+  *    "rename" is copy+delete: a crash mid-copy can leave the dst file
+  *    that a manifest rollback later deletes WHILE the src survives —
+  *    silently voiding exactly-once. [[recover]] therefore FAILS FAST
+  *    when the warehouse URI scheme is a known non-atomic store; use
+  *    an HDFS-compatible filesystem, or front the object store with a
+  *    table format that owns its own commit protocol.
+  *  - '''Single writer.''' One stream (one driver) owns a warehouse
+  *    dir: MANIFEST/CURRENT are per-warehouse singletons and two
+  *    concurrent writers would roll back each other's in-flight
+  *    batches. Spark's streaming checkpoint lock already enforces this
+  *    for the intended one-stream-per-warehouse deployment.
+  *
   * Scale note: the manifest lists only THIS batch's files — recovery
   * cost is O(batch), never O(warehouse). Renames are metadata-only on
   * HDFS-like stores.
@@ -37,6 +54,25 @@ object BatchCommit {
 
   val StateDir = "_state"
   val StagingDir = "_staging"
+
+  /** URI schemes whose `rename` is copy+delete (non-atomic): the
+    * protocol's guarantee does not hold there — refuse loudly instead
+    * of corrupting silently.
+    */
+  private val NonAtomicRenameSchemes = Set(
+    "s3", "s3a", "s3n", "gs", "gcs", "oss", "cos", "swift",
+    "wasb", "wasbs", "abfs", "abfss")
+
+  private def requireAtomicRename(warehouseDir: String): Unit = {
+    val scheme = Option(new Path(warehouseDir).toUri.getScheme)
+      .map(_.toLowerCase).getOrElse("file")
+    if (NonAtomicRenameSchemes.contains(scheme))
+      throw new IllegalArgumentException(
+        s"BatchCommit requires atomic rename; '$scheme://' is a " +
+          "copy+delete object store where a mid-rename crash voids the " +
+          "exactly-once guarantee. Point the warehouse at an " +
+          "HDFS-compatible filesystem.")
+  }
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -91,6 +127,7 @@ object BatchCommit {
     * version the new batch must read its state from. Idempotent.
     */
   def recover(spark: SparkSession, warehouseDir: String): Long = {
+    requireAtomicRename(warehouseDir)
     val f = fs(spark, warehouseDir)
     val v = currentVersion(spark, warehouseDir)
     val mp = manifestPath(warehouseDir)

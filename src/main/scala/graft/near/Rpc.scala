@@ -58,14 +58,24 @@ object Rpc {
       s"RPC failed after ${policy.maxAttempts} attempts. Stop trying.", last)
   }
 
+  /** Deterministic (non-retryable) HTTP failure: a 4xx other than 429
+    * is the server's final answer for this request — retrying cannot
+    * change it, and returning the error body as a payload would only
+    * defer the failure to JSON parsing with a confusing message.
+    * Deliberately NOT an IOException, so [[withRetry]] lets it through.
+    */
+  final class RpcClientError(val statusCode: Int, bodyPreview: String)
+    extends RuntimeException(
+      s"HTTP $statusCode from RPC endpoint (not retryable): $bodyPreview")
+
   /** JDK-only HTTP transport; the client is rebuilt per JVM (it is not
     * serializable and must not ride in the closure). Each POST is
     * retried with [[withRetry]]'s backoff — one flaky fetch inside a
     * 1000-lockup `mapPartitions` pass must not fail the whole stage.
     * Server-side transient failures (429 rate limit, 5xx) arrive as
     * normal responses, not I/O faults — they are converted to
-    * IOException so the retry engages; 4xx others are deterministic
-    * answers and fail fast.
+    * IOException so the retry engages; other 4xx are deterministic
+    * answers and fail fast with [[RpcClientError]].
     */
   final case class HttpTransport(url: String,
       policy: JdbcSink.RetryPolicy = JdbcSink.RetryPolicy()) extends Transport {
@@ -80,6 +90,8 @@ object Rpc {
       val sc = resp.statusCode()
       if (sc == 429 || sc >= 500)
         throw new java.io.IOException(s"HTTP $sc from RPC endpoint")
+      if (sc >= 400)
+        throw new RpcClientError(sc, resp.body().take(200))
       resp.body()
     }
   }

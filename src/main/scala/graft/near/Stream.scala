@@ -22,8 +22,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *     crash rolls back (or forward) cleanly and the replayed batch
   *     writes each row exactly once. (Readers racing a batch between
   *     its file moves and a crash can observe a torn prefix until the
-  *     next batch's recovery — the one remaining, disclosed window;
-  *     `Warehouse.dedupedByPk` stays available as belt and braces.)
+  *     next stream tick — recovery runs at every [[processBatch]]
+  *     entry, including empty batches — the one remaining, disclosed
+  *     window; `Warehouse.dedupedByPk` stays available as belt and
+  *     braces.)
   *
   * Cross-batch lineage (§2.4, the §7.4 "batch-iterative" design):
   * within a batch the fixpoint resolves everything reachable from this
@@ -114,11 +116,25 @@ object Stream {
   /** Read a cross-batch state table at the COMMITTED version (absent =
     * empty) — the test/ops read surface; processBatch itself threads
     * its own version handle.
+    *
+    * Concurrency: a processBatch commit deletes the superseded version
+    * dir, so a read that resolved the version just before a commit can
+    * land on a vanished path. The version is re-checked after the read
+    * and the read retried once at the new version; the returned
+    * DataFrame is only guaranteed readable until the NEXT commit —
+    * callers needing a stable snapshot must consume it (or copy it
+    * out) before resuming the stream.
     */
   def stateTable(spark: SparkSession, warehouseDir: String,
-      name: String): Option[DataFrame] =
-    readIfExists(spark, BatchCommit.statePath(warehouseDir,
-      BatchCommit.currentVersion(spark, warehouseDir), name))
+      name: String): Option[DataFrame] = {
+    def attempt(): (Long, Option[DataFrame]) = {
+      val v = BatchCommit.currentVersion(spark, warehouseDir)
+      (v, readIfExists(spark, BatchCommit.statePath(warehouseDir, v, name)))
+    }
+    val (v1, df1) = attempt()
+    if (BatchCommit.currentVersion(spark, warehouseDir) == v1) df1
+    else attempt()._2
+  }
 
   /** One microbatch of the §3.1 DAG. Public so batch jobs and tests
     * can drive it without a streaming query.
@@ -144,11 +160,13 @@ object Stream {
       recoveryLookbackDays: Int = 2,
       fullRecoveryScan: Boolean = false,
       commitHook: String => Unit = _ => ()): Unit = {
-    if (norm0.isEmpty) return
-    // Roll any interrupted previous batch back/forward FIRST, then read
+    // Roll any interrupted previous batch back/forward FIRST — BEFORE
+    // the empty-batch early return, so a torn commit is healed as soon
+    // as the stream ticks, not only when data next arrives. Then read
     // every state table at the committed version; this batch's state
     // goes to version+1, invisible until the commit point.
     val committed = BatchCommit.recover(spark, warehouseDir)
+    if (norm0.isEmpty) return
     val nextVersion = committed + 1
     def readStateV(name: String): Option[DataFrame] =
       readIfExists(spark, BatchCommit.statePath(warehouseDir, committed, name))

@@ -83,6 +83,21 @@ class NearRpcSpec extends AnyFunSuite {
   import SparkTestSession._
   import NearRpcFixtures.encodeContract
 
+  test("non-429 4xx fails fast: RpcClientError passes through the retry loop") {
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    var calls = 0
+    val e = intercept[graft.near.Rpc.RpcClientError] {
+      graft.near.Rpc.withRetry(sleep = sleeps.append(_)) { () =>
+        calls += 1
+        // what HttpTransport throws for a deterministic 4xx answer
+        throw new graft.near.Rpc.RpcClientError(404, "no such method")
+      }
+    }
+    assert(e.statusCode == 404)
+    assert(calls == 1, "a deterministic 4xx answer must not be retried")
+    assert(sleeps.isEmpty)
+  }
+
   test("borsh round-trip: every vesting variant decodes to its fields") {
     val base = Fixtures.lockupStates.head
     val variants = Seq(

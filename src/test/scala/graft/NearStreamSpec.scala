@@ -90,6 +90,35 @@ class NearStreamSpec extends AnyFunSuite {
     q.awaitTermination()
   }
 
+  test("commit protocol refuses non-atomic-rename object stores") {
+    // The manifest protocol is sound only under atomic rename; on
+    // copy+delete stores a mid-rename crash silently voids exactly-once,
+    // so the warehouse must fail fast instead.
+    Seq("s3a://bucket/wh", "gs://bucket/wh", "abfss://c@a.dfs/wh")
+      .foreach { uri =>
+        val e = intercept[IllegalArgumentException] {
+          graft.near.BatchCommit.recover(spark, uri)
+        }
+        assert(e.getMessage.contains("atomic rename"), uri)
+      }
+  }
+
+  test("empty batch still heals a torn commit (recovery runs before the early return)") {
+    val wh = Files.createTempDirectory("graft_wh_").toString
+    import spark.implicits._
+    // Fake an interrupted batch: a live-table file plus a MANIFEST
+    // listing it at an uncommitted version.
+    val stray = s"$wh/blocks/part-torn.parquet"
+    Files.createDirectories(Paths.get(s"$wh/blocks"))
+    Files.write(Paths.get(stray), Array[Byte](1, 2, 3))
+    graft.near.BatchCommit.writeManifest(spark, wh, 1L, Seq(stray))
+    // An EMPTY batch must roll it back — readers must not see the torn
+    // prefix until data happens to arrive.
+    val empty = graft.near.Ingest.blocksFromJson(spark, Seq.empty[String]).toDF()
+    graft.near.Stream.processBatch(spark, empty, wh)
+    assert(!Files.exists(Paths.get(stray)), "torn file survived an empty batch")
+  }
+
   test("streamed chain converges to batch tables incl. cross-batch lineage") {
     val root = Files.createTempDirectory("graft_stream").toString
     val input = s"$root/input"; val wh = s"$root/wh"; val ckpt = s"$root/ckpt"

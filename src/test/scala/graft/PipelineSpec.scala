@@ -627,6 +627,38 @@ class PipelineSpec extends AnyFunSuite {
       "append emitted everything — watermark eviction did not engage")
   }
 
+  test("q37b pins the inclusive, ms-floored watermark eviction boundary") {
+    // The fixture above never lands a session exactly ON the watermark,
+    // so an off-by-one in the eviction rule (emit when end <= watermark,
+    // watermark = ms-FLOORED max event time − 1 h) would pass unnoticed.
+    // Three single-event sessions:
+    //   user 1 ends EXACTLY at the watermark            → must emit
+    //   user 2 ends 999 µs past it (inside the floored
+    //          millisecond — a raw-ns watermark would
+    //          include it)                               → must not
+    //   user 3 carries the max event time (still open)  → must not
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wm_").toString
+    val base = 1700000000000000000L // ns, whole second
+    val sec = 1000000000L
+    val rows = Seq(
+      (1L, base, 1L, "a", 0.0, "{}"),
+      (2L, base + 999999L, 2L, "a", 0.0, "{}"),
+      (3L, base + 5400L * sec + 999999L, 3L, "a", 0.0, "{}"))
+    graft.queries.FixtureIO.writeStable(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+      s"$tmp/stage")
+    assert(new java.io.File(s"$tmp/stage/data.parquet")
+      .renameTo(new java.io.File(s"$tmp/events.parquet")))
+    val out = graft.streaming.StreamingJobs.userSessionsAppend(spark, tmp)
+      .collect()
+    assert(out.map(_.getAs[Long]("user_id")).toSeq == Seq(1L),
+      s"expected exactly user 1's session, got ${out.mkString(", ")}")
+    assert(out.head.getAs[Long]("session_start_us") == base / 1000L)
+    assert(out.head.getAs[Long]("session_end_us") ==
+      base / 1000L + 1800L * 1000000L)
+  }
+
   test("q35 streaming dedup equals batch count-distinct") {
     val streamed = SparkEntry.queries("q35_stream_dedup_users")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
