@@ -696,7 +696,7 @@ $eventOrder"""),
 
     "near_q_nft_history" -> (withR(NORM, PEV, NFT) + s"""
 SELECT * EXCLUDE (pk_rn) FROM nft_events
-WHERE emitted_by_contract_account_id = 'carol.near' AND token_id = 'tk1'
+WHERE emitted_by_contract_account_id = '$FtTok' AND token_id = 'tk1'
 $eventOrder"""),
 
     "near_q_tx_receipt_tree" ->
@@ -905,7 +905,8 @@ ORDER BY computed_at_block_timestamp"""
     "near_account_changes", "near_accounts", "near_access_keys",
     "near_ft_events", "near_nft_events", "near_lockups",
     "near_q_tx_receipt_tree", "near_q_daily_gas", "near_q_active_accounts",
-    "near_q_method_calls", "near_q_ft_history", "near_q_balance_history")
+    "near_q_method_calls", "near_q_ft_history", "near_q_nft_history",
+    "near_q_balance_history")
 
   private def finish(q: String, normDir: String, treeTx: String,
       ftContract: String, balAcct: String): String =

@@ -228,6 +228,10 @@ object NearQueries {
     "near_scale_q_balance_history" -> ((s: SparkSession, dir: String) =>
       graft.near.ConsumerQueries.accountBalanceHistory(
         scaleTables(s)("account_changes"), "user1.near")),
+    "near_scale_q_nft_history" -> ((s: SparkSession, dir: String) =>
+      graft.near.ConsumerQueries.nftTokenHistory(
+        scaleTables(s)("assets__non_fungible_token_events"),
+        "user1.near", "tk1")),
     "near_scale_lockups" -> ((s: SparkSession, dir: String) => {
       val t = scaleTables(s)
       graft.near.Views.aggregatedLockups(t("accounts"), t("receipts"),
