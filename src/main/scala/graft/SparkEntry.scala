@@ -72,6 +72,8 @@ object SparkEntry {
       PipelineQueries.q42CrossSplitContamination(s, dir)),
     "q43_image_meta"          -> (Multimodal.q43ImageMeta _),
     "q44_image_resize"        -> (Multimodal.q44ImageResize _),
+    "q45_source_mix"          -> (PipelineQueries.q45SourceMix _),
+    "q46_filter_cascade"      -> (PipelineQueries.q46FilterCascade _),
   ) ++ graft.queries.NearQueries.queries
 
   def oracleSql: Map[String, String] = Map(

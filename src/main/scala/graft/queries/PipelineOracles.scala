@@ -589,6 +589,50 @@ object PipelineOracles {
          |    / n_bigrams, 4) AS repeated_frac
          |FROM c ORDER BY doc_id""".stripMargin,
 
+    // Mixture downsampler: hash-derived per-source rate, salted doc
+    // hash under an integer boundary — both sides pure integer math.
+    "q45_source_mix" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST('0x' || substr(md5('rate:' || source), 1, 8) AS BIGINT) % 4 AS k,
+        |    CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS u
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(k + 1 AS DOUBLE) / 4.0 AS keep_rate
+        |FROM t WHERE u < (k + 1) * 1073741824
+        |ORDER BY doc_id""".stripMargin,
+
+    // Filter cascade: q17's signal fragments + q39's bigram counting,
+    // thresholds as integer cross-multiplications, first-failing-rule
+    // reason in fixed priority order.
+    "q46_filter_cascade" ->
+      s"""WITH sig AS (SELECT doc_id,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(len(w) AS BIGINT) AS n_tokens,
+         |    CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]', 0)) AS BIGINT) AS n_punct,
+         |    CAST(len(list_filter(w, t -> t IN (${inList(TF.StopwordsEn)}))) AS BIGINT) AS n_stop
+         |  FROM ($docsWithWords) d0),
+         |g AS (SELECT doc_id,
+         |    list_transform(range(1, len(w)),
+         |      i -> array_to_string(w[i:i+1], ' ')) AS g
+         |  FROM ($docsWithWords) d1 WHERE len(w) >= 2),
+         |rep AS (SELECT doc_id, CAST(len(g) AS BIGINT) AS n_bigrams,
+         |    CAST(list_max(list_transform(list_distinct(g),
+         |      u -> len(list_filter(g, x -> x = u)))) AS BIGINT) AS mx
+         |  FROM g),
+         |f AS (SELECT s.doc_id, s.n_tokens,
+         |    s.n_tokens < 20 AS too_short,
+         |    s.n_punct * 5 > s.n_chars AS high_punct,
+         |    s.n_stop * 50 < s.n_tokens AS low_stopwords,
+         |    coalesce(r.mx * 10 > r.n_bigrams, FALSE) AS repetitive
+         |  FROM sig s LEFT JOIN rep r ON s.doc_id = r.doc_id)
+         |SELECT doc_id, n_tokens, too_short, high_punct, low_stopwords, repetitive,
+         |  NOT (too_short OR high_punct OR low_stopwords OR repetitive) AS keep,
+         |  CASE WHEN too_short THEN 'too_short'
+         |       WHEN high_punct THEN 'high_punct'
+         |       WHEN low_stopwords THEN 'low_stopwords'
+         |       WHEN repetitive THEN 'repetitive'
+         |       ELSE '' END AS reject_reason
+         |FROM f ORDER BY doc_id""".stripMargin,
+
     // Real-image-decode twins (q43/q44): the engine decodes the fixture
     // PNGs with the JDK codec; the oracle recomputes the generator's
     // pixel formula (MediaFixture.rgb) in SQL from img_id alone. Any

@@ -599,4 +599,70 @@ object PipelineQueries {
           col("n_bigrams").cast("double"), 4))
       .orderBy(col("doc_id"))
   }
+
+  /** Data-MIXING downsampler — the "web at 25%, books at 100%" sampling
+    * step of a corpus recipe, fully deterministic: each source's keep
+    * rate is hash-derived (k/4 for k in 1..4), and a doc survives iff
+    * its salted doc hash falls under the rate — the q33 trick, so the
+    * sample is reshuffle-proof and reproducible on any cluster layout.
+    * Both comparisons are pure integer arithmetic (rate boundary =
+    * (k+1)·2^30 over a u32 hash), map-only, filter pushed to the scan.
+    */
+  def q45SourceMix(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    def h32(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    val k = h32(concat(lit("rate:"), col("source"))) % 4
+    val u = h32(concat(lit("mix:"), col("doc_id").cast("string")))
+    d.select(col("doc_id"), col("source"), k.as("k"), u.as("u"))
+      .filter(col("u") < (col("k") + 1) * 1073741824L)
+      .select(col("doc_id"), col("source"),
+        ((col("k") + 1).cast("double") / 4.0).as("keep_rate"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality-filter CASCADE with reject reasons — the C4/Gopher-style
+    * keep/drop gate a corpus build runs over every document. Each rule
+    * is an integer-exact predicate (ratio thresholds as cross-
+    * multiplications, never float compares), and `reject_reason` is
+    * the FIRST failing rule in fixed priority order, so the report is
+    * deterministic and hash-stable. Scale shape: q17's map-only signal
+    * projection + q39's two key-shuffles for the bigram-dominance rule;
+    * the cascade itself is pure column logic inside one codegen stage.
+    */
+  def q46FilterCascade(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val stop = TF.StopwordsEn.map(w => s"'$w'").mkString(", ")
+    val sig = d.withColumn("w", TF.words(col("text")))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(col("w")).cast("long").as("n_tokens"),
+        size(expr("regexp_extract_all(lower(text), '[^a-z0-9 ]', 0)"))
+          .cast("long").as("n_punct"),
+        expr(s"size(filter(w, t -> t IN ($stop)))").cast("long").as("n_stop"))
+    val rep = d
+      .select(col("doc_id"), explode(TF.shingles(TF.words(col("text")), 2)).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_bigrams"),
+        max(col("c")).cast("long").as("max_bigram_count"))
+    sig.join(rep, Seq("doc_id"), "left")
+      .withColumn("too_short", col("n_tokens") < 20)          // Gopher min length
+      .withColumn("high_punct", col("n_punct") * 5L > col("n_chars"))   // ratio > 0.2
+      .withColumn("low_stopwords", col("n_stop") * 50L < col("n_tokens")) // ratio < 0.02
+      .withColumn("repetitive",                                // top bigram > 0.1
+        coalesce(col("max_bigram_count") * 10L > col("n_bigrams"), lit(false)))
+      .withColumn("keep", !col("too_short") && !col("high_punct") &&
+        !col("low_stopwords") && !col("repetitive"))
+      .withColumn("reject_reason",
+        when(col("too_short"), "too_short")
+          .when(col("high_punct"), "high_punct")
+          .when(col("low_stopwords"), "low_stopwords")
+          .when(col("repetitive"), "repetitive")
+          .otherwise(""))
+      .select(col("doc_id"), col("n_tokens"), col("too_short"),
+        col("high_punct"), col("low_stopwords"), col("repetitive"),
+        col("keep"), col("reject_reason"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -669,6 +669,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("q45 mixture sampling: per-source rates honored, reshuffle-proof") {
+    val rows = SparkEntry.queries("q45_source_mix")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length < 500, "must actually downsample")
+    val rates = rows.map(_.getAs[Double]("keep_rate")).distinct.sorted
+    assert(rates.forall(Set(0.25, 0.5, 0.75, 1.0)), s"bad rates ${rates.toSeq}")
+    assert(rates.length >= 2, "expected several distinct source rates")
+    // a source at rate 1.0 keeps every doc it has
+    val full = rows.filter(_.getAs[Double]("keep_rate") == 1.0)
+      .map(_.getAs[String]("source")).toSet
+    if (full.nonEmpty) {
+      val totals = Tables.documents(spark, sf)
+        .filter(col("source").isin(full.toSeq: _*))
+        .groupBy(col("source")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val kept = rows.filter(r => full(r.getAs[String]("source")))
+        .groupBy(_.getAs[String]("source")).view.mapValues(_.length)
+      kept.foreach { case (src, n) => assert(n.toLong == totals(src), src) }
+    }
+    // determinism: same result on a repartitioned input path
+    val again = SparkEntry.queries("q45_source_mix")(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(again == rows.map(_.getLong(0)).toSet)
+  }
+
+  test("q46 filter cascade: reasons follow priority, keep = no flags") {
+    val rows = SparkEntry.queries("q46_filter_cascade")(spark, sf).collect()
+    assert(rows.length == 500)
+    val reasons = rows.map(_.getAs[String]("reject_reason")).distinct
+    assert(reasons.contains(""), "some docs must pass the cascade")
+    assert(reasons.count(_.nonEmpty) >= 2, s"expected ≥2 reject reasons, got ${reasons.toSeq}")
+    rows.foreach { r =>
+      val flags = Seq("too_short", "high_punct", "low_stopwords", "repetitive")
+        .map(c => c -> r.getAs[Boolean](c))
+      val expectReason = flags.find(_._2).map(_._1).getOrElse("")
+      assert(r.getAs[String]("reject_reason") == expectReason,
+        s"doc ${r.getLong(0)}: priority violated")
+      assert(r.getAs[Boolean]("keep") == flags.forall(!_._2))
+    }
+  }
+
   test("q41 packing parallelism scales with the corpus (no fixed-width stage)") {
     import graft.queries.PipelineQueries.packBuckets
     assert(packBuckets(500L) == 16) // small corpora keep the floor
