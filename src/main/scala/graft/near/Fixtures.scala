@@ -224,6 +224,41 @@ object Fixtures {
   /** Σ balances of [lockup.near, contributors.near] (main.rs:208-218). */
   val foundationLocked: BigInt = BigInt("300000000000000000000000000000000")
 
+  /** Deterministic genesis document for the S3 oracle gate
+    * (genesis.rs:43-132): Account and AccessKey records at volume with
+    * mixed FullAccess / FunctionCall permissions (string vs object
+    * form in the SAME file — the schema-inference branch), ignored
+    * record kinds interleaved, keys for accounts that have no Account
+    * record, and a 64-char implicit account. The engine runs the real
+    * streamed split (token-level JSON → JSONL → distributed read);
+    * the DuckDB twin re-parses this document independently.
+    */
+  def genesisJson(nAccounts: Int = 200, nKeys: Int = 300): String = {
+    val sb = new StringBuilder
+    sb.append("""{"protocol_version":29,"genesis_height":9820210,"config":{"chain_id":"fixture"},"records":[""")
+    var first = true
+    def add(s: String): Unit = {
+      if (!first) sb.append(','); sb.append(s); first = false
+    }
+    for (i <- 0 until nAccounts) {
+      add(s"""{"Account":{"account_id":"gacct$i.near","account":{"amount":"${1000L + i}","locked":"0","code_hash":"11111111111111111111111111111111","storage_usage":${100 + i}}}}""")
+      if (i % 7 == 0) // ignored record kind (genesis.rs:94-113)
+        add(s"""{"Contract":{"account_id":"gacct$i.near","code":"AA=="}}""")
+    }
+    for (i <- 0 until nKeys) {
+      val perm =
+        if (i % 3 == 0)
+          """{"FunctionCall":{"allowance":"1000000","receiver_id":"app.near","method_names":["go"]}}"""
+        else "\"FullAccess\""
+      // i % (nAccounts + 20): some keys belong to accounts with no
+      // Account record — the loader must not join them away
+      add(s"""{"AccessKey":{"account_id":"gacct${i % (nAccounts + 20)}.near","public_key":"ed25519:GK$i","access_key":{"nonce":$i,"permission":$perm}}}""")
+    }
+    add(s"""{"Account":{"account_id":"${"cd" * 32}","account":{"amount":"5","locked":"0","code_hash":"11111111111111111111111111111111","storage_usage":64}}}""")
+    sb.append("]}")
+    sb.toString
+  }
+
   /** Synthetic chain for scale/throughput testing: `n` blocks of
     * `txPerBlock` transactions each, with realistic NEAR receipt flow —
     * a tx in block i converts to receipt SR_i_j which lands in block

@@ -913,6 +913,36 @@ ORDER BY computed_at_block_timestamp"""
     q.replace(NormTok, normDir).replace(TreeTok, treeTx)
       .replace(FtTok, ftContract).replace(BalTok, balAcct)
 
+  /** Genesis twins (S3): re-parse the ORIGINAL genesis document with
+    * DuckDB's JSON reader — the engine's token-level split → JSONL →
+    * distributed read must reconstruct the same seed rows.
+    */
+  private val genesisSrc =
+    s"""(SELECT genesis_height, unnest(records) AS r
+  FROM read_json('$fixtureDir/genesis.json',
+    columns={'genesis_height':'BIGINT','records':'JSON[]'})) g"""
+
+  private val genesisAccountsSql = s"""
+SELECT json_extract_string(r, '$$.Account.account_id') AS account_id,
+       CAST(NULL AS VARCHAR) AS created_by_receipt_id,
+       CAST(NULL AS VARCHAR) AS deleted_by_receipt_id,
+       CAST(genesis_height AS DECIMAL(20,0)) AS last_update_block_height
+FROM $genesisSrc
+WHERE json_extract(r, '$$.Account') IS NOT NULL
+ORDER BY account_id"""
+
+  private val genesisAccessKeysSql = s"""
+SELECT json_extract_string(r, '$$.AccessKey.public_key') AS public_key,
+       json_extract_string(r, '$$.AccessKey.account_id') AS account_id,
+       CAST(NULL AS VARCHAR) AS created_by_receipt_id,
+       CAST(NULL AS VARCHAR) AS deleted_by_receipt_id,
+       CASE WHEN json_extract(r, '$$.AccessKey.access_key.permission.FunctionCall') IS NOT NULL
+            THEN 'FUNCTION_CALL' ELSE 'FULL_ACCESS' END AS permission_kind,
+       CAST(genesis_height AS DECIMAL(20,0)) AS last_update_block_height
+FROM $genesisSrc
+WHERE json_extract(r, '$$.AccessKey') IS NOT NULL
+ORDER BY account_id, public_key"""
+
   val sql: Map[String, String] = {
     def wrap(name: String, q: String) = {
       val (dec, bin) = decCols.getOrElse(name, (Nil, Nil))
@@ -927,6 +957,10 @@ ORDER BY computed_at_block_timestamp"""
           graft.near.ScaleChain.WhaleTx, "user1.near", "user1.near"))
     } + ("near_scale_q_daily_supply" ->
       wrap("near_circulating_supply",
-        finish(dailySupplySql, s"$fixtureDir/scale_norm", "", "", "")))
+        finish(dailySupplySql, s"$fixtureDir/scale_norm", "", "", ""))) +
+      ("near_genesis_accounts" ->
+        stable(genesisAccountsSql, Seq("last_update_block_height"), Nil)) +
+      ("near_genesis_access_keys" ->
+        stable(genesisAccessKeysSql, Seq("last_update_block_height"), Nil))
   }
 }
