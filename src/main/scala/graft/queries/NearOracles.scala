@@ -961,6 +961,12 @@ ORDER BY account_id, public_key"""
       ("near_genesis_accounts" ->
         stable(genesisAccountsSql, Seq("last_update_block_height"), Nil)) +
       ("near_genesis_access_keys" ->
-        stable(genesisAccessKeysSql, Seq("last_update_block_height"), Nil))
+        stable(genesisAccessKeysSql, Seq("last_update_block_height"), Nil)) +
+      // J7: the backfill join must reconstruct exactly what the live
+      // transform emits — same twin as near_action_receipt_actions.
+      ("near_backfill_ara_denorm" ->
+        wrap("near_action_receipt_actions",
+          finish(rawSql("near_action_receipt_actions"), s"$fixtureDir/norm",
+            "T1", "carol.near", "alice.near")))
   }
 }

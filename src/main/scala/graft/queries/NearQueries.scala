@@ -260,6 +260,14 @@ object NearQueries {
       graft.near.Views.aggregatedLockups(t("accounts"), t("receipts"),
         t("blocks")).orderBy("account_id")
     }),
+    // J7 backfill: strip the denormalized columns and reconstruct them
+    // with the backfill join — must hash-equal the live table's twin.
+    "near_backfill_ara_denorm" -> ((s: SparkSession, dir: String) => {
+      val t = tables(s)
+      graft.near.Backfill.denormalizeActionReceiptActions(
+          t("action_receipt_actions"), t("receipts"))
+        .orderBy("receipt_id", "index_in_action_receipt")
+    }),
     "near_genesis_accounts" -> ((s: SparkSession, dir: String) =>
       genesisTables(s)._1.orderBy("account_id")),
     "near_genesis_access_keys" -> ((s: SparkSession, dir: String) =>
