@@ -74,6 +74,8 @@ object SparkEntry {
     "q44_image_resize"        -> (Multimodal.q44ImageResize _),
     "q45_source_mix"          -> (PipelineQueries.q45SourceMix _),
     "q46_filter_cascade"      -> (PipelineQueries.q46FilterCascade _),
+    "q47_boilerplate"         -> ((s: SparkSession, dir: String) =>
+      PipelineQueries.q47Boilerplate(s, dir)),
   ) ++ graft.queries.NearQueries.queries
 
   def oracleSql: Map[String, String] = Map(

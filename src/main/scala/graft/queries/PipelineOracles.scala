@@ -600,6 +600,22 @@ object PipelineOracles {
         |FROM t WHERE u < (k + 1) * 1073741824
         |ORDER BY doc_id""".stripMargin,
 
+    // Boilerplate windows: md5-keyed non-overlapping 8-token windows,
+    // hot = shared by >= 3 distinct docs, per-doc instance fraction.
+    "q47_boilerplate" ->
+      s"""WITH d AS (SELECT doc_id, w FROM ($docsWithWords) d0 WHERE len(w) >= 8),
+         |c AS (SELECT doc_id, md5(array_to_string(w[i*8+1:i*8+8], ' ')) AS h
+         |      FROM d, unnest(generate_series(0, (len(w) // 8) - 1)) AS t(i)),
+         |hot AS (SELECT h FROM (
+         |    SELECT h, count(DISTINCT doc_id) AS nd FROM c GROUP BY h) WHERE nd >= 3),
+         |f AS (SELECT c.doc_id, count(*) AS n_chunks,
+         |        sum(CASE WHEN hot.h IS NOT NULL THEN 1 ELSE 0 END) AS n_bp
+         |      FROM c LEFT JOIN hot ON c.h = hot.h GROUP BY c.doc_id)
+         |SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+         |  CAST(n_bp AS BIGINT) AS n_boilerplate,
+         |  round(CAST(n_bp AS DOUBLE) / n_chunks, 4) AS boilerplate_frac
+         |FROM f ORDER BY doc_id""".stripMargin,
+
     // Filter cascade: q17's signal fragments + q39's bigram counting,
     // thresholds as integer cross-multiplications, first-failing-rule
     // reason in fixed priority order.

@@ -621,6 +621,38 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** BOILERPLATE detection — the C4/RefinedWeb "line-level dedup"
+    * analogue over unstructured text: non-overlapping `win`-token
+    * windows are the passage unit; a window whose content appears in
+    * ≥ `minDocs` DISTINCT documents is boilerplate (headers, footers,
+    * license blocks — content shared across documents, not within
+    * one), and each doc reports its boilerplate fraction. Scale shape:
+    * windows are keyed by their 128-bit md5 (fixed-width shuffle key
+    * instead of the window text), giving two key shuffles (window
+    * hash, then doc) + an AQE-broadcast semi-set of hot hashes — the
+    * same shape at 100 TB, no driver-side state.
+    */
+  def q47Boilerplate(s: SparkSession, dir: String, win: Int = 8,
+      minDocs: Int = 3): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val chunks = d.select(col("doc_id"), TF.words(col("text")).as("w"))
+      .filter(size(col("w")) >= win)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, (size(w) div $win) - 1), " +
+          s"i -> md5(array_join(slice(w, i*$win + 1, $win), ' ')))")).as("h"))
+    val hot = chunks.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("h"), lit(1L).as("is_bp"))
+    chunks.join(hot, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_chunks"),
+        sum(coalesce(col("is_bp"), lit(0L))).cast("long").as("n_boilerplate"))
+      .withColumn("boilerplate_frac", round(
+        col("n_boilerplate").cast("double") / col("n_chunks").cast("double"), 4))
+      .orderBy(col("doc_id"))
+  }
+
   /** Quality-filter CASCADE with reject reasons — the C4/Gopher-style
     * keep/drop gate a corpus build runs over every document. Each rule
     * is an integer-exact predicate (ratio thresholds as cross-

@@ -709,6 +709,22 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q47 boilerplate: flags cross-doc repeated windows, fraction bounded") {
+    val rows = SparkEntry.queries("q47_boilerplate")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getAs[Long]("n_boilerplate") > 0),
+      "planted near-dups must surface shared windows")
+    rows.foreach { r =>
+      val (n, bp) = (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_boilerplate"))
+      assert(bp >= 0 && bp <= n)
+      val f = r.getAs[Double]("boilerplate_frac")
+      assert(f >= 0.0 && f <= 1.0)
+    }
+    // a window counts as boilerplate only across >=3 DISTINCT docs:
+    // docs made of unique text must report 0
+    assert(rows.count(_.getAs[Long]("n_boilerplate") == 0) > rows.length / 2)
+  }
+
   test("q41 packing parallelism scales with the corpus (no fixed-width stage)") {
     import graft.queries.PipelineQueries.packBuckets
     assert(packBuckets(500L) == 16) // small corpora keep the floor
