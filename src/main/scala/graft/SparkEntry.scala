@@ -76,6 +76,7 @@ object SparkEntry {
     "q46_filter_cascade"      -> (PipelineQueries.q46FilterCascade _),
     "q47_boilerplate"         -> ((s: SparkSession, dir: String) =>
       PipelineQueries.q47Boilerplate(s, dir)),
+    "q48_stream_near_dup"     -> (StreamingJobs.streamNearDupDocs _),
   ) ++ graft.queries.NearQueries.queries
 
   def oracleSql: Map[String, String] = Map(

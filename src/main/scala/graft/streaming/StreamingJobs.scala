@@ -142,6 +142,55 @@ object StreamingJobs {
       }
     }
 
+  private val docsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType),
+  ))
+
+  /** STREAMING near-duplicate detection with CUSTOM keyed state — the
+    * `flatMapGroupsWithState` shape (§2.9): each arriving document's
+    * 16-minhash signature is its dedup key; the per-key GroupState
+    * holds the canonical (minimum) doc_id seen so far, and any later
+    * doc with the same signature is emitted as `(doc_id, dup_of)` —
+    * the streaming form of the "drop near-dups against the already-
+    * ingested corpus" decontamination step. Within a batch the group's
+    * rows are folded in doc_id order, so the output is deterministic
+    * under any partitioning; across batches the canonical is min-so-
+    * far. State is ONE long per distinct signature; a production
+    * deployment bounds it with timeout eviction (the q35b pattern) —
+    * the fixture drain is a single batch, so NoTimeout here.
+    */
+  def streamNearDupDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val keyed = s.readStream.schema(docsSchema)
+      .option("basePath", dir).parquet(s"$dir/documents.parque[t]")
+      .withColumn("w", graft.functions.TextFunctions.words(col("text")))
+      .filter(size(col("w")) >= 3) // an empty shingle set has no signature
+      .withColumn("sig",
+        graft.expressions.Sketches.minhashSigFromWords(s, col("w")))
+      .select(expr("array_join(transform(sig, x -> cast(x AS STRING)), ',')")
+        .as("k"), col("doc_id"))
+      .as[(String, Long)]
+    val dups = keyed.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[(String, Long)], state: GroupState[Long]) =>
+          val ids = rows.map(_._2).toArray.sorted
+          val canon = math.min(state.getOption.getOrElse(Long.MaxValue), ids(0))
+          state.update(canon)
+          ids.iterator.filter(_ > canon).map(id => (id, canon))
+      }
+      .toDF("doc_id", "dup_of")
+    drain(s, dups, "neardup_", outputMode = "append") { t =>
+      t.select(col("doc_id"), col("dup_of")).orderBy(col("doc_id"))
+    }
+  }
+
   /** Streaming DEDUPLICATION: distinct users per event type computed
     * through a real streaming query with `dropDuplicates` keyed state —
     * the streaming sibling of the batch exact-dedup operator. The dedup

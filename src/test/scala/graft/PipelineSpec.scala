@@ -725,6 +725,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.count(_.getAs[Long]("n_boilerplate") == 0) > rows.length / 2)
   }
 
+  test("q48 streaming custom-state near-dup equals batch signature grouping") {
+    val streamed = SparkEntry.queries("q48_stream_near_dup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed.nonEmpty, "planted dups must collide on the signature")
+    streamed.foreach { case (doc, canon) => assert(canon < doc) }
+    // batch twin inside Spark: identical 16-minhash signature ⇒ dup of
+    // the group minimum
+    val d = Tables.documents(spark, sf)
+      .withColumn("w", graft.functions.TextFunctions.words(col("text")))
+      .filter(size(col("w")) >= 3)
+      .withColumn("sig",
+        graft.expressions.Sketches.minhashSigFromWords(spark, col("w")))
+      .select(col("doc_id"), col("sig").cast("string").as("k"))
+    val batch = d.groupBy(col("k"))
+      .agg(min(col("doc_id")).as("canon"), collect_list(col("doc_id")).as("ids"))
+      .select(explode(col("ids")).as("doc_id"), col("canon"))
+      .filter(col("doc_id") > col("canon"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch,
+      s"missing=${batch -- streamed} extra=${streamed -- batch}")
+  }
+
   test("q41 packing parallelism scales with the corpus (no fixed-width stage)") {
     import graft.queries.PipelineQueries.packBuckets
     assert(packBuckets(500L) == 16) // small corpora keep the floor
