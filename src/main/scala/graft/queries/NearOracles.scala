@@ -967,6 +967,18 @@ ORDER BY account_id, public_key"""
       ("near_backfill_ara_denorm" ->
         wrap("near_action_receipt_actions",
           finish(rawSql("near_action_receipt_actions"), s"$fixtureDir/norm",
-            "T1", "carol.near", "alice.near")))
+            "T1", "carol.near", "alice.near"))) ++
+      // Streamed-warehouse convergence: the STREAMING path (microbatch
+      // commits, cross-batch lineage/pending, registry delta
+      // compaction) must hash-equal the batch twins at volume.
+      Seq("near_receipts" -> "receipts",
+        "near_transactions" -> "transactions",
+        "near_ft_events" -> "ft_events",
+        "near_accounts" -> "accounts",
+        "near_access_keys" -> "access_keys").map { case (base, suffix) =>
+        s"near_scale_streamed_$suffix" ->
+          wrap(base, finish(rawSql(base), s"$fixtureDir/scale_norm",
+            graft.near.ScaleChain.WhaleTx, "user1.near", "user1.near"))
+      }.toMap
   }
 }

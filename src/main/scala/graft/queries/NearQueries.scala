@@ -57,6 +57,37 @@ object NearQueries {
       Ingest.allTables(norm).map { case (n, df) => (n, df.persist()) }
     })
 
+  // Fourth gate input: the SAME 256-block chain pushed through the
+  // STREAMING path — 4 processBatch microbatches with the exactly-once
+  // commit protocol into a temp warehouse, then read back (registries
+  // compacted from their appended deltas). The BATCH twins are the
+  // oracle, so stream/batch convergence — cross-batch lineage,
+  // pending resolution, issue84 `_tx_recent` state, delta compaction —
+  // is hash-checked at VOLUME, not just at spec scale.
+  private val streamedCache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, Map[String, DataFrame]]()
+
+  private def streamedTables(s: SparkSession): Map[String, DataFrame] =
+    streamedCache.computeIfAbsent(s, (s2: SparkSession) => {
+      scaleTables(s2) // ensure the scale_norm oracle fixture is written
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_stream_gate_").toString
+      graft.near.ScaleChain.chain().grouped(64).foreach { batch =>
+        graft.near.Stream.processBatch(s2,
+          graft.near.Ingest.blocksFromJson(s2, batch).toDF(), wh)
+      }
+      def t(name: String) =
+        graft.near.Warehouse.table(s2, wh, name).drop("block_date")
+      Map(
+        "receipts" -> t("receipts"),
+        "transactions" -> t("transactions"),
+        "assets__fungible_token_events" -> t("assets__fungible_token_events"),
+        "accounts" -> graft.near.Warehouse.accountsCurrent(t("accounts")),
+        "access_keys" ->
+          graft.near.Warehouse.accessKeysCurrent(t("access_keys")),
+      ).map { case (n, df) => n -> df.persist() }
+    })
+
   // Third gate input: the deterministic genesis document — the engine
   // runs the REAL streamed split (token-level JSON → JSONL →
   // distributed read), the oracle re-parses the original document.
@@ -86,6 +117,7 @@ object NearQueries {
   def releaseCaches(s: SparkSession): Unit = {
     Option(cache.remove(s)).foreach(_.values.foreach(_.unpersist(false)))
     Option(scaleCache.remove(s)).foreach(_.values.foreach(_.unpersist(false)))
+    Option(streamedCache.remove(s)).foreach(_.values.foreach(_.unpersist(false)))
     Option(genesisCache.remove(s)).foreach { case (a, b) =>
       a.unpersist(false); b.unpersist(false)
     }
@@ -255,6 +287,19 @@ object NearQueries {
       graft.near.ConsumerQueries.nftTokenHistory(
         scaleTables(s)("assets__non_fungible_token_events"),
         "user1.near", "tk1")),
+    // --- streamed-warehouse convergence at volume ---
+    "near_scale_streamed_receipts" -> ((s: SparkSession, dir: String) =>
+      streamedTables(s)("receipts").orderBy("receipt_id")),
+    "near_scale_streamed_transactions" -> ((s: SparkSession, dir: String) =>
+      streamedTables(s)("transactions").orderBy("transaction_hash")),
+    "near_scale_streamed_ft_events" -> ((s: SparkSession, dir: String) =>
+      streamedTables(s)("assets__fungible_token_events")
+        .orderBy("emitted_at_block_timestamp", "emitted_in_shard_id",
+          "emitted_index_of_event_entry_in_shard")),
+    "near_scale_streamed_accounts" -> ((s: SparkSession, dir: String) =>
+      streamedTables(s)("accounts").orderBy("account_id")),
+    "near_scale_streamed_access_keys" -> ((s: SparkSession, dir: String) =>
+      streamedTables(s)("access_keys").orderBy("account_id", "public_key")),
     "near_scale_lockups" -> ((s: SparkSession, dir: String) => {
       val t = scaleTables(s)
       graft.near.Views.aggregatedLockups(t("accounts"), t("receipts"),
