@@ -61,11 +61,12 @@ object Bench {
       n -> dt
     }
     // NEAR ingest throughput: full block-JSON → 17-table ETL (incl.
-    // lineage fixpoint) over a synthetic 512-block chain. The
-    // reference sustains ~1 block/s (BASELINE.md); this measures our
-    // blocks/s at the same per-block shape.
-    val nBlocks = sys.env.getOrElse("SPARK_GRAFT_NEAR_BLOCKS", "512").toInt
-    val ingestSec = {
+    // lineage fixpoint) over a synthetic chain. The reference sustains
+    // ~1 block/s (BASELINE.md); this measures our blocks/s at the same
+    // per-block shape. Measured at TWO chain lengths so the
+    // round-over-round trend exposes any O(history) creep a single
+    // point would hide (2× blocks should be ≈2× seconds).
+    def ingest(nBlocks: Int): Double = {
       val norm = graft.near.Ingest.blocksFromJson(spark,
         graft.near.Fixtures.syntheticChain(nBlocks)).toDF()
       val t0 = System.nanoTime()
@@ -74,7 +75,12 @@ object Bench {
       norm.unpersist()
       dt
     }
-    val allResults = results :+ (s"near_ingest_${nBlocks}_blocks" -> ingestSec)
+    val nBlocks = sys.env.getOrElse("SPARK_GRAFT_NEAR_BLOCKS", "512").toInt
+    val nBlocks2 = sys.env.getOrElse("SPARK_GRAFT_NEAR_BLOCKS2", "1024").toInt
+    val ingestSec = ingest(nBlocks)
+    val ingestSec2 = if (nBlocks2 > 0) ingest(nBlocks2) else 0.0
+    val allResults = results :+ (s"near_ingest_${nBlocks}_blocks" -> ingestSec) :+
+      (s"near_ingest_${nBlocks2}_blocks" -> ingestSec2)
 
     // Isolated re-runs: the shared-session numbers above can drift with
     // scheduling/codegen-cache noise accumulated across 70 queries, so
@@ -88,7 +94,8 @@ object Bench {
     val isolatedNames = sys.env.getOrElse("SPARK_GRAFT_ISOLATED",
         "q02_revenue_by_nation,q24_embedding_dups,q24b_embedding_dups_lsh," +
           "q25_ann_ivf,q28_dup_clusters,q29_quantize_int8,q30_simhash_dups," +
-          "q31_text_chunks,q34_dedup_apply,q36_contamination,q38_ngram_jaccard")
+          "q31_text_chunks,q34_dedup_apply,q35b_stream_dedup_windowed," +
+          "q36_contamination,q38_ngram_jaccard")
       .split(",").map(_.trim).filter(SparkEntry.queries.contains).toSeq
     val isolated = isolatedNames.map { n =>
       val s = SparkSession.builder()
@@ -112,12 +119,32 @@ object Bench {
       }
     }
 
-    val qs = allResults.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val iso = isolated.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // Output layout: the driver snapshots a bounded TAIL of this
+    // process's output, so the load-bearing headline JSON must be the
+    // LAST line and short enough to always land fully inside the
+    // window (r8's single 6 KB line had its front clipped). The ~62
+    // per-table near_* micro-times move to separate "near_detail"
+    // lines printed just before it (no "metric" key — the driver greps
+    // for that); ms precision — sub-ms digits are noise.
+    def fmt(v: Double): String = f"$v%.3f"
+    def jmap(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+    val (nearMicro, headline) = allResults.partition { case (k, _) =>
+      isNear(k) && !k.startsWith("near_ingest") }
+    Seq("hand" -> nearMicro.filterNot(_._1.startsWith("near_scale")),
+      "scale" -> nearMicro.filter(k => k._1.startsWith("near_scale") &&
+        !k._1.startsWith("near_scale_streamed")),
+      "streamed" -> nearMicro.filter(_._1.startsWith("near_scale_streamed")))
+      .foreach { case (g, kvs) =>
+        if (kvs.nonEmpty)
+          println(s"""{"near_detail":"$g","queries":${jmap(kvs)}}""")
+      }
+    val qs = jmap(headline :+ ("near_tables_total" -> nearMicro.map(_._2).sum))
+    val iso = jmap(isolated)
     val total = allResults.map(_._2).sum
     val bps = nBlocks / ingestSec
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"isolated":$iso,"ingest_blocks_per_sec":$bps,"sf":"$sfDir"}""")
+    val bps2 = if (ingestSec2 > 0) nBlocks2 / ingestSec2 else 0.0
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"isolated":$iso,"ingest_blocks_per_sec":${fmt(bps)},"ingest_1024_blocks_per_sec":${fmt(bps2)},"sf":"$sfDir"}""")
   }
 }

@@ -77,6 +77,8 @@ object SparkEntry {
     "q47_boilerplate"         -> ((s: SparkSession, dir: String) =>
       PipelineQueries.q47Boilerplate(s, dir)),
     "q48_stream_near_dup"     -> (StreamingJobs.streamNearDupDocs _),
+    "q48b_stream_near_dup_ttl" -> ((s: SparkSession, dir: String) =>
+      StreamingJobs.streamNearDupDocsBounded(s, dir)),
   ) ++ graft.queries.NearQueries.queries
 
   def oracleSql: Map[String, String] = Map(

@@ -38,6 +38,8 @@ object NearOracles {
   private val TreeTok = "@@TREE_TX@@"
   private val FtTok = "@@FT_CONTRACT@@"
   private val BalTok = "@@BAL_ACCT@@"
+  private val SignerTok = "@@SIGNER_ACCT@@"
+  private val RecvTok = "@@RECV_ACCT@@"
 
   private val NORM = s"""norm AS (
   SELECT * FROM read_parquet('$NormTok/*.parquet')
@@ -675,11 +677,11 @@ SELECT * FROM account_changes ORDER BY changed_in_block_timestamp, index_in_bloc
         "SELECT * FROM lockups_view ORDER BY account_id"),
 
     "near_q_tx_by_signer" -> (preTx + """
-SELECT * FROM transactions WHERE signer_account_id = 'alice.near'
+SELECT * FROM transactions WHERE signer_account_id = '@@SIGNER_ACCT@@'
 ORDER BY block_timestamp, index_in_chunk LIMIT 100"""),
 
     "near_q_receipts_by_receiver" -> (preFull + """
-SELECT * FROM receipts WHERE receiver_account_id = 'bob.near'
+SELECT * FROM receipts WHERE receiver_account_id = '@@RECV_ACCT@@'
 ORDER BY included_in_block_timestamp, index_in_chunk LIMIT 100"""),
 
     "near_q_method_calls" ->
@@ -906,12 +908,15 @@ ORDER BY computed_at_block_timestamp"""
     "near_ft_events", "near_nft_events", "near_lockups",
     "near_q_tx_receipt_tree", "near_q_daily_gas", "near_q_active_accounts",
     "near_q_method_calls", "near_q_ft_history", "near_q_nft_history",
-    "near_q_balance_history")
+    "near_q_balance_history", "near_q_tx_by_signer",
+    "near_q_receipts_by_receiver")
 
   private def finish(q: String, normDir: String, treeTx: String,
-      ftContract: String, balAcct: String): String =
+      ftContract: String, balAcct: String,
+      signer: String = "user1.near", recv: String = "user1.near"): String =
     q.replace(NormTok, normDir).replace(TreeTok, treeTx)
       .replace(FtTok, ftContract).replace(BalTok, balAcct)
+      .replace(SignerTok, signer).replace(RecvTok, recv)
 
   /** Genesis twins (S3): re-parse the ORIGINAL genesis document with
     * DuckDB's JSON reader — the engine's token-level split → JSONL →
@@ -950,7 +955,8 @@ ORDER BY account_id, public_key"""
     }
     rawSql.map { case (name, q) =>
       name -> wrap(name, finish(q, s"$fixtureDir/norm", "T1",
-        "carol.near", "alice.near"))
+        "carol.near", "alice.near", signer = "alice.near",
+        recv = "bob.near"))
     } ++ scaleKeys.map { k =>
       ("near_scale_" + k.stripPrefix("near_")) ->
         wrap(k, finish(rawSql(k), s"$fixtureDir/scale_norm",
@@ -975,7 +981,12 @@ ORDER BY account_id, public_key"""
         "near_transactions" -> "transactions",
         "near_ft_events" -> "ft_events",
         "near_accounts" -> "accounts",
-        "near_access_keys" -> "access_keys").map { case (base, suffix) =>
+        "near_access_keys" -> "access_keys",
+        "near_action_receipt_actions" -> "action_receipt_actions",
+        "near_execution_outcome_receipts" -> "execution_outcome_receipts",
+        "near_account_changes" -> "account_changes",
+        "near_nft_events" -> "nft_events",
+        "near_data_receipts" -> "data_receipts").map { case (base, suffix) =>
         s"near_scale_streamed_$suffix" ->
           wrap(base, finish(rawSql(base), s"$fixtureDir/scale_norm",
             graft.near.ScaleChain.WhaleTx, "user1.near", "user1.near"))

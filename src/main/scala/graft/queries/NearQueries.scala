@@ -82,6 +82,12 @@ object NearQueries {
         "receipts" -> t("receipts"),
         "transactions" -> t("transactions"),
         "assets__fungible_token_events" -> t("assets__fungible_token_events"),
+        "assets__non_fungible_token_events" ->
+          t("assets__non_fungible_token_events"),
+        "action_receipt_actions" -> t("action_receipt_actions"),
+        "execution_outcome_receipts" -> t("execution_outcome_receipts"),
+        "account_changes" -> t("account_changes"),
+        "data_receipts" -> t("data_receipts"),
         "accounts" -> graft.near.Warehouse.accountsCurrent(t("accounts")),
         "access_keys" ->
           graft.near.Warehouse.accessKeysCurrent(t("access_keys")),
@@ -287,6 +293,16 @@ object NearQueries {
       graft.near.ConsumerQueries.nftTokenHistory(
         scaleTables(s)("assets__non_fungible_token_events"),
         "user1.near", "tk1")),
+    // Keyset-pagination account-activity queries at volume: a full
+    // LIMIT page (100 rows) out of several hundred matching rows —
+    // mirrors transactions_signer_account_id_idx (up.sql:648-651) and
+    // receipts_receiver_account_id_idx (up.sql:606-609).
+    "near_scale_q_tx_by_signer" -> ((s: SparkSession, dir: String) =>
+      graft.near.ConsumerQueries.transactionsBySigner(
+        scaleTables(s)("transactions"), "user1.near")),
+    "near_scale_q_receipts_by_receiver" -> ((s: SparkSession, dir: String) =>
+      graft.near.ConsumerQueries.receiptsByReceiver(
+        scaleTables(s)("receipts"), "user1.near")),
     // --- streamed-warehouse convergence at volume ---
     "near_scale_streamed_receipts" -> ((s: SparkSession, dir: String) =>
       streamedTables(s)("receipts").orderBy("receipt_id")),
@@ -300,6 +316,29 @@ object NearQueries {
       streamedTables(s)("accounts").orderBy("account_id")),
     "near_scale_streamed_access_keys" -> ((s: SparkSession, dir: String) =>
       streamedTables(s)("access_keys").orderBy("account_id", "public_key")),
+    // The remaining state-coupled satellites: delegate flatten when the
+    // delegate's receipt lands in a later microbatch than its tx
+    // (receipts.rs:534-625), shard ordinals under batch splits
+    // (2022-01-12-100000_assets_ft/up.sql:15-21), outcome→receipt
+    // edges and binary payloads across commit boundaries.
+    "near_scale_streamed_action_receipt_actions" ->
+      ((s: SparkSession, dir: String) =>
+        streamedTables(s)("action_receipt_actions")
+          .orderBy("receipt_id", "index_in_action_receipt")),
+    "near_scale_streamed_execution_outcome_receipts" ->
+      ((s: SparkSession, dir: String) =>
+        streamedTables(s)("execution_outcome_receipts")
+          .orderBy("executed_receipt_id", "index_in_execution_outcome")),
+    "near_scale_streamed_account_changes" ->
+      ((s: SparkSession, dir: String) =>
+        streamedTables(s)("account_changes")
+          .orderBy("changed_in_block_timestamp", "index_in_block")),
+    "near_scale_streamed_nft_events" -> ((s: SparkSession, dir: String) =>
+      streamedTables(s)("assets__non_fungible_token_events")
+        .orderBy("emitted_at_block_timestamp", "emitted_in_shard_id",
+          "emitted_index_of_event_entry_in_shard")),
+    "near_scale_streamed_data_receipts" -> ((s: SparkSession, dir: String) =>
+      streamedTables(s)("data_receipts").orderBy("data_id")),
     "near_scale_lockups" -> ((s: SparkSession, dir: String) => {
       val t = scaleTables(s)
       graft.near.Views.aggregatedLockups(t("accounts"), t("receipts"),

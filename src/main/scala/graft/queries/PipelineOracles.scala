@@ -615,6 +615,23 @@ object PipelineOracles {
          |SELECT doc_id, dup_of FROM m WHERE doc_id > dup_of ORDER BY doc_id""".stripMargin
     },
 
+    // TTL-bounded q48 twin: on the single-batch fixture drain no
+    // event-time timeout fires before the output is final, so the
+    // bounded operator's result is exactly q48's — the oracle is the
+    // same signature-grouped min construction (the bounded/unbounded
+    // split mirrors q35b/q35).
+    "q48b_stream_near_dup_ttl" -> {
+      val cols = (0 until 16).map(i => f"${minhashExpr(i)} AS mh$i%02d")
+      s"""WITH sig AS (SELECT doc_id, ${cols.mkString(", ")}
+         |  FROM (SELECT doc_id, $hashedShinglesSql AS hs
+         |        FROM ($docsWithWords) d0 WHERE len(w) >= 3) h0),
+         |m AS (SELECT doc_id, min(doc_id) OVER (
+         |    PARTITION BY mh00, mh01, mh02, mh03, mh04, mh05, mh06, mh07,
+         |                 mh08, mh09, mh10, mh11, mh12, mh13, mh14, mh15) AS dup_of
+         |  FROM sig)
+         |SELECT doc_id, dup_of FROM m WHERE doc_id > dup_of ORDER BY doc_id""".stripMargin
+    },
+
     // Boilerplate windows: md5-keyed non-overlapping 8-token windows,
     // hot = shared by >= 3 distinct docs, per-doc instance fraction.
     "q47_boilerplate" ->

@@ -495,6 +495,21 @@ object PipelineQueries {
   def packBuckets(nRows: Long): Int =
     math.max(16L, nRows / 1000000L).toInt
 
+  /** Row count for bucket derivation WITHOUT an extra job when the
+    * catalog already knows it: a bare table scan's optimized-plan
+    * `stats.rowCount` is the catalog statistic (exact after ANALYZE /
+    * parquet footer aggregation) — at warehouse scale the sizing pass
+    * disappears. Falls back to one count() job when no statistic
+    * exists (the local test path). Both are the exact row count, so
+    * the derived bucket count — which is part of q41's OUTPUT — stays
+    * oracle-reproducible (`count(*)` in SQL).
+    */
+  private def exactRowCount(d: DataFrame): Long =
+    d.queryExecution.optimizedPlan.stats.rowCount match {
+      case Some(rc) => rc.longValue
+      case None     => d.count()
+    }
+
   /** Sequence PACKING for training (the concat-and-chunk batcher): docs
     * are concatenated in deterministic order and cut into fixed-token
     * training sequences; each doc reports the bin it starts in and its
@@ -508,10 +523,14 @@ object PipelineQueries {
     * Integer-exact everywhere.
     */
   def q41SequencePacking(s: SparkSession, dir: String,
-      binTokens: Int = 512, nBuckets: Int = 0): DataFrame = {
+      binTokens: Int = 512, nBuckets: Int = 0,
+      nRowsEstimate: Long = 0L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = Tables.documents(s, dir)
-    val buckets = if (nBuckets > 0) nBuckets else packBuckets(d.count())
+    val buckets =
+      if (nBuckets > 0) nBuckets
+      else packBuckets(
+        if (nRowsEstimate > 0) nRowsEstimate else exactRowCount(d))
     val bucket = conv(substring(md5(concat(lit("pack:"),
         col("doc_id").cast("string"))), 1, 8), 16, 10)
       .cast("long") % buckets

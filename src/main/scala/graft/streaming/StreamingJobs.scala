@@ -191,6 +191,60 @@ object StreamingJobs {
     }
   }
 
+  /** TTL-BOUNDED streaming near-dup — the production shape of
+    * [[streamNearDupDocs]] (the q35→q35b pattern): the same
+    * signature-keyed custom state, but registered with
+    * `EventTimeTimeout` so a signature not re-seen within `ttlMs` of
+    * the advancing watermark is EVICTED — state is bounded by the
+    * number of distinct signatures inside the trailing TTL horizon
+    * instead of all time. The trade (as with q35b): a near-dup of a
+    * document older than the horizon is no longer detected — the
+    * standard decontamination window compromise. `documents.parquet`
+    * has no event-time column, so arrival time is synthesized
+    * deterministically at one doc per second (`doc_id` seconds from
+    * epoch); production wires the real ingest timestamp. On the
+    * single-batch fixture drain no timeout fires before the output is
+    * final, so the oracle is q48's — identical result, bounded state.
+    * Deployment note (README): run with the RocksDB state store
+    * provider; state size = one long + key per live signature.
+    */
+  def streamNearDupDocsBounded(s: SparkSession, dir: String,
+      ttlMs: Long = 3600L * 1000L): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val keyed = s.readStream.schema(docsSchema)
+      .option("basePath", dir).parquet(s"$dir/documents.parque[t]")
+      .withColumn("w", graft.functions.TextFunctions.words(col("text")))
+      .filter(size(col("w")) >= 3)
+      .withColumn("sig",
+        graft.expressions.Sketches.minhashSigFromWords(s, col("w")))
+      .withColumn("ev_ts", timestamp_micros(col("doc_id") * 1000000L))
+      .withWatermark("ev_ts", "1 hour")
+      .select(expr("array_join(transform(sig, x -> cast(x AS STRING)), ',')")
+        .as("k"), col("doc_id"), col("ev_ts"))
+      .as[(String, Long, java.sql.Timestamp)]
+    val dups = keyed.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (_: String, rows: Iterator[(String, Long, java.sql.Timestamp)],
+            state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val ids = rows.map(_._2).toArray.sorted
+            val canon =
+              math.min(state.getOption.getOrElse(Long.MaxValue), ids(0))
+            state.update(canon)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttlMs)
+            ids.iterator.filter(_ > canon).map(id => (id, canon))
+          }
+      }
+      .toDF("doc_id", "dup_of")
+    drain(s, dups, "neardupb_", outputMode = "append") { t =>
+      t.select(col("doc_id"), col("dup_of")).orderBy(col("doc_id"))
+    }
+  }
+
   /** Streaming DEDUPLICATION: distinct users per event type computed
     * through a real streaming query with `dropDuplicates` keyed state —
     * the streaming sibling of the batch exact-dedup operator. The dedup
