@@ -35,13 +35,16 @@ package graft.near
   *    volume), FT/NFT/malformed event logs on ~1/2 of outcomes
   *    (per-(block,shard) ordinal windows at volume, incl. NFT
   *    double-explode over token_ids);
-  *  - ~8% of arriving receipts are account-lifecycle events
-  *    (CreateAccount / DeleteAccount over a 14-account pool, plus
-  *    implicit-account transfers) — create→delete→re-create churn for
-  *    the accounts registry's last-wins fold (accounts.rs:85-198);
+  *  - ~12% of arriving receipts are account-lifecycle events
+  *    (CreateAccount / DeleteAccount over a two-tier pool: 14 hot
+  *    accounts churned ~10× each + a ~500-account wide tier, plus
+  *    implicit-account transfers) — create→delete→re-create churn AND
+  *    a hundreds-wide key space for the accounts registry's last-wins
+  *    fold (accounts.rs:85-198);
   *  - ~30% of arrivals emit access-key update/deletion state changes
-  *    over a bounded (account × key) space, mixing FULL_ACCESS and
-  *    FUNCTION_CALL permissions (access_keys.rs:71-146 fold at volume);
+  *    over a two-tier (account × key) space (24 hot combos + ~600
+  *    wide), mixing FULL_ACCESS and FUNCTION_CALL permissions
+  *    (access_keys.rs:71-146 fold at volume);
   *  - account-update state changes with tx/receipt causes, including
   *    exact duplicates (partial-unique-index dedup at volume) and
   *    occasional account_deletion changes;
@@ -168,15 +171,20 @@ object ScaleChain {
             if (forced) (a.forceReceiver, a.forceActions)
             else {
               val roll = rnd.nextInt(100)
-              if (roll < 8)
-                // account-lifecycle churn over a small pool: the
-                // registry fold must keep only the LAST create/delete
-                // per account (accounts.rs:85-198)
-                (s"acc${rnd.nextInt(14)}.near",
+              if (roll < 12)
+                // account-lifecycle churn over a TWO-TIER pool: a hot
+                // 14-account tier re-churned ~10× each (the fold must
+                // keep only the LAST create/delete per account,
+                // accounts.rs:85-198) plus a ~500-account wide tier so
+                // the registry gates hundreds of final rows and the
+                // last-wins window's partition behavior is exercised
+                // across a real key space, not 26 keys
+                (if (rnd.nextInt(4) == 0) s"acc${rnd.nextInt(14)}.near"
+                 else s"acc${14 + rnd.nextInt(486)}.near",
                   if (rnd.nextInt(10) < 6) F.createAccount else F.deleteAccount)
-              else if (roll < 11)
+              else if (roll < 16)
                 // implicit account: TRANSFER to a 64-char id creates it
-                (implicitId(rnd.nextInt(6)), F.transfer)
+                (implicitId(rnd.nextInt(40)), F.transfer)
               else
                 (s"user${rnd.nextInt(6)}.near",
                   if (rnd.nextInt(10) == 0) F.delegate
@@ -239,11 +247,18 @@ object ScaleChain {
               // exact duplicate → partial-unique-index dedup must drop it
               if (rnd.nextInt(20) == 0) stateChanges += sc
             }
-            // access-key churn over a bounded (account × key) space —
-            // the last-wins fold at volume (access_keys.rs:71-146)
+            // access-key churn over a two-tier (account × key) space —
+            // the last-wins fold at volume (access_keys.rs:71-146): a
+            // hot 24-combo tier churned ~15× each plus a ~600-combo
+            // wide tier (λ≈1.5 events/combo) so the registry gates
+            // hundreds of distinct keys while still folding repeats
             if (rnd.nextInt(10) < 3) {
-              val acct = s"user${rnd.nextInt(6)}.near"
-              val key = s"ed25519:K${rnd.nextInt(4)}"
+              val (acct, key) =
+                if (rnd.nextInt(4) == 0)
+                  (s"user${rnd.nextInt(6)}.near", s"ed25519:K${rnd.nextInt(4)}")
+                else
+                  (s"keyacct${rnd.nextInt(120)}.near",
+                    s"ed25519:K${rnd.nextInt(5)}")
               stateChanges +=
                 (if (rnd.nextInt(4) == 0)
                   F.scAccessKeyDeletion(acct, key, F.causeReceipt(a.rid))

@@ -620,7 +620,16 @@ object Warehouse {
             col("last_update_block_height"))).as("created_by_receipt_id"),
         max_by(col("deleted_by_receipt_id"),
           col("last_update_block_height")).as("deleted_by_receipt_id"),
-        max_by(col("permission_kind"), col("last_update_block_height"))
-          .as("permission_kind"),
+        // perm must come from the latest delta that saw an UPDATE
+        // (created_by non-null ⟺ the batch had one) — a DELETE-only
+        // batch's delta carries the FULL_ACCESS placeholder, which
+        // must not shadow the real perm of the last UPDATE in an
+        // earlier batch (access_keys.rs:55-64: the placeholder applies
+        // only when NO update ever preceded the delete)
+        coalesce(
+          max_by(col("permission_kind"),
+            when(col("created_by_receipt_id").isNotNull,
+              col("last_update_block_height"))),
+          lit("FULL_ACCESS")).as("permission_kind"),
         max(col("last_update_block_height")).as("last_update_block_height"))
 }

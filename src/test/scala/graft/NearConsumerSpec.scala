@@ -109,6 +109,27 @@ class NearConsumerSpec extends AnyFunSuite {
     assert(cur("pk1").getAs[Long]("last_update_block_height") == 102L)
     assert(cur("pk1").getAs[String]("created_by_receipt_id") == "R9")
     assert(cur("pk2").getAs[String]("deleted_by_receipt_id") == "R7")
+    // pk2's only delta is the DELETE-only placeholder: stays FULL_ACCESS
+    assert(cur("pk2").getAs[String]("permission_kind") == "FULL_ACCESS")
+  }
+
+  test("DELETE-only later delta must not shadow the last UPDATE's perm") {
+    // Regression pin (found by the widened r9 streamed volume gate): a
+    // microbatch that saw only the key's DELETE writes the FULL_ACCESS
+    // placeholder; compaction must keep FUNCTION_CALL from the earlier
+    // batch's last UPDATE (access_keys.rs:55-64 applies the placeholder
+    // only when no update ever preceded the delete).
+    import SparkTestSession.spark.implicits._
+    val deltas = Seq(
+      ("pk1", "a.near", Some("R1"), None: Option[String], "FUNCTION_CALL", 100L),
+      ("pk1", "a.near", None: Option[String], Some("R2"), "FULL_ACCESS", 105L))
+      .toDF("public_key", "account_id", "created_by_receipt_id",
+        "deleted_by_receipt_id", "permission_kind", "last_update_block_height")
+    val cur = graft.near.Warehouse.accessKeysCurrent(deltas).collect()
+    assert(cur.length == 1)
+    assert(cur(0).getAs[String]("permission_kind") == "FUNCTION_CALL")
+    assert(cur(0).getAs[String]("deleted_by_receipt_id") == "R2")
+    assert(cur(0).getAs[Long]("last_update_block_height") == 105L)
   }
 
   test("transaction receipt tree joins execution status") {
