@@ -977,8 +977,15 @@ ORDER BY account_id, public_key"""
       // Streamed-warehouse convergence: the STREAMING path (microbatch
       // commits, cross-batch lineage/pending, registry delta
       // compaction) must hash-equal the batch twins at volume.
-      Seq("near_receipts" -> "receipts",
+      Seq("near_blocks" -> "blocks",
+        "near_chunks" -> "chunks",
+        "near_receipts" -> "receipts",
         "near_transactions" -> "transactions",
+        "near_transaction_actions" -> "transaction_actions",
+        "near_action_receipts" -> "action_receipts",
+        "near_action_receipt_input_data" -> "action_receipt_input_data",
+        "near_action_receipt_output_data" -> "action_receipt_output_data",
+        "near_execution_outcomes" -> "execution_outcomes",
         "near_ft_events" -> "ft_events",
         "near_accounts" -> "accounts",
         "near_access_keys" -> "access_keys",
@@ -986,7 +993,8 @@ ORDER BY account_id, public_key"""
         "near_execution_outcome_receipts" -> "execution_outcome_receipts",
         "near_account_changes" -> "account_changes",
         "near_nft_events" -> "nft_events",
-        "near_data_receipts" -> "data_receipts").map { case (base, suffix) =>
+        "near_data_receipts" -> "data_receipts",
+        "near_lockups" -> "lockups").map { case (base, suffix) =>
         s"near_scale_streamed_$suffix" ->
           wrap(base, finish(rawSql(base), s"$fixtureDir/scale_norm",
             graft.near.ScaleChain.WhaleTx, "user1.near", "user1.near"))

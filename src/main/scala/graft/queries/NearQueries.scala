@@ -67,6 +67,24 @@ object NearQueries {
   private val streamedCache =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, Map[String, DataFrame]]()
 
+  /** The 15 plain tables the streamed gate reads back verbatim; the two
+    * registries (accounts, access_keys) additionally go through their
+    * delta compactions. NearStreamSpec asserts plain ∪ registries ==
+    * the set of tables [[graft.near.Stream.processBatch]] actually
+    * writes, so a table cannot be added to the streaming path without
+    * joining the volume gate.
+    */
+  val StreamedPlainTables: Seq[String] = Seq("blocks", "chunks",
+    "transactions", "transaction_actions", "receipts", "action_receipts",
+    "action_receipt_actions", "action_receipt_input_data",
+    "action_receipt_output_data", "data_receipts",
+    "execution_outcomes", "execution_outcome_receipts",
+    "account_changes", "assets__fungible_token_events",
+    "assets__non_fungible_token_events")
+
+  val StreamedGateTables: Set[String] =
+    StreamedPlainTables.toSet ++ Set("accounts", "access_keys")
+
   private def streamedTables(s: SparkSession): Map[String, DataFrame] =
     streamedCache.computeIfAbsent(s, (s2: SparkSession) => {
       scaleTables(s2) // ensure the scale_norm oracle fixture is written
@@ -78,20 +96,11 @@ object NearQueries {
       }
       def t(name: String) =
         graft.near.Warehouse.table(s2, wh, name).drop("block_date")
-      Map(
-        "receipts" -> t("receipts"),
-        "transactions" -> t("transactions"),
-        "assets__fungible_token_events" -> t("assets__fungible_token_events"),
-        "assets__non_fungible_token_events" ->
-          t("assets__non_fungible_token_events"),
-        "action_receipt_actions" -> t("action_receipt_actions"),
-        "execution_outcome_receipts" -> t("execution_outcome_receipts"),
-        "account_changes" -> t("account_changes"),
-        "data_receipts" -> t("data_receipts"),
+      (StreamedPlainTables.map(n => n -> t(n)).toMap ++ Map(
         "accounts" -> graft.near.Warehouse.accountsCurrent(t("accounts")),
         "access_keys" ->
           graft.near.Warehouse.accessKeysCurrent(t("access_keys")),
-      ).map { case (n, df) => n -> df.persist() }
+      )).map { case (n, df) => n -> df.persist() }
     })
 
   // Third gate input: the deterministic genesis document — the engine
@@ -136,6 +145,10 @@ object NearQueries {
   private def scaleTable(name: String, order: Seq[String])(
       s: SparkSession, dir: String): DataFrame =
     scaleTables(s)(name).orderBy(order.map(col): _*)
+
+  private def streamedTable(name: String, order: Seq[String])(
+      s: SparkSession, dir: String): DataFrame =
+    streamedTables(s)(name).orderBy(order.map(col): _*)
 
   /** Hash-stable final projection: the driver's compare canonicalizes
     * cells via pandas `astype(str)`, which floats DuckDB DECIMALs
@@ -303,42 +316,65 @@ object NearQueries {
     "near_scale_q_receipts_by_receiver" -> ((s: SparkSession, dir: String) =>
       graft.near.ConsumerQueries.receiptsByReceiver(
         scaleTables(s)("receipts"), "user1.near")),
-    // --- streamed-warehouse convergence at volume ---
-    "near_scale_streamed_receipts" -> ((s: SparkSession, dir: String) =>
-      streamedTables(s)("receipts").orderBy("receipt_id")),
-    "near_scale_streamed_transactions" -> ((s: SparkSession, dir: String) =>
-      streamedTables(s)("transactions").orderBy("transaction_hash")),
-    "near_scale_streamed_ft_events" -> ((s: SparkSession, dir: String) =>
-      streamedTables(s)("assets__fungible_token_events")
-        .orderBy("emitted_at_block_timestamp", "emitted_in_shard_id",
-          "emitted_index_of_event_entry_in_shard")),
-    "near_scale_streamed_accounts" -> ((s: SparkSession, dir: String) =>
-      streamedTables(s)("accounts").orderBy("account_id")),
-    "near_scale_streamed_access_keys" -> ((s: SparkSession, dir: String) =>
-      streamedTables(s)("access_keys").orderBy("account_id", "public_key")),
-    // The remaining state-coupled satellites: delegate flatten when the
-    // delegate's receipt lands in a later microbatch than its tx
-    // (receipts.rs:534-625), shard ordinals under batch splits
-    // (2022-01-12-100000_assets_ft/up.sql:15-21), outcome→receipt
-    // edges and binary payloads across commit boundaries.
+    // --- streamed-warehouse convergence at volume: ALL 17 tables ---
+    // Every warehouse table the streaming path writes is read back and
+    // hash-checked against its batch twin — cross-batch lineage, the
+    // delegate flatten when a delegate's receipt lands in a later
+    // microbatch than its tx (receipts.rs:534-625), shard ordinals
+    // under batch splits (2022-01-12-100000_assets_ft/up.sql:15-21),
+    // outcome→receipt edges, binary payloads across commit boundaries,
+    // and the registry delta compactions.
+    "near_scale_streamed_blocks" ->
+      streamedTable("blocks", Seq("block_height", "block_hash")) _,
+    "near_scale_streamed_chunks" -> streamedTable("chunks", Seq("chunk_hash")) _,
+    "near_scale_streamed_receipts" ->
+      streamedTable("receipts", Seq("receipt_id")) _,
+    "near_scale_streamed_transactions" ->
+      streamedTable("transactions", Seq("transaction_hash")) _,
+    "near_scale_streamed_transaction_actions" ->
+      streamedTable("transaction_actions",
+        Seq("transaction_hash", "index_in_transaction")) _,
+    "near_scale_streamed_action_receipts" ->
+      streamedTable("action_receipts", Seq("receipt_id")) _,
+    "near_scale_streamed_action_receipt_input_data" ->
+      streamedTable("action_receipt_input_data",
+        Seq("input_data_id", "input_to_receipt_id")) _,
+    "near_scale_streamed_action_receipt_output_data" ->
+      streamedTable("action_receipt_output_data", Seq("output_data_id")) _,
+    "near_scale_streamed_execution_outcomes" ->
+      streamedTable("execution_outcomes", Seq("receipt_id")) _,
+    "near_scale_streamed_ft_events" ->
+      streamedTable("assets__fungible_token_events",
+        Seq("emitted_at_block_timestamp", "emitted_in_shard_id",
+          "emitted_index_of_event_entry_in_shard")) _,
+    "near_scale_streamed_accounts" ->
+      streamedTable("accounts", Seq("account_id")) _,
+    "near_scale_streamed_access_keys" ->
+      streamedTable("access_keys", Seq("account_id", "public_key")) _,
     "near_scale_streamed_action_receipt_actions" ->
-      ((s: SparkSession, dir: String) =>
-        streamedTables(s)("action_receipt_actions")
-          .orderBy("receipt_id", "index_in_action_receipt")),
+      streamedTable("action_receipt_actions",
+        Seq("receipt_id", "index_in_action_receipt")) _,
     "near_scale_streamed_execution_outcome_receipts" ->
-      ((s: SparkSession, dir: String) =>
-        streamedTables(s)("execution_outcome_receipts")
-          .orderBy("executed_receipt_id", "index_in_execution_outcome")),
+      streamedTable("execution_outcome_receipts",
+        Seq("executed_receipt_id", "index_in_execution_outcome")) _,
     "near_scale_streamed_account_changes" ->
-      ((s: SparkSession, dir: String) =>
-        streamedTables(s)("account_changes")
-          .orderBy("changed_in_block_timestamp", "index_in_block")),
-    "near_scale_streamed_nft_events" -> ((s: SparkSession, dir: String) =>
-      streamedTables(s)("assets__non_fungible_token_events")
-        .orderBy("emitted_at_block_timestamp", "emitted_in_shard_id",
-          "emitted_index_of_event_entry_in_shard")),
-    "near_scale_streamed_data_receipts" -> ((s: SparkSession, dir: String) =>
-      streamedTables(s)("data_receipts").orderBy("data_id")),
+      streamedTable("account_changes",
+        Seq("changed_in_block_timestamp", "index_in_block")) _,
+    "near_scale_streamed_nft_events" ->
+      streamedTable("assets__non_fungible_token_events",
+        Seq("emitted_at_block_timestamp", "emitted_in_shard_id",
+          "emitted_index_of_event_entry_in_shard")) _,
+    "near_scale_streamed_data_receipts" ->
+      streamedTable("data_receipts", Seq("data_id")) _,
+    // The J4/J5 view computed over the STREAMED warehouse (compacted
+    // registries + streamed receipts/blocks) must equal the view over
+    // the batch tables — the consumer-facing check that the streaming
+    // path's registry deltas compose correctly under downstream joins.
+    "near_scale_streamed_lockups" -> ((s: SparkSession, dir: String) => {
+      val t = streamedTables(s)
+      graft.near.Views.aggregatedLockups(t("accounts"), t("receipts"),
+        t("blocks")).orderBy("account_id")
+    }),
     "near_scale_lockups" -> ((s: SparkSession, dir: String) => {
       val t = scaleTables(s)
       graft.near.Views.aggregatedLockups(t("accounts"), t("receipts"),

@@ -179,6 +179,16 @@ class NearStreamSpec extends AnyFunSuite {
     assert(accounts("carol.near")
       .getAs[java.math.BigDecimal]("last_update_block_height").intValue == 102)
 
+    // Gate-coverage guard: every table processBatch writes must be in
+    // the streamed VOLUME gate's read-back set — a table cannot join
+    // the streaming path without its streamed twin being hash-checked.
+    val written = Files.list(Paths.get(wh)).toArray.map(_.toString)
+      .map(p => p.substring(p.lastIndexOf('/') + 1))
+      .filterNot(_.startsWith("_")).toSet
+    val ungated = written -- graft.queries.NearQueries.StreamedGateTables
+    assert(ungated.isEmpty,
+      s"streamed tables missing from the volume gate: ${ungated.mkString(",")}")
+
     // Orphan R6 parked with retry budget, then dropped after maxRetries
     // batches: drive empty-ish batches by adding fork-only blocks.
     val pendingAfter2 = Stream.stateTable(spark, wh, Stream.PendingDir).get
