@@ -210,10 +210,25 @@ object StreamingJobs {
     */
   def streamNearDupDocsBounded(s: SparkSession, dir: String,
       ttlMs: Long = 3600L * 1000L): DataFrame = {
+    val src = s.readStream.schema(docsSchema)
+      .option("basePath", dir).parquet(s"$dir/documents.parque[t]")
+    val dups = nearDupBoundedStream(s, src, ttlMs)
+    drain(s, dups, "neardupb_", outputMode = "append") { t =>
+      t.select(col("doc_id"), col("dup_of")).orderBy(col("doc_id"))
+    }
+  }
+
+  /** Core of [[streamNearDupDocsBounded]] over any streaming frame with
+    * (doc_id LONG, text STRING) columns — split out so the eviction
+    * semantics are spec-testable with a controllable multi-batch source
+    * (the parquet drain finishes in one batch, where no timeout can
+    * fire).
+    */
+  private[graft] def nearDupBoundedStream(s: SparkSession, docs: DataFrame,
+      ttlMs: Long): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
-    val keyed = s.readStream.schema(docsSchema)
-      .option("basePath", dir).parquet(s"$dir/documents.parque[t]")
+    val keyed = docs
       .withColumn("w", graft.functions.TextFunctions.words(col("text")))
       .filter(size(col("w")) >= 3)
       .withColumn("sig",
@@ -223,7 +238,7 @@ object StreamingJobs {
       .select(expr("array_join(transform(sig, x -> cast(x AS STRING)), ',')")
         .as("k"), col("doc_id"), col("ev_ts"))
       .as[(String, Long, java.sql.Timestamp)]
-    val dups = keyed.groupByKey(_._1)
+    keyed.groupByKey(_._1)
       .flatMapGroupsWithState[Long, (Long, Long)](
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout()) {
@@ -240,9 +255,6 @@ object StreamingJobs {
           }
       }
       .toDF("doc_id", "dup_of")
-    drain(s, dups, "neardupb_", outputMode = "append") { t =>
-      t.select(col("doc_id"), col("dup_of")).orderBy(col("doc_id"))
-    }
   }
 
   /** Streaming DEDUPLICATION: distinct users per event type computed

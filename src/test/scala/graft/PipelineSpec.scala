@@ -747,6 +747,41 @@ class PipelineSpec extends AnyFunSuite {
       s"missing=${batch -- streamed} extra=${streamed -- batch}")
   }
 
+  test("q48b TTL eviction forgets signatures idle past the horizon") {
+    // Multi-batch drive with a controllable source: dup pair (1,2) in
+    // batch 1; batch 2 advances the watermark far past state A's
+    // timeout; batch 3 (no data for A) fires the timeout and evicts;
+    // batch 4 re-sees A's text — the canon must RESET to 30000 (state
+    // was forgotten), not resolve to 1 as unbounded q48 would.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val a = "alpha beta gamma delta epsilon"
+    val b = "one two three four five six"
+    val ms = MemoryStream[(Long, String)]
+    val dups = graft.streaming.StreamingJobs.nearDupBoundedStream(
+      spark, ms.toDF().toDF("doc_id", "text"), ttlMs = 3600L * 1000L)
+    val name = "q48b_evict_test"
+    val q = dups.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      ms.addData((1L, a), (2L, a))
+      q.processAllAvailable() // A: canon=1, timeout ≈ wm(0)+1h
+      ms.addData((20000L, b))
+      q.processAllAvailable() // wm → 20000s-1h ≫ timeout; A idle
+      ms.addData((25000L, b))
+      q.processAllAvailable() // A has no data ⇒ hasTimedOut ⇒ evicted
+      ms.addData((30000L, a), (30001L, a))
+      q.processAllAvailable() // fresh state: canon resets to 30000
+      val got = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((2L, 1L), (30001L, 30000L)),
+        s"expected eviction to reset the canon, got $got")
+    } finally {
+      q.stop(); spark.catalog.dropTempView(name)
+    }
+  }
+
   test("q41 packing parallelism scales with the corpus (no fixed-width stage)") {
     import graft.queries.PipelineQueries.packBuckets
     assert(packBuckets(500L) == 16) // small corpora keep the floor
