@@ -79,6 +79,8 @@ object SparkEntry {
     "q48_stream_near_dup"     -> (StreamingJobs.streamNearDupDocs _),
     "q48b_stream_near_dup_ttl" -> ((s: SparkSession, dir: String) =>
       StreamingJobs.streamNearDupDocsBounded(s, dir)),
+    "q49_pii_scrub"           -> (PipelineQueries.q49PiiScrub _),
+    "q50_domain_filter"       -> (PipelineQueries.q50DomainFilter _),
   ) ++ graft.queries.NearQueries.queries
 
   def oracleSql: Map[String, String] = Map(

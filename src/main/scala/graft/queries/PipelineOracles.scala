@@ -713,5 +713,41 @@ object PipelineOracles {
          |    format('{:02x}', (13*x + 5*y + 19*img_id) % 256),
          |    '' ORDER BY k) AS rgb_hex
          |FROM rp GROUP BY img_id ORDER BY img_id""".stripMargin,
+
+    // PII scrub: same deterministic injection from doc_id, same
+    // Java∩RE2 regexes; DuckDB regexp_replace needs the 'g' flag to
+    // match Spark's replace-all default.
+    "q49_pii_scrub" ->
+      """WITH aug AS (SELECT doc_id, text
+        |  || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
+        |  || CASE WHEN doc_id % 4 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END
+        |  || CASE WHEN doc_id % 5 = 0 THEN ' ssn ' || CAST(100 + doc_id % 900 AS VARCHAR) || '-' || CAST(10 + doc_id % 90 AS VARCHAR) || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR) ELSE '' END AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ids,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g') AS clean_text
+        |  FROM aug)
+        |SELECT doc_id, n_emails, n_ips, n_ids, clean_text,
+        |  n_emails + n_ips + n_ids AS pii_total
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Domain blocklist gate: same injected URL, same extraction regex,
+    // blocklist reconstructed with generate_series.
+    "q50_domain_filter" ->
+      """WITH u AS (SELECT doc_id,
+        |    'https://site' || CAST(doc_id % 20 AS VARCHAR) || '.example.org/p' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |d AS (SELECT doc_id,
+        |    regexp_extract(url, '^https?://([^/]+)/', 1) AS domain FROM u),
+        |b AS (SELECT 'site' || CAST(i AS VARCHAR) || '.example.org' AS domain
+        |      FROM generate_series(0, 19) t(i) WHERE i % 3 = 0)
+        |SELECT d.doc_id, d.domain, (b.domain IS NOT NULL) AS is_blocked
+        |FROM d LEFT JOIN b ON d.domain = b.domain
+        |ORDER BY d.doc_id""".stripMargin,
   )
 }

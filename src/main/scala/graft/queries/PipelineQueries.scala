@@ -716,4 +716,68 @@ object PipelineQueries {
         col("keep"), col("reject_reason"))
       .orderBy(col("doc_id"))
   }
+
+  /** PII SCRUBBING — the redaction pass every training-corpus build
+    * runs before packing: emails, IPv4 addresses, and SSN-shaped ids
+    * are counted then replaced with typed placeholder tokens. The
+    * synthetic corpus contains no PII, so deterministic instances are
+    * INJECTED from doc_id first (the q43/q44 formula-oracle pattern:
+    * the oracle recomputes the same injection in SQL, so the count and
+    * the rewritten text are both hash-gated, not trivially zero).
+    * Patterns stay in the Java∩RE2 common subset (character classes,
+    * bounded repeats, ASCII \\d and \\b) so Spark and DuckDB agree.
+    * Scale shape: map-only, one codegen stage, three regex passes over
+    * the text column; filters/projection push to the scan; no shuffle
+    * but the final cosmetic sort.
+    */
+  def q49PiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val did = col("doc_id")
+    def num(c: org.apache.spark.sql.Column) = c.cast("string")
+    val aug = concat(col("text"),
+      when(did % 3 === 0, concat(lit(" contact user"), num(did),
+        lit("@example.com now"))).otherwise(lit("")),
+      when(did % 4 === 0, concat(lit(" from 10.0."), num(did % 256),
+        lit("."), num((did * 7) % 256))).otherwise(lit("")),
+      when(did % 5 === 0, concat(lit(" ssn "), num(lit(100) + did % 900),
+        lit("-"), num(lit(10) + did % 90), lit("-"),
+        num(lit(1000) + did % 9000))).otherwise(lit("")))
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val ssn = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+    d.select(col("doc_id"), aug.as("t"))
+      .select(col("doc_id"),
+        regexp_count(col("t"), lit(email)).cast("long").as("n_emails"),
+        regexp_count(col("t"), lit(ipv4)).cast("long").as("n_ips"),
+        regexp_count(col("t"), lit(ssn)).cast("long").as("n_ids"),
+        regexp_replace(regexp_replace(regexp_replace(col("t"),
+          email, "<EMAIL>"), ipv4, "<IP>"), ssn, "<ID>").as("clean_text"))
+      .withColumn("pii_total",
+        (col("n_emails") + col("n_ips") + col("n_ids")).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** URL/DOMAIN FILTERING — the C4-style blocklist gate: each doc's
+    * URL (injected deterministically from doc_id; the synthetic corpus
+    * has none) is parsed to its domain, which joins a small blocklist.
+    * Scale shape: the blocklist is the canonical BROADCAST side (a
+    * curated list is thousands of rows, never corpus-sized), so the
+    * gate is a map-side hash join — no shuffle of the corpus; domain
+    * extraction is one codegen regexp.
+    */
+  def q50DomainFilter(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val url = concat(lit("https://site"), (col("doc_id") % 20).cast("string"),
+      lit(".example.org/p"), col("doc_id").cast("string"))
+    val withUrl = d.select(col("doc_id"), url.as("url"))
+      .withColumn("domain",
+        regexp_extract(col("url"), "^https?://([^/]+)/", 1))
+    val blocklist = s.range(0, 20).filter(col("id") % 3 === 0)
+      .select(concat(lit("site"), col("id").cast("string"),
+        lit(".example.org")).as("domain"), lit(true).as("b"))
+    withUrl.join(broadcast(blocklist), Seq("domain"), "left")
+      .select(col("doc_id"), col("domain"),
+        coalesce(col("b"), lit(false)).as("is_blocked"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -782,6 +782,39 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q49 PII scrub: counts match injection schedule, no PII survives") {
+    val rows = SparkEntry.queries("q49_pii_scrub")(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_emails") == (if (id % 3 == 0) 1L else 0L))
+      assert(r.getAs[Long]("n_ips") == (if (id % 4 == 0) 1L else 0L))
+      assert(r.getAs[Long]("n_ids") == (if (id % 5 == 0) 1L else 0L))
+      val t = r.getAs[String]("clean_text")
+      // the scrubbed text must contain the placeholder iff injected,
+      // and no survivor of the raw patterns
+      assert(t.contains("<EMAIL>") == (id % 3 == 0))
+      assert(t.contains("<IP>") == (id % 4 == 0))
+      assert(t.contains("<ID>") == (id % 5 == 0))
+      assert(!t.contains("@example.com") && !t.contains("10.0."))
+    }
+  }
+
+  test("q50 domain filter: blocklist decision and broadcast plan shape") {
+    val df = SparkEntry.queries("q50_domain_filter")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[String]("domain") == s"site${id % 20}.example.org")
+      assert(r.getAs[Boolean]("is_blocked") == ((id % 20) % 3 == 0))
+    }
+    // the blocklist gate must be a broadcast join — the corpus side
+    // must not shuffle
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+  }
+
   test("q41 packing parallelism scales with the corpus (no fixed-width stage)") {
     import graft.queries.PipelineQueries.packBuckets
     assert(packBuckets(500L) == 16) // small corpora keep the floor
