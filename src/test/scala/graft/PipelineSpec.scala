@@ -747,21 +747,22 @@ class PipelineSpec extends AnyFunSuite {
       s"missing=${batch -- streamed} extra=${streamed -- batch}")
   }
 
-  test("q48b TTL eviction forgets signatures idle past the horizon") {
-    // Multi-batch drive with a controllable source: dup pair (1,2) in
-    // batch 1; batch 2 advances the watermark far past state A's
-    // timeout; batch 3 (no data for A) fires the timeout and evicts;
-    // batch 4 re-sees A's text — the canon must RESET to 30000 (state
-    // was forgotten), not resolve to 1 as unbounded q48 would.
+  /** 4-batch eviction drive for q48b: dup pair (1,2) in batch 1;
+    * batch 2 advances the watermark far past state A's timeout; batch 3
+    * (no data for A) fires the timeout and evicts; batch 4 re-sees A's
+    * text — the canon must RESET to 30000 (state was forgotten), not
+    * resolve to 1 as unbounded q48 would.
+    */
+  private def driveQ48bEviction(s: org.apache.spark.sql.SparkSession,
+      name: String): Set[(Long, Long)] = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
     val a = "alpha beta gamma delta epsilon"
     val b = "one two three four five six"
     val ms = MemoryStream[(Long, String)]
     val dups = graft.streaming.StreamingJobs.nearDupBoundedStream(
-      spark, ms.toDF().toDF("doc_id", "text"), ttlMs = 3600L * 1000L)
-    val name = "q48b_evict_test"
+      s, ms.toDF().toDF("doc_id", "text"), ttlMs = 3600L * 1000L)
     val q = dups.writeStream.outputMode("append")
       .format("memory").queryName(name).start()
     try {
@@ -773,13 +774,29 @@ class PipelineSpec extends AnyFunSuite {
       q.processAllAvailable() // A has no data ⇒ hasTimedOut ⇒ evicted
       ms.addData((30000L, a), (30001L, a))
       q.processAllAvailable() // fresh state: canon resets to 30000
-      val got = spark.table(name).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-      assert(got == Set((2L, 1L), (30001L, 30000L)),
-        s"expected eviction to reset the canon, got $got")
+      s.table(name).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     } finally {
-      q.stop(); spark.catalog.dropTempView(name)
+      q.stop(); s.catalog.dropTempView(name)
     }
+  }
+
+  test("q48b TTL eviction forgets signatures idle past the horizon") {
+    val got = driveQ48bEviction(spark, "q48b_evict_test")
+    assert(got == Set((2L, 1L), (30001L, 30000L)),
+      s"expected eviction to reset the canon, got $got")
+  }
+
+  test("q48b runs identically on the RocksDB state store (prod backend)") {
+    // The deployment note says "run with the RocksDB provider" — prove
+    // it: same 4-batch eviction drive on a child session whose state
+    // store is RocksDBStateStoreProvider (session-local conf; the
+    // shared session keeps the default HDFS-backed provider).
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val got = driveQ48bEviction(s2, "q48b_evict_rocksdb_test")
+    assert(got == Set((2L, 1L), (30001L, 30000L)),
+      s"RocksDB-backed run diverged: $got")
   }
 
   test("q49 PII scrub: counts match injection schedule, no PII survives") {
