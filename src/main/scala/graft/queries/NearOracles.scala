@@ -998,6 +998,19 @@ ORDER BY account_id, public_key"""
         s"near_scale_streamed_$suffix" ->
           wrap(base, finish(rawSql(base), s"$fixtureDir/scale_norm",
             graft.near.ScaleChain.WhaleTx, "user1.near", "user1.near"))
+      }.toMap ++
+      // Second-seed volume gate: identical reconstruction SQL over the
+      // seed-13 chain's norm fixture — independent collision patterns,
+      // fork placements, and churn interleavings.
+      Seq("near_transactions" -> "transactions",
+        "near_receipts" -> "receipts",
+        "near_action_receipt_actions" -> "action_receipt_actions",
+        "near_nft_events" -> "nft_events",
+        "near_accounts" -> "accounts",
+        "near_access_keys" -> "access_keys").map { case (base, suffix) =>
+        s"near_scale2_$suffix" ->
+          wrap(base, finish(rawSql(base), s"$fixtureDir/scale2_norm",
+            graft.near.ScaleChain.WhaleTx, "user1.near", "user1.near"))
       }.toMap
   }
 }

@@ -57,6 +57,29 @@ object NearQueries {
       Ingest.allTables(norm).map { case (n, df) => (n, df.persist()) }
     })
 
+  // Fifth gate input: the SAME generator at an INDEPENDENT seed. The
+  // round-9 perm-shadowing bug proved oracle reach depends on which
+  // event shapes a seed happens to produce (wider key pools surfaced a
+  // compaction bug the seed-7 hot pool masked for two rounds), so the
+  // trickiest tables are additionally gated on a second 256-block
+  // chain (seed 13): different collision patterns, fork placements,
+  // churn interleavings — same semantics, same oracle SQL.
+  private val scale2Cache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, Map[String, DataFrame]]()
+
+  private def scale2Tables(s: SparkSession): Map[String, DataFrame] =
+    scale2Cache.computeIfAbsent(s, (s2: SparkSession) => {
+      val norm = Ingest.blocksFromJson(s2,
+        graft.near.ScaleChain.chain(seed = 13L)).toDF().persist()
+      norm.count()
+      writeFixture(norm, s"${NearOracles.fixtureDir}/scale2_norm")
+      Ingest.allTables(norm).map { case (n, df) => (n, df.persist()) }
+    })
+
+  private def scale2Table(name: String, order: Seq[String])(
+      s: SparkSession, dir: String): DataFrame =
+    scale2Tables(s)(name).orderBy(order.map(col): _*)
+
   // Fourth gate input: the SAME 256-block chain pushed through the
   // STREAMING path — 4 processBatch microbatches with the exactly-once
   // commit protocol into a temp warehouse, then read back (registries
@@ -316,6 +339,21 @@ object NearQueries {
     "near_scale_q_receipts_by_receiver" -> ((s: SparkSession, dir: String) =>
       graft.near.ConsumerQueries.receiptsByReceiver(
         scaleTables(s)("receipts"), "user1.near")),
+    // --- second-seed volume gate (seed 13): the trickiest tables ---
+    "near_scale2_transactions" ->
+      scale2Table("transactions", Seq("transaction_hash")) _,
+    "near_scale2_receipts" -> scale2Table("receipts", Seq("receipt_id")) _,
+    "near_scale2_action_receipt_actions" ->
+      scale2Table("action_receipt_actions",
+        Seq("receipt_id", "index_in_action_receipt")) _,
+    "near_scale2_nft_events" ->
+      scale2Table("assets__non_fungible_token_events",
+        Seq("emitted_at_block_timestamp", "emitted_in_shard_id",
+          "emitted_index_of_event_entry_in_shard")) _,
+    "near_scale2_accounts" ->
+      scale2Table("accounts", Seq("account_id")) _,
+    "near_scale2_access_keys" ->
+      scale2Table("access_keys", Seq("account_id", "public_key")) _,
     // --- streamed-warehouse convergence at volume: ALL 17 tables ---
     // Every warehouse table the streaming path writes is read back and
     // hash-checked against its batch twin — cross-batch lineage, the
