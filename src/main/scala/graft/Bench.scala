@@ -134,8 +134,9 @@ object Bench {
       isNear(k) && !k.startsWith("near_ingest") }
     Seq("hand" -> nearMicro.filterNot(_._1.startsWith("near_scale")),
       "scale" -> nearMicro.filter(k => k._1.startsWith("near_scale") &&
-        !k._1.startsWith("near_scale_streamed")),
-      "streamed" -> nearMicro.filter(_._1.startsWith("near_scale_streamed")))
+        !k._1.contains("_streamed_")),
+      "streamed" -> nearMicro.filter(k => k._1.startsWith("near_scale") &&
+        k._1.contains("_streamed_")))
       .foreach { case (g, kvs) =>
         if (kvs.nonEmpty)
           println(s"""{"near_detail":"$g","queries":${jmap(kvs)}}""")

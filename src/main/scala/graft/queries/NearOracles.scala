@@ -1011,6 +1011,14 @@ ORDER BY account_id, public_key"""
         s"near_scale2_$suffix" ->
           wrap(base, finish(rawSql(base), s"$fixtureDir/scale2_norm",
             graft.near.ScaleChain.WhaleTx, "user1.near", "user1.near"))
+      }.toMap ++
+      // …and the seed-13 STREAMED registries (delta compaction under
+      // second-seed cross-batch event placement).
+      Seq("near_accounts" -> "accounts",
+        "near_access_keys" -> "access_keys").map { case (base, suffix) =>
+        s"near_scale2_streamed_$suffix" ->
+          wrap(base, finish(rawSql(base), s"$fixtureDir/scale2_norm",
+            graft.near.ScaleChain.WhaleTx, "user1.near", "user1.near"))
       }.toMap
   }
 }

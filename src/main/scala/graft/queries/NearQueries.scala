@@ -80,6 +80,32 @@ object NearQueries {
       s: SparkSession, dir: String): DataFrame =
     scale2Tables(s)(name).orderBy(order.map(col): _*)
 
+  // Seed-13 chain through the STREAMING path, registries only: the
+  // round-9 compaction bug needed BOTH wide key pools and a specific
+  // cross-batch event placement (a key whose only events in some
+  // microbatch are DELETEs) — placement is seed-dependent, so the
+  // delta compactions are gated at a second seed too.
+  private val streamed2Cache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, Map[String, DataFrame]]()
+
+  private def streamed2Tables(s: SparkSession): Map[String, DataFrame] =
+    streamed2Cache.computeIfAbsent(s, (s2: SparkSession) => {
+      scale2Tables(s2) // ensure the scale2_norm oracle fixture is written
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_stream2_gate_").toString
+      graft.near.ScaleChain.chain(seed = 13L).grouped(64).foreach { batch =>
+        graft.near.Stream.processBatch(s2,
+          graft.near.Ingest.blocksFromJson(s2, batch).toDF(), wh)
+      }
+      def t(name: String) =
+        graft.near.Warehouse.table(s2, wh, name).drop("block_date")
+      Map(
+        "accounts" -> graft.near.Warehouse.accountsCurrent(t("accounts")),
+        "access_keys" ->
+          graft.near.Warehouse.accessKeysCurrent(t("access_keys")),
+      ).map { case (n, df) => n -> df.persist() }
+    })
+
   // Fourth gate input: the SAME 256-block chain pushed through the
   // STREAMING path — 4 processBatch microbatches with the exactly-once
   // commit protocol into a temp warehouse, then read back (registries
@@ -354,6 +380,11 @@ object NearQueries {
       scale2Table("accounts", Seq("account_id")) _,
     "near_scale2_access_keys" ->
       scale2Table("access_keys", Seq("account_id", "public_key")) _,
+    "near_scale2_streamed_accounts" -> ((s: SparkSession, dir: String) =>
+      streamed2Tables(s)("accounts").orderBy("account_id")),
+    "near_scale2_streamed_access_keys" -> ((s: SparkSession, dir: String) =>
+      streamed2Tables(s)("access_keys")
+        .orderBy("account_id", "public_key")),
     // --- streamed-warehouse convergence at volume: ALL 17 tables ---
     // Every warehouse table the streaming path writes is read back and
     // hash-checked against its batch twin — cross-batch lineage, the
