@@ -76,11 +76,16 @@ object Bench {
       dt
     }
     val nBlocks = sys.env.getOrElse("SPARK_GRAFT_NEAR_BLOCKS", "512").toInt
+    // 0 disables the second point; a value equal to nBlocks would
+    // produce a duplicate JSON key, so it is treated as disabled too.
     val nBlocks2 = sys.env.getOrElse("SPARK_GRAFT_NEAR_BLOCKS2", "1024").toInt
     val ingestSec = ingest(nBlocks)
-    val ingestSec2 = if (nBlocks2 > 0) ingest(nBlocks2) else 0.0
-    val allResults = results :+ (s"near_ingest_${nBlocks}_blocks" -> ingestSec) :+
-      (s"near_ingest_${nBlocks2}_blocks" -> ingestSec2)
+    val run2 = nBlocks2 > 0 && nBlocks2 != nBlocks
+    val ingestSec2 = if (run2) ingest(nBlocks2) else 0.0
+    val allResults = results :+
+      (s"near_ingest_${nBlocks}_blocks" -> ingestSec) :++
+      (if (run2) Seq(s"near_ingest_${nBlocks2}_blocks" -> ingestSec2)
+       else Seq.empty)
 
     // Isolated re-runs: the shared-session numbers above can drift with
     // scheduling/codegen-cache noise accumulated across 70 queries, so
@@ -126,7 +131,10 @@ object Bench {
     // per-table near_* micro-times move to separate "near_detail"
     // lines printed just before it (no "metric" key — the driver greps
     // for that); ms precision — sub-ms digits are noise.
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: a comma-decimal default locale would otherwise
+    // print 0,123 and corrupt the driver-parsed JSON.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jmap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
@@ -145,7 +153,10 @@ object Bench {
     val iso = jmap(isolated)
     val total = allResults.map(_._2).sum
     val bps = nBlocks / ingestSec
-    val bps2 = if (ingestSec2 > 0) nBlocks2 / ingestSec2 else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"isolated":$iso,"ingest_blocks_per_sec":${fmt(bps)},"ingest_1024_blocks_per_sec":${fmt(bps2)},"sf":"$sfDir"}""")
+    val ingest2Field =
+      if (run2)
+        s""","ingest_${nBlocks2}_blocks_per_sec":${fmt(nBlocks2 / ingestSec2)}"""
+      else ""
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"isolated":$iso,"ingest_blocks_per_sec":${fmt(bps)}$ingest2Field,"sf":"$sfDir"}""")
   }
 }

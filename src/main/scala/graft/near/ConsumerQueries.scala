@@ -39,7 +39,12 @@ object ConsumerQueries {
       after: Option[(BigDecimal, Int)] = None, limit: Int = 100): DataFrame =
     transactions.filter(col("signer_account_id") === signer &&
         afterKey(col("block_timestamp"), col("index_in_chunk"), after))
-      .orderBy(col("block_timestamp"), col("index_in_chunk"))
+      // hash tiebreaker: (timestamp, index_in_chunk) is NOT unique —
+      // two shards in the same block both start index_in_chunk at 0 —
+      // so a LIMIT page cut on the pair alone would be engine- and
+      // run-dependent at the boundary
+      .orderBy(col("block_timestamp"), col("index_in_chunk"),
+        col("transaction_hash"))
       .limit(limit)
 
   /** Account activity: receipts received by an account
@@ -50,7 +55,10 @@ object ConsumerQueries {
     receipts.filter(col("receiver_account_id") === receiver &&
         afterKey(col("included_in_block_timestamp"), col("index_in_chunk"),
           after))
-      .orderBy(col("included_in_block_timestamp"), col("index_in_chunk"))
+      // receipt_id tiebreaker — same non-unique-pair hazard as
+      // transactionsBySigner
+      .orderBy(col("included_in_block_timestamp"), col("index_in_chunk"),
+        col("receipt_id"))
       .limit(limit)
 
   /** JSONB predicate queries (partial expression indexes,

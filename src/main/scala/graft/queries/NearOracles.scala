@@ -678,11 +678,11 @@ SELECT * FROM account_changes ORDER BY changed_in_block_timestamp, index_in_bloc
 
     "near_q_tx_by_signer" -> (preTx + """
 SELECT * FROM transactions WHERE signer_account_id = '@@SIGNER_ACCT@@'
-ORDER BY block_timestamp, index_in_chunk LIMIT 100"""),
+ORDER BY block_timestamp, index_in_chunk, transaction_hash LIMIT 100"""),
 
     "near_q_receipts_by_receiver" -> (preFull + """
 SELECT * FROM receipts WHERE receiver_account_id = '@@RECV_ACCT@@'
-ORDER BY included_in_block_timestamp, index_in_chunk LIMIT 100"""),
+ORDER BY included_in_block_timestamp, index_in_chunk, receipt_id LIMIT 100"""),
 
     "near_q_method_calls" ->
       (withR(NORM, CHX, TX, RCX, OCX, EOR, LIN, RESOLVED, ARA) + araSelect + s"""

@@ -134,6 +134,20 @@ object NearQueries {
   val StreamedGateTables: Set[String] =
     StreamedPlainTables.toSet ++ Set("accounts", "access_keys")
 
+  /** Warehouse table name → `near_scale_streamed_<suffix>` entry
+    * suffix. NearStreamSpec closes the loop: membership in
+    * [[StreamedGateTables]] alone is NOT coverage — the spec also
+    * asserts each table's streamed entry exists in BOTH
+    * `SparkEntry.queries` and `SparkEntry.oracleSql`, so appending a
+    * name to the list without wiring the hash gate still fails.
+    */
+  val StreamedGateSuffix: Map[String, String] =
+    StreamedGateTables.map(n => n -> (n match {
+      case "assets__fungible_token_events" => "ft_events"
+      case "assets__non_fungible_token_events" => "nft_events"
+      case other => other
+    })).toMap
+
   private def streamedTables(s: SparkSession): Map[String, DataFrame] =
     streamedCache.computeIfAbsent(s, (s2: SparkSession) => {
       scaleTables(s2) // ensure the scale_norm oracle fixture is written

@@ -497,12 +497,15 @@ object PipelineQueries {
 
   /** Row count for bucket derivation WITHOUT an extra job when the
     * catalog already knows it: a bare table scan's optimized-plan
-    * `stats.rowCount` is the catalog statistic (exact after ANALYZE /
-    * parquet footer aggregation) — at warehouse scale the sizing pass
-    * disappears. Falls back to one count() job when no statistic
-    * exists (the local test path). Both are the exact row count, so
-    * the derived bucket count — which is part of q41's OUTPUT — stays
-    * oracle-reproducible (`count(*)` in SQL).
+    * `stats.rowCount` is the catalog statistic — at warehouse scale
+    * the sizing pass disappears. Falls back to one count() job when no
+    * statistic exists (the only live path for a plain parquet read
+    * with CBO off, including this repo's tests). CAVEAT: catalog
+    * statistics are ANALYZE-time snapshots; because the bucket count
+    * is part of q41's OUTPUT, the stats path is only exact when the
+    * warehouse keeps stats fresh on write (the standard practice this
+    * assumes). A pipeline that appends without re-ANALYZE should pass
+    * `nRowsEstimate` (or `nBuckets`) explicitly instead.
     */
   private def exactRowCount(d: DataFrame): Long =
     d.queryExecution.optimizedPlan.stats.rowCount match {

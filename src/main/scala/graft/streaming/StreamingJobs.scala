@@ -150,18 +150,37 @@ object StreamingJobs {
     StructField("n_chars", LongType),
   ))
 
+  /** Shared per-group fold for q48/q48b: the canonical doc for a
+    * signature is the FIRST-SEEN id (batch-internal ties resolve to
+    * the batch minimum, so a single-batch drain's canonical is the
+    * group minimum — the oracle's convention); every other arriving id
+    * is emitted exactly once as `(doc_id, dup_of = canonical)`.
+    * First-seen — not min-so-far — is the streaming dedup contract
+    * (`dropDuplicates` keeps the first row): a smaller id arriving in
+    * a LATER batch is a dup of the doc already kept, whereas under
+    * min-so-far it would silently REPLACE the canonical and neither
+    * doc would ever be reported — a lost dup pair in exactly the
+    * multi-batch shape these operators exist for.
+    */
+  private def foldNearDup(ids: Array[Long],
+      state: org.apache.spark.sql.streaming.GroupState[Long])
+      : Iterator[(Long, Long)] = {
+    val canon = state.getOption.getOrElse(ids.min)
+    state.update(canon)
+    ids.sorted.iterator.filter(_ != canon).map(id => (id, canon))
+  }
+
   /** STREAMING near-duplicate detection with CUSTOM keyed state — the
     * `flatMapGroupsWithState` shape (§2.9): each arriving document's
     * 16-minhash signature is its dedup key; the per-key GroupState
-    * holds the canonical (minimum) doc_id seen so far, and any later
-    * doc with the same signature is emitted as `(doc_id, dup_of)` —
-    * the streaming form of the "drop near-dups against the already-
-    * ingested corpus" decontamination step. Within a batch the group's
-    * rows are folded in doc_id order, so the output is deterministic
-    * under any partitioning; across batches the canonical is min-so-
-    * far. State is ONE long per distinct signature; a production
-    * deployment bounds it with timeout eviction (the q35b pattern) —
-    * the fixture drain is a single batch, so NoTimeout here.
+    * holds the canonical (first-seen) doc_id, and any later doc with
+    * the same signature is emitted as `(doc_id, dup_of)` — the
+    * streaming form of the "drop near-dups against the already-
+    * ingested corpus" decontamination step ([[foldNearDup]] has the
+    * exact contract). State is ONE long per distinct signature; the
+    * production deployment bounds it with timeout eviction
+    * ([[streamNearDupDocsBounded]], the q35b pattern) — the fixture
+    * drain is a single batch, so NoTimeout here.
     */
   def streamNearDupDocs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -180,10 +199,7 @@ object StreamingJobs {
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.NoTimeout()) {
         (_: String, rows: Iterator[(String, Long)], state: GroupState[Long]) =>
-          val ids = rows.map(_._2).toArray.sorted
-          val canon = math.min(state.getOption.getOrElse(Long.MaxValue), ids(0))
-          state.update(canon)
-          ids.iterator.filter(_ > canon).map(id => (id, canon))
+          foldNearDup(rows.map(_._2).toArray, state)
       }
       .toDF("doc_id", "dup_of")
     drain(s, dups, "neardup_", outputMode = "append") { t =>
@@ -193,20 +209,28 @@ object StreamingJobs {
 
   /** TTL-BOUNDED streaming near-dup — the production shape of
     * [[streamNearDupDocs]] (the q35→q35b pattern): the same
-    * signature-keyed custom state, but registered with
+    * signature-keyed fold ([[foldNearDup]]), but registered with
     * `EventTimeTimeout` so a signature not re-seen within `ttlMs` of
-    * the advancing watermark is EVICTED — state is bounded by the
-    * number of distinct signatures inside the trailing TTL horizon
-    * instead of all time. The trade (as with q35b): a near-dup of a
-    * document older than the horizon is no longer detected — the
-    * standard decontamination window compromise. `documents.parquet`
-    * has no event-time column, so arrival time is synthesized
-    * deterministically at one doc per second (`doc_id` seconds from
-    * epoch); production wires the real ingest timestamp. On the
-    * single-batch fixture drain no timeout fires before the output is
-    * final, so the oracle is q48's — identical result, bounded state.
-    * Deployment note (README): run with the RocksDB state store
-    * provider; state size = one long + key per live signature.
+    * its LAST OCCURRENCE'S EVENT TIME is EVICTED once the watermark
+    * passes that point — state is bounded by the number of distinct
+    * signatures inside the trailing TTL horizon instead of all time.
+    * The timeout anchors to the group's max event time, NOT the
+    * current watermark: a watermark that jumps more than ttlMs in one
+    * batch (stream start, restart backfill) would otherwise place the
+    * timeout before the key's own data and evict it immediately,
+    * losing near-dups well inside the horizon. (Rows older than the
+    * watermark are filtered before the operator, so maxTs + ttlMs is
+    * always a valid, future timeout.) The trade (as with q35b): a
+    * near-dup of a document older than the horizon is no longer
+    * detected — the standard decontamination window compromise.
+    * `documents.parquet` has no event-time column, so arrival time is
+    * synthesized deterministically at one doc per second (`doc_id`
+    * seconds from epoch); production wires the real ingest timestamp.
+    * On the single-batch fixture drain no timeout fires before the
+    * output is final, so the oracle is q48's — identical result,
+    * bounded state. Deployment note (README): run with the RocksDB
+    * state store provider; state size = one long + key per live
+    * signature.
     */
   def streamNearDupDocsBounded(s: SparkSession, dir: String,
       ttlMs: Long = 3600L * 1000L): DataFrame = {
@@ -246,12 +270,10 @@ object StreamingJobs {
             state: GroupState[Long]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val ids = rows.map(_._2).toArray.sorted
-            val canon =
-              math.min(state.getOption.getOrElse(Long.MaxValue), ids(0))
-            state.update(canon)
-            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttlMs)
-            ids.iterator.filter(_ > canon).map(id => (id, canon))
+            val arrived = rows.toArray
+            val maxTs = arrived.map(_._3.getTime).max
+            state.setTimeoutTimestamp(maxTs + ttlMs)
+            foldNearDup(arrived.map(_._2), state)
           }
       }
       .toDF("doc_id", "dup_of")

@@ -158,8 +158,9 @@ class NearStreamSpec extends AnyFunSuite {
     assert(ar.count() == ar.select("receipt_id").distinct().count())
 
     // Day partitioning materialized on disk for time-partitioned tables.
-    assert(Files.list(Paths.get(s"$wh/blocks")).iterator().hasNext)
-    val parts = Files.list(Paths.get(s"$wh/blocks")).toArray.map(_.toString)
+    val bls = Files.list(Paths.get(s"$wh/blocks"))
+    val parts = try bls.toArray.map(_.toString) finally bls.close()
+    assert(parts.nonEmpty)
     assert(parts.exists(_.contains("block_date=2023-11-14")),
       s"expected day partition dir, got ${parts.mkString(",")}")
     // …and a day-ranged read PRUNES at the scan (the 100 TB read path:
@@ -182,12 +183,25 @@ class NearStreamSpec extends AnyFunSuite {
     // Gate-coverage guard: every table processBatch writes must be in
     // the streamed VOLUME gate's read-back set — a table cannot join
     // the streaming path without its streamed twin being hash-checked.
-    val written = Files.list(Paths.get(wh)).toArray.map(_.toString)
+    val wls = Files.list(Paths.get(wh))
+    val written = try wls.toArray.map(_.toString)
       .map(p => p.substring(p.lastIndexOf('/') + 1))
       .filterNot(_.startsWith("_")).toSet
+    finally wls.close()
     val ungated = written -- graft.queries.NearQueries.StreamedGateTables
     assert(ungated.isEmpty,
       s"streamed tables missing from the volume gate: ${ungated.mkString(",")}")
+    // …and membership in the list is not enough: each gate table's
+    // streamed entry must actually be REGISTERED in both the query map
+    // and the oracle map, or the hash gate never runs for it.
+    graft.queries.NearQueries.StreamedGateSuffix.foreach {
+      case (table, suffix) =>
+        val entry = s"near_scale_streamed_$suffix"
+        assert(SparkEntry.queries.contains(entry),
+          s"$table: no $entry in SparkEntry.queries")
+        assert(SparkEntry.oracleSql.contains(entry),
+          s"$table: no $entry oracle — the twin is never hash-checked")
+    }
 
     // Orphan R6 parked with retry budget, then dropped after maxRetries
     // batches: drive empty-ish batches by adding fork-only blocks.

@@ -748,10 +748,13 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   /** 4-batch eviction drive for q48b: dup pair (1,2) in batch 1;
-    * batch 2 advances the watermark far past state A's timeout; batch 3
-    * (no data for A) fires the timeout and evicts; batch 4 re-sees A's
-    * text — the canon must RESET to 30000 (state was forgotten), not
-    * resolve to 1 as unbounded q48 would.
+    * batch 2 advances the watermark far past state A's event-time
+    * horizon; batch 3 re-sees signature B within its TTL (5000s after
+    * doc 20000's event time → (25000, 20000) IS emitted — under the
+    * pre-fix watermark-anchored timeout B was evicted prematurely and
+    * this dup was lost) while A, idle past its horizon, is evicted;
+    * batch 4 re-sees A's text — the canon must RESET to 30000 (state
+    * was forgotten), not resolve to 1 as unbounded q48 would.
     */
   private def driveQ48bEviction(s: org.apache.spark.sql.SparkSession,
       name: String): Set[(Long, Long)] = {
@@ -767,11 +770,12 @@ class PipelineSpec extends AnyFunSuite {
       .format("memory").queryName(name).start()
     try {
       ms.addData((1L, a), (2L, a))
-      q.processAllAvailable() // A: canon=1, timeout ≈ wm(0)+1h
+      q.processAllAvailable() // A: canon=1, timeout = 2s+1h event time
       ms.addData((20000L, b))
-      q.processAllAvailable() // wm → 20000s-1h ≫ timeout; A idle
+      q.processAllAvailable() // wm → 20000s-1h ≫ A's horizon; A idle
       ms.addData((25000L, b))
-      q.processAllAvailable() // A has no data ⇒ hasTimedOut ⇒ evicted
+      q.processAllAvailable() // B re-seen in-TTL → (25000,20000);
+                              // A has no data ⇒ hasTimedOut ⇒ evicted
       ms.addData((30000L, a), (30001L, a))
       q.processAllAvailable() // fresh state: canon resets to 30000
       s.table(name).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -782,8 +786,38 @@ class PipelineSpec extends AnyFunSuite {
 
   test("q48b TTL eviction forgets signatures idle past the horizon") {
     val got = driveQ48bEviction(spark, "q48b_evict_test")
-    assert(got == Set((2L, 1L), (30001L, 30000L)),
-      s"expected eviction to reset the canon, got $got")
+    assert(got == Set((2L, 1L), (25000L, 20000L), (30001L, 30000L)),
+      s"expected in-TTL dup + eviction reset, got $got")
+  }
+
+  test("q48/q48b canon is FIRST-SEEN: a smaller id in a later batch is the dup") {
+    // Review find (r9): under min-so-far a later-but-smaller doc_id
+    // silently replaced the canonical and NEITHER doc was ever
+    // reported — a lost dup pair in the multi-batch production shape.
+    // First-seen semantics: doc 5 (batch 1) is kept; doc 3 (batch 2,
+    // same signature, within the late horizon) is emitted as (3, 5).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val a = "alpha beta gamma delta epsilon"
+    val ms = MemoryStream[(Long, String)]
+    val dups = graft.streaming.StreamingJobs.nearDupBoundedStream(
+      spark, ms.toDF().toDF("doc_id", "text"), ttlMs = 3600L * 1000L)
+    val name = "q48b_firstseen_test"
+    val q = dups.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      ms.addData((5L, a))
+      q.processAllAvailable() // canon = 5, nothing emitted
+      ms.addData((3L, a))
+      q.processAllAvailable() // 3 is a dup of the KEPT doc 5
+      val got = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((3L, 5L)),
+        s"expected first-seen canonical to report (3,5), got $got")
+    } finally {
+      q.stop(); spark.catalog.dropTempView(name)
+    }
   }
 
   test("q48b runs identically on the RocksDB state store (prod backend)") {
@@ -795,7 +829,7 @@ class PipelineSpec extends AnyFunSuite {
     s2.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val got = driveQ48bEviction(s2, "q48b_evict_rocksdb_test")
-    assert(got == Set((2L, 1L), (30001L, 30000L)),
+    assert(got == Set((2L, 1L), (25000L, 20000L), (30001L, 30000L)),
       s"RocksDB-backed run diverged: $got")
   }
 
