@@ -45,7 +45,8 @@ ACCESS_KEYS_UPSERT = (
     "created_by_receipt_id = COALESCE(excluded.created_by_receipt_id, "
     "access_keys.created_by_receipt_id), "
     "deleted_by_receipt_id = excluded.deleted_by_receipt_id, "
-    "permission_kind = excluded.permission_kind, "
+    "permission_kind = CASE WHEN excluded.created_by_receipt_id IS NOT NULL "
+    "THEN excluded.permission_kind ELSE access_keys.permission_kind END, "
     "last_update_block_height = excluded.last_update_block_height "
     "WHERE access_keys.last_update_block_height < excluded.last_update_block_height")
 
@@ -99,5 +100,16 @@ con.execute(ACCESS_KEYS_UPSERT, ["K1", "alice.near", "R0", None, "FUNCTION_CALL"
 assert con.execute("SELECT * FROM access_keys").fetchall() == \
     [("K1", "alice.near", "R1", "R2", "FULL_ACCESS", 150)], \
     "access_keys COALESCE merge / height guard broken"
+
+# Perm no-shadow (mirror twin of the r9 Warehouse.accessKeysCurrent
+# fix): a real FUNCTION_CALL perm set by an UPDATE-bearing delta must
+# survive a later DELETE-only delta, whose permission_kind slot is the
+# FULL_ACCESS placeholder (access_keys.rs:55-64 applies the
+# placeholder only when no update ever preceded the delete).
+con.execute(ACCESS_KEYS_UPSERT, ["K2", "bob.near", "R3", None, "FUNCTION_CALL", 100])
+con.execute(ACCESS_KEYS_UPSERT, ["K2", "bob.near", None, "R4", "FULL_ACCESS", 150])
+assert con.execute("SELECT * FROM access_keys WHERE public_key = 'K2'").fetchall() == \
+    [("K2", "bob.near", "R3", "R4", "FUNCTION_CALL", 150)], \
+    "DELETE-only delta's FULL_ACCESS placeholder shadowed the real permission"
 
 print("OK: all three sink statements parse and merge correctly in DuckDB")

@@ -27,7 +27,11 @@ object QBench {
     }
     exec() // warmup
     val times = (1 to reps).map(_ => exec()).sorted
-    println(f"""{"query":"$name","min":${times.head}%.3f,"median":${times(times.length / 2)}%.3f,"reps":$reps}""")
+    // Locale.ROOT: a comma-decimal default locale would corrupt the
+    // JSON that Bench's forked-isolation parent parses.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    println(s"""{"query":"$name","min":${fmt(times.head)},"median":${fmt(times(times.length / 2))},"reps":$reps}""")
     spark.stop()
   }
 }

@@ -101,6 +101,15 @@ object JdbcSink {
       "AND excluded.deleted_by_receipt_id IS NULL " +
       "AND accounts.deleted_by_receipt_id IS NULL)"
 
+  /** The access-keys merge. `permission_kind` updates only when the
+    * delta saw an UPDATE (created_by non-null): a DELETE-only batch
+    * delta carries the FULL_ACCESS placeholder, which must not shadow
+    * the real permission of the last UPDATE in an earlier batch — the
+    * reference never touches permission_kind after insert
+    * (access_keys.rs:79-143), and the parquet compaction
+    * ([[Warehouse.accessKeysCurrent]]) keys the perm on the latest
+    * created_by-bearing delta for the same reason.
+    */
   def accessKeysUpsertSql: String =
     "INSERT INTO access_keys (public_key, account_id, created_by_receipt_id, " +
       "deleted_by_receipt_id, permission_kind, last_update_block_height) " +
@@ -109,7 +118,8 @@ object JdbcSink {
       "created_by_receipt_id = COALESCE(excluded.created_by_receipt_id, " +
       "access_keys.created_by_receipt_id), " +
       "deleted_by_receipt_id = excluded.deleted_by_receipt_id, " +
-      "permission_kind = excluded.permission_kind, " +
+      "permission_kind = CASE WHEN excluded.created_by_receipt_id IS NOT NULL " +
+      "THEN excluded.permission_kind ELSE access_keys.permission_kind END, " +
       "last_update_block_height = excluded.last_update_block_height " +
       "WHERE access_keys.last_update_block_height < excluded.last_update_block_height"
 

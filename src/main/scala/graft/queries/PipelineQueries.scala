@@ -495,23 +495,29 @@ object PipelineQueries {
   def packBuckets(nRows: Long): Int =
     math.max(16L, nRows / 1000000L).toInt
 
-  /** Row count for bucket derivation WITHOUT an extra job when the
-    * catalog already knows it: a bare table scan's optimized-plan
-    * `stats.rowCount` is the catalog statistic — at warehouse scale
-    * the sizing pass disappears. Falls back to one count() job when no
-    * statistic exists (the only live path for a plain parquet read
-    * with CBO off, including this repo's tests). CAVEAT: catalog
-    * statistics are ANALYZE-time snapshots; because the bucket count
-    * is part of q41's OUTPUT, the stats path is only exact when the
-    * warehouse keeps stats fresh on write (the standard practice this
-    * assumes). A pipeline that appends without re-ANALYZE should pass
-    * `nRowsEstimate` (or `nBuckets`) explicitly instead.
+  /** Row count for bucket derivation. The default is one count() job —
+    * always exact. A warehouse that keeps catalog statistics fresh on
+    * write can OPT IN to the zero-job fast path (optimized-plan
+    * `stats.rowCount`, i.e. the ANALYZE-time catalog statistic) via
+    * `spark.graft.pack.useCatalogStats=true`; because the bucket
+    * count is part of q41's OUTPUT, a stale statistic would silently
+    * change results, so the fast path is never chosen implicitly and
+    * every use is logged. A pipeline that appends without re-ANALYZE
+    * should pass `nRowsEstimate` (or `nBuckets`) explicitly instead.
     */
-  private def exactRowCount(d: DataFrame): Long =
+  private def exactRowCount(d: DataFrame): Long = {
+    val optIn = d.sparkSession.conf
+      .getOption("spark.graft.pack.useCatalogStats").exists(_.toBoolean)
     d.queryExecution.optimizedPlan.stats.rowCount match {
-      case Some(rc) => rc.longValue
-      case None     => d.count()
+      case Some(rc) if optIn =>
+        org.slf4j.LoggerFactory.getLogger(getClass).info(
+          s"q41 bucket sizing: using catalog statistic rowCount=$rc " +
+            "(spark.graft.pack.useCatalogStats=true); a stale ANALYZE " +
+            "changes the packing output")
+        rc.longValue
+      case _ => d.count()
     }
+  }
 
   /** Sequence PACKING for training (the concat-and-chunk batcher): docs
     * are concatenated in deterministic order and cut into fixed-token
@@ -577,7 +583,10 @@ object PipelineQueries {
     // corpus total from the (vocabulary-sized) freq table — a third
     // full corpus explode would buy nothing
     val total = freq.agg(sum(col("c")).as("n_corpus"))
-    val scored = freq.crossJoin(total)
+    // 1-row scalar attach: explicit broadcast (parity with q19/q32) —
+    // AQE would pick it anyway, but the hint removes the planner
+    // dependency and documents intent.
+    val scored = freq.crossJoin(broadcast(total))
       .withColumn("sm", round(log10(col("n_corpus").cast("double") /
         col("c").cast("double")) * 1e6).cast("long"))
       .select(col("t"), col("sm"))

@@ -184,7 +184,12 @@ class JdbcSinkSpec extends AnyFunSuite {
         "AND accounts.deleted_by_receipt_id IS NULL)")
   }
 
-  test("golden SQL: access_keys upsert (composite key + COALESCE merge + height guard)") {
+  test("golden SQL: access_keys upsert (composite key + COALESCE merge + height guard + perm no-shadow)") {
+    // The CASE guard is the mirror-side twin of the r9 parquet-
+    // compaction fix (Warehouse.accessKeysCurrent): a DELETE-only
+    // delta's FULL_ACCESS placeholder must not overwrite the real
+    // permission from an earlier batch's UPDATE (access_keys.rs:79-143
+    // never updates permission_kind after insert).
     assert(JdbcSink.accessKeysUpsertSql ==
       "INSERT INTO access_keys (public_key, account_id, created_by_receipt_id, " +
         "deleted_by_receipt_id, permission_kind, last_update_block_height) " +
@@ -193,7 +198,8 @@ class JdbcSinkSpec extends AnyFunSuite {
         "created_by_receipt_id = COALESCE(excluded.created_by_receipt_id, " +
         "access_keys.created_by_receipt_id), " +
         "deleted_by_receipt_id = excluded.deleted_by_receipt_id, " +
-        "permission_kind = excluded.permission_kind, " +
+        "permission_kind = CASE WHEN excluded.created_by_receipt_id IS NOT NULL " +
+        "THEN excluded.permission_kind ELSE access_keys.permission_kind END, " +
         "last_update_block_height = excluded.last_update_block_height " +
         "WHERE access_keys.last_update_block_height < excluded.last_update_block_height")
   }

@@ -749,10 +749,14 @@ class PipelineSpec extends AnyFunSuite {
 
   /** 4-batch eviction drive for q48b: dup pair (1,2) in batch 1;
     * batch 2 advances the watermark far past state A's event-time
-    * horizon; batch 3 re-sees signature B within its TTL (5000s after
-    * doc 20000's event time → (25000, 20000) IS emitted — under the
-    * pre-fix watermark-anchored timeout B was evicted prematurely and
-    * this dup was lost) while A, idle past its horizon, is evicted;
+    * horizon; batch 3 re-sees signature B — the 5000s gap after doc
+    * 20000 EXCEEDS the 3600s TTL, but eviction is lazy: B's timeout
+    * (23600s) has not yet been passed by the watermark (16400s), so
+    * the key survives and (25000, 20000) IS emitted; eviction only
+    * fires once the watermark crosses a key's timeout with no new
+    * data for it (under the pre-fix watermark-anchored timeout B was
+    * evicted prematurely and this dup was lost). Meanwhile A, idle
+    * past its horizon, is evicted;
     * batch 4 re-sees A's text — the canon must RESET to 30000 (state
     * was forgotten), not resolve to 1 as unbounded q48 would.
     */
