@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+import org.apache.spark.sql.SparkSession
+
+/** Parquet-footer data-contract checks for the driver-provided tables.
+  *
+  * Why this exists: the testdata generator is free to change the
+  * physical encoding of a column between rounds — `events.ts` has
+  * shipped both as a TIMESTAMP(NANOS)-annotated int64 and as a
+  * TIMESTAMP(MICROS, isAdjustedToUTC=false) column. A batch read
+  * surfaces such drift as a (loud) analysis error, but a streaming
+  * read with an explicit LongType schema does NOT: the vectorized
+  * parquet reader hands back the raw int64, silently reinterpreting
+  * microseconds as nanoseconds — event time compresses 1000× with no
+  * error anywhere. These footer checks run once per load (one footer
+  * read, no Spark job) and turn that silent corruption into an
+  * immediate failure that names the file, the annotation found, and
+  * the fix.
+  */
+object DataContract {
+
+  private def withFooter[T](s: SparkSession, file: String)(
+      f: org.apache.parquet.hadoop.metadata.ParquetMetadata => T): T = {
+    val conf = s.sessionState.newHadoopConf()
+    val reader =
+      ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
+    try f(reader.getFooter)
+    finally reader.close()
+  }
+
+  /** The logical-type annotation of `column` in `file`'s footer
+    * (None = unannotated primitive), plus the primitive type name —
+    * enough to classify every drift case with a precise message.
+    */
+  def columnAnnotation(s: SparkSession, file: String,
+      column: String): (Option[LogicalTypeAnnotation], String) =
+    withFooter(s, file) { md =>
+      val schema = md.getFileMetaData.getSchema
+      require(schema.containsField(column),
+        s"$file: column '$column' missing from parquet schema $schema")
+      val t = schema.getType(Seq(column): _*)
+      (Option(t.getLogicalTypeAnnotation), t.toString)
+    }
+
+  /** Exact row count from the footer (sum of row-group counts) — a
+    * zero-job alternative to `count()` for a RAW file scan (no
+    * filters). Unlike catalog statistics this cannot go stale: it is
+    * read from the same footer the scan itself will use.
+    */
+  def parquetRowCount(s: SparkSession, file: String): Long =
+    withFooter(s, file)(_.getBlocks.stream.mapToLong(_.getRowCount).sum)
+
+  /** Validates the `events.ts` contract and returns the stored unit.
+    *
+    * Accepted annotations (either passes — the loaders dispatch on the
+    * returned unit, so a regeneration flipping between them is handled
+    * correctly rather than silently misread):
+    *   - TIMESTAMP(MICROS)  — current driver encoding (round 10+)
+    *   - TIMESTAMP(NANOS)   — pre-round-10 encoding
+    * Anything else (MILLIS, unannotated int64, non-timestamp) throws
+    * with the observed footer type: an unannotated int64's unit is
+    * unknowable from the file alone, and guessing is exactly the
+    * silent-corruption mode this guard exists to prevent.
+    */
+  def eventsTsUnit(s: SparkSession, file: String): TimeUnit = {
+    val (ann, raw) = columnAnnotation(s, file, "ts")
+    ann match {
+      case Some(t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation)
+          if t.getUnit == TimeUnit.MICROS || t.getUnit == TimeUnit.NANOS =>
+        t.getUnit
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts data-contract drift in $file: expected a " +
+            "TIMESTAMP(MICROS) or TIMESTAMP(NANOS) annotation, found " +
+            s"'$raw' (annotation=$other). Refusing to guess the epoch " +
+            "unit — update graft.Tables.events / " +
+            "graft.streaming.StreamingJobs.eventsStream for the new " +
+            "encoding.")
+    }
+  }
+}

@@ -23,14 +23,71 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** `events.ts` is a parquet nanosecond timestamp. The reference engine
-    * keeps nanosecond epochs as raw integers (Spark timestamps are µs —
-    * SURVEY §7.6), so we read the column as LongType nanos via the
-    * nanosAsLong flag and do all bucketing arithmetic on the raw number,
-    * exactly like DuckDB's epoch_ns(ts) on the oracle side.
+  /** `events` with `ts` exposed as a LongType NANOSECOND epoch — the
+    * engine-wide contract every downstream consumer (q06–q10, the
+    * streaming jobs) is written against. The reference keeps nanosecond
+    * epochs as raw integers (Spark timestamps are µs — SURVEY §7.6),
+    * and the DuckDB oracle mirrors with `epoch_ns(ts)`.
+    *
+    * The FILE encoding is the driver's choice and has drifted across
+    * rounds (TIMESTAMP(NANOS) int64 → TIMESTAMP(MICROS) NTZ), so the
+    * load dispatches on the footer annotation
+    * ([[DataContract.eventsTsUnit]] — loud on anything else):
+    *   - MICROS: read as the timestamp it is, derive nanos as
+    *     `unix_micros * 1000` (exact — sub-µs digits don't exist).
+    *   - NANOS: the raw int64 IS the contract value; pass through.
+    * No session conf is touched (the former `nanosAsLong` toggle was
+    * both a shared-session TOCTOU hazard and inapplicable to
+    * MICROS-annotated data).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    DataContract.eventsTsUnit(s, s"$d/events.parquet") match {
+      case TimeUnit.NANOS =>
+        // Explicit LongType schema: the parquet reader hands the
+        // annotated int64 through raw — no legacy session flag needed.
+        s.read.schema(eventsSchemaTsNanos).parquet(s"$d/events.parquet")
+      case _ /* MICROS */ =>
+        tsMicrosToNanos(s, load(s, d, "events"))
+    }
+  }
+
+  import org.apache.spark.sql.types._
+
+  /** events schema under the legacy TIMESTAMP(NANOS) int64 encoding
+    * (`ts` read raw as LongType nanos — already the contract value).
+    */
+  private[graft] val eventsSchemaTsNanos: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType),
+  ))
+
+  /** events schema under the TIMESTAMP(MICROS, NTZ) encoding (round
+    * 10+ driver output); [[tsMicrosToNanos]] derives the nanos column.
+    */
+  private[graft] val eventsSchemaTsMicros: StructType = StructType(
+    eventsSchemaTsNanos.fields.map {
+      case StructField("ts", _, n, m) => StructField("ts", TimestampNTZType, n, m)
+      case f => f
+    })
+
+  /** Rewrites a µs-timestamp `ts` column to the LongType-nanos
+    * contract: `unix_micros * 1000`, exact because sub-µs digits don't
+    * exist in a MICROS file (the oracle's `epoch_ns` carries the same
+    * trailing zeros).
+    */
+  private[graft] def tsMicrosToNanos(s: SparkSession, df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, unix_micros}
+    // NTZ→timestamp cast reads wall time in the session zone; the
+    // oracle (DuckDB epoch_ns) treats the same wall time as UTC.
+    require(s.conf.get("spark.sql.session.timeZone", "") == "UTC",
+      "events loader requires spark.sql.session.timeZone=UTC (the " +
+        "NTZ→epoch conversion and the DuckDB oracle both assume it)")
+    df.withColumn("ts",
+      unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
   }
 }

@@ -16,6 +16,7 @@ object Metrics {
   val microbatchCount = new AtomicLong(0)
   val lineageFullRescans = new AtomicLong(0)
   val lineageRescanReceipts = new AtomicLong(0)
+  val pendingDroppedReceipts = new AtomicLong(0)
 
   def recordBatch(blocks: Long, maxHeight: Long): Unit = {
     blockCount.addAndGet(blocks)
@@ -35,9 +36,18 @@ object Metrics {
       s"$rows receipts unresolved; retrying residue against full history")
   }
 
+  /** Non-strict mode dropped `rows` receipts whose parents never
+    * resolved within the retry budget (per-receipt warns are emitted
+    * at the drop site, Stream.processBatch — receipts.rs:93-104).
+    */
+  def recordPendingDropped(rows: Long): Unit = {
+    pendingDroppedReceipts.addAndGet(rows); ()
+  }
+
   def reset(): Unit = {
     blockCount.set(0); latestBlockHeight.set(0); microbatchCount.set(0)
     lineageFullRescans.set(0); lineageRescanReceipts.set(0)
+    pendingDroppedReceipts.set(0)
   }
 
   /** Prometheus text exposition (metric names mirror the reference's). */
@@ -52,6 +62,8 @@ object Metrics {
        |indexer_explorer_lineage_full_rescans ${lineageFullRescans.get}
        |# TYPE indexer_explorer_lineage_rescan_receipts counter
        |indexer_explorer_lineage_rescan_receipts ${lineageRescanReceipts.get}
+       |# TYPE indexer_explorer_pending_dropped_receipts counter
+       |indexer_explorer_pending_dropped_receipts ${pendingDroppedReceipts.get}
        |""".stripMargin
 
   /** Serve GET /metrics; returns the server (call .stop(0) to close). */

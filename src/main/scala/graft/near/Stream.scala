@@ -449,12 +449,43 @@ object Stream {
         rBase("r.receiptId") === lineage("lineage_receipt_id"), "left_semi")
 
       // Park what still didn't resolve; drop after maxRetries.
-      val unresolvedReceipts = rBase
+      // Checkpointed once: it is both written as next-batch state and
+      // (in non-strict mode) filtered again for the drop log below —
+      // residue is the tiny set of receipts still awaiting parents.
+      val unresolvedAll = rBase
         .join(lineage, rBase("r.receiptId") === lineage("lineage_receipt_id"),
           "left_anti")
+        .localCheckpoint(true)
+      val unresolvedReceipts = unresolvedAll
         .filter(col("retries") < maxRetries)
         .withColumn("retries", col("retries") + 1)
       writeStateV(PendingDir, unresolvedReceipts)
+      // Non-strict drop logging (receipts.rs:93-104 parity): the
+      // reference warns per skipped receipt with its id and context
+      // before moving on; mirror that — id, retry budget, and the
+      // receipt's block timestamp (its age) — capped at 100 lines per
+      // batch so a poisoned feed can't flood the log. Strict mode
+      // (maxRetries = MaxValue) never drops, so never logs.
+      if (maxRetries != Int.MaxValue) {
+        val dropped = unresolvedAll.filter(col("retries") >= maxRetries)
+        val sample = dropped
+          .select(col("r.receiptId"), col("blockTimestamp"), col("retries"))
+          .limit(100).collect()
+        if (sample.nonEmpty) {
+          val total = if (sample.length < 100) sample.length.toLong
+                      else dropped.count()
+          Metrics.recordPendingDropped(total)
+          sample.foreach { r =>
+            System.err.println(s"[graft-stream] dropping receipt " +
+              s"${r.getString(0)} after ${r.getInt(2)} retry batches " +
+              s"(block_timestamp=${r.get(1)}): parent transaction never " +
+              "resolved — non-strict mode skips it (receipts.rs:93-104)")
+          }
+          if (total > sample.length)
+            System.err.println(s"[graft-stream] ... and " +
+              s"${total - sample.length} more dropped receipts this batch")
+        }
+      }
       val unresolvedEdges = edges
         .join(resolved.select(col("child").as("rc")),
           col("child") === col("rc"), "left_anti")

@@ -488,36 +488,25 @@ object PipelineQueries {
   /** Packing parallelism for [[q41SequencePacking]]: one running-token
     * window task per bucket, so the bucket count scales with the
     * corpus (~1M docs per packing stream, floor 16) instead of pinning
-    * the stage at a fixed width. The count() this needs is a
-    * metadata-cheap parquet row-count scan; the oracle twin mirrors
-    * the formula in SQL.
+    * the stage at a fixed width. The row count this needs comes from
+    * the parquet footer ([[rawDocsRowCount]] — exact, zero jobs); the
+    * oracle twin mirrors the formula in SQL.
     */
   def packBuckets(nRows: Long): Int =
     math.max(16L, nRows / 1000000L).toInt
 
-  /** Row count for bucket derivation. The default is one count() job —
-    * always exact. A warehouse that keeps catalog statistics fresh on
-    * write can OPT IN to the zero-job fast path (optimized-plan
-    * `stats.rowCount`, i.e. the ANALYZE-time catalog statistic) via
-    * `spark.graft.pack.useCatalogStats=true`; because the bucket
-    * count is part of q41's OUTPUT, a stale statistic would silently
-    * change results, so the fast path is never chosen implicitly and
-    * every use is logged. A pipeline that appends without re-ANALYZE
-    * should pass `nRowsEstimate` (or `nBuckets`) explicitly instead.
+  /** Row count for bucket derivation when the input is the RAW
+    * documents file: read from the parquet footer — exact (it is the
+    * same footer the scan uses, so unlike a catalog statistic it
+    * cannot go stale) and zero Spark jobs, where the previous
+    * `count()` guard re-ran a scan on every q41 invocation. A pipeline
+    * packing a COMPUTED frame (where no footer exists) passes
+    * `nRowsEstimate` or `nBuckets` explicitly — the bucket count is
+    * part of q41's output, so it must come from a source the caller
+    * controls, never a silent estimate.
     */
-  private def exactRowCount(d: DataFrame): Long = {
-    val optIn = d.sparkSession.conf
-      .getOption("spark.graft.pack.useCatalogStats").exists(_.toBoolean)
-    d.queryExecution.optimizedPlan.stats.rowCount match {
-      case Some(rc) if optIn =>
-        org.slf4j.LoggerFactory.getLogger(getClass).info(
-          s"q41 bucket sizing: using catalog statistic rowCount=$rc " +
-            "(spark.graft.pack.useCatalogStats=true); a stale ANALYZE " +
-            "changes the packing output")
-        rc.longValue
-      case _ => d.count()
-    }
-  }
+  private def rawDocsRowCount(s: SparkSession, dir: String): Long =
+    graft.DataContract.parquetRowCount(s, s"$dir/documents.parquet")
 
   /** Sequence PACKING for training (the concat-and-chunk batcher): docs
     * are concatenated in deterministic order and cut into fixed-token
@@ -539,7 +528,7 @@ object PipelineQueries {
     val buckets =
       if (nBuckets > 0) nBuckets
       else packBuckets(
-        if (nRowsEstimate > 0) nRowsEstimate else exactRowCount(d))
+        if (nRowsEstimate > 0) nRowsEstimate else rawDocsRowCount(s, dir))
     val bucket = conv(substring(md5(concat(lit("pack:"),
         col("doc_id").cast("string"))), 1, 8), 16, 10)
       .cast("long") % buckets

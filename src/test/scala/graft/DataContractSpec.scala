@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards against testdata encoding drift (the round-10 failure mode:
+  * the regenerated events.parquet silently flipped ts from
+  * TIMESTAMP(NANOS) int64 to TIMESTAMP(MICROS), and the streaming
+  * path's explicit LongType schema reinterpreted µs as ns — event time
+  * compressed 1000× with zero errors raised anywhere).
+  */
+class DataContractSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("driver events.parquet carries a recognized ts annotation") {
+    val unit = DataContract.eventsTsUnit(spark, s"$sf/events.parquet")
+    assert(unit == TimeUnit.MICROS || unit == TimeUnit.NANOS)
+  }
+
+  test("a deliberately unannotated int64 ts trips the guard loudly") {
+    // The exact silent-corruption shape: raw int64 epoch with NO
+    // timestamp annotation — the unit is unknowable from the file, so
+    // every loader (batch and streaming) must refuse rather than guess.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dc_").toString
+    graft.queries.FixtureIO.writeStable(
+      Seq((1L, 1700000000000000000L, 1L, "a", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+      s"$tmp/stage")
+    assert(new java.io.File(s"$tmp/stage/data.parquet")
+      .renameTo(new java.io.File(s"$tmp/events.parquet")))
+    val e = intercept[IllegalStateException] {
+      DataContract.eventsTsUnit(spark, s"$tmp/events.parquet")
+    }
+    assert(e.getMessage.contains("data-contract drift"))
+    assert(e.getMessage.contains("events.parquet"))
+    // and the batch loader routes through the same guard
+    intercept[IllegalStateException] { Tables.events(spark, tmp) }
+  }
+
+  test("a MICROS-annotated fixture loads through the derived-nanos path") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dc2_").toString
+    val baseNs = 1700000000000000000L
+    graft.queries.FixtureIO.writeStable(
+      Seq((1L, baseNs, 7L, "a", 0.0, "{}"),
+          (2L, baseNs + 1500L * 1000000L, 7L, "b", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .withColumn("ts",
+          expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")),
+      s"$tmp/stage")
+    assert(new java.io.File(s"$tmp/stage/data.parquet")
+      .renameTo(new java.io.File(s"$tmp/events.parquet")))
+    assert(DataContract.eventsTsUnit(spark, s"$tmp/events.parquet")
+      == TimeUnit.MICROS)
+    val rows = Tables.events(spark, tmp)
+      .orderBy(col("event_id")).collect()
+    assert(rows.map(_.getAs[Long]("ts")).toSeq ==
+      Seq(baseNs, baseNs + 1500L * 1000000L)) // exact ns round-trip
+  }
+
+  test("parquetRowCount matches count() with zero Spark jobs") {
+    val file = s"$sf/documents.parquet"
+    val fromFooter = DataContract.parquetRowCount(spark, file)
+    val fromScan = spark.read.parquet(file).count()
+    assert(fromFooter == fromScan && fromFooter > 0)
+  }
+}

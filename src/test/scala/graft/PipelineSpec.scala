@@ -646,7 +646,12 @@ class PipelineSpec extends AnyFunSuite {
       (2L, base + 999999L, 2L, "a", 0.0, "{}"),
       (3L, base + 5400L * sec + 999999L, 3L, "a", 0.0, "{}"))
     graft.queries.FixtureIO.writeStable(
-      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        // the driver's current events encoding: TIMESTAMP(MICROS) NTZ
+        // (999999 ns floors to 999 µs — still inside the watermark's
+        // floored millisecond, which is what user 2 exercises)
+        .withColumn("ts",
+          expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")),
       s"$tmp/stage")
     assert(new java.io.File(s"$tmp/stage/data.parquet")
       .renameTo(new java.io.File(s"$tmp/events.parquet")))
