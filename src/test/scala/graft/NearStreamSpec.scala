@@ -210,6 +210,49 @@ class NearStreamSpec extends AnyFunSuite {
       .map(_.getString(0)).toSet == Set("R6"))
   }
 
+  test("non-strict drop warns per receipt and meters the count") {
+    // receipts.rs:93-104 parity: when the retry budget is exhausted,
+    // each skipped receipt is named in a warn (id + retries + block
+    // timestamp) and counted, instead of vanishing silently.
+    val root = Files.createTempDirectory("graft_stream_drop").toString
+    val wh = s"$root/wh"
+    val chain = Fixtures.chain
+    import SparkTestSession.spark.implicits._
+    def norm(js: String*) = graft.near.Ingest
+      .blocksFromJson(spark, js).toDF()
+    graft.near.Metrics.reset()
+
+    // Batch 1: block 101 FIRST — R3/R5 (parents in block 100) and
+    // orphan R6 all park with retries=1 under a 1-retry budget.
+    Stream.processBatch(spark, norm(chain(1)), wh, maxRetries = 1)
+    val parked = Stream.stateTable(spark, wh, Stream.PendingDir).get
+      .select("r.receiptId").collect().map(_.getString(0)).toSet
+    assert(parked == Set("R3", "R5", "R6"))
+    assert(graft.near.Metrics.pendingDroppedReceipts.get == 0)
+
+    // Batch 2: block 100 arrives. R3/R5 resolve from the carried
+    // pending state + this batch's seeds; only the true orphan R6
+    // exhausts its budget and is dropped — warned and metered.
+    val captured = new java.io.ByteArrayOutputStream()
+    val prevErr = System.err
+    System.setErr(new java.io.PrintStream(captured, true, "UTF-8"))
+    try Stream.processBatch(spark, norm(chain(0)), wh, maxRetries = 1)
+    finally System.setErr(prevErr)
+    assert(graft.near.Metrics.pendingDroppedReceipts.get == 1)
+    val warned = captured.toString("UTF-8")
+    assert(warned.contains("dropping receipt R6"), warned.take(500))
+    assert(warned.contains("parent transaction never resolved"))
+    // absence IS the empty state: an all-empty pending frame is never
+    // written (BatchCommit.writeState), so expect None or an empty set
+    val pending2 = Stream.stateTable(spark, wh, Stream.PendingDir)
+      .map(_.select("r.receiptId").collect().map(_.getString(0)).toSet)
+      .getOrElse(Set.empty[String])
+    assert(pending2.isEmpty, s"still parked: $pending2")
+    val receipts = Warehouse.table(spark, wh, "receipts")
+      .select("receipt_id").collect().map(_.getString(0)).toSet
+    assert(receipts("R3") && receipts("R5") && !receipts("R6"))
+  }
+
   test("strict mode parks orphans forever instead of dropping") {
     import org.apache.spark.sql.functions.col
     val root = Files.createTempDirectory("graft_stream_strict").toString
