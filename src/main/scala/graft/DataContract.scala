@@ -55,6 +55,45 @@ object DataContract {
   def parquetRowCount(s: SparkSession, file: String): Long =
     withFooter(s, file)(_.getBlocks.stream.mapToLong(_.getRowCount).sum)
 
+  /** Asserts that each named column is a PLAIN signed int64 — the only
+    * parquet shape Spark's vectorized reader hands through unchanged to
+    * an explicit `LongType` streaming schema. Every other int64-backed
+    * shape is a silent-corruption trap under an explicit schema:
+    *   - TIMESTAMP(µs/ms)-annotated → raw epoch in the wrong unit (the
+    *     round-10 `events.ts` failure, 1000× event-time compression);
+    *   - DECIMAL(p,s>0)-annotated   → unscaled mantissa, values off by
+    *     10^s.
+    * A batch read would surface these as a type change; the streaming
+    * reader cannot, so the contract is pinned at the footer instead.
+    * (Width changes like int32 are NOT checked: the vectorized reader
+    * already fails loudly on an int32→LongType mismatch.)
+    */
+  def assertPlainInt64(s: SparkSession, file: String,
+      columns: Seq[String]): Unit = withFooter(s, file) { md =>
+    val schema = md.getFileMetaData.getSchema
+    columns.foreach { c =>
+      require(schema.containsField(c),
+        s"$file: column '$c' missing from parquet schema $schema")
+      val t = schema.getType(Seq(c): _*)
+      val ok = t.isPrimitive &&
+        t.asPrimitiveType.getPrimitiveTypeName ==
+          org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64 &&
+        (Option(t.getLogicalTypeAnnotation) match {
+          case None => true
+          case Some(i: LogicalTypeAnnotation.IntLogicalTypeAnnotation) =>
+            i.getBitWidth == 64 && i.isSigned
+          case _ => false
+        })
+      if (!ok) throw new IllegalStateException(
+        s"data-contract drift in $file: column '$c' must be a plain " +
+          s"signed INT64 for the explicit LongType streaming schema, " +
+          s"found '$t' (annotation=${t.getLogicalTypeAnnotation}). An " +
+          "annotated int64 would be silently misread as its raw " +
+          "physical value — update the streaming schema for the new " +
+          "encoding instead.")
+    }
+  }
+
   /** Validates the `events.ts` contract and returns the stored unit.
     *
     * Accepted annotations (either passes — the loaders dispatch on the

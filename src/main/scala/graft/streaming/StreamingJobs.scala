@@ -150,6 +150,20 @@ object StreamingJobs {
     StructField("n_chars", LongType),
   ))
 
+  /** documents as a file stream under [[docsSchema]]. Same guard
+    * rationale as [[eventsStream]]: the explicit LongType declarations
+    * would silently pass through the raw int64 of a TIMESTAMP- or
+    * DECIMAL-annotated regeneration, so the long columns' footer shape
+    * is asserted first (string columns need no guard — any non-string
+    * re-encoding fails the vectorized reader loudly).
+    */
+  private def docsStream(s: SparkSession, dir: String): DataFrame = {
+    DataContract.assertPlainInt64(s, s"$dir/documents.parquet",
+      docsSchema.fields.collect { case f if f.dataType == LongType => f.name })
+    s.readStream.schema(docsSchema)
+      .option("basePath", dir).parquet(s"$dir/documents.parque[t]")
+  }
+
   /** Shared per-group fold for q48/q48b: the canonical doc for a
     * signature is the FIRST-SEEN id (batch-internal ties resolve to
     * the batch minimum, so a single-batch drain's canonical is the
@@ -185,8 +199,7 @@ object StreamingJobs {
   def streamNearDupDocs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
-    val keyed = s.readStream.schema(docsSchema)
-      .option("basePath", dir).parquet(s"$dir/documents.parque[t]")
+    val keyed = docsStream(s, dir)
       .withColumn("w", graft.functions.TextFunctions.words(col("text")))
       .filter(size(col("w")) >= 3) // an empty shingle set has no signature
       .withColumn("sig",
@@ -234,8 +247,7 @@ object StreamingJobs {
     */
   def streamNearDupDocsBounded(s: SparkSession, dir: String,
       ttlMs: Long = 3600L * 1000L): DataFrame = {
-    val src = s.readStream.schema(docsSchema)
-      .option("basePath", dir).parquet(s"$dir/documents.parque[t]")
+    val src = docsStream(s, dir)
     val dups = nearDupBoundedStream(s, src, ttlMs)
     drain(s, dups, "neardupb_", outputMode = "append") { t =>
       t.select(col("doc_id"), col("dup_of")).orderBy(col("doc_id"))

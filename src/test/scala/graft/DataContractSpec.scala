@@ -60,6 +60,34 @@ class DataContractSpec extends AnyFunSuite {
       Seq(baseNs, baseNs + 1500L * 1000000L)) // exact ns round-trip
   }
 
+  test("driver documents.parquet long columns are plain int64") {
+    DataContract.assertPlainInt64(spark, s"$sf/documents.parquet",
+      Seq("doc_id", "n_chars")) // throws on drift
+  }
+
+  test("a DECIMAL-annotated int64 doc_id trips the documents guard") {
+    // The documents sibling of the events µs/ns trap: decimal(18,0)
+    // writes as an int64 with a DECIMAL annotation — identical raw
+    // bytes here (scale 0), but a scale>0 regeneration would hand the
+    // unscaled mantissa to the explicit LongType streaming schema.
+    // The guard refuses ANY annotation rather than special-casing.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dc3_").toString
+    graft.queries.FixtureIO.writeStable(
+      Seq((1L, "text a", "en", "web", 6L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .withColumn("doc_id", expr("cast(doc_id as decimal(18,0))")),
+      s"$tmp/stage")
+    assert(new java.io.File(s"$tmp/stage/data.parquet")
+      .renameTo(new java.io.File(s"$tmp/documents.parquet")))
+    val e = intercept[IllegalStateException] {
+      DataContract.assertPlainInt64(spark, s"$tmp/documents.parquet",
+        Seq("doc_id", "n_chars"))
+    }
+    assert(e.getMessage.contains("data-contract drift"))
+    assert(e.getMessage.contains("doc_id"))
+  }
+
   test("parquetRowCount matches count() with zero Spark jobs") {
     val file = s"$sf/documents.parquet"
     val fromFooter = DataContract.parquetRowCount(spark, file)
