@@ -20,8 +20,40 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  /** Round-robin balance a scan whose FILE LAYOUT under-parallelizes
+    * it. Parquet can only split at row-group boundaries, so a
+    * single-row-group file scans as ONE partition no matter what
+    * `spark.sql.files.maxPartitionBytes` says — and every per-row
+    * map stage upstream of the first shuffle (minhash/simhash
+    * signatures, shingling, pairwise dot products, quality scoring)
+    * then runs on one core of the whole cluster.
+    *
+    * Scale-safety: the repartition engages ONLY when the scan yields
+    * fewer splits than `defaultParallelism`. A corpus-scale table has
+    * thousands of row groups → condition false → zero-cost no-op; when
+    * it does engage the shuffled volume is bounded by
+    * (#splits × maxPartitionBytes) ≈ a few hundred MB, not O(corpus).
+    * This is the same adaptivity philosophy as AQE, applied to the one
+    * axis AQE cannot touch (it can coalesce, never split, a scan).
+    */
+  private def balanced(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
+  /** documents/embeddings feed compute-heavy per-row pipelines
+    * (signatures, pairwise similarity), so their batch loaders balance
+    * the scan; the TPC-H tables keep raw scans (their queries are
+    * join/agg-shaped — first shuffle lands within a stage anyway, and
+    * an unconditional extra exchange would just tax the fast paths).
+    * Streaming reads ([[graft.streaming.StreamingJobs]]) are untouched:
+    * file-stream batches partition per file and the stateful operators
+    * repartition on their grouping keys immediately.
+    */
+  def documents(s: SparkSession, d: String): DataFrame =
+    balanced(load(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    balanced(load(s, d, "embeddings"))
 
   /** `events` with `ts` exposed as a LongType NANOSECOND epoch — the
     * engine-wide contract every downstream consumer (q06–q10, the
