@@ -43,6 +43,8 @@ object SparkEntry {
     "q21_ann_lsh"           -> (PipelineQueries.q21AnnLsh _),
     "q22_multimodal_meta"   -> (Multimodal.q22MultimodalMeta _),
     "q23_stream_hourly"     -> (StreamingJobs.hourlyEventCounts _),
+    "q23b_stream_hourly_append" ->
+      (StreamingJobs.hourlyEventCountsAppend _),
     "q24_embedding_dups"    -> (PipelineQueries.q24EmbeddingDups _),
     "q24b_embedding_dups_lsh" -> (PipelineQueries.q24bEmbeddingDupsLsh _),
     "q25_ann_ivf"           -> (PipelineQueries.q25AnnIvf _),

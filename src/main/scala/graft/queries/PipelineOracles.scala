@@ -224,6 +224,20 @@ object PipelineOracles {
         |  event_type, count(*) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // Append-mode twin of q23: an hour bucket is emitted only once the
+    // final watermark (ms-floored max event time minus 1 h — the same
+    // boundary q37b's oracle models) has passed its END, so the oracle
+    // is the batch hourly aggregate filtered to closed hours.
+    "q23b_stream_hourly_append" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+        |wm AS (SELECT ((max(us) // 1000) - 3600000) * 1000 AS wm_us FROM e)
+        |SELECT us - (us % 3600000000) AS hour_us,
+        |  event_type, count(*) AS n_events
+        |FROM e
+        |GROUP BY 1, 2
+        |HAVING hour_us + 3600000000 <= (SELECT wm_us FROM wm)
+        |ORDER BY 1, 2""".stripMargin,
+
     "q21_ann_lsh" ->
       s"""WITH b AS (SELECT vec_id, embedding,
          |             sqrt(${vdot("embedding", "embedding")}) AS norm,

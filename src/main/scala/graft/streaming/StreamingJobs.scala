@@ -81,6 +81,31 @@ object StreamingJobs {
       }
     }
 
+  /** APPEND-mode twin of [[hourlyEventCounts]] — the production shape
+    * for the tumbling-window aggregate: each hour bucket is emitted
+    * exactly once when the 1 h watermark passes its end, and its state
+    * is EVICTED — so state stays bounded by the watermark horizon on an
+    * unbounded stream, where complete mode holds every hour ever seen.
+    * The price is the emission horizon: hours newer than
+    * `max event time − 1 h` when the input ends are never emitted
+    * (same inclusive ms-floored boundary q37b pins in its spec). On
+    * the fixture that makes the result the batch hourly oracle
+    * FILTERED to hours with `hour_end <= watermark`.
+    */
+  def hourlyEventCountsAppend(s: SparkSession, dir: String): DataFrame =
+    {
+      val agg = eventsStream(s, dir)
+        .withColumn("ev_ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ev_ts", "1 hour")
+        .groupBy(window(col("ev_ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+      drain(s, agg, "hourlyapp_", outputMode = "append") { t =>
+        t.select(unix_micros(col("window.start")).as("hour_us"),
+            col("event_type"), col("n_events"))
+          .orderBy(col("hour_us"), col("event_type"))
+      }
+    }
+
   /** SESSIONIZATION through a real streaming query: `session_window`
     * with a 30-minute inactivity gap, keyed per user — the dynamic-
     * window state operator (tumbling q23 and dedup q35 are the other

@@ -604,6 +604,53 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q23b append-mode hours = complete-mode hours up to the watermark") {
+    // Same contract as the q37b subset test, for the tumbling-window
+    // operator: append emits exactly the hours whose END the final
+    // watermark passed, evicting their state — a strict subset of the
+    // complete drain, duplicate-free, with the newest hour(s) held.
+    val appended = SparkEntry.queries("q23b_stream_hourly_append")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(appended.length == appended.distinct.length, "duplicate emissions")
+    val complete = SparkEntry.queries("q23_stream_hourly")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val maxUs = Tables.events(spark, sf)
+      .agg(max(expr("ts div 1000"))).collect()(0).getLong(0)
+    val wmUs = (maxUs / 1000L - 3600000L) * 1000L
+    val expected = complete.filter(_._1 + 3600000000L <= wmUs).toSet
+    assert(appended.toSet == expected,
+      s"missing=${expected -- appended.toSet} extra=${appended.toSet -- expected}")
+    assert(appended.length < complete.length,
+      "append emitted everything — watermark eviction did not engage")
+  }
+
+  test("q23b pins the inclusive watermark boundary for tumbling windows") {
+    // Two events two hours apart, each a whole hour boundary: the final
+    // watermark is base+2h − 1h = base+1h, exactly the END of the first
+    // hour bucket — inclusive (`end <= watermark`) emission must emit
+    // hour 0 and hold hour 2 (which carries the max event time).
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wm23_").toString
+    val base = 1700000000000000000L - (1700000000000000000L % 3600000000000L)
+    val hour = 3600L * 1000000000L
+    val rows = Seq(
+      (1L, base, 1L, "a", 0.0, "{}"),
+      (2L, base + 2L * hour, 2L, "a", 0.0, "{}"))
+    graft.queries.FixtureIO.writeStable(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .withColumn("ts",
+          expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")),
+      s"$tmp/stage")
+    assert(new java.io.File(s"$tmp/stage/data.parquet")
+      .renameTo(new java.io.File(s"$tmp/events.parquet")))
+    val out = graft.streaming.StreamingJobs.hourlyEventCountsAppend(spark, tmp)
+      .collect()
+    assert(out.length == 1 &&
+      out.head.getAs[Long]("hour_us") == base / 1000L &&
+      out.head.getAs[Long]("n_events") == 1L,
+      s"expected exactly the base hour, got ${out.mkString(", ")}")
+  }
+
   test("q37b append-mode sessions = complete-mode sessions up to the watermark") {
     // Append mode emits a session exactly once, when the final
     // watermark (max event time − 1 h) passes its end — so the result
