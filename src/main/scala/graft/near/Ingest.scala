@@ -34,7 +34,14 @@ object Ingest {
     */
   def allTables(norm: DataFrame): Map[String, DataFrame] = {
     import org.apache.spark.sql.functions.col
-    val txBase = Transforms.transactionsBase(norm)
+    // The shared bases below feed 2–5 output tables EACH; without a
+    // materialization every per-table action re-runs the explode/
+    // flatten chain from `norm`. localCheckpoint (not persist): its
+    // blocks are released by the ContextCleaner when the frame is
+    // GC'd, so repeated allTables calls (fixture reuse, bench sweeps)
+    // leave no CacheManager residue behind.
+    def shared(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    val txBase = shared(Transforms.transactionsBase(norm))
     val transactions = Transforms.transactions(txBase)
     // Same-height fork branches can deliver the same receipt/outcome in
     // both blocks; dedup once at the base (satellites inherit) — the
@@ -47,12 +54,12 @@ object Ingest {
     def pkGuard(df: DataFrame, pk: Seq[org.apache.spark.sql.Column],
         order: Seq[org.apache.spark.sql.Column]): DataFrame =
       if (hasForks) Transforms.dedupPk(df, pk, order) else df
-    val rBase = pkGuard(Transforms.receiptsBase(norm),
+    val rBase = shared(pkGuard(Transforms.receiptsBase(norm),
       Seq(col("r.receiptId")),
-      Seq(col("blockTimestamp"), col("blockHash")))
-    val oBase = pkGuard(Transforms.outcomesBase(norm),
+      Seq(col("blockTimestamp"), col("blockHash"))))
+    val oBase = shared(pkGuard(Transforms.outcomesBase(norm),
       Seq(col("o.receiptId")),
-      Seq(col("blockTimestamp"), col("blockHash")))
+      Seq(col("blockTimestamp"), col("blockHash"))))
     val outcomeReceipts = Transforms.executionOutcomeReceipts(oBase)
     // Lineage resolves over ALL chunk receipts' edges…
     val outputDataAll = Transforms.actionReceiptOutputData(rBase)
@@ -62,8 +69,8 @@ object Ingest {
     // …but satellite tables exist only for receipts that resolved —
     // the reference skips satellites for skipped receipts
     // (receipts.rs:137-147 filter on skipping_receipt_ids).
-    val resolvedBase = rBase.join(lineage,
-      rBase("r.receiptId") === lineage("lineage_receipt_id"), "left_semi")
+    val resolvedBase = shared(rBase.join(lineage,
+      rBase("r.receiptId") === lineage("lineage_receipt_id"), "left_semi"))
     def eventPk(df: DataFrame) = pkGuard(df,
       Seq(col("emitted_for_receipt_id"),
         col("emitted_index_of_event_entry_in_shard")),
