@@ -36,7 +36,7 @@ object Tables {
     * This is the same adaptivity philosophy as AQE, applied to the one
     * axis AQE cannot touch (it can coalesce, never split, a scan).
     */
-  private def balanced(df: DataFrame): DataFrame = {
+  private[graft] def balanced(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }

@@ -88,6 +88,34 @@ class DataContractSpec extends AnyFunSuite {
     assert(e.getMessage.contains("doc_id"))
   }
 
+  test("under-split documents scan is balanced to cluster parallelism") {
+    // The testdata files are single-row-group, so the raw scan is one
+    // partition; the loader must spread it so per-row signature /
+    // similarity compute uses the whole cluster.
+    val p = spark.sparkContext.defaultParallelism
+    assert(Tables.documents(spark, sf).rdd.getNumPartitions == p)
+    assert(Tables.embeddings(spark, sf).rdd.getNumPartitions == p)
+  }
+
+  test("an already-parallel input is NOT repartitioned again") {
+    // The balance must be a no-op when the input already has at least
+    // cluster parallelism — at corpus scale (thousands of row groups)
+    // an unconditional repartition would shuffle the whole table for
+    // nothing. (A directory of tiny files does NOT count as parallel:
+    // Spark's open-cost packing coalesces those into few partitions,
+    // and the balance correctly engages.)
+    import spark.implicits._
+    val p = spark.sparkContext.defaultParallelism
+    val wide = (0L until 64L).map(i => (i, s"text $i"))
+      .toDF("doc_id", "text").repartition(p + 2)
+    assert(Tables.balanced(wide).rdd.getNumPartitions == p + 2,
+      "balanced must keep the existing partitioning")
+    val narrow = (0L until 64L).map(i => (i, s"text $i"))
+      .toDF("doc_id", "text").coalesce(1)
+    assert(Tables.balanced(narrow).rdd.getNumPartitions == p,
+      "balanced must spread a single-partition input")
+  }
+
   test("parquetRowCount matches count() with zero Spark jobs") {
     val file = s"$sf/documents.parquet"
     val fromFooter = DataContract.parquetRowCount(spark, file)
