@@ -360,12 +360,13 @@ object PipelineQueries {
 
   /** EXACT n-gram Jaccard near-dup pairs (the set-similarity dedup
     * class without MinHash approximation): inverted index on 4-word
-    * shingles → candidate pairs from the shingle equi-join → exact
-    * Jaccard verified against the FULL shingle sets. The df prune
-    * (shingles in > `maxDf` docs identify boilerplate, not dup pairs)
-    * bounds CANDIDATE GENERATION only — work ≤ sum(df²) ≤ maxDf ·
-    * corpus shingle count — while the verify step joins each candidate
-    * back to both full sets and computes the true intersection, so the
+    * shingles → candidate pairs emitted inside each shingle's posting
+    * list (grouped once on a 64-bit shingle hash) → exact Jaccard
+    * verified against the FULL shingle sets. The df prune (shingles in
+    * > `maxDf` docs identify boilerplate, not dup pairs) bounds
+    * CANDIDATE GENERATION only — work ≤ sum(df²) ≤ maxDf · corpus
+    * shingle count — while the verify step joins each candidate back
+    * to both full sets and computes the true intersection, so the
     * reported jaccard is exact (a pair sharing only pruned shingles can
     * be missed — the documented recall trade — but no surviving pair is
     * mis-scored). No theta/cartesian join anywhere.
@@ -380,30 +381,51 @@ object PipelineQueries {
     // branch re-evaluates it over the full corpus). At warehouse scale
     // this is the standard "write the shingle table first" step of a
     // set-similarity join.
+    //
+    // `shh` is the 64-bit shingle identity the CANDIDATE stages key
+    // on: a fixed-width shuffle key instead of the 4-word shingle text
+    // (the q47 md5-window pattern) — the index shuffle carries 8-byte
+    // keys, not strings. Collisions only matter for the screen's
+    // upper bound (see below); the verify stage is exact on `sh`.
     val sets = d.select(col("doc_id"), TF.shingleSet(col("text"), 4).as("sh"))
       .filter(size(col("sh")) > 0)
+      .withColumn("shh",
+        array_distinct(transform(col("sh"), sh => xxhash64(sh))))
       .localCheckpoint(true)
-    val inv = sets.select(col("doc_id"), explode(col("sh")).as("s"))
-    val rare = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select(col("s"))
-    val indexed = inv.join(rare, Seq("s"))
+    // Candidate generation, VernicaJoin-style: ONE shuffle groups the
+    // inverted index by shingle hash; pairs are emitted inside each
+    // (df ≤ maxDf)-bounded posting list — work ≤ sum(df²) per shingle,
+    // never a two-sided self-join that shuffles the index twice.
+    val postings = sets.select(col("doc_id"), explode(col("shh")).as("h"))
+      .groupBy(col("h"))
+      // (doc_id, h) is distinct by construction (array_distinct), so
+      // the list length IS the shingle's document frequency.
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) <= maxDf)
     // Candidate pairs carry their PRUNED-index overlap for free (the
-    // groupBy that replaces distinct()); with per-doc total/pruned
-    // sizes that yields an upper bound on the true intersection —
+    // pair-count groupBy); with per-doc total/pruned sizes that yields
+    // an upper bound on the true intersection —
     //   true_shared ≤ shared_pruned + min(pruned_away_a, pruned_away_b)
     // — so the expensive full-set verify join (two wide array columns
     // through a shuffle per candidate) runs only for pairs whose
     // jaccard UPPER BOUND can reach the threshold. The bound is exact
-    // arithmetic on counts; the 1e-9 slack only ever ADMITS extra
-    // candidates, so the exact verify's output is unchanged.
-    val docStats = sets.select(col("doc_id"), size(col("sh")).as("n_total"))
-      .join(indexed.groupBy(col("doc_id")).agg(count(lit(1)).as("n_pruned")),
+    // arithmetic on hash counts (a cross-doc hash collision only ever
+    // INFLATES shared_pruned, and hashed totals ≤ string totals only
+    // ever LOOSEN the bound — both directions ADMIT extra candidates;
+    // the one hash-identity assumption is the same one q12/q13/q47
+    // already rest on). The 1e-9 slack likewise only admits.
+    val docStats = sets.select(col("doc_id"), size(col("shh")).as("n_total"))
+      .join(postings.select(explode(col("ds")).as("doc_id"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_pruned")),
         Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_total"),
         coalesce(col("n_pruned"), lit(0L)).as("n_pruned"))
-    val cand = indexed.as("x").join(indexed.as("y"),
-        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val cand = postings.filter(size(col("ds")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(sequence(1, size(ds) - 1), " +
+          "i -> transform(slice(ds, i + 1, size(ds) - i), " +
+          "d -> struct(element_at(ds, i) AS doc_a, d AS doc_b))))")).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared_pruned"))
     val screened = cand
