@@ -83,6 +83,7 @@ object SparkEntry {
       StreamingJobs.streamNearDupDocsBounded(s, dir)),
     "q49_pii_scrub"           -> (PipelineQueries.q49PiiScrub _),
     "q50_domain_filter"       -> (PipelineQueries.q50DomainFilter _),
+    "q51_semantic_dedup"      -> (PipelineQueries.q51SemanticDedup _),
   ) ++ graft.queries.NearQueries.queries
 
   def oracleSql: Map[String, String] = Map(

@@ -241,23 +241,36 @@ object Similarity {
     * candidate join shuffles on the short cell key instead of crossing
     * the corpus. Recall < 1 by construction (documented trade).
     */
+  /** Coarse-quantizer centroids: the first `nCells` vectors by id —
+    * deterministic and bounded (a k-means|| refinement would slot in
+    * here without touching the callers), collected once to the driver
+    * and shipped as literals.
+    */
+  private def coarseCentroids(embeddings: DataFrame,
+      nCells: Int): Array[(Int, Array[Float])] = embeddings
+    .orderBy(col("vec_id")).limit(nCells)
+    .select(col("embedding")).collect()
+    .map(_.getSeq[Float](0).toArray).zipWithIndex.map(_.swap)
+
+  /** Distance ranking per row: array of (negDot/normC, cell) structs
+    * sorted ascending, so element 0 is the nearest cell — one map-only
+    * codegen'd projection of nCells inline literal-array dot products.
+    */
+  private def cellRankExpr(dot: (Column, Column) => Column,
+      centroids: Array[(Int, Array[Float])])(emb: Column): Column = {
+    val scored = centroids.map { case (cid, c) =>
+      val cNorm = math.sqrt(c.map(v => v.toDouble * v.toDouble).sum)
+      struct((-dot(emb, typedLit(c.map(_.toDouble))) / cNorm).as("nd"),
+        lit(cid).as("cell"))
+    }
+    sort_array(array(scored: _*))
+  }
+
   def annTopKIvf(embeddings: DataFrame, anchorIds: Seq[Long], k: Int,
       nCells: Int = 16, nProbe: Int = 2): DataFrame = {
     val dot = ndot(embeddings.sparkSession) _
-    val centroids: Array[(Int, Array[Float])] = embeddings
-      .orderBy(col("vec_id")).limit(nCells)
-      .select(col("embedding")).collect()
-      .map(_.getSeq[Float](0).toArray).zipWithIndex.map(_.swap)
-    // distance ranking per row: array of (negDot/normC, cell) structs;
-    // array_min picks the lexicographically smallest = nearest cell
-    def cellRank(emb: Column): Column = {
-      val scored = centroids.map { case (cid, c) =>
-        val cNorm = math.sqrt(c.map(v => v.toDouble * v.toDouble).sum)
-        struct((-dot(emb, typedLit(c.map(_.toDouble))) / cNorm).as("nd"),
-          lit(cid).as("cell"))
-      }
-      sort_array(array(scored: _*))
-    }
+    val centroids = coarseCentroids(embeddings, nCells)
+    def cellRank(emb: Column): Column = cellRankExpr(dot, centroids)(emb)
     // The ranking expression (nCells inline literal-array dot products
     // + sort) is built ONCE and shared by both branches — corpus rows
     // take element 0, anchors the first nProbe cells. One expression
@@ -288,6 +301,62 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("anchor_id"), col("vec_id"), col("cos_sim"), col("rank"))
       .orderBy(col("anchor_id"), col("rank"))
+  }
+
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, arXiv
+    * 2303.09540): cluster the embedding space coarsely, then dedup
+    * ONLY within clusters — the cluster bound is what makes
+    * embedding-level dedup tractable at corpus scale (pairwise work is
+    * per-cell, never corpus²). Stages, all reusing the engine's
+    * existing scale paths:
+    *   1. cell assignment = the IVF coarse quantizer (argmin over
+    *      nCells literal centroids, map-only);
+    *   2. within-cell candidate pairs via [[bucketCandidatePairs]], so
+    *      a degenerate hot cell triangle-salts to bounded tasks
+    *      instead of an m² join;
+    *   3. exact cosine ≥ `threshold` keeps an edge; connected
+    *      components ([[Dedup.dupClusters]]) pick the min-id
+    *      representative per duplicate group.
+    * Output: one row per vector — (vec_id, cell, canon_id, keep);
+    * `keep` is true for cluster representatives and singletons.
+    * Duplicates of the same content that land in different cells are
+    * missed — SemDeDup's documented recall trade (tunes with nCells).
+    */
+  def semanticDedup(embeddings: DataFrame, threshold: Double,
+      nCells: Int = 16, maxBucket: Int = 4096): DataFrame = {
+    val dot = ndot(embeddings.sparkSession) _
+    val centroids = coarseCentroids(embeddings, nCells)
+    // Materialized once: the assignment projection (nCells dot
+    // products per row) feeds four branches (candidate keys, both
+    // pair-verify sides, the final per-vector report) — the q38
+    // "write the derived table first" step. At warehouse scale this
+    // is the cell-partitioned assignment table a real pipeline would
+    // persist anyway (it IS the IVF index).
+    val assigned = embeddings.select(col("vec_id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("norm"),
+        cellRankExpr(dot, centroids)(col("embedding"))(0)
+          .getField("cell").as("cell"))
+      .localCheckpoint(true)
+    val cand = bucketCandidatePairs(
+      assigned.select(col("vec_id"), lit(0).as("band"),
+        col("cell").as("bucket")), maxBucket)
+    val edges = cand
+      .join(assigned.select(col("vec_id").as("vec_id_a"),
+        col("embedding").as("ea"), col("norm").as("na")), Seq("vec_id_a"))
+      .join(assigned.select(col("vec_id").as("vec_id_b"),
+        col("embedding").as("eb"), col("norm").as("nb")), Seq("vec_id_b"))
+      .withColumn("cos_sim",
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("vec_id_a"), col("vec_id_b"))
+    val canon = Dedup.dupClusters(edges)
+      .select(col("vec_id"), col("cluster_id").as("canon_id"))
+    assigned.select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .join(canon, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("canon_id"), col("vec_id")).as("canon_id"))
+      .withColumn("keep", col("canon_id") === col("vec_id"))
+      .orderBy(col("vec_id"))
   }
 
   /** ANN via LSH buckets: anchors probe only their own bucket, then

@@ -763,5 +763,39 @@ object PipelineOracles {
         |SELECT d.doc_id, d.domain, (b.domain IS NOT NULL) AS is_blocked
         |FROM d LEFT JOIN b ON d.domain = b.domain
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q51_semantic_dedup" ->
+      // Twin of Similarity.semanticDedup: q25's coarse-quantizer
+      // assignment (same centroids, same nd/cell tiebreak), within-cell
+      // pairs at cosine >= 0.45 (same round-6 compare as q24/q28), then
+      // q28's recursive min-id closure; singletons keep themselves.
+      s"""WITH RECURSIVE e0 AS (SELECT vec_id, embedding,
+         |        sqrt(${vdot("embedding", "embedding")}) AS norm
+         |      FROM embeddings),
+         |c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         |        embedding AS cemb,
+         |        sqrt(${vdot("embedding", "embedding")}) AS cnorm
+         |      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+         |asg AS (SELECT vec_id, embedding, norm, cell FROM (
+         |    SELECT e0.vec_id, e0.embedding, e0.norm, c.cell,
+         |      row_number() OVER (PARTITION BY e0.vec_id
+         |        ORDER BY -${vdot("e0.embedding", "c.cemb")} / c.cnorm, c.cell) AS rn
+         |    FROM e0, c) t WHERE rn = 1),
+         |p AS (SELECT a.vec_id AS u, b.vec_id AS v
+         |      FROM asg a JOIN asg b
+         |        ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |      WHERE round(${vdot("a.embedding", "b.embedding")} / (a.norm * b.norm), 6) >= 0.45),
+         |e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM e
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+         |canon AS (SELECT u AS vec_id, least(u, min(v)) AS canon_id
+         |          FROM reach GROUP BY u)
+         |SELECT asg.vec_id, CAST(asg.cell AS BIGINT) AS cell,
+         |  coalesce(canon.canon_id, asg.vec_id) AS canon_id,
+         |  (coalesce(canon.canon_id, asg.vec_id) = asg.vec_id) AS keep
+         |FROM asg LEFT JOIN canon USING (vec_id)
+         |ORDER BY asg.vec_id""".stripMargin,
   )
 }

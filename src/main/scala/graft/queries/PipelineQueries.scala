@@ -803,4 +803,13 @@ object PipelineQueries {
         coalesce(col("b"), lit(false)).as("is_blocked"))
       .orderBy(col("doc_id"))
   }
+
+  /** SEMANTIC dedup (SemDeDup): coarse-cluster the embedding corpus,
+    * dedup within clusters on exact cosine, keep the min-id
+    * representative per duplicate group — the embedding-space sibling
+    * of q34's text-LSH keep/drop report. See
+    * [[graft.functions.Similarity.semanticDedup]] for the scale shape.
+    */
+  def q51SemanticDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(Tables.embeddings(s, dir), threshold = 0.45)
 }

@@ -933,4 +933,57 @@ class PipelineSpec extends AnyFunSuite {
     val nb = out.select(col("pack_bucket")).distinct().count()
     assert(nb <= 16 && nb > 1) // 500 docs -> floor of 16 streams
   }
+
+  test("q51 semantic dedup matches a driver-side brute force") {
+    val rows = SparkEntry.queries("q51_semantic_dedup")(spark, sf).collect()
+    val embs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    assert(rows.length == embs.length, "one report row per vector")
+    // Ground truth with the same double arithmetic (sequential left
+    // fold, like fdot): nearest of the first-16 centroids with the
+    // (distance, cell) tiebreak, within-cell edges at round-6 cosine
+    // >= 0.45, union-find min label.
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def nrm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+    val centroids = embs.take(16).map(_._2)
+    val cell = embs.map { case (id, e) =>
+      id -> centroids.zipWithIndex
+        .map { case (c, ci) => (-dot(e, c) / nrm(c), ci) }.min._2
+    }.toMap
+    val byId = embs.toMap
+    val ids = embs.map(_._1)
+    val edges = for {
+      a <- ids; b <- ids
+      if a < b && cell(a) == cell(b)
+      cs = BigDecimal(dot(byId(a), byId(b)) / (nrm(byId(a)) * nrm(byId(b))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if cs >= 0.45
+    } yield (a, b)
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val canon = ids.map(i => i -> find(i)).toMap
+    assert(edges.nonEmpty, "expected at least one within-cell near-dup")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      assert(r.getAs[Long]("cell") == cell(id), s"cell of $id")
+      assert(r.getAs[Long]("canon_id") == canon(id), s"canon of $id")
+      assert(r.getAs[Boolean]("keep") == (canon(id) == id), s"keep of $id")
+    }
+    // scale shape: candidate pairs come from the cell equi-join, never
+    // a corpus nested loop
+    val plan = SparkEntry.queries("q51_semantic_dedup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
 }
