@@ -84,6 +84,7 @@ object SparkEntry {
     "q49_pii_scrub"           -> (PipelineQueries.q49PiiScrub _),
     "q50_domain_filter"       -> (PipelineQueries.q50DomainFilter _),
     "q51_semantic_dedup"      -> (PipelineQueries.q51SemanticDedup _),
+    "q52_classifier_filter"   -> (PipelineQueries.q52ClassifierFilter _),
   ) ++ graft.queries.NearQueries.queries
 
   def oracleSql: Map[String, String] = Map(

@@ -797,5 +797,18 @@ object PipelineOracles {
          |  (coalesce(canon.canon_id, asg.vec_id) = asg.vec_id) AS keep
          |FROM asg LEFT JOIN canon USING (vec_id)
          |ORDER BY asg.vec_id""".stripMargin,
+
+    "q52_classifier_filter" ->
+      // Twin of q52: same 60-bit token hash, same integer micro-unit
+      // weights (order-insensitive exact sum), same zero-logit gate.
+      s"""SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         |  CAST(list_sum(list_transform(w,
+         |    t -> CAST('0x' || substr(md5('clf:' || t), 1, 15) AS BIGINT) % 2001 - 1000))
+         |    AS BIGINT) AS logit_micro,
+         |  (CAST(list_sum(list_transform(w,
+         |    t -> CAST('0x' || substr(md5('clf:' || t), 1, 15) AS BIGINT) % 2001 - 1000))
+         |    AS BIGINT) > 0) AS keep
+         |FROM ($docsWithWords) d
+         |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -804,6 +804,31 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** MODEL-BASED quality filter — linear-classifier inference, the
+    * CCNet/fastText second-stage gate that follows rule-based filters
+    * (q46) in a production corpus build: score = sum of per-token
+    * weights, keep when the logit clears zero. The weight table is a
+    * hash of the token (a deterministic stand-in for trained
+    * parameters — the multimodal-stub pattern: the INFERENCE plumbing
+    * is real and oracle-gated, the weights are fake), in integer
+    * micro-units so the per-doc sum is order-insensitive and
+    * hash-exact (the q40 precedent). Scale shape: map-only — the
+    * weight lookup is pure per-token arithmetic inside one codegen'd
+    * projection, no vocabulary shuffle, no model broadcast; a real
+    * weight table would broadcast-join on the token instead.
+    */
+  def q52ClassifierFilter(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    d.withColumn("w", TF.words(col("text")))
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+        aggregate(
+          transform(col("w"),
+            t => TF.hash60(concat(lit("clf:"), t)) % 2001 - 1000),
+          lit(0L), (acc, x) => acc + x).as("logit_micro"))
+      .withColumn("keep", col("logit_micro") > 0)
+      .orderBy(col("doc_id"))
+  }
+
   /** SEMANTIC dedup (SemDeDup): coarse-cluster the embedding corpus,
     * dedup within clusters on exact cosine, keep the min-id
     * representative per duplicate group — the embedding-space sibling

@@ -934,6 +934,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(nb <= 16 && nb > 1) // 500 docs -> floor of 16 streams
   }
 
+  test("q52 classifier filter matches a driver-side brute force") {
+    val rows = SparkEntry.queries("q52_classifier_filter")(spark, sf).collect()
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == texts.size)
+    def weight(t: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"clf:$t".getBytes("UTF-8"))
+      val hex = h.map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 2001 - 1000
+    }
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val w = texts(id).trim.split(" ", -1)
+      val logit = w.map(weight).sum
+      assert(r.getAs[Long]("n_tokens") == w.length.toLong, s"doc $id")
+      assert(r.getAs[Long]("logit_micro") == logit, s"doc $id")
+      assert(r.getAs[Boolean]("keep") == (logit > 0), s"doc $id")
+    }
+    // the hash-weight gate must split the corpus nontrivially
+    assert(rows.exists(_.getAs[Boolean]("keep")))
+    assert(rows.exists(!_.getAs[Boolean]("keep")))
+  }
+
   test("q51 semantic dedup matches a driver-side brute force") {
     val rows = SparkEntry.queries("q51_semantic_dedup")(spark, sf).collect()
     val embs = Tables.embeddings(spark, sf)
