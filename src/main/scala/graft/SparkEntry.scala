@@ -85,6 +85,7 @@ object SparkEntry {
     "q50_domain_filter"       -> (PipelineQueries.q50DomainFilter _),
     "q51_semantic_dedup"      -> (PipelineQueries.q51SemanticDedup _),
     "q52_classifier_filter"   -> (PipelineQueries.q52ClassifierFilter _),
+    "q53_corpus_recipe"       -> (PipelineQueries.q53CorpusRecipe _),
   ) ++ graft.queries.NearQueries.queries
 
   def oracleSql: Map[String, String] = Map(

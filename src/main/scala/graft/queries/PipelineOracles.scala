@@ -75,6 +75,41 @@ object PipelineOracles {
        |             JOIN d db ON p.doc_b = db.doc_id)""".stripMargin
   }
 
+  /** q46's cascade as a reusable CTE block ending in
+    * `fc(doc_id, n_tokens, too_short, high_punct, low_stopwords,
+    * repetitive, keep, reject_reason)` — shared by q46 and the q53
+    * recipe.
+    */
+  private val q46CascadeCtes: String =
+    s"""sig AS (SELECT doc_id,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(len(w) AS BIGINT) AS n_tokens,
+       |    CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]', 0)) AS BIGINT) AS n_punct,
+       |    CAST(len(list_filter(w, t -> t IN (${inList(TF.StopwordsEn)}))) AS BIGINT) AS n_stop
+       |  FROM ($docsWithWords) d0),
+       |g AS (SELECT doc_id,
+       |    list_transform(range(1, len(w)),
+       |      i -> array_to_string(w[i:i+1], ' ')) AS g
+       |  FROM ($docsWithWords) d1 WHERE len(w) >= 2),
+       |rep AS (SELECT doc_id, CAST(len(g) AS BIGINT) AS n_bigrams,
+       |    CAST(list_max(list_transform(list_distinct(g),
+       |      u -> len(list_filter(g, x -> x = u)))) AS BIGINT) AS mx
+       |  FROM g),
+       |fc0 AS (SELECT s.doc_id, s.n_tokens,
+       |    s.n_tokens < 20 AS too_short,
+       |    s.n_punct * 5 > s.n_chars AS high_punct,
+       |    s.n_stop * 50 < s.n_tokens AS low_stopwords,
+       |    coalesce(r.mx * 10 > r.n_bigrams, FALSE) AS repetitive
+       |  FROM sig s LEFT JOIN rep r ON s.doc_id = r.doc_id),
+       |fc AS (SELECT doc_id, n_tokens, too_short, high_punct, low_stopwords, repetitive,
+       |  NOT (too_short OR high_punct OR low_stopwords OR repetitive) AS keep,
+       |  CASE WHEN too_short THEN 'too_short'
+       |       WHEN high_punct THEN 'high_punct'
+       |       WHEN low_stopwords THEN 'low_stopwords'
+       |       WHEN repetitive THEN 'repetitive'
+       |       ELSE '' END AS reject_reason
+       |  FROM fc0)""".stripMargin
+
   private val q15PairsSql: String =
     s"""WITH $q15PairCtes
        |SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= 0.8
@@ -147,18 +182,28 @@ object PipelineOracles {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q17_quality" ->
-      s"""SELECT doc_id,
-         |  CAST(length(text) AS BIGINT) AS n_chars,
-         |  CAST(len(w) AS BIGINT) AS n_tokens,
-         |  round(CAST(length(text) AS DOUBLE) / CAST(len(w) AS DOUBLE), 4) AS mean_tok_len,
-         |  round(CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]', 0)) AS DOUBLE) / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
-         |  round(CAST(len(list_filter(w, t -> t IN (${inList(TF.StopwordsEn)}))) AS DOUBLE) / CAST(len(w) AS DOUBLE), 4) AS stop_ratio,
-         |  round(
-         |    least(CAST(1.0 AS DOUBLE), CAST(len(w) AS DOUBLE) / CAST(100.0 AS DOUBLE)) * CAST(0.25 AS DOUBLE) +
-         |    (CAST(1.0 AS DOUBLE) - CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]', 0)) AS DOUBLE) / CAST(length(text) AS DOUBLE)) * CAST(0.25 AS DOUBLE) +
-         |    (CAST(len(list_filter(w, t -> t IN (${inList(TF.StopwordsEn)}))) AS DOUBLE) / CAST(len(w) AS DOUBLE)) * CAST(0.25 AS DOUBLE) +
-         |    least(CAST(1.0 AS DOUBLE), (CAST(length(text) AS DOUBLE) / CAST(len(w) AS DOUBLE)) / CAST(8.0 AS DOUBLE)) * CAST(0.25 AS DOUBLE), 4) AS quality_score
-         |FROM ($docsWithWords) ORDER BY doc_id""".stripMargin,
+      // Integer-exact twin: every ratio is a half-up integer division
+      // ((2a·10^4 + b) // 2b) widened to double at the end — no
+      // round(DOUBLE) anywhere, so the 4th-decimal boundary cannot
+      // split between engines (it did at sf0.1 before this).
+      s"""WITH q AS (SELECT doc_id,
+         |    CAST(length(text) AS BIGINT) AS c,
+         |    CAST(len(w) AS BIGINT) AS t,
+         |    CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]', 0)) AS BIGINT) AS p,
+         |    CAST(len(list_filter(w, x -> x IN (${inList(TF.StopwordsEn)}))) AS BIGINT) AS st
+         |  FROM ($docsWithWords) d0),
+         |m AS (SELECT doc_id, c, t, p, st,
+         |    least(100, t) * 10000 AS t1,
+         |    ((c - p) * 2000000 + c) // (2 * c) AS t2,
+         |    (st * 2000000 + t) // (2 * t) AS t3,
+         |    (least(8 * t, c) * 2000000 + 8 * t) // (16 * t) AS t4
+         |  FROM q)
+         |SELECT doc_id, c AS n_chars, t AS n_tokens,
+         |  CAST((c * 20000 + t) // (2 * t) AS DOUBLE) / 10000.0 AS mean_tok_len,
+         |  CAST((p * 20000 + c) // (2 * c) AS DOUBLE) / 10000.0 AS punct_ratio,
+         |  CAST((st * 20000 + t) // (2 * t) AS DOUBLE) / 10000.0 AS stop_ratio,
+         |  CAST(((t1 + t2 + t3 + t4) * 2 + 400) // 800 AS DOUBLE) / 10000.0 AS quality_score
+         |FROM m ORDER BY doc_id""".stripMargin,
 
     "q18_lang_id" -> {
       val scoreCols = TF.LangMarkers.map { case (lang, ms) =>
@@ -448,7 +493,8 @@ object PipelineOracles {
          |SELECT d.doc_id,
          |  CAST(len(d.sh) AS BIGINT) AS n_shingles,
          |  CAST(coalesce(c.n_cont, 0) AS BIGINT) AS n_contaminated,
-         |  round(CAST(coalesce(c.n_cont, 0) AS DOUBLE) / greatest(len(d.sh), 1), 4) AS contamination_ratio
+         |  CAST((CAST(coalesce(c.n_cont, 0) AS BIGINT) * 20000 + greatest(len(d.sh), 1))
+         |    // (2 * greatest(len(d.sh), 1)) AS DOUBLE) / 10000.0 AS contamination_ratio
          |FROM d LEFT JOIN cont c ON d.doc_id = c.doc_id
          |WHERE d.bucket >= 95 ORDER BY d.doc_id""".stripMargin,
 
@@ -578,7 +624,8 @@ object PipelineOracles {
          |         AS BIGINT) AS sm FROM f, n)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
          |  CAST(sum(sm) AS BIGINT) AS surprisal_micro_total,
-         |  round(CAST(sum(sm) AS DOUBLE) / 1e6 / count(*), 4) AS avg_surprisal
+         |  CAST((CAST(sum(sm) AS BIGINT) * 20000 + count(*) * 1000000)
+         |    // (2 * count(*) * 1000000) AS DOUBLE) / 10000.0 AS avg_surprisal
          |FROM tok JOIN sc USING (t)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
@@ -598,9 +645,10 @@ object PipelineOracles {
          |  CAST(list_max(cnts) AS BIGINT) AS max_bigram_count,
          |  CAST(coalesce(list_sum(list_filter(cnts, x -> x > 1)), 0) AS BIGINT)
          |    AS n_repeated_bigrams,
-         |  round(CAST(list_max(cnts) AS DOUBLE) / n_bigrams, 4) AS top_bigram_frac,
-         |  round(CAST(coalesce(list_sum(list_filter(cnts, x -> x > 1)), 0) AS DOUBLE)
-         |    / n_bigrams, 4) AS repeated_frac
+         |  CAST((CAST(list_max(cnts) AS BIGINT) * 20000 + n_bigrams)
+         |    // (2 * n_bigrams) AS DOUBLE) / 10000.0 AS top_bigram_frac,
+         |  CAST((CAST(coalesce(list_sum(list_filter(cnts, x -> x > 1)), 0) AS BIGINT) * 20000
+         |    + n_bigrams) // (2 * n_bigrams) AS DOUBLE) / 10000.0 AS repeated_frac
          |FROM c ORDER BY doc_id""".stripMargin,
 
     // Mixture downsampler: hash-derived per-source rate, salted doc
@@ -659,41 +707,18 @@ object PipelineOracles {
          |      FROM c LEFT JOIN hot ON c.h = hot.h GROUP BY c.doc_id)
          |SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
          |  CAST(n_bp AS BIGINT) AS n_boilerplate,
-         |  round(CAST(n_bp AS DOUBLE) / n_chunks, 4) AS boilerplate_frac
+         |  CAST((CAST(n_bp AS BIGINT) * 20000 + n_chunks) // (2 * n_chunks)
+         |    AS DOUBLE) / 10000.0 AS boilerplate_frac
          |FROM f ORDER BY doc_id""".stripMargin,
 
     // Filter cascade: q17's signal fragments + q39's bigram counting,
     // thresholds as integer cross-multiplications, first-failing-rule
     // reason in fixed priority order.
     "q46_filter_cascade" ->
-      s"""WITH sig AS (SELECT doc_id,
-         |    CAST(length(text) AS BIGINT) AS n_chars,
-         |    CAST(len(w) AS BIGINT) AS n_tokens,
-         |    CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]', 0)) AS BIGINT) AS n_punct,
-         |    CAST(len(list_filter(w, t -> t IN (${inList(TF.StopwordsEn)}))) AS BIGINT) AS n_stop
-         |  FROM ($docsWithWords) d0),
-         |g AS (SELECT doc_id,
-         |    list_transform(range(1, len(w)),
-         |      i -> array_to_string(w[i:i+1], ' ')) AS g
-         |  FROM ($docsWithWords) d1 WHERE len(w) >= 2),
-         |rep AS (SELECT doc_id, CAST(len(g) AS BIGINT) AS n_bigrams,
-         |    CAST(list_max(list_transform(list_distinct(g),
-         |      u -> len(list_filter(g, x -> x = u)))) AS BIGINT) AS mx
-         |  FROM g),
-         |f AS (SELECT s.doc_id, s.n_tokens,
-         |    s.n_tokens < 20 AS too_short,
-         |    s.n_punct * 5 > s.n_chars AS high_punct,
-         |    s.n_stop * 50 < s.n_tokens AS low_stopwords,
-         |    coalesce(r.mx * 10 > r.n_bigrams, FALSE) AS repetitive
-         |  FROM sig s LEFT JOIN rep r ON s.doc_id = r.doc_id)
-         |SELECT doc_id, n_tokens, too_short, high_punct, low_stopwords, repetitive,
-         |  NOT (too_short OR high_punct OR low_stopwords OR repetitive) AS keep,
-         |  CASE WHEN too_short THEN 'too_short'
-         |       WHEN high_punct THEN 'high_punct'
-         |       WHEN low_stopwords THEN 'low_stopwords'
-         |       WHEN repetitive THEN 'repetitive'
-         |       ELSE '' END AS reject_reason
-         |FROM f ORDER BY doc_id""".stripMargin,
+      s"""WITH $q46CascadeCtes
+         |SELECT doc_id, n_tokens, too_short, high_punct, low_stopwords,
+         |  repetitive, keep, reject_reason
+         |FROM fc ORDER BY doc_id""".stripMargin,
 
     // Real-image-decode twins (q43/q44): the engine decodes the fixture
     // PNGs with the JDK codec; the oracle recomputes the generator's
@@ -809,6 +834,68 @@ object PipelineOracles {
          |    t -> CAST('0x' || substr(md5('clf:' || t), 1, 15) AS BIGINT) % 2001 - 1000))
          |    AS BIGINT) > 0) AS keep
          |FROM ($docsWithWords) d
+         |ORDER BY doc_id""".stripMargin,
+
+    "q53_corpus_recipe" ->
+      // Twin of the staged recipe: q46's cascade (fc), exact dedup
+      // among rule-survivors, q15's LSH pairs restricted to remaining
+      // survivors + q34's recursive closure, then the q36-style 5-gram
+      // decontamination of train-split survivors against the test
+      // split. First failing stage names the disposition.
+      s"""WITH RECURSIVE $q46CascadeCtes,
+         |$q15PairCtes,
+         |surv1 AS (SELECT doc_id FROM fc WHERE keep),
+         |eth AS (SELECT dd.doc_id, md5(text) AS th
+         |        FROM documents dd JOIN surv1 USING (doc_id)),
+         |ec AS (SELECT th, min(doc_id) AS canon FROM eth GROUP BY th),
+         |ex AS (SELECT eth.doc_id, (eth.doc_id = ec.canon) AS exact_keep
+         |       FROM eth JOIN ec USING (th)),
+         |surv2 AS (SELECT doc_id FROM ex WHERE exact_keep),
+         |pr AS (SELECT doc_a, doc_b FROM v WHERE jaccard >= 0.8
+         |       AND doc_a IN (SELECT doc_id FROM surv2)
+         |       AND doc_b IN (SELECT doc_id FROM surv2)),
+         |edges AS (SELECT doc_a AS u, doc_b AS vtx FROM pr
+         |          UNION SELECT doc_b, doc_a FROM pr),
+         |reach(u, vtx) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) n0
+         |  UNION
+         |  SELECT r.u, e.vtx FROM reach r JOIN edges e ON r.vtx = e.u),
+         |lbl AS (SELECT u AS doc_id, min(vtx) AS cluster_id FROM reach GROUP BY u),
+         |nr AS (SELECT s2.doc_id,
+         |        coalesce(l.cluster_id, s2.doc_id) = s2.doc_id AS near_keep
+         |      FROM surv2 s2 LEFT JOIN lbl l ON s2.doc_id = l.doc_id),
+         |surv3 AS (SELECT doc_id FROM nr WHERE near_keep),
+         |spl AS (SELECT doc_id,
+         |    CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS b
+         |  FROM documents),
+         |s5 AS (SELECT doc_id,
+         |    list_distinct(list_transform(range(1, len(w)-3),
+         |      i -> array_to_string(w[i:i+4], ' '))) AS sh
+         |  FROM ($docsWithWords) dw),
+         |tes AS (SELECT DISTINCT unnest(sh) AS sng
+         |        FROM s5 JOIN spl USING (doc_id) WHERE b >= 95),
+         |cont AS (SELECT DISTINCT xx.doc_id FROM
+         |    (SELECT s5.doc_id, unnest(sh) AS sng
+         |     FROM s5 JOIN surv3 USING (doc_id) JOIN spl USING (doc_id)
+         |     WHERE spl.b < 90) xx
+         |    JOIN tes USING (sng))
+         |SELECT doc_id, split, disposition, (disposition = 'kept') AS keep
+         |FROM (
+         |  SELECT dd.doc_id,
+         |    CASE WHEN spl.b < 90 THEN 'train'
+         |         WHEN spl.b < 95 THEN 'validation'
+         |         ELSE 'test' END AS split,
+         |    CASE WHEN NOT fc.keep THEN 'rule:' || fc.reject_reason
+         |         WHEN NOT coalesce(ex.exact_keep, TRUE) THEN 'exact_dup'
+         |         WHEN NOT coalesce(nr.near_keep, TRUE) THEN 'near_dup'
+         |         WHEN cont.doc_id IS NOT NULL THEN 'contaminated'
+         |         ELSE 'kept' END AS disposition
+         |  FROM documents dd
+         |  JOIN spl ON dd.doc_id = spl.doc_id
+         |  JOIN fc ON dd.doc_id = fc.doc_id
+         |  LEFT JOIN ex ON dd.doc_id = ex.doc_id
+         |  LEFT JOIN nr ON dd.doc_id = nr.doc_id
+         |  LEFT JOIN cont ON dd.doc_id = cont.doc_id) z
          |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -62,30 +62,61 @@ object PipelineQueries {
     * token length, combined into a [0,1] score. Pure rational
     * arithmetic on exact integers — bit-identical across engines.
     */
+  /** Per-doc quality signals. Every emitted ratio is an INTEGER
+    * rational rounded half-up in exact integer arithmetic
+    * ([[rdiv4]]) and only then widened to double — `round(double, 4)`
+    * on a ratio of counts is a cross-engine landmine: both engines
+    * build the identical IEEE double, but Spark rounds its exact
+    * binary expansion (BigDecimal HALF_UP) while DuckDB rounds through
+    * a scaled multiply, and near-half values split (3 of 5000 docs at
+    * sf0.1 flipped the 4th decimal of quality_score before this).
+    * The quality score itself is the mean of four micro-unit terms,
+    * each an exact integer division, so the whole column is
+    * reproducible bit-for-bit on any engine.
+    */
   def q17Quality(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
     val stop = TF.StopwordsEn.map(w => s"'$w'").mkString(", ")
     d.withColumn("w", TF.words(col("text")))
-      .withColumn("n_chars", length(col("text")).cast("double"))
-      .withColumn("n_tokens", size(col("w")).cast("double"))
-      .withColumn("n_punct",
-        size(expr("regexp_extract_all(lower(text), '[^a-z0-9 ]', 0)")).cast("double"))
-      .withColumn("n_stop", expr(s"size(filter(w, t -> t IN ($stop)))").cast("double"))
+      .withColumn("c", length(col("text")).cast("long"))
+      .withColumn("t", size(col("w")).cast("long"))
+      .withColumn("p",
+        size(expr("regexp_extract_all(lower(text), '[^a-z0-9 ]', 0)")).cast("long"))
+      .withColumn("st", expr(s"size(filter(w, x -> x IN ($stop)))").cast("long"))
+      // micro-unit (1e6) terms of the 4-component score, each an exact
+      // half-up integer division
+      .withColumn("t1", least(lit(100L), col("t")) * 10000L)
+      .withColumn("t2", expr("((c - p) * 2000000 + c) div (2 * c)"))
+      .withColumn("t3", expr("(st * 2000000 + t) div (2 * t)"))
+      .withColumn("t4", expr("(least(8 * t, c) * 2000000 + 8 * t) div (16 * t)"))
       .select(
         col("doc_id"),
-        col("n_chars").cast("long").as("n_chars"),
-        col("n_tokens").cast("long").as("n_tokens"),
-        round(col("n_chars") / col("n_tokens"), 4).as("mean_tok_len"),
-        round(col("n_punct") / col("n_chars"), 4).as("punct_ratio"),
-        round(col("n_stop") / col("n_tokens"), 4).as("stop_ratio"),
-        round(
-          least(lit(1.0), col("n_tokens") / 100.0) * 0.25 +
-          (lit(1.0) - col("n_punct") / col("n_chars")) * 0.25 +
-          (col("n_stop") / col("n_tokens")) * 0.25 +
-          least(lit(1.0), (col("n_chars") / col("n_tokens")) / 8.0) * 0.25, 4)
-          .as("quality_score"))
+        col("c").as("n_chars"),
+        col("t").as("n_tokens"),
+        rdiv4(col("c"), col("t")).as("mean_tok_len"),
+        rdiv4(col("p"), col("c")).as("punct_ratio"),
+        rdiv4(col("st"), col("t")).as("stop_ratio"),
+        (expr("((t1 + t2 + t3 + t4) * 2 + 400) div 800").cast("double") /
+          10000.0).as("quality_score"))
       .orderBy(col("doc_id"))
   }
+
+  /** Exact integer division for non-negative long columns:
+    * (x − x mod y) is an exact multiple of y, and the double division
+    * of exactly divisible longs under 2^53 is lossless.
+    */
+  private[queries] def intDiv(x: org.apache.spark.sql.Column,
+      y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    ((x - pmod(x, y)) / y).cast("long")
+
+  /** round(a/b, 4) for non-negative integer columns, computed exactly:
+    * half-up integer division to 4 decimals ((2a·10⁴ + b) div 2b),
+    * then ONE exact widening to double — both engines produce the
+    * identical value because no inexact double is ever rounded.
+    */
+  private[queries] def rdiv4(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    intDiv(a * 20000L + b, b * 2L).cast("double") / 10000.0
 
   /** Language ID: closed-class marker counts, argmax with fixed
     * priority order, 'und' when no marker hits.
@@ -333,9 +364,9 @@ object PipelineQueries {
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_shingles"),
         coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
-        round(coalesce(col("n_contaminated"), lit(0L)).cast("double") /
-          greatest(col("n_shingles"), lit(1L)).cast("double"), 4)
-          .as("contamination_ratio"))
+        // integer-exact half-up ratio (see q17's rationale)
+        rdiv4(coalesce(col("n_contaminated"), lit(0L)),
+          greatest(col("n_shingles"), lit(1L))).as("contamination_ratio"))
       .orderBy(col("doc_id"))
   }
 
@@ -605,9 +636,9 @@ object PipelineQueries {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("sm")).as("surprisal_micro_total"))
+      // integer-exact half-up ratio over micro-units (q17's rationale)
       .withColumn("avg_surprisal",
-        round(col("surprisal_micro_total").cast("double") / 1e6 /
-          col("n_tokens").cast("double"), 4))
+        rdiv4(col("surprisal_micro_total"), col("n_tokens") * 1000000L))
       .orderBy(col("doc_id"))
   }
 
@@ -633,12 +664,11 @@ object PipelineQueries {
         max(col("c")).cast("long").as("max_bigram_count"),
         sum(when(col("c") > 1, col("c")).otherwise(lit(0L)))
           .cast("long").as("n_repeated_bigrams"))
-      .withColumn("top_bigram_frac", round(
-        col("max_bigram_count").cast("double") /
-          col("n_bigrams").cast("double"), 4))
-      .withColumn("repeated_frac", round(
-        col("n_repeated_bigrams").cast("double") /
-          col("n_bigrams").cast("double"), 4))
+      // integer-exact half-up ratios (see q17's rationale)
+      .withColumn("top_bigram_frac",
+        rdiv4(col("max_bigram_count"), col("n_bigrams")))
+      .withColumn("repeated_frac",
+        rdiv4(col("n_repeated_bigrams"), col("n_bigrams")))
       .orderBy(col("doc_id"))
   }
 
@@ -690,8 +720,9 @@ object PipelineQueries {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_chunks"),
         sum(coalesce(col("is_bp"), lit(0L))).cast("long").as("n_boilerplate"))
-      .withColumn("boilerplate_frac", round(
-        col("n_boilerplate").cast("double") / col("n_chunks").cast("double"), 4))
+      // integer-exact half-up ratio (see q17's rationale)
+      .withColumn("boilerplate_frac",
+        rdiv4(col("n_boilerplate"), col("n_chunks")))
       .orderBy(col("doc_id"))
   }
 
@@ -826,6 +857,83 @@ object PipelineQueries {
             t => TF.hash60(concat(lit("clf:"), t)) % 2001 - 1000),
           lit(0L), (acc, x) => acc + x).as("logit_micro"))
       .withColumn("keep", col("logit_micro") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  /** END-TO-END corpus recipe — the flagship composition proving the
+    * pipeline operators chain the way a real corpus build runs them:
+    *   1. rule cascade (q46) — reject with `rule:<reason>`;
+    *   2. exact dedup among rule-survivors (q12's md5-text identity,
+    *      min-id canonical) — reject `exact_dup`;
+    *   3. near-dedup among remaining survivors (q15 LSH pairs
+    *      restricted to survivors → q28 components) — reject
+    *      `near_dup`;
+    *   4. decontamination (q36's 5-gram index): a TRAIN-split survivor
+    *      sharing any 5-gram with any TEST-split document is rejected
+    *      `contaminated` (the eval split itself is exempt — it is the
+    *      thing being protected).
+    * Each stage dedups among the PRIOR stage's survivors (dropping a
+    * rule-rejected doc must not consume a dup group's keep slot), which
+    * is why this is a staged report, not four independent verdicts.
+    * Output: one row per document — (doc_id, split, disposition, keep).
+    * Scale shape: the union of its stages' shapes (each documented at
+    * its own operator); the stage gates are semi-joins on doc_id, and
+    * the final assembly is doc_id-keyed left joins, broadcast-small on
+    * everything but the corpus spine.
+    */
+  def q53CorpusRecipe(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val rules = q46FilterCascade(s, dir)
+      .select(col("doc_id"), col("keep").as("rules_keep"), col("reject_reason"))
+    val surv1 = rules.filter(col("rules_keep")).select("doc_id")
+    val th = d.select(col("doc_id"), md5(col("text")).as("th"))
+      .join(surv1, "doc_id")
+    val exact = th
+      .join(th.groupBy("th").agg(min("doc_id").as("exact_canon")), "th")
+      .select(col("doc_id"), (col("doc_id") === col("exact_canon")).as("exact_keep"))
+    val surv2 = exact.filter(col("exact_keep")).select("doc_id")
+    val pairs = Dedup.lshNearDupPairs(s, d, "doc_id", "text",
+        k = 16, bands = 4, shingleN = 3, threshold = 0.8)
+      .join(surv2.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .join(surv2.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+    val clusters = Dedup.dupClusters(pairs, "doc_a", "doc_b")
+      .withColumnRenamed("vec_id", "doc_id")
+    val near = surv2.join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("cluster_id"), col("doc_id")) === col("doc_id"))
+          .as("near_keep"))
+    val surv3 = near.filter(col("near_keep")).select("doc_id")
+    val bucket = conv(substring(md5(concat(lit("split:"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 100
+    // One shingle materialization feeds the test index and the train
+    // probe (the q36 checkpoint rationale).
+    val base = d.select(col("doc_id"), TF.shingleSet(col("text"), 5).as("sh"),
+      bucket.as("b")).localCheckpoint(true)
+    val testSh = base.filter(col("b") >= 95)
+      .select(explode(col("sh")).as("sng")).distinct()
+    val contaminated = base.join(surv3, "doc_id").filter(col("b") < 90)
+      .select(col("doc_id"), explode(col("sh")).as("sng"))
+      .join(testSh, "sng")
+      .select("doc_id").distinct()
+      .withColumn("contam", lit(true))
+    d.select(col("doc_id"), bucket.as("b"))
+      .withColumn("split",
+        when(col("b") < 90, lit("train"))
+          .when(col("b") < 95, lit("validation"))
+          .otherwise(lit("test")))
+      .join(rules, "doc_id")
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .withColumn("disposition",
+        when(!col("rules_keep"), concat(lit("rule:"), col("reject_reason")))
+          .when(!coalesce(col("exact_keep"), lit(true)), "exact_dup")
+          .when(!coalesce(col("near_keep"), lit(true)), "near_dup")
+          .when(coalesce(col("contam"), lit(false)), "contaminated")
+          .otherwise("kept"))
+      .select(col("doc_id"), col("split"), col("disposition"),
+        (col("disposition") === "kept").as("keep"))
       .orderBy(col("doc_id"))
   }
 

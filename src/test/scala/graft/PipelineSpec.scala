@@ -466,9 +466,11 @@ class PipelineSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_tokens") == toks.length, s"doc $id")
       val total = toks.map(sm).sum
       assert(r.getAs[Long]("surprisal_micro_total") == total, s"doc $id")
+      // integer-exact half-up: (2a·10^4 + b) / 2b over longs, then one
+      // exact widening — mirrors PipelineQueries.rdiv4
+      val den = toks.length.toLong * 1000000L
       assert(r.getAs[Double]("avg_surprisal") ==
-        BigDecimal(total / 1e6 / toks.length)
-          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, s"doc $id")
+        ((total * 20000L + den) / (2L * den)).toDouble / 10000.0, s"doc $id")
     }
     assert(rows.map(_.getAs[Long]("doc_id")).toSet == texts.keySet)
     // the score genuinely discriminates on this corpus (it would be
@@ -932,6 +934,66 @@ class PipelineSpec extends AnyFunSuite {
       .q41SequencePacking(spark, sf, binTokens = 512)
     val nb = out.select(col("pack_bucket")).distinct().count()
     assert(nb <= 16 && nb > 1) // 500 docs -> floor of 16 streams
+  }
+
+  test("q53 corpus recipe: staged dispositions match a driver-side recomputation") {
+    val rows = SparkEntry.queries("q53_corpus_recipe")(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == docs.size)
+    val rules = SparkEntry.queries("q46_filter_cascade")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Boolean]("keep"), r.getAs[String]("reject_reason"))).toMap
+    val surv1 = docs.keySet.filter(rules(_)._1)
+    // stage 2: exact dedup among rule-survivors (text identity)
+    val canonOf = surv1.groupBy(docs(_)).values
+      .flatMap { g => val m = g.min; g.map(_ -> m) }.toMap
+    val surv2 = surv1.filter(id => canonOf(id) == id)
+    // stage 3: q15's (verified) pair set restricted to survivors,
+    // union-find min label
+    val pairs = SparkEntry.queries("q15_lsh_near_dups")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter(p => surv2(p._1) && surv2(p._2))
+    val parent = scala.collection.mutable.Map(surv2.toSeq.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val surv3 = surv2.filter(id => find(id) == id)
+    // stage 4: train-split survivors sharing a 5-gram with the test split
+    def bucket(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(h.take(4).map(b => f"$b%02x").mkString, 16) % 100
+    }
+    def sh5(t: String): Set[String] = {
+      val w = t.trim.split(" ", -1)
+      if (w.length < 5) Set.empty else w.sliding(5).map(_.mkString(" ")).toSet
+    }
+    val testSh = docs.keySet.filter(bucket(_) >= 95).flatMap(id => sh5(docs(id)))
+    val contaminated = surv3.filter(id =>
+      bucket(id) < 90 && sh5(docs(id)).exists(testSh))
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val b = bucket(id)
+      val split = if (b < 90) "train" else if (b < 95) "validation" else "test"
+      val expected =
+        if (!rules(id)._1) s"rule:${rules(id)._2}"
+        else if (canonOf(id) != id) "exact_dup"
+        else if (!surv3(id) && surv2(id)) "near_dup"
+        else if (contaminated(id)) "contaminated"
+        else "kept"
+      assert(r.getAs[String]("split") == split, s"doc $id")
+      assert(r.getAs[String]("disposition") == expected, s"doc $id")
+      assert(r.getAs[Boolean]("keep") == (expected == "kept"), s"doc $id")
+    }
+    // every stage must fire on this corpus for the test to mean anything
+    val ds = rows.map(_.getAs[String]("disposition")).toSet
+    assert(ds.exists(_.startsWith("rule:")), ds.toString)
+    assert(ds.contains("near_dup") || ds.contains("exact_dup"), ds.toString)
+    assert(ds.contains("kept"), ds.toString)
   }
 
   test("q52 classifier filter matches a driver-side brute force") {
