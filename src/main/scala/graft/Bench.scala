@@ -100,7 +100,8 @@ object Bench {
         "q02_revenue_by_nation,q24_embedding_dups,q24b_embedding_dups_lsh," +
           "q25_ann_ivf,q28_dup_clusters,q29_quantize_int8,q30_simhash_dups," +
           "q31_text_chunks,q34_dedup_apply,q35b_stream_dedup_windowed," +
-          "q36_contamination,q38_ngram_jaccard")
+          "q36_contamination,q38_ngram_jaccard,q51_semantic_dedup," +
+          "q53_corpus_recipe")
       .split(",").map(_.trim).filter(SparkEntry.queries.contains).toSeq
     val isolated = isolatedNames.map { n =>
       val s = SparkSession.builder()
