@@ -101,13 +101,30 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** Exact integer division for non-negative long columns:
-    * (x − x mod y) is an exact multiple of y, and the double division
-    * of exactly divisible longs under 2^53 is lossless.
+  /** The q33 deterministic split bucket — md5('split:'||doc_id) % 100,
+    * <90 train / <95 validation / else test. The SINGLE source of
+    * split membership for q33/q36/q42/q53 (and their oracles); any
+    * change to the salt or width happens here or nowhere.
+    */
+  private[queries] def splitBucket: org.apache.spark.sql.Column =
+    conv(substring(md5(concat(lit("split:"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 100
+
+  /** Exact integer division for non-negative long columns. A plain
+    * double divide loses exactness once the numerator passes 2^53
+    * (q40's numerator reaches ~1e16 on 100k-token docs), so the
+    * double-approximated quotient — which is then within ±1 of truth,
+    * since the relative error of one long→double round-trip and one
+    * divide is ~1e-15 of a quotient that fits comfortably in 2^31 —
+    * is corrected with exact long comparisons.
     */
   private[queries] def intDiv(x: org.apache.spark.sql.Column,
-      y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    ((x - pmod(x, y)) / y).cast("long")
+      y: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val q0 = (x.cast("double") / y.cast("double")).cast("long")
+    q0 + when((q0 + 1L) * y <= x, lit(1L)).otherwise(lit(0L)) -
+      when(q0 * y > x, lit(1L)).otherwise(lit(0L))
+  }
 
   /** round(a/b, 4) for non-negative integer columns, computed exactly:
     * half-up integer division to 4 decimals ((2a·10⁴ + b) div 2b),
@@ -303,10 +320,7 @@ object PipelineQueries {
     */
   def q33TrainSplit(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("doc_id"),
-        (conv(substring(md5(concat(lit("split:"),
-            col("doc_id").cast("string"))), 1, 8), 16, 10)
-          .cast("long") % 100).as("bucket"))
+      .select(col("doc_id"), splitBucket.as("bucket"))
       .withColumn("split",
         when(col("bucket") < 90, lit("train"))
           .when(col("bucket") < 95, lit("validation"))
@@ -344,9 +358,7 @@ object PipelineQueries {
     */
   def q36Contamination(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
-    val bucket = conv(substring(md5(concat(lit("split:"),
-        col("doc_id").cast("string"))), 1, 8), 16, 10)
-      .cast("long") % 100
+    val bucket = splitBucket
     // Materialized once: three branches (train index, test explode,
     // test sizes) would each re-evaluate the expensive shingleSet over
     // the full corpus otherwise — same rationale as q38's checkpoint.
@@ -423,16 +435,23 @@ object PipelineQueries {
       .withColumn("shh",
         array_distinct(transform(col("sh"), sh => xxhash64(sh))))
       .localCheckpoint(true)
-    // Candidate generation, VernicaJoin-style: ONE shuffle groups the
-    // inverted index by shingle hash; pairs are emitted inside each
-    // (df ≤ maxDf)-bounded posting list — work ≤ sum(df²) per shingle,
-    // never a two-sided self-join that shuffles the index twice.
-    val postings = sets.select(col("doc_id"), explode(col("shh")).as("h"))
+    // Candidate generation, VernicaJoin-style: group the inverted
+    // index by shingle hash and emit pairs inside each df-bounded
+    // posting list — work ≤ sum(df²) per shingle, never a two-sided
+    // self-join that shuffles the index twice. The df prune runs as a
+    // cheap COUNT aggregate BEFORE any list is collected (a
+    // boilerplate shingle in 10^6 docs must be dropped by a counter,
+    // not buffered as a 10^6-element array inside an aggregation
+    // task); the rare-key semi-join is co-partitioned with the list
+    // aggregate, so the prune costs no extra exchange of the index.
+    val inv = sets.select(col("doc_id"), explode(col("shh")).as("h"))
+    // (doc_id, h) is distinct by construction (array_distinct), so
+    // the row count per h IS the shingle's document frequency.
+    val rare = inv.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("h"))
+    val postings = inv.join(rare, Seq("h"))
       .groupBy(col("h"))
-      // (doc_id, h) is distinct by construction (array_distinct), so
-      // the list length IS the shingle's document frequency.
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) <= maxDf)
     // Candidate pairs carry their PRUNED-index overlap for free (the
     // pair-count groupBy); with per-doc total/pruned sizes that yields
     // an upper bound on the true intersection —
@@ -503,10 +522,7 @@ object PipelineQueries {
       threshold: Double = 0.8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = Tables.documents(s, dir)
-    val bucket = conv(substring(md5(concat(lit("split:"),
-        col("doc_id").cast("string"))), 1, 8), 16, 10)
-      .cast("long") % 100
-    val split = d.select(col("doc_id"), bucket.as("b"))
+    val split = d.select(col("doc_id"), splitBucket.as("b"))
     val pairs = graft.functions.Dedup
       .lshNearDupPairs(s, d, "doc_id", "text", threshold = threshold)
     val cross = pairs
@@ -883,14 +899,22 @@ object PipelineQueries {
     */
   def q53CorpusRecipe(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
+    // Each stage verdict feeds both the next stage's gate and the
+    // final assembly join, and th self-joins — localCheckpoint(true)
+    // materializes every one ONCE (they are doc_id + a flag, tiny),
+    // instead of re-running the q46 cascade / md5 scan per branch
+    // (the q36/q38 multi-branch rationale).
     val rules = q46FilterCascade(s, dir)
       .select(col("doc_id"), col("keep").as("rules_keep"), col("reject_reason"))
+      .localCheckpoint(true)
     val surv1 = rules.filter(col("rules_keep")).select("doc_id")
     val th = d.select(col("doc_id"), md5(col("text")).as("th"))
       .join(surv1, "doc_id")
+      .localCheckpoint(true)
     val exact = th
       .join(th.groupBy("th").agg(min("doc_id").as("exact_canon")), "th")
       .select(col("doc_id"), (col("doc_id") === col("exact_canon")).as("exact_keep"))
+      .localCheckpoint(true)
     val surv2 = exact.filter(col("exact_keep")).select("doc_id")
     val pairs = Dedup.lshNearDupPairs(s, d, "doc_id", "text",
         k = 16, bands = 4, shingleN = 3, threshold = 0.8)
@@ -902,10 +926,9 @@ object PipelineQueries {
       .select(col("doc_id"),
         (coalesce(col("cluster_id"), col("doc_id")) === col("doc_id"))
           .as("near_keep"))
+      .localCheckpoint(true)
     val surv3 = near.filter(col("near_keep")).select("doc_id")
-    val bucket = conv(substring(md5(concat(lit("split:"),
-        col("doc_id").cast("string"))), 1, 8), 16, 10)
-      .cast("long") % 100
+    val bucket = splitBucket
     // One shingle materialization feeds the test index and the train
     // probe (the q36 checkpoint rationale).
     val base = d.select(col("doc_id"), TF.shingleSet(col("text"), 5).as("sh"),

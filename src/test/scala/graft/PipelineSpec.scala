@@ -989,10 +989,13 @@ class PipelineSpec extends AnyFunSuite {
       assert(r.getAs[String]("disposition") == expected, s"doc $id")
       assert(r.getAs[Boolean]("keep") == (expected == "kept"), s"doc $id")
     }
-    // every stage must fire on this corpus for the test to mean anything
+    // every stage must fire on this corpus for the test to mean
+    // anything — including decontamination, whose join direction
+    // (train probe vs test index) would otherwise go untested
     val ds = rows.map(_.getAs[String]("disposition")).toSet
     assert(ds.exists(_.startsWith("rule:")), ds.toString)
     assert(ds.contains("near_dup") || ds.contains("exact_dup"), ds.toString)
+    assert(ds.contains("contaminated"), ds.toString)
     assert(ds.contains("kept"), ds.toString)
   }
 
