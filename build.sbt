@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output must reach stdout RAW: sbt's default LoggedOutput
+// prefixes every program line with "[info] ", which breaks any driver
+// that json-parses bench/verify output lines (a line starting with
+// "[info] {" is not JSON). BENCH parsed:null in rounds 1-11 traces to
+// exactly this prefix.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

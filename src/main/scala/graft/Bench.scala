@@ -127,15 +127,16 @@ object Bench {
 
     // Output layout: the driver snapshots the LAST 2000 chars of this
     // process's output and JSON-parses the headline out of that
-    // window. r8–r10 all produced parsed:null because the single
-    // headline line (full query names + isolated map) ran ~2.1 KB and
-    // its FRONT clipped. So the headline keeps every number but under
-    // SHORT keys — the unique qNN prefix ("q24b" for
-    // "q24b_embedding_dups_lsh") — which lands the whole line around
-    // 1 KB; the full-name sweep and the ~62 per-table near_* micro-
-    // times print on separate detail lines just before it (no
-    // "metric" key — the driver greps for that). ms precision —
-    // sub-ms digits are noise.
+    // window. parsed:null in rounds 1-11 even when the full headline
+    // line WAS inside the window (r11) — root cause is sbt's
+    // LoggedOutput "[info] " prefix on every forked-run line (fixed in
+    // build.sbt via run/outputStrategy := StdoutOutput). Belt and
+    // braces, the FINAL line is also kept tiny (~400 chars: total +
+    // isolated map + ingest rates only) so it survives any tail-window
+    // clipping; the per-query sweeps (full-name and short-key) and the
+    // ~62 per-table near_* micro-times print on separate detail lines
+    // just before it (no "metric" key — the driver greps for that).
+    // ms precision — sub-ms digits are noise.
     // Locale.ROOT: a comma-decimal default locale would otherwise
     // print 0,123 and corrupt the driver-parsed JSON.
     def fmt(v: Double): String =
@@ -161,6 +162,9 @@ object Bench {
     val qShort = headline.map { case (k, v) =>
       (if (k.startsWith("near_ingest")) k else shortKey(k)) -> v }
     val qs = jmap(qShort :+ ("near_tables_total" -> nearMicro.map(_._2).sum))
+    // Short-key per-query sweep on its own detail line — NOT in the
+    // headline, so the headline stays ~400 chars.
+    println(s"""{"detail":"sweep_short","queries":$qs}""")
     val iso = jmap(isolated.map { case (k, v) => shortKey(k) -> v })
     val total = allResults.map(_._2).sum
     val bps = nBlocks / ingestSec
@@ -168,8 +172,8 @@ object Bench {
       if (run2)
         s""","ingest_${nBlocks2}_blocks_per_sec":${fmt(nBlocks2 / ingestSec2)}"""
       else ""
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"isolated":$iso,"ingest_blocks_per_sec":${fmt(bps)}$ingest2Field,"sf":"$sfDir"}"""
-    if (line.length > 1900) // keep the whole line inside the window
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","isolated":$iso,"ingest_blocks_per_sec":${fmt(bps)}$ingest2Field,"sf":"$sfDir"}"""
+    if (line.length > 1000) // keep the whole line inside the window
       System.err.println(s"[bench] headline ${line.length} chars — " +
         "approaching the driver's 2000-char tail window")
     println(line)

@@ -86,6 +86,7 @@ object SparkEntry {
     "q51_semantic_dedup"      -> (PipelineQueries.q51SemanticDedup _),
     "q52_classifier_filter"   -> (PipelineQueries.q52ClassifierFilter _),
     "q53_corpus_recipe"       -> (PipelineQueries.q53CorpusRecipe _),
+    "q54_lsh_tuned"           -> (PipelineQueries.q54LshTuned _),
   ) ++ graft.queries.NearQueries.queries
 
   def oracleSql: Map[String, String] = Map(

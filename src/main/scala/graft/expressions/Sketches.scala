@@ -354,24 +354,57 @@ object Sketches {
         r: Expression): FloatDot = copy(l, r)
   }
 
+  /** Literal-int extractor for function-registry builder args: the
+    * sketch params (shingle n, signature k) arrive as trailing literal
+    * arguments of the SQL function call, fixed at plan time.
+    */
+  private def litInt(e: Expression, fn: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: expected a literal int parameter, got $other")
+  }
+
   /** Registers the sketch functions in the session's function registry
     * (idempotent) and returns Column builders via call_function — the
     * public route to use a custom Expression without private Column
     * internals.
+    *
+    * The minhash/jaccard functions take OPTIONAL trailing literal
+    * params — `graft_minhash_shingles(words[, n, k])`,
+    * `graft_shingle_jaccard(a, b[, n])` — so the sketch family is
+    * tunable per call site (SURVEY's 1-(1-p^r)^b recall/cost knob)
+    * without re-registering; omitted params keep the original
+    * k=16 / n=3 defaults, and k is capped by the shared
+    * [[graft.functions.Dedup.MinhashParams]] family so the engine and
+    * the DuckDB oracle always draw the same affine constants.
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_simhash32",
       exprs => SimHash32(exprs.head), "scala_udf")
     val (as, bs) = graft.functions.Dedup.MinhashParams.toArray.unzip
+    def take(k: Int, fn: String): (Array[Long], Array[Long]) = {
+      require(k >= 1 && k <= as.length,
+        s"$fn: k=$k outside 1..${as.length} (MinhashParams family size)")
+      (as.take(k), bs.take(k))
+    }
     reg.createOrReplaceTempFunction("graft_minhash_sig",
-      exprs => MinHashSignature(exprs.head, as, bs,
-        graft.functions.Dedup.MinhashP), "scala_udf")
+      exprs => {
+        val k = if (exprs.length > 1) litInt(exprs(1), "graft_minhash_sig") else 16
+        val (a, b) = take(k, "graft_minhash_sig")
+        MinHashSignature(exprs.head, a, b, graft.functions.Dedup.MinhashP)
+      }, "scala_udf")
     reg.createOrReplaceTempFunction("graft_minhash_shingles",
-      exprs => MinHashShingles(exprs.head, 3, as, bs,
-        graft.functions.Dedup.MinhashP), "scala_udf")
+      exprs => {
+        val n = if (exprs.length > 1) litInt(exprs(1), "graft_minhash_shingles") else 3
+        val k = if (exprs.length > 2) litInt(exprs(2), "graft_minhash_shingles") else 16
+        val (a, b) = take(k, "graft_minhash_shingles")
+        MinHashShingles(exprs.head, n, a, b, graft.functions.Dedup.MinhashP)
+      }, "scala_udf")
     reg.createOrReplaceTempFunction("graft_shingle_jaccard",
-      exprs => ShingleJaccard(exprs(0), exprs(1), 3), "scala_udf")
+      exprs => ShingleJaccard(exprs(0), exprs(1),
+        if (exprs.length > 2) litInt(exprs(2), "graft_shingle_jaccard") else 3),
+      "scala_udf")
     reg.createOrReplaceTempFunction("graft_fdot",
       exprs => FloatDot(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_winnow",
@@ -390,16 +423,23 @@ object Sketches {
     call_function("graft_fdot", a, b)
   }
 
-  /** MinHash signature straight from a words array (3-word shingles). */
-  def minhashSigFromWords(spark: SparkSession, words: Column): Column = {
+  /** MinHash signature straight from a words array: k affine minima
+    * over n-word shingles (defaults: the original n=3, k=16 family).
+    */
+  def minhashSigFromWords(spark: SparkSession, words: Column,
+      shingleN: Int = 3, k: Int = 16): Column = {
     register(spark)
-    call_function("graft_minhash_shingles", words)
+    call_function("graft_minhash_shingles", words,
+      org.apache.spark.sql.functions.lit(shingleN),
+      org.apache.spark.sql.functions.lit(k))
   }
 
-  /** Exact 3-gram shingle-set Jaccard of two word arrays. */
-  def shingleJaccard(spark: SparkSession, a: Column, b: Column): Column = {
+  /** Exact n-gram shingle-set Jaccard of two word arrays (default n=3). */
+  def shingleJaccard(spark: SparkSession, a: Column, b: Column,
+      n: Int = 3): Column = {
     register(spark)
-    call_function("graft_shingle_jaccard", a, b)
+    call_function("graft_shingle_jaccard", a, b,
+      org.apache.spark.sql.functions.lit(n))
   }
 
   def simhash32(spark: SparkSession, words: Column): Column = {

@@ -33,6 +33,10 @@ object Dedup {
     * prime > 2^32. ONE md5 per shingle (not one per seed) — the k
     * signatures are cheap affine transforms of the shared hash. a_i <
     * 2^30 keeps a_i·h < 2^62: no 64-bit overflow in either engine.
+    *
+    * 32 fixed pairs; a call site picks its k as a PREFIX of the
+    * family (so the first 16 — every pre-r12 consumer — are stable),
+    * and the DuckDB oracles inline the same constants by index.
     */
   val MinhashP: Long = 4294967311L
   val MinhashParams: Seq[(Long, Long)] = Seq(
@@ -44,6 +48,14 @@ object Dedup {
     (667939513L, 646462531L), (96971063L, 789107293L),
     (569452027L, 104574559L), (781309283L, 42382297L),
     (315237619L, 925812733L), (438546857L, 591336419L),
+    (194839021L, 651283847L), (873215467L, 217364089L),
+    (502781633L, 934512277L), (68123909L, 485290361L),
+    (736598227L, 150947821L), (291047563L, 827634419L),
+    (948261707L, 362018533L), (157830449L, 709254611L),
+    (624917351L, 93470287L), (380256179L, 556831703L),
+    (815402957L, 274190869L), (46375121L, 882563947L),
+    (593718311L, 419607257L), (262849573L, 748125631L),
+    (907163849L, 185396701L), (451290703L, 630874217L),
   )
 
   /** doc_id + k minhash signature columns for every document. The
@@ -56,7 +68,7 @@ object Dedup {
     docs
       .select(col(idCol),
         graft.expressions.Sketches.minhashSigFromWords(spark,
-          words(col(textCol))).as("sig"))
+          words(col(textCol)), shingleN, k).as("sig"))
       .select(col(idCol) +:
         (0 until k).map(i => element_at(col("sig"), i + 1).as(f"mh$i%02d")): _*)
 
@@ -70,9 +82,10 @@ object Dedup {
   def lshNearDupPairs(spark: SparkSession, docs: DataFrame, idCol: String,
       textCol: String, k: Int = 16, bands: Int = 4, shingleN: Int = 3,
       threshold: Double = 0.8): DataFrame = {
-    // The registered native expressions are fixed at k=16 / 3-shingles;
-    // generalizing the registry is future work.
-    require(k == 16 && shingleN == 3, "native minhash path is k=16, n=3")
+    require(k % bands == 0, s"bands=$bands must divide k=$k")
+    require(k <= MinhashParams.length,
+      s"k=$k exceeds the ${MinhashParams.length}-pair MinhashParams family")
+    require(shingleN >= 1, s"shingleN=$shingleN must be positive")
     val rows = k / bands
     // Docs with fewer than shingleN words have an EMPTY shingle set:
     // their minhash signature is all-NULL, every band hash degenerates
@@ -84,7 +97,8 @@ object Dedup {
       .filter(size(col("w")) >= shingleN)
     val withSig = base
       .withColumn("sig",
-        graft.expressions.Sketches.minhashSigFromWords(spark, col("w")))
+        graft.expressions.Sketches.minhashSigFromWords(spark, col("w"),
+          shingleN, k))
 
     // One row per (doc, band): band hash = md5 of the joined band slice.
     val banded = withSig.select(col("id"),
@@ -110,7 +124,8 @@ object Dedup {
     val shB = base.select(col("id").as("doc_b"), col("w").as("w_b"))
     cand.join(shA, "doc_a").join(shB, "doc_b")
       .withColumn("jaccard", round(
-        graft.expressions.Sketches.shingleJaccard(spark, col("w_a"), col("w_b")), 4))
+        graft.expressions.Sketches.shingleJaccard(spark, col("w_a"), col("w_b"),
+          shingleN), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))

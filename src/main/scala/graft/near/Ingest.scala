@@ -31,6 +31,16 @@ object Ingest {
   /** All 17 output tables from a normalized block set, with lineage
     * resolved (batch path; the streaming wrapper reuses this per
     * microbatch).
+    *
+    * CONTRACT NOTE — eager, not lazy: constructing the map runs the
+    * explode/flatten jobs for the four shared bases up front
+    * (localCheckpoint(true)), so a caller pays that cost even if it
+    * reads one cheap table or none. This trade bought the measured
+    * ingest win (~44 → ~100 blocks/s, r10→r11) because every real
+    * caller (bench, Verify, the streaming wrapper) consumes most of
+    * the 17 tables; don't construct the map speculatively. Also:
+    * localCheckpoint blocks do not survive executor loss — fine for a
+    * per-microbatch / bench lifetime, not for a long-lived handle.
     */
   def allTables(norm: DataFrame): Map[String, DataFrame] = {
     import org.apache.spark.sql.functions.col

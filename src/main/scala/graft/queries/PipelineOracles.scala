@@ -55,15 +55,27 @@ object PipelineOracles {
     * the final CTE `v` holds (doc_a, doc_b, jaccard) candidates.
     * Shared by the q15 oracle and the q34 dedup-apply oracle.
     */
-  private val q15PairCtes: String = {
-    val sigList = (0 until 16).map(minhashExpr).mkString("[", ", ", "]")
-    s"""d AS (SELECT doc_id, $shingleSql AS sh FROM ($docsWithWords) d0
-       |           WHERE len(w) >= 3),
+  /** The banded-LSH + exact-Jaccard pair pipeline as a CTE block, for
+    * ANY (k, bands, shingleN) — the DuckDB twin of
+    * `Dedup.lshNearDupPairs` at the same knobs (same affine family by
+    * index, same band slicing, same exact verify). The final CTE `v`
+    * holds (doc_a, doc_b, jaccard) candidates.
+    */
+  private def pairCtes(k: Int, bands: Int, shingleN: Int): String = {
+    require(k % bands == 0, s"bands=$bands must divide k=$k")
+    require(shingleN >= 2, // n=1 would render "len(w)--1" below
+      s"shingleN=$shingleN must be >= 2")
+    val rows = k / bands
+    val sigList = (0 until k).map(minhashExpr).mkString("[", ", ", "]")
+    val shSql = s"list_distinct(list_transform(range(1, len(w)-${shingleN - 2}), " +
+      s"i -> array_to_string(w[i:i+${shingleN - 1}], ' ')))"
+    s"""d AS (SELECT doc_id, $shSql AS sh FROM ($docsWithWords) d0
+       |           WHERE len(w) >= $shingleN),
        |h AS (SELECT doc_id, sh, list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS hs FROM d),
        |m AS (SELECT doc_id, sh, $sigList AS sig FROM h),
        |b AS (SELECT doc_id, j AS band,
-       |        md5(array_to_string(sig[4*j+1:4*j+4], '|')) AS band_hash
-       |      FROM m, UNNEST(range(0, 4)) AS t(j)),
+       |        md5(array_to_string(sig[$rows*j+1:$rows*j+$rows], '|')) AS band_hash
+       |      FROM m, UNNEST(range(0, $bands)) AS t(j)),
        |p AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |      FROM b x JOIN b y
        |        ON x.band = y.band AND x.band_hash = y.band_hash
@@ -74,6 +86,8 @@ object PipelineOracles {
        |      FROM p JOIN d da ON p.doc_a = da.doc_id
        |             JOIN d db ON p.doc_b = db.doc_id)""".stripMargin
   }
+
+  private val q15PairCtes: String = pairCtes(16, 4, 3)
 
   /** q46's cascade as a reusable CTE block ending in
     * `fc(doc_id, n_tokens, too_short, high_punct, low_stopwords,
@@ -147,6 +161,14 @@ object PipelineOracles {
     },
 
     "q15_lsh_near_dups" -> q15PairsSql,
+
+    // q54: the q15 pipeline at a second (k, bands, n, threshold)
+    // operating point — same CTE generator, different knobs; proves
+    // the banded-LSH family is tunable end-to-end on both engines.
+    "q54_lsh_tuned" ->
+      s"""WITH ${pairCtes(32, 8, 2)}
+         |SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= 0.7
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q16_simhash" ->
       s"""SELECT doc_id, CAST(
@@ -544,17 +566,24 @@ object PipelineOracles {
 
     // Exact 4-gram Jaccard: candidates from the df-pruned inverted
     // index, verified with the TRUE intersection of the full shingle
-    // sets (the prune bounds candidate generation only).
+    // sets (the prune bounds candidate generation only). The index is
+    // keyed on the SAME md5-prefix hash60 the engine shuffles on
+    // (engine: PipelineQueries q38 `shh`), so a cross-shingle hash
+    // collision moves the df prune identically on both sides and
+    // cancels — the prune is hash-exact by construction, not by a
+    // collision-freeness assumption.
     "q38_ngram_jaccard" ->
       s"""WITH d AS (SELECT doc_id,
          |    list_distinct(list_transform(range(1, len(w)-2),
          |      i -> array_to_string(w[i:i+3], ' '))) AS sh
          |  FROM ($docsWithWords) d0 WHERE len(w) >= 4),
-         |inv AS (SELECT doc_id, unnest(sh) AS s FROM d),
-         |rare AS (SELECT s FROM inv GROUP BY s HAVING count(*) <= 64),
-         |ix AS (SELECT inv.* FROM inv JOIN rare USING (s)),
+         |inv AS (SELECT DISTINCT doc_id,
+         |    CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h
+         |  FROM (SELECT doc_id, unnest(sh) AS s FROM d)),
+         |rare AS (SELECT h FROM inv GROUP BY h HAVING count(*) <= 64),
+         |ix AS (SELECT inv.* FROM inv JOIN rare USING (h)),
          |p AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |      FROM ix x JOIN ix y ON x.s = y.s AND x.doc_id < y.doc_id),
+         |      FROM ix x JOIN ix y ON x.h = y.h AND x.doc_id < y.doc_id),
          |j AS (SELECT doc_a, doc_b,
          |        CAST(len(list_intersect(da.sh, db.sh)) AS BIGINT) AS n_shared,
          |        len(da.sh) AS sz_a, len(db.sh) AS sz_b

@@ -130,10 +130,17 @@ object PipelineQueries {
     * half-up integer division to 4 decimals ((2a·10⁴ + b) div 2b),
     * then ONE exact widening to double — both engines produce the
     * identical value because no inexact double is ever rounded.
+    *
+    * A zero denominator yields NULL, matching DuckDB's `//` — without
+    * the guard, intDiv's NaN→0 cast plus the +1 correction would
+    * silently return 0.0001 for 0/0 (reachable via e.g. punct_ratio on
+    * an empty-text document), a quiet engine/oracle divergence instead
+    * of a loud one.
     */
   private[queries] def rdiv4(a: org.apache.spark.sql.Column,
       b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    intDiv(a * 20000L + b, b * 2L).cast("double") / 10000.0
+    when(b === 0, lit(null).cast("double"))
+      .otherwise(intDiv(a * 20000L + b, b * 2L).cast("double") / 10000.0)
 
   /** Language ID: closed-class marker counts, argmax with fixed
     * priority order, 'und' when no marker hits.
@@ -425,15 +432,20 @@ object PipelineQueries {
     // this is the standard "write the shingle table first" step of a
     // set-similarity join.
     //
-    // `shh` is the 64-bit shingle identity the CANDIDATE stages key
+    // `shh` is the 60-bit shingle identity the CANDIDATE stages key
     // on: a fixed-width shuffle key instead of the 4-word shingle text
     // (the q47 md5-window pattern) — the index shuffle carries 8-byte
-    // keys, not strings. Collisions only matter for the screen's
-    // upper bound (see below); the verify stage is exact on `sh`.
+    // keys, not strings. The hash is the PORTABLE md5-prefix hash60,
+    // computed identically in the DuckDB oracle, so a cross-shingle
+    // collision affects the df prune and candidate generation the
+    // SAME way on both sides and cancels bit-for-bit (the q12/q13/q47
+    // precedent) — an engine-only hash (e.g. xxhash64) would make the
+    // prune one-sidedly collision-sensitive. The verify stage is
+    // exact on `sh` regardless.
     val sets = d.select(col("doc_id"), TF.shingleSet(col("text"), 4).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("shh",
-        array_distinct(transform(col("sh"), sh => xxhash64(sh))))
+        array_distinct(transform(col("sh"), sh => TF.hash60(sh))))
       .localCheckpoint(true)
     // Candidate generation, VernicaJoin-style: group the inverted
     // index by shingle hash and emit pairs inside each df-bounded
@@ -916,10 +928,16 @@ object PipelineQueries {
       .select(col("doc_id"), (col("doc_id") === col("exact_canon")).as("exact_keep"))
       .localCheckpoint(true)
     val surv2 = exact.filter(col("exact_keep")).select("doc_id")
-    val pairs = Dedup.lshNearDupPairs(s, d, "doc_id", "text",
-        k = 16, bands = 4, shingleN = 3, threshold = 0.8)
-      .join(surv2.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-      .join(surv2.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+    // Gate the LSH stage's INPUT, not its pairs: minhash signatures +
+    // banding run only over stage-2 survivors. Pair-identical to
+    // signaturing the full corpus and post-filtering both endpoints
+    // (banding pairs docs WITHIN its input; per-pair exact-Jaccard
+    // verification is independent of other docs) but skips signature
+    // work for every rule-rejected and exact-dup doc — at a real
+    // corpus's ~50% cascade rejection rate that halves the most
+    // expensive stage.
+    val pairs = Dedup.lshNearDupPairs(s, d.join(surv2, "doc_id"),
+      "doc_id", "text", k = 16, bands = 4, shingleN = 3, threshold = 0.8)
     val clusters = Dedup.dupClusters(pairs, "doc_a", "doc_b")
       .withColumnRenamed("vec_id", "doc_id")
     val near = surv2.join(clusters, Seq("doc_id"), "left")
@@ -968,4 +986,21 @@ object PipelineQueries {
     */
   def q51SemanticDedup(s: SparkSession, dir: String): DataFrame =
     Similarity.semanticDedup(Tables.embeddings(s, dir), threshold = 0.45)
+
+  /** Banded minhash at a SECOND operating point — k=32 signatures in
+    * 8 bands of 4 rows over 2-word shingles, threshold 0.7 — proving
+    * SURVEY's recall/cost S-curve 1-(1-j^r)^b is an actual end-to-end
+    * knob: the engine's native expression registry and the oracle's
+    * affine family both parameterize (k as a prefix of the shared
+    * 32-pair MinhashParams, so q15's first 16 seeds are untouched).
+    * At j=0.7 this curve gives ~0.89 candidate recall vs q15's ~0.12
+    * (r=4,b=4 at its 0.8 threshold knee is far steeper); the exact
+    * verify keeps the RESULT bit-identical to the oracle regardless
+    * of recall — the knob trades candidate volume, not correctness.
+    * Scale shape: identical to q15 (one (band,hash) shuffle, verify
+    * only inside buckets), 2× the band rows.
+    */
+  def q54LshTuned(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshNearDupPairs(s, Tables.documents(s, dir), "doc_id", "text",
+      k = 32, bands = 8, shingleN = 2, threshold = 0.7)
 }

@@ -286,6 +286,51 @@ class PipelineSpec extends AnyFunSuite {
     pairs.foreach(r => assert(!r.getAs[Double]("jaccard").isNaN))
   }
 
+  test("LSH at a second (k=32, bands=8, n=2) config: params thread end-to-end") {
+    import spark.implicits._
+    import graft.expressions.Sketches
+    // Second operating point of the banded-minhash family (q54's
+    // config). Three properties pin the parameterization:
+    //  1. prefix stability — sig(k=32) extends sig(k=16) verbatim, so
+    //     widening k never perturbs existing 16-seed consumers;
+    //  2. precision — every emitted pair's jaccard equals the exact
+    //     2-gram brute-force value and clears the threshold;
+    //  3. recall floor — identical docs collide in EVERY band, so
+    //     exact-dup pairs are always found at any (k, bands).
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),   // near-dup of 1
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"),  // exact dup of 1
+      (4L, "one two three four five six seven eight nine"),
+      (5L, "totally different words with no overlap at all"),
+    ).toDF("doc_id", "text")
+    val sigs = docs.select(
+      Sketches.minhashSigFromWords(spark, split(col("text"), " "), 2, 32).as("s32"),
+      Sketches.minhashSigFromWords(spark, split(col("text"), " "), 2, 16).as("s16"))
+      .collect()
+    sigs.foreach { r =>
+      assert(r.getAs[collection.Seq[Long]]("s32").take(16) ==
+        r.getAs[collection.Seq[Long]]("s16"))
+      assert(r.getAs[collection.Seq[Long]]("s32").length == 32)
+    }
+    val got = graft.functions.Dedup.lshNearDupPairs(spark, docs, "doc_id",
+        "text", k = 32, bands = 8, shingleN = 2, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def shingles2(t: String): Set[String] =
+      t.split(" ").sliding(2).map(_.mkString(" ")).toSet
+    val texts = Map(1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "alpha beta gamma delta epsilon zeta eta iota",
+      3L -> "alpha beta gamma delta epsilon zeta eta theta")
+    got.foreach { case (a, b, j) =>
+      val (sa, sb) = (shingles2(texts(a)), shingles2(texts(b)))
+      val exact = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      assert(math.abs(j - math.rint(exact * 1e4) / 1e4) < 1e-12)
+      assert(j >= 0.7)
+    }
+    assert(got.map(p => (p._1, p._2)).contains((1L, 3L)), "exact dup must be found")
+    assert(got.map(p => (p._1, p._2)).contains((1L, 2L)), "planted near-dup (6/8 shared 2-grams = 0.75)")
+  }
+
   test("sketch expressions tolerate empty and null-element word arrays") {
     import spark.implicits._
     import graft.expressions.Sketches
