@@ -354,6 +354,103 @@ object Sketches {
         r: Expression): FloatDot = copy(l, r)
   }
 
+  /** Round-half-away-from-zero — the JVM twin of Spark's
+    * `round(x, 0)` on doubles (BigDecimal HALF_UP) and DuckDB's
+    * `round(x)` (std::round), pinned by a property spec against
+    * Spark's own function. Used by the micro-quantization path so the
+    * native IVF expressions and the `round()`-based oracle SQL agree
+    * bit-for-bit.
+    */
+  private[expressions] def roundAway(p: Double): Double = {
+    val f = Math.floor(p)
+    val frac = p - f
+    if (frac > 0.5) f + 1.0
+    else if (frac < 0.5) f
+    else if (p >= 0) f + 1.0 else f // exact .5 tie: away from zero
+  }
+
+  private[expressions] def elemAsDouble(dt: DataType): (ArrayData, Int) => Double =
+    dt match {
+      case ArrayType(FloatType, _) => (a, i) => a.getFloat(i).toDouble
+      case ArrayType(DoubleType, _) => (a, i) => a.getDouble(i)
+      case other => throw new IllegalArgumentException(
+        s"expected array<float|double>, got ${other.catalogString}")
+    }
+
+  private[expressions] def requireNumArray(e: Expression, fn: String): TypeCheckResult =
+    e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$fn requires array<float|double>, got ${other.catalogString}")
+    }
+
+  /** graft_microq(emb: array<float|double>): array<double> — each
+    * component quantized to exact integer micro-units,
+    * round(CAST(v AS DOUBLE) * 1e6). The values stay integer-exact in
+    * doubles (corpus components are ≪ 2^53 micro), so downstream sums
+    * and distances are order-insensitive and bit-identical to the
+    * DuckDB `round(CAST(v AS DOUBLE) * 1000000, 0)` twin.
+    */
+  case class MicroQuantize(child: Expression) extends UnaryExpression
+      with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireNumArray(child, "graft_microq")
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val get = elemAsDouble(child.dataType)
+      val n = arr.numElements()
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) { out(i) = roundAway(get(arr, i) * 1e6); i += 1 }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): MicroQuantize = copy(c)
+  }
+
+  /** graft_ivf_rank(emb, centroids): array<struct<nd double, cell int>>
+    * sorted ascending by (nd, cell) — the IVF coarse-quantizer cell
+    * ranking. The embedding is micro-quantized ([[MicroQuantize]]'s
+    * exact integers) and nd is the EXACT squared euclidean distance to
+    * each centroid, accumulated in longs (≪ 2^63) and emitted as an
+    * integer-valued double — so the argmin and every tiebreak are
+    * bit-identical to the oracle's sequential DOUBLE list_sum (exact
+    * integer adds on both sides). Centroids arrive as a 2-D literal of
+    * integer-valued doubles (micro units).
+    */
+  case class IvfCellRank(child: Expression, cents: Array[Array[Long]])
+      extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireNumArray(child, "graft_ivf_rank")
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("nd", DoubleType, nullable = false),
+      StructField("cell", IntegerType, nullable = false))), containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val get = elemAsDouble(child.dataType)
+      val dims = arr.numElements()
+      val xq = new Array[Long](dims)
+      var i = 0
+      while (i < dims) { xq(i) = roundAway(get(arr, i) * 1e6).toLong; i += 1 }
+      val k = cents.length
+      val ds = new Array[Long](k)
+      var c = 0
+      while (c < k) {
+        val cv = cents(c)
+        val n = math.min(dims, cv.length)
+        var d = 0L
+        var j = 0
+        while (j < n) { val t = xq(j) - cv(j); d += t * t; j += 1 }
+        ds(c) = d
+        c += 1
+      }
+      val order = Array.range(0, k).sortBy(ds(_)) // stable: ties keep cell order
+      new GenericArrayData(order.map(c0 =>
+        org.apache.spark.sql.catalyst.InternalRow(ds(c0).toDouble, c0): Any))
+    }
+    override protected def withNewChildInternal(c: Expression): IvfCellRank = copy(child = c)
+  }
+
   /** Literal-int extractor for function-registry builder args: the
     * sketch params (shingle n, signature k) arrive as trailing literal
     * arguments of the SQL function call, fixed at plan time.
@@ -409,6 +506,41 @@ object Sketches {
       exprs => FloatDot(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_winnow",
       exprs => Winnow(exprs.head, 3, 4), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_microq",
+      exprs => MicroQuantize(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_ivf_rank",
+      exprs => IvfCellRank(exprs(0),
+        litCentroids(exprs(1), "graft_ivf_rank")), "scala_udf")
+  }
+
+  /** Centroids arrive as a plan-time 2-D literal (array<array<double>>
+    * of integer-valued micro components) on the function call.
+    */
+  private def litCentroids(e: Expression, fn: String): Array[Array[Long]] =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(
+          ad: ArrayData, ArrayType(ArrayType(DoubleType, _), _)) =>
+        Array.tabulate(ad.numElements())(i =>
+          ad.getArray(i).toDoubleArray().map(_.toLong))
+      case other => throw new IllegalArgumentException(
+        s"$fn: centroids must be a literal array<array<double>>, got $other")
+    }
+
+  /** Exact micro-quantization of a float/double array column. */
+  def microQuantize(spark: SparkSession, emb: Column): Column = {
+    register(spark)
+    call_function("graft_microq", emb)
+  }
+
+  /** IVF cell ranking of an embedding against micro-unit centroids:
+    * sorted array of (exact squared distance, cell).
+    */
+  def ivfCellRank(spark: SparkSession, emb: Column,
+      cents: Array[Array[Long]]): Column = {
+    register(spark)
+    call_function("graft_ivf_rank", emb,
+      org.apache.spark.sql.functions.typedLit(
+        cents.map(_.toSeq.map(_.toDouble)).toSeq))
   }
 
   /** Winnowing fingerprint struct (3-word shingles, 4-wide windows). */

@@ -232,45 +232,97 @@ object Similarity {
       .orderBy(col("vec_id_a"), col("vec_id_b"))
   }
 
-  /** ANN via IVF (inverted-file) coarse quantization — the second
-    * scale path besides LSH. Centroids are the first `nCells` vectors
-    * by id (deterministic; a k-means refinement would slot in here),
-    * collected once to the driver and shipped as literals. Cell
-    * assignment is an argmin over nCells dot products — map-only; the
-    * probe joins anchors to their `nProbe` nearest cells only, so the
-    * candidate join shuffles on the short cell key instead of crossing
-    * the corpus. Recall < 1 by construction (documented trade).
+  /** Coarse-quantizer centroids: deterministic k-means in the integer
+    * micro-unit domain, collected once to the driver and shipped as
+    * literals.
+    *
+    *   - Init: the `nCells` vectors FIRST IN md5("ivf:"||vec_id) ORDER
+    *     — a deterministic uniform sample of the corpus. (The pre-r12
+    *     "first nCells by vec_id" init was id-correlated: ids track
+    *     time/source, so on a real corpus most vectors crowded into
+    *     few cells and the within-cell pairwise bound degraded toward
+    *     m². A hash-ordered sample is order-statistics-uniform
+    *     regardless of id layout; at warehouse scale the "order by
+    *     hash, take nCells" is a top-k, not a sort.)
+    *   - Refinement: `iters` fixed Lloyd rounds. Each round is one
+    *     map-only assignment pass (argmin of exact integer squared
+    *     distance over literal centroids) + one (cell, dim) partial-
+    *     aggregated sum shuffle of nCells·dims rows; the new centroid
+    *     is the truncating integer mean. Everything stays in exact
+    *     integer micro-units (components quantized to round(v·1e6)):
+    *     sums of integer-valued doubles are order-insensitive below
+    *     2^53, and truncating BIGINT division is identical in the JVM
+    *     and DuckDB — so the DuckDB oracles replay the SAME rounds
+    *     bit-for-bit (unrolled CTEs, PipelineOracles.ivfCtes) instead
+    *     of assuming float means agree across engines. An emptied
+    *     cell keeps its previous centroid.
+    *
+    * Not full k-means|| (Bahmani et al. 2012): its cost-weighted
+    * oversampling rounds cannot be replayed by a static SQL oracle;
+    * the uniform hash sample + Lloyd rounds achieve the same goal
+    * here (representative cells, bounded occupancy) with oracle-exact
+    * arithmetic. Returns (cell, microCentroid) pairs.
     */
-  /** Coarse-quantizer centroids: the first `nCells` vectors by id —
-    * deterministic and bounded (a k-means|| refinement would slot in
-    * here without touching the callers), collected once to the driver
-    * and shipped as literals.
-    */
-  private def coarseCentroids(embeddings: DataFrame,
-      nCells: Int): Array[(Int, Array[Float])] = embeddings
-    .orderBy(col("vec_id")).limit(nCells)
-    .select(col("embedding")).collect()
-    .map(_.getSeq[Float](0).toArray).zipWithIndex.map(_.swap)
-
-  /** Distance ranking per row: array of (negDot/normC, cell) structs
-    * sorted ascending, so element 0 is the nearest cell — one map-only
-    * codegen'd projection of nCells inline literal-array dot products.
-    */
-  private def cellRankExpr(dot: (Column, Column) => Column,
-      centroids: Array[(Int, Array[Float])])(emb: Column): Column = {
-    val scored = centroids.map { case (cid, c) =>
-      val cNorm = math.sqrt(c.map(v => v.toDouble * v.toDouble).sum)
-      struct((-dot(emb, typedLit(c.map(_.toDouble))) / cNorm).as("nd"),
-        lit(cid).as("cell"))
+  private[graft] def kmeansCentroidsMicro(embeddings: DataFrame,
+      nCells: Int, iters: Int = 2): Array[(Int, Array[Long])] = {
+    val s = embeddings.sparkSession
+    // Quantized copy, reused by the init top-k and every Lloyd pass.
+    val q = embeddings.select(col("vec_id"), col("embedding"),
+        graft.expressions.Sketches.microQuantize(s, col("embedding")).as("xq"))
+      .localCheckpoint(true)
+    var cents: Array[Array[Long]] = q
+      .orderBy(md5(concat(lit("ivf:"), col("vec_id").cast("string"))),
+        col("vec_id"))
+      .limit(nCells)
+      .select(col("xq")).collect()
+      .map(_.getSeq[Double](0).map(_.toLong).toArray)
+    var it = 0
+    while (it < iters && cents.nonEmpty) {
+      val cell = element_at(graft.expressions.Sketches.ivfCellRank(s,
+        col("embedding"), cents), 1).getField("cell")
+      val sums = q.select(cell.as("cell"), posexplode(col("xq")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("col")).as("sm"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone()) // emptied cell keeps its centroid
+      sums.foreach { r =>
+        // sm is an exact integer-valued double (micro units · corpus
+        // rows ≪ 2^53); truncating long division == DuckDB's `//`.
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toLong / r.getLong(3)
+      }
+      cents = next
+      it += 1
     }
-    sort_array(array(scored: _*))
+    // q's checkpoint blocks are released by the ContextCleaner when the
+    // frame goes out of scope (the Ingest.allTables rationale).
+    cents.zipWithIndex.map(_.swap)
   }
 
+  /** Distance ranking per row: sorted (exact squared micro-distance,
+    * cell) array from the native [[graft.expressions.Sketches.IvfCellRank]]
+    * expression — one map-only projection, centroids inlined as
+    * literals, element 0 is the nearest cell.
+    */
+  private def cellRankExpr(s: SparkSession,
+      centroids: Array[(Int, Array[Long])])(emb: Column): Column =
+    graft.expressions.Sketches.ivfCellRank(s, emb,
+      centroids.sortBy(_._1).map(_._2))
+
+  /** ANN via IVF (inverted-file) coarse quantization — the second
+    * scale path besides LSH. Centroids come from the deterministic
+    * micro-integer k-means ([[kmeansCentroidsMicro]]), collected once
+    * and shipped as literals. Cell assignment is an argmin over nCells
+    * exact integer distances — map-only; the probe joins anchors to
+    * their `nProbe` nearest cells only, so the candidate join shuffles
+    * on the short cell key instead of crossing the corpus. Recall < 1
+    * by construction (documented trade).
+    */
   def annTopKIvf(embeddings: DataFrame, anchorIds: Seq[Long], k: Int,
       nCells: Int = 16, nProbe: Int = 2): DataFrame = {
-    val dot = ndot(embeddings.sparkSession) _
-    val centroids = coarseCentroids(embeddings, nCells)
-    def cellRank(emb: Column): Column = cellRankExpr(dot, centroids)(emb)
+    val s = embeddings.sparkSession
+    val dot = ndot(s) _
+    val centroids = kmeansCentroidsMicro(embeddings, nCells)
+    def cellRank(emb: Column): Column = cellRankExpr(s, centroids)(emb)
     // The ranking expression (nCells inline literal-array dot products
     // + sort) is built ONCE and shared by both branches — corpus rows
     // take element 0, anchors the first nProbe cells. One expression
@@ -324,8 +376,9 @@ object Similarity {
     */
   def semanticDedup(embeddings: DataFrame, threshold: Double,
       nCells: Int = 16, maxBucket: Int = 4096): DataFrame = {
-    val dot = ndot(embeddings.sparkSession) _
-    val centroids = coarseCentroids(embeddings, nCells)
+    val s = embeddings.sparkSession
+    val dot = ndot(s) _
+    val centroids = kmeansCentroidsMicro(embeddings, nCells)
     // Materialized once: the assignment projection (nCells dot
     // products per row) feeds four branches (candidate keys, both
     // pair-verify sides, the final per-vector report) — the q38
@@ -334,7 +387,7 @@ object Similarity {
     // persist anyway (it IS the IVF index).
     val assigned = embeddings.select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("norm"),
-        cellRankExpr(dot, centroids)(col("embedding"))(0)
+        cellRankExpr(s, centroids)(col("embedding"))(0)
           .getField("cell").as("cell"))
       .localCheckpoint(true)
     val cand = bucketCandidatePairs(

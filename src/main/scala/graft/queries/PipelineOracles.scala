@@ -51,6 +51,63 @@ object PipelineOracles {
 
   private val bucketSql: String = bandBucketSql(0, 8)
 
+  /** Squared euclidean distance of two integer-valued micro-unit
+    * DOUBLE lists — every add is an exact integer op, so the
+    * sequential list_sum equals the engine's long accumulation.
+    */
+  private def sqDist(x: String, c: String): String =
+    s"list_sum(list_transform(range(1, 65), i -> ($x[i]-$c[i])*($x[i]-$c[i])))"
+
+  /** The deterministic micro-integer k-means coarse quantizer as an
+    * unrolled CTE chain — the DuckDB twin of
+    * `Similarity.kmeansCentroidsMicro` + final assignment. Produces:
+    *   qe  — corpus with xq (micro-quantized embedding) and norm;
+    *   c0  — init centroids: the nCells vectors first in
+    *         md5('ivf:'||vec_id) order (uniform deterministic sample);
+    *   aR/mR/cR per Lloyd round R — assignment (argmin exact integer
+    *         distance, tiebreak by cell), per-(cell,dim) BIGINT sums,
+    *         truncating-mean centroids (an emptied cell keeps its
+    *         previous centroid via the whole-list coalesce);
+    *   asg — final per-vector assignment against c{iters}.
+    * All arithmetic is exact-integer-in-DOUBLE (sums ≪ 2^53) plus
+    * BIGINT `//`, which truncates toward zero exactly like the
+    * engine's Long division — bit-identical replay, no float-mean
+    * agreement assumption.
+    */
+  private def ivfCtes(nCells: Int, iters: Int): String = {
+    val init =
+      s"""qe AS (SELECT vec_id, embedding,
+         |        list_transform(embedding, v -> round(CAST(v AS DOUBLE) * 1000000, 0)) AS xq,
+         |        sqrt(${vdot("embedding", "embedding")}) AS norm
+         |      FROM embeddings),
+         |c0 AS (SELECT row_number() OVER (
+         |          ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+         |        xq AS cx
+         |       FROM (SELECT vec_id, xq FROM qe
+         |             ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id
+         |             LIMIT $nCells))""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      s"""a$r AS (SELECT vec_id, xq, cell FROM (
+         |    SELECT qe.vec_id, qe.xq, c.cell,
+         |      row_number() OVER (PARTITION BY qe.vec_id
+         |        ORDER BY ${sqDist("qe.xq", "c.cx")}, c.cell) AS rn
+         |    FROM qe, c${r - 1} c) t WHERE rn = 1),
+         |m$r AS (SELECT cell, pos, CAST(sum(xq[pos]) AS BIGINT) AS s, count(*) AS n
+         |       FROM a$r CROSS JOIN range(1, 65) t(pos) GROUP BY cell, pos),
+         |c$r AS (SELECT c.cell, coalesce(mm.cx, c.cx) AS cx
+         |       FROM c${r - 1} c LEFT JOIN (
+         |         SELECT cell, list(CAST(s // n AS DOUBLE) ORDER BY pos) AS cx
+         |         FROM m$r GROUP BY cell) mm USING (cell))""".stripMargin
+    }
+    val fin =
+      s"""asg AS (SELECT vec_id, embedding, norm, cell FROM (
+         |    SELECT qe.vec_id, qe.embedding, qe.norm, c.cell,
+         |      row_number() OVER (PARTITION BY qe.vec_id
+         |        ORDER BY ${sqDist("qe.xq", "c.cx")}, c.cell) AS rn
+         |    FROM qe, c$iters c) t WHERE rn = 1)""".stripMargin
+    (Seq(init) ++ rounds :+ fin).mkString(",\n")
+  }
+
   /** q15's banded-LSH + exact-Jaccard pair pipeline as a CTE block —
     * the final CTE `v` holds (doc_a, doc_b, jaccard) candidates.
     * Shared by the q15 oracle and the q34 dedup-apply oracle.
@@ -321,25 +378,18 @@ object PipelineOracles {
          |    ORDER BY cos_sim DESC, vec_id) AS rank FROM s) r
          |WHERE rank <= 3 ORDER BY anchor_id, rank""".stripMargin,
 
+    // Twin of annTopKIvf: the micro-integer k-means quantizer CTEs
+    // (ivfCtes — same init order, same Lloyd rounds, same truncating
+    // means), anchors probe their 2 nearest cells, exact cosine ranks
+    // within the probed candidates.
     "q25_ann_ivf" ->
-      s"""WITH e AS (SELECT vec_id, embedding,
-         |             sqrt(${vdot("embedding", "embedding")}) AS norm
-         |           FROM embeddings),
-         |c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
-         |        embedding AS cemb,
-         |        sqrt(${vdot("embedding", "embedding")}) AS cnorm
-         |      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
-         |asg AS (SELECT vec_id, embedding, norm, cell FROM (
-         |    SELECT e.vec_id, e.embedding, e.norm, c.cell,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY -${vdot("e.embedding", "c.cemb")} / c.cnorm, c.cell) AS rn
-         |    FROM e, c) t WHERE rn = 1),
+      s"""WITH ${ivfCtes(16, 2)},
          |probe AS (SELECT anchor_id, aemb, anorm, cell FROM (
-         |    SELECT e.vec_id AS anchor_id, e.embedding AS aemb,
-         |      e.norm AS anorm, c.cell,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY -${vdot("e.embedding", "c.cemb")} / c.cnorm, c.cell) AS rn
-         |    FROM e, c WHERE e.vec_id IN (0, 1, 2)) t WHERE rn <= 2),
+         |    SELECT qe.vec_id AS anchor_id, qe.embedding AS aemb,
+         |      qe.norm AS anorm, c.cell,
+         |      row_number() OVER (PARTITION BY qe.vec_id
+         |        ORDER BY ${sqDist("qe.xq", "c.cx")}, c.cell) AS rn
+         |    FROM qe, c2 c WHERE qe.vec_id IN (0, 1, 2)) t WHERE rn <= 2),
          |s AS (SELECT anchor_id, asg.vec_id AS vec_id,
          |        round(${vdot("asg.embedding", "aemb")} / (asg.norm * anorm), 6) AS cos_sim
          |      FROM asg JOIN probe USING (cell) WHERE asg.vec_id <> anchor_id)
@@ -819,22 +869,12 @@ object PipelineOracles {
         |ORDER BY d.doc_id""".stripMargin,
 
     "q51_semantic_dedup" ->
-      // Twin of Similarity.semanticDedup: q25's coarse-quantizer
-      // assignment (same centroids, same nd/cell tiebreak), within-cell
-      // pairs at cosine >= 0.45 (same round-6 compare as q24/q28), then
-      // q28's recursive min-id closure; singletons keep themselves.
-      s"""WITH RECURSIVE e0 AS (SELECT vec_id, embedding,
-         |        sqrt(${vdot("embedding", "embedding")}) AS norm
-         |      FROM embeddings),
-         |c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
-         |        embedding AS cemb,
-         |        sqrt(${vdot("embedding", "embedding")}) AS cnorm
-         |      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
-         |asg AS (SELECT vec_id, embedding, norm, cell FROM (
-         |    SELECT e0.vec_id, e0.embedding, e0.norm, c.cell,
-         |      row_number() OVER (PARTITION BY e0.vec_id
-         |        ORDER BY -${vdot("e0.embedding", "c.cemb")} / c.cnorm, c.cell) AS rn
-         |    FROM e0, c) t WHERE rn = 1),
+      // Twin of Similarity.semanticDedup: the micro-integer k-means
+      // quantizer assignment (ivfCtes — same init order, same Lloyd
+      // rounds, same nd/cell tiebreak), within-cell pairs at cosine
+      // >= 0.45 (same round-6 compare as q24/q28), then q28's
+      // recursive min-id closure; singletons keep themselves.
+      s"""WITH RECURSIVE ${ivfCtes(16, 2)},
          |p AS (SELECT a.vec_id AS u, b.vec_id AS v
          |      FROM asg a JOIN asg b
          |        ON a.cell = b.cell AND a.vec_id < b.vec_id

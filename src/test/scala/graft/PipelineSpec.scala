@@ -1074,21 +1074,45 @@ class PipelineSpec extends AnyFunSuite {
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
     assert(rows.length == embs.length, "one report row per vector")
-    // Ground truth with the same double arithmetic (sequential left
-    // fold, like fdot): nearest of the first-16 centroids with the
-    // (distance, cell) tiebreak, within-cell edges at round-6 cosine
-    // >= 0.45, union-find min label.
+    // Ground truth re-derived INDEPENDENTLY: micro-quantized k-means
+    // (hash-ordered init, 2 truncating-mean Lloyd rounds, exact
+    // integer squared distance with the (distance, cell) tiebreak —
+    // quantization via BigDecimal HALF_UP, not the engine's roundAway),
+    // then within-cell edges at round-6 cosine >= 0.45, union-find
+    // min label.
     def dot(a: Array[Float], b: Array[Float]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
       s
     }
     def nrm(a: Array[Float]): Double = math.sqrt(dot(a, a))
-    val centroids = embs.take(16).map(_._2)
-    val cell = embs.map { case (id, e) =>
-      id -> centroids.zipWithIndex
-        .map { case (c, ci) => (-dot(e, c) / nrm(c), ci) }.min._2
-    }.toMap
+    def micro(e: Array[Float]): Array[Long] = e.map(v =>
+      java.math.BigDecimal.valueOf(v.toDouble * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val microById = embs.map { case (id, e) => id -> micro(e) }.toMap
+    def sqd(x: Array[Long], c: Array[Long]): Long =
+      x.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+    def assign(cents: Array[Array[Long]]): Map[Long, Int] =
+      microById.map { case (id, x) =>
+        id -> cents.zipWithIndex.map { case (c, ci) => (sqd(x, c), ci) }.min._2
+      }
+    var cents = embs.map(_._1).sortBy(id => (md5hex(s"ivf:$id"), id))
+      .take(16).map(microById)
+    for (_ <- 0 until 2) {
+      val byCell = assign(cents).groupBy(_._2)
+      cents = cents.zipWithIndex.map { case (c, ci) =>
+        byCell.get(ci) match {
+          case Some(members) =>
+            val xs = members.keys.toArray.map(microById)
+            Array.tabulate(c.length)(d => xs.map(_(d)).sum / xs.length)
+          case None => c
+        }
+      }
+    }
+    val cell = assign(cents)
     val byId = embs.toMap
     val ids = embs.map(_._1)
     val edges = for {
@@ -1119,5 +1143,60 @@ class PipelineSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("k-means centroids spread skewed-id clusters that first-N crowds") {
+    import spark.implicits._
+    // Ids CORRELATE with cluster membership (ids 0-9 cluster 0, 10-19
+    // cluster 1, ...), the exact layout that broke the pre-r12
+    // "first nCells by id" quantizer: its 4 centroids would all come
+    // from cluster 0, so clusters 1-3 (30 of 40 vectors) crowd into
+    // ONE cell and the within-cell pairwise bound degrades toward m².
+    val centers = Array(
+      Array(0.8f, 0.8f, 0f, 0f), Array(-0.8f, 0.8f, 0f, 0f),
+      Array(0f, -0.8f, 0.8f, 0f), Array(0f, 0f, -0.8f, -0.8f))
+    val vecs = (0 until 40).map { i =>
+      val c = centers(i / 10)
+      (i.toLong, c.zipWithIndex.map { case (v, d) =>
+        v + 0.001f * ((i % 10) + d) })
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val cents = graft.functions.Similarity
+      .kmeansCentroidsMicro(df, nCells = 4, iters = 2).map(_._2)
+    def sqd(x: Array[Long], c: Array[Long]): Long =
+      x.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+    def occupancy(cs: Array[Array[Long]]): Map[Int, Int] = vecs
+      .map { case (_, e) =>
+        val x = e.map(v => math.round(v.toDouble * 1e6))
+        cs.zipWithIndex.map { case (c, ci) => (sqd(x, c), ci) }.min._2 }
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val kmOcc = occupancy(cents)
+    // first-N baseline: 4 centroids from cluster 0 only
+    val firstN = vecs.take(4)
+      .map(_._2.map(v => math.round(v.toDouble * 1e6))).toArray
+    val fnOcc = occupancy(firstN)
+    assert(fnOcc.values.max >= 30,
+      s"fixture sanity: first-N must crowd 3 clusters into one cell, got $fnOcc")
+    assert(kmOcc.values.max == 10 && kmOcc.size == 4,
+      s"k-means must give one cell per planted cluster, got $kmOcc")
+  }
+
+  test("native roundAway matches Spark round() on the micro-quantize path") {
+    import spark.implicits._
+    // The native IVF expressions quantize with roundAway; the oracle
+    // uses SQL round(). Sweep deterministic pseudo-random floats
+    // (both signs, many magnitudes) plus exact .5 ties and compare
+    // the engine's own round(v*1e6, 0) against graft_microq.
+    val rnd = new scala.util.Random(42)
+    val floats = Seq.fill(20000)(((rnd.nextFloat() - 0.5f) *
+        (1 << rnd.nextInt(8)))) ++
+      Seq(0.5e-6f, -0.5e-6f, 1.5e-6f, -1.5e-6f, 0f, 1f, -1f)
+    val df = floats.map(f => Tuple1(Array(f))).toDF("e")
+    val bad = df.select(
+        graft.expressions.Sketches.microQuantize(spark, col("e"))(0).as("n"),
+        round(col("e")(0).cast("double") * 1e6, 0).as("s"))
+      .filter(col("n") =!= col("s"))
+      .collect()
+    assert(bad.isEmpty, bad.take(5).mkString(", "))
   }
 }
