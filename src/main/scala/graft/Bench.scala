@@ -30,7 +30,13 @@ object Bench {
       }
     }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Ingest-only mode: skip the query sweep + isolated re-runs and
+    // measure just the block-ingest points — for investigating ingest
+    // scaling (e.g. fixed-overhead amortization across batch sizes)
+    // without paying the ~8-minute full sweep.
+    val ingestOnly = sys.env.contains("SPARK_GRAFT_INGEST_ONLY")
+    val names =
+      if (ingestOnly) Seq.empty[String] else SparkEntry.queries.keys.toSeq.sorted
     val isNear = (n: String) => n.startsWith("near_")
     // Warmup pass: JVM/JIT + parquet footer caches; excluded from timing.
     names.foreach { n =>
@@ -96,12 +102,13 @@ object Bench {
     spark.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    val isolatedNames = sys.env.getOrElse("SPARK_GRAFT_ISOLATED",
+    val isolatedNames = (if (ingestOnly) "" else
+      sys.env.getOrElse("SPARK_GRAFT_ISOLATED",
         "q02_revenue_by_nation,q24_embedding_dups,q24b_embedding_dups_lsh," +
           "q25_ann_ivf,q28_dup_clusters,q29_quantize_int8,q30_simhash_dups," +
           "q31_text_chunks,q34_dedup_apply,q35b_stream_dedup_windowed," +
           "q36_contamination,q38_ngram_jaccard,q51_semantic_dedup," +
-          "q53_corpus_recipe")
+          "q53_corpus_recipe"))
       .split(",").map(_.trim).filter(SparkEntry.queries.contains).toSeq
     val isolated = isolatedNames.map { n =>
       val s = SparkSession.builder()
