@@ -402,7 +402,15 @@ object Sketches {
       val n = arr.numElements()
       val out = new Array[Any](n)
       var i = 0
-      while (i < n) { out(i) = roundAway(get(arr, i) * 1e6); i += 1 }
+      while (i < n) {
+        // Loud on contract drift: the oracle's round(NULL) would
+        // NULL-propagate where a primitive read returns 0 — fail
+        // instead of silently diverging.
+        if (arr.isNullAt(i)) throw new IllegalArgumentException(
+          "graft_microq: null embedding component")
+        out(i) = roundAway(get(arr, i) * 1e6)
+        i += 1
+      }
       new GenericArrayData(out)
     }
     override protected def withNewChildInternal(c: Expression): MicroQuantize = copy(c)
@@ -431,7 +439,12 @@ object Sketches {
       val dims = arr.numElements()
       val xq = new Array[Long](dims)
       var i = 0
-      while (i < dims) { xq(i) = roundAway(get(arr, i) * 1e6).toLong; i += 1 }
+      while (i < dims) {
+        if (arr.isNullAt(i)) throw new IllegalArgumentException(
+          "graft_ivf_rank: null embedding component")
+        xq(i) = roundAway(get(arr, i) * 1e6).toLong
+        i += 1
+      }
       val k = cents.length
       val ds = new Array[Long](k)
       var c = 0

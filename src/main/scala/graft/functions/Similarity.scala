@@ -233,29 +233,31 @@ object Similarity {
   }
 
   /** Coarse-quantizer centroids: deterministic k-means in the integer
-    * micro-unit domain, collected once to the driver and shipped as
-    * literals.
+    * micro-unit domain, trained on a bounded sample, collected once
+    * to the driver and shipped as literals.
     *
-    *   - Init: the `nCells` vectors FIRST IN md5("ivf:"||vec_id) ORDER
-    *     — a deterministic uniform sample of the corpus. (The pre-r12
-    *     "first nCells by vec_id" init was id-correlated: ids track
+    *   - Training sample: the `sampleSize` vectors FIRST IN
+    *     md5("ivf:"||vec_id) ORDER — a deterministic uniform sample of
+    *     the corpus, regardless of id layout. (The pre-r12 "first
+    *     nCells by vec_id" init was id-correlated: ids track
     *     time/source, so on a real corpus most vectors crowded into
     *     few cells and the within-cell pairwise bound degraded toward
-    *     m². A hash-ordered sample is order-statistics-uniform
-    *     regardless of id layout; at warehouse scale the "order by
-    *     hash, take nCells" is a top-k, not a sort.)
-    *   - Refinement: `iters` fixed Lloyd rounds. Each round is one
-    *     map-only assignment pass (argmin of exact integer squared
-    *     distance over literal centroids) + one (cell, dim) partial-
-    *     aggregated sum shuffle of nCells·dims rows; the new centroid
-    *     is the truncating integer mean. Everything stays in exact
-    *     integer micro-units (components quantized to round(v·1e6)):
-    *     sums of integer-valued doubles are order-insensitive below
-    *     2^53, and truncating BIGINT division is identical in the JVM
-    *     and DuckDB — so the DuckDB oracles replay the SAME rounds
+    *     m². At warehouse scale "order by hash, limit S" is a
+    *     distributed top-k — ONE corpus pass, bounded collect.)
+    *   - Init: the first `nCells` sample vectors (a prefix of the
+    *     hash order). Refinement: `iters` fixed Lloyd rounds ON THE
+    *     DRIVER over the sample (the FAISS train-on-sample pattern —
+    *     a per-iteration pass over 100 TB would cost `iters` corpus
+    *     scans for centroids a bounded sample estimates just as well;
+    *     driver work is sampleSize·nCells·dims long ops, microseconds).
+    *     Everything stays in exact integer micro-units (components
+    *     quantized to round(v·1e6)): distances/sums are exact long
+    *     arithmetic and the centroid mean is the truncating integer
+    *     division that DuckDB's `//` computes identically — so the
+    *     DuckDB oracles replay the SAME sample, rounds and tiebreaks
     *     bit-for-bit (unrolled CTEs, PipelineOracles.ivfCtes) instead
     *     of assuming float means agree across engines. An emptied
-    *     cell keeps its previous centroid.
+    *     cell keeps its previous centroid; ties assign the lower cell.
     *
     * Not full k-means|| (Bahmani et al. 2012): its cost-weighted
     * oversampling rounds cannot be replayed by a static SQL oracle;
@@ -264,37 +266,45 @@ object Similarity {
     * arithmetic. Returns (cell, microCentroid) pairs.
     */
   private[graft] def kmeansCentroidsMicro(embeddings: DataFrame,
-      nCells: Int, iters: Int = 2): Array[(Int, Array[Long])] = {
+      nCells: Int, iters: Int = 2,
+      sampleSize: Int = 512): Array[(Int, Array[Long])] = {
     val s = embeddings.sparkSession
-    // Quantized copy, reused by the init top-k and every Lloyd pass.
-    val q = embeddings.select(col("vec_id"), col("embedding"),
+    val sample: Array[Array[Long]] = embeddings
+      .select(col("vec_id"),
         graft.expressions.Sketches.microQuantize(s, col("embedding")).as("xq"))
-      .localCheckpoint(true)
-    var cents: Array[Array[Long]] = q
       .orderBy(md5(concat(lit("ivf:"), col("vec_id").cast("string"))),
         col("vec_id"))
-      .limit(nCells)
+      .limit(sampleSize)
       .select(col("xq")).collect()
       .map(_.getSeq[Double](0).map(_.toLong).toArray)
+    var cents = sample.take(nCells).map(_.clone())
     var it = 0
     while (it < iters && cents.nonEmpty) {
-      val cell = element_at(graft.expressions.Sketches.ivfCellRank(s,
-        col("embedding"), cents), 1).getField("cell")
-      val sums = q.select(cell.as("cell"), posexplode(col("xq")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(sum(col("col")).as("sm"), count(lit(1)).as("n"))
-        .collect()
-      val next = cents.map(_.clone()) // emptied cell keeps its centroid
-      sums.foreach { r =>
-        // sm is an exact integer-valued double (micro units · corpus
-        // rows ≪ 2^53); truncating long division == DuckDB's `//`.
-        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toLong / r.getLong(3)
+      val k = cents.length
+      val dims = cents(0).length
+      val sums = Array.ofDim[Long](k, dims)
+      val counts = new Array[Long](k)
+      sample.foreach { x =>
+        var best = 0
+        var bestD = Long.MaxValue
+        var c = 0
+        while (c < k) {
+          val cv = cents(c)
+          var d = 0L
+          var j = 0
+          while (j < dims) { val t = x(j) - cv(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c } // strict <: tie keeps lower cell
+          c += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < dims) { sums(best)(j) += x(j); j += 1 }
       }
-      cents = next
+      cents = Array.tabulate(k)(c =>
+        if (counts(c) == 0) cents(c) // emptied cell keeps its centroid
+        else Array.tabulate(dims)(j => sums(c)(j) / counts(c)))
       it += 1
     }
-    // q's checkpoint blocks are released by the ContextCleaner when the
-    // frame goes out of scope (the Ingest.allTables rationale).
     cents.zipWithIndex.map(_.swap)
   }
 

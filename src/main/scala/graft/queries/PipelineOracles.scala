@@ -58,40 +58,42 @@ object PipelineOracles {
   private def sqDist(x: String, c: String): String =
     s"list_sum(list_transform(range(1, 65), i -> ($x[i]-$c[i])*($x[i]-$c[i])))"
 
-  /** The deterministic micro-integer k-means coarse quantizer as an
-    * unrolled CTE chain — the DuckDB twin of
+  /** The deterministic sample-trained micro-integer k-means coarse
+    * quantizer as an unrolled CTE chain — the DuckDB twin of
     * `Similarity.kmeansCentroidsMicro` + final assignment. Produces:
     *   qe  — corpus with xq (micro-quantized embedding) and norm;
-    *   c0  — init centroids: the nCells vectors first in
+    *   smp — the training sample: the `sampleSize` vectors first in
     *         md5('ivf:'||vec_id) order (uniform deterministic sample);
-    *   aR/mR/cR per Lloyd round R — assignment (argmin exact integer
-    *         distance, tiebreak by cell), per-(cell,dim) BIGINT sums,
-    *         truncating-mean centroids (an emptied cell keeps its
-    *         previous centroid via the whole-list coalesce);
-    *   asg — final per-vector assignment against c{iters}.
+    *   c0  — init centroids: the first nCells sample vectors;
+    *   aR/mR/cR per Lloyd round R over the SAMPLE — assignment
+    *         (argmin exact integer distance, tiebreak by cell),
+    *         per-(cell,dim) BIGINT sums, truncating-mean centroids
+    *         (an emptied cell keeps its previous centroid via the
+    *         whole-list coalesce);
+    *   asg — final per-corpus-vector assignment against c{iters}.
     * All arithmetic is exact-integer-in-DOUBLE (sums ≪ 2^53) plus
     * BIGINT `//`, which truncates toward zero exactly like the
     * engine's Long division — bit-identical replay, no float-mean
     * agreement assumption.
     */
-  private def ivfCtes(nCells: Int, iters: Int): String = {
+  private def ivfCtes(nCells: Int, iters: Int,
+      sampleSize: Int = 512): String = {
+    val hashOrd = "md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id"
     val init =
       s"""qe AS (SELECT vec_id, embedding,
          |        list_transform(embedding, v -> round(CAST(v AS DOUBLE) * 1000000, 0)) AS xq,
          |        sqrt(${vdot("embedding", "embedding")}) AS norm
          |      FROM embeddings),
-         |c0 AS (SELECT row_number() OVER (
-         |          ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
-         |        xq AS cx
+         |smp AS (SELECT row_number() OVER (ORDER BY $hashOrd) - 1 AS sidx, xq
          |       FROM (SELECT vec_id, xq FROM qe
-         |             ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id
-         |             LIMIT $nCells))""".stripMargin
+         |             ORDER BY $hashOrd LIMIT $sampleSize)),
+         |c0 AS (SELECT sidx AS cell, xq AS cx FROM smp WHERE sidx < $nCells)""".stripMargin
     val rounds = (1 to iters).map { r =>
-      s"""a$r AS (SELECT vec_id, xq, cell FROM (
-         |    SELECT qe.vec_id, qe.xq, c.cell,
-         |      row_number() OVER (PARTITION BY qe.vec_id
-         |        ORDER BY ${sqDist("qe.xq", "c.cx")}, c.cell) AS rn
-         |    FROM qe, c${r - 1} c) t WHERE rn = 1),
+      s"""a$r AS (SELECT sidx, xq, cell FROM (
+         |    SELECT smp.sidx, smp.xq, c.cell,
+         |      row_number() OVER (PARTITION BY smp.sidx
+         |        ORDER BY ${sqDist("smp.xq", "c.cx")}, c.cell) AS rn
+         |    FROM smp, c${r - 1} c) t WHERE rn = 1),
          |m$r AS (SELECT cell, pos, CAST(sum(xq[pos]) AS BIGINT) AS s, count(*) AS n
          |       FROM a$r CROSS JOIN range(1, 65) t(pos) GROUP BY cell, pos),
          |c$r AS (SELECT c.cell, coalesce(mm.cx, c.cx) AS cx

@@ -1075,7 +1075,8 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
     assert(rows.length == embs.length, "one report row per vector")
     // Ground truth re-derived INDEPENDENTLY: micro-quantized k-means
-    // (hash-ordered init, 2 truncating-mean Lloyd rounds, exact
+    // trained on the hash-ordered 512-vector sample (init = first 16
+    // of it, 2 truncating-mean Lloyd rounds over the sample, exact
     // integer squared distance with the (distance, cell) tiebreak —
     // quantization via BigDecimal HALF_UP, not the engine's roundAway),
     // then within-cell edges at round-6 cosine >= 0.45, union-find
@@ -1095,24 +1096,23 @@ class PipelineSpec extends AnyFunSuite {
     val microById = embs.map { case (id, e) => id -> micro(e) }.toMap
     def sqd(x: Array[Long], c: Array[Long]): Long =
       x.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
-    def assign(cents: Array[Array[Long]]): Map[Long, Int] =
-      microById.map { case (id, x) =>
-        id -> cents.zipWithIndex.map { case (c, ci) => (sqd(x, c), ci) }.min._2
-      }
-    var cents = embs.map(_._1).sortBy(id => (md5hex(s"ivf:$id"), id))
-      .take(16).map(microById)
+    def assignOne(cents: Array[Array[Long]], x: Array[Long]): Int =
+      cents.zipWithIndex.map { case (c, ci) => (sqd(x, c), ci) }.min._2
+    val sample = embs.map(_._1).sortBy(id => (md5hex(s"ivf:$id"), id))
+      .take(512).map(microById)
+    var cents = sample.take(16).map(_.clone())
     for (_ <- 0 until 2) {
-      val byCell = assign(cents).groupBy(_._2)
+      val byCell = sample.groupBy(x => assignOne(cents, x))
       cents = cents.zipWithIndex.map { case (c, ci) =>
         byCell.get(ci) match {
-          case Some(members) =>
-            val xs = members.keys.toArray.map(microById)
+          case Some(xs) =>
             Array.tabulate(c.length)(d => xs.map(_(d)).sum / xs.length)
           case None => c
         }
       }
     }
-    val cell = assign(cents)
+    val cell = embs.map { case (id, _) =>
+      id -> assignOne(cents, microById(id)) }.toMap
     val byId = embs.toMap
     val ids = embs.map(_._1)
     val edges = for {
