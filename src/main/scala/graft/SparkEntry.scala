@@ -87,6 +87,7 @@ object SparkEntry {
     "q52_classifier_filter"   -> (PipelineQueries.q52ClassifierFilter _),
     "q53_corpus_recipe"       -> (PipelineQueries.q53CorpusRecipe _),
     "q54_lsh_tuned"           -> (PipelineQueries.q54LshTuned _),
+    "q55_ann_recall"          -> (PipelineQueries.q55AnnRecall _),
   ) ++ graft.queries.NearQueries.queries
 
   def oracleSql: Map[String, String] = Map(

@@ -229,6 +229,45 @@ object PipelineOracles {
          |SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= 0.7
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // q55: recall@3 of the IVF ANN (q25's quantizer CTEs + 2-cell
+    // probe) against the exact per-anchor top-3; the recall ratio is
+    // the same exact half-up integer division as the engine's rdiv4.
+    "q55_ann_recall" ->
+      s"""WITH ${ivfCtes(16, 2)},
+         |probe AS (SELECT anchor_id, aemb, anorm, cell FROM (
+         |    SELECT qe.vec_id AS anchor_id, qe.embedding AS aemb,
+         |      qe.norm AS anorm, c.cell,
+         |      row_number() OVER (PARTITION BY qe.vec_id
+         |        ORDER BY ${sqDist("qe.xq", "c.cx")}, c.cell) AS rn
+         |    FROM qe, c2 c WHERE qe.vec_id IN (0, 1, 2)) t WHERE rn <= 2),
+         |ann AS (SELECT anchor_id, vec_id FROM (
+         |    SELECT anchor_id, s.vec_id,
+         |      row_number() OVER (PARTITION BY anchor_id
+         |        ORDER BY cos_sim DESC, s.vec_id) AS rank
+         |    FROM (SELECT anchor_id, asg.vec_id AS vec_id,
+         |            round(${vdot("asg.embedding", "aemb")} / (asg.norm * anorm), 6) AS cos_sim
+         |          FROM asg JOIN probe USING (cell)
+         |          WHERE asg.vec_id <> anchor_id) s) r
+         |  WHERE rank <= 3),
+         |anch AS (SELECT vec_id AS anchor_id, embedding AS aemb, norm AS anorm
+         |         FROM qe WHERE vec_id IN (0, 1, 2)),
+         |ex AS (SELECT anchor_id, vec_id FROM (
+         |    SELECT anchor_id, s.vec_id,
+         |      row_number() OVER (PARTITION BY anchor_id
+         |        ORDER BY cos_sim DESC, s.vec_id) AS rank
+         |    FROM (SELECT anchor_id, qe.vec_id AS vec_id,
+         |            round(${vdot("qe.embedding", "aemb")} / (qe.norm * anorm), 6) AS cos_sim
+         |          FROM qe, anch WHERE qe.vec_id <> anchor_id) s) r
+         |  WHERE rank <= 3),
+         |h AS (SELECT ex.anchor_id,
+         |        CAST(count(*) AS BIGINT) AS n_exact,
+         |        CAST(count(ann.vec_id) AS BIGINT) AS n_hits
+         |      FROM ex LEFT JOIN ann USING (anchor_id, vec_id)
+         |      GROUP BY ex.anchor_id)
+         |SELECT anchor_id, n_exact, n_hits,
+         |  CAST((n_hits * 20000 + n_exact) // (2 * n_exact) AS DOUBLE) / 10000.0 AS recall
+         |FROM h ORDER BY anchor_id""".stripMargin,
+
     "q16_simhash" ->
       s"""SELECT doc_id, CAST(
          |  list_sum(list_transform(range(0, 32), j ->

@@ -1003,4 +1003,35 @@ object PipelineQueries {
   def q54LshTuned(s: SparkSession, dir: String): DataFrame =
     Dedup.lshNearDupPairs(s, Tables.documents(s, dir), "doc_id", "text",
       k = 32, bands = 8, shingleN = 2, threshold = 0.7)
+
+  /** ANN index-quality report: recall@3 of the IVF path (q25's
+    * quantizer + 2-cell probe) against the exact brute-force top-3
+    * (q19's ranking) per anchor — the gate a production ANN pipeline
+    * runs before trusting an index for retrieval/dedup. The recall
+    * ratio uses the exact half-up integer division (rdiv4), so the
+    * report is engine-exact like every other terminal ratio.
+    * Scale shape: the union of its inputs' shapes — the exact side is
+    * the bounded-anchor broadcast pass (never corpus²), the IVF side
+    * is the map-only assignment + cell-key probe join; the comparison
+    * itself is a 3-rows-per-anchor semi-join.
+    */
+  def q55AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val anchors = Seq(0L, 1L, 2L)
+    val exact = Similarity.bruteTopK(emb, anchors, k = 3)
+      .select(col("anchor_id"), col("vec_id"))
+      // Two downstream consumers (count base + hit semi-join) — one
+      // tiny materialization instead of two broadcast-ranking passes.
+      .localCheckpoint(true)
+    val approx = Similarity.annTopKIvf(emb, anchors, k = 3)
+      .select(col("anchor_id"), col("vec_id"))
+    val hits = exact.join(approx, Seq("anchor_id", "vec_id"), "left_semi")
+      .groupBy(col("anchor_id")).agg(count(lit(1)).as("n_hits"))
+    exact.groupBy(col("anchor_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("anchor_id"), "left")
+      .select(col("anchor_id"), col("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall", rdiv4(col("n_hits"), col("n_exact")))
+      .orderBy(col("anchor_id"))
+  }
 }

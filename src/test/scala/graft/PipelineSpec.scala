@@ -1145,6 +1145,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("q55 recall report agrees with intersecting q19/q25 directly") {
+    val rep = SparkEntry.queries("q55_ann_recall")(spark, sf).collect()
+    assert(rep.map(_.getAs[Long]("anchor_id")).toSeq == Seq(0L, 1L, 2L))
+    // q19 ranks top-5 with the same ordering; its rank<=3 prefix IS
+    // the exact top-3.
+    val brute = SparkEntry.queries("q19_knn_brute")(spark, sf).collect()
+      .filter(_.getAs[Int]("rank") <= 3)
+      .map(r => (r.getAs[Long]("anchor_id"), r.getAs[Long]("vec_id"))).toSet
+    val ivf = SparkEntry.queries("q25_ann_ivf")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("anchor_id"), r.getAs[Long]("vec_id"))).toSet
+    rep.foreach { r =>
+      val a = r.getAs[Long]("anchor_id")
+      val expHits = brute.filter(_._1 == a).count(ivf.contains)
+      assert(r.getAs[Long]("n_exact") == 3L)
+      assert(r.getAs[Long]("n_hits") == expHits.toLong, s"anchor $a")
+      val expRecall = BigDecimal(expHits.toDouble / 3.0)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("recall") == expRecall, s"anchor $a")
+    }
+  }
+
   test("k-means centroids spread skewed-id clusters that first-N crowds") {
     import spark.implicits._
     // Ids CORRELATE with cluster membership (ids 0-9 cluster 0, 10-19
