@@ -12,11 +12,19 @@ object QBench {
     val reps = if (args.length > 1) args(1).toInt else 3
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Same state-store backend selection as Bench so a QBench
+    // re-measure of a streaming entry prices the same provider.
+    val stateProviderClass =
+      if (sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "rocksdb") == "rocksdb")
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      else
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.stateStore.providerClass", stateProviderClass)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def exec(): Double = {

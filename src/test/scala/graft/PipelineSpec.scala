@@ -1145,6 +1145,13 @@ class PipelineSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("q54 plan: candidates via equi-join, no cartesian/nested loop") {
+    val plan = SparkEntry.queries("q54_lsh_tuned")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
   test("q55 recall report agrees with intersecting q19/q25 directly") {
     val rep = SparkEntry.queries("q55_ann_recall")(spark, sf).collect()
     assert(rep.map(_.getAs[Long]("anchor_id")).toSeq == Seq(0L, 1L, 2L))
