@@ -947,14 +947,18 @@ object PipelineQueries {
       .localCheckpoint(true)
     val surv3 = near.filter(col("near_keep")).select("doc_id")
     val bucket = splitBucket
-    // One shingle materialization feeds the test index and the train
-    // probe (the q36 checkpoint rationale).
-    val base = d.select(col("doc_id"), TF.shingleSet(col("text"), 5).as("sh"),
-      bucket.as("b")).localCheckpoint(true)
-    val testSh = base.filter(col("b") >= 95)
-      .select(explode(col("sh")).as("sng")).distinct()
-    val contaminated = base.join(surv3, "doc_id").filter(col("b") < 90)
-      .select(col("doc_id"), explode(col("sh")).as("sng"))
+    // Stage-gated shingling (the same idea as the survivor-gated LSH
+    // input above, applied to the stage's most expensive expression):
+    // the test index shingles every eval doc (the eval set is
+    // protected regardless of survivorship), the train probe shingles
+    // ONLY stage-3 survivors in the train split — validation docs and
+    // rejected/dup train docs are never shingled at all. The two
+    // scopes are disjoint splits, so the former whole-corpus shared
+    // materialization saved nothing across them.
+    val testSh = d.filter(bucket >= 95)
+      .select(explode(TF.shingleSet(col("text"), 5)).as("sng")).distinct()
+    val contaminated = d.join(surv3, "doc_id").filter(bucket < 90)
+      .select(col("doc_id"), explode(TF.shingleSet(col("text"), 5)).as("sng"))
       .join(testSh, "sng")
       .select("doc_id").distinct()
       .withColumn("contam", lit(true))
