@@ -86,14 +86,19 @@ object Similarity {
     * the dot product with deterministic hyperplane `planeOffset + j`.
     * Map-only. Distinct `planeOffset`s give independent hash tables
     * (the OR-amplification bands of [[nearDupPairsLsh]]).
+    *
+    * Each plane dot runs through the native [[graft.expressions
+    * .Sketches.FloatDot]] (codegen'd single loop) instead of the
+    * interpreted aggregate/zip_with lambdas — the same strict left
+    * fold, bit-identical doubles, ~nBits·dims fewer boxed lambda
+    * evaluations per row on the q21/q24b/q28 bucketing path.
     */
   def lshBucket(emb: Column, dims: Int, nBits: Int,
       planeOffset: Int = 0): Column = {
+    val s = SparkSession.active
     val bits = (0 until nBits).map { j =>
-      val dot = aggregate(
-        zip_with(emb, typedLit(plane(planeOffset + j, dims)),
-          (x, p) => x.cast("double") * p),
-        lit(0.0), (acc, v) => acc + v)
+      val dot = graft.expressions.Sketches.fdot(s, emb,
+        typedLit(plane(planeOffset + j, dims).toSeq))
       when(dot > 0, lit(1L << j)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
