@@ -106,6 +106,52 @@ object DataContract {
     * unknowable from the file alone, and guessing is exactly the
     * silent-corruption mode this guard exists to prevent.
     */
+  /** Footer-pinned embeddings contract: element primitive FLOAT and a
+    * uniform dimensionality of `dims`, derived zero-job from the
+    * footer (total leaf value count / total row count — exact for
+    * fixed-length, null-free arrays; a ragged, null-bearing or
+    * re-dimensioned regeneration breaks the arithmetic and fails
+    * loudly). The DuckDB oracles hardcode 64 dims (`range(1, 65)`,
+    * 64-component plane literals) while the engine expressions are
+    * length-generic, so a silent dims change would mass-mismatch the
+    * embedding surface exactly the way round 10's events.ts unit flip
+    * did — this turns it into a named error at first load. Memoized
+    * per file path (footers are immutable for a given testdata drop).
+    */
+  private val embeddingsOk =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  def assertEmbeddingsContract(s: SparkSession, file: String,
+      dims: Int = 64): Unit = {
+    if (embeddingsOk.contains(file)) return
+    withFooter(s, file) { md =>
+      import scala.jdk.CollectionConverters._
+      val leaf = "embedding.list.element"
+      val desc = md.getFileMetaData.getSchema.getColumns.asScala
+        .find(_.getPath.mkString(".") == leaf)
+        .getOrElse(throw new IllegalStateException(
+          s"embeddings data-contract drift in $file: no '$leaf' leaf in " +
+            s"schema ${md.getFileMetaData.getSchema}"))
+      val prim = desc.getPrimitiveType.getPrimitiveTypeName.name
+      if (prim != "FLOAT") throw new IllegalStateException(
+        s"embeddings data-contract drift in $file: '$leaf' is $prim, " +
+          "expected FLOAT — the micro-quantization and oracle vdot " +
+          "assume float32 components")
+      val rows = md.getBlocks.asScala.map(_.getRowCount).sum
+      val vals = md.getBlocks.asScala
+        .flatMap(_.getColumns.asScala)
+        .filter(_.getPath.toDotString == leaf)
+        .map(_.getValueCount).sum
+      if (rows <= 0 || vals != rows * dims.toLong)
+        throw new IllegalStateException(
+          s"embeddings data-contract drift in $file: $vals elements over " +
+            s"$rows rows (expected uniform $dims dims) — the oracles " +
+            "hardcode range(1, ${dims+1}) and ${dims}-component plane " +
+            "literals; update PipelineOracles + Similarity.plane call " +
+            "sites for the new dimensionality")
+    }
+    embeddingsOk.add(file)
+  }
+
   def eventsTsUnit(s: SparkSession, file: String): TimeUnit = {
     val (ann, raw) = columnAnnotation(s, file, "ts")
     ann match {

@@ -52,8 +52,12 @@ object Tables {
     */
   def documents(s: SparkSession, d: String): DataFrame =
     balanced(load(s, d, "documents"))
-  def embeddings(s: SparkSession, d: String): DataFrame =
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    // Footer-pinned float32×64 contract (memoized; zero jobs) — the
+    // events.ts lesson applied to the embedding surface.
+    DataContract.assertEmbeddingsContract(s, s"$d/embeddings.parquet")
     balanced(load(s, d, "embeddings"))
+  }
 
   /** `events` with `ts` exposed as a LongType NANOSECOND epoch — the
     * engine-wide contract every downstream consumer (q06–q10, the

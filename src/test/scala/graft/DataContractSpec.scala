@@ -88,6 +88,39 @@ class DataContractSpec extends AnyFunSuite {
     assert(e.getMessage.contains("doc_id"))
   }
 
+  test("driver embeddings.parquet satisfies the float32x64 contract") {
+    DataContract.assertEmbeddingsContract(spark, s"$sf/embeddings.parquet")
+  }
+
+  test("a re-dimensioned or re-typed embeddings file trips the guard") {
+    // The oracles hardcode 64 dims (range(1,65), 64-component plane
+    // literals) and float32 components; the engine expressions are
+    // length-generic, so a regenerated file at different dims/type
+    // would mass-mismatch silently — the guard names it instead.
+    import spark.implicits._
+    def stage(df: org.apache.spark.sql.DataFrame, tag: String): String = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_emb_$tag").toString
+      graft.queries.FixtureIO.writeStable(df, s"$tmp/stage")
+      assert(new java.io.File(s"$tmp/stage/data.parquet")
+        .renameTo(new java.io.File(s"$tmp/embeddings.parquet")))
+      tmp
+    }
+    val dims32 = stage(Seq((0L, Array.fill(32)(0.5f), 1))
+      .toDF("vec_id", "embedding", "label"), "d32")
+    val e1 = intercept[IllegalStateException] {
+      DataContract.assertEmbeddingsContract(spark, s"$dims32/embeddings.parquet")
+    }
+    assert(e1.getMessage.contains("data-contract drift"))
+    val doubles = stage(Seq((0L, Array.fill(64)(0.5d), 1))
+      .toDF("vec_id", "embedding", "label"), "dbl")
+    val e2 = intercept[IllegalStateException] {
+      DataContract.assertEmbeddingsContract(spark, s"$doubles/embeddings.parquet")
+    }
+    assert(e2.getMessage.contains("DOUBLE"))
+    // and the batch loader routes through the guard
+    intercept[IllegalStateException] { Tables.embeddings(spark, dims32) }
+  }
+
   test("under-split documents scan is balanced to cluster parallelism") {
     // The testdata files are single-row-group, so the raw scan is one
     // partition; the loader must spread it so per-row signature /
