@@ -88,6 +88,7 @@ object SparkEntry {
     "q53_corpus_recipe"       -> (PipelineQueries.q53CorpusRecipe _),
     "q54_lsh_tuned"           -> (PipelineQueries.q54LshTuned _),
     "q55_ann_recall"          -> (PipelineQueries.q55AnnRecall _),
+    "q56_bigram_lm"           -> (PipelineQueries.q56BigramLm _),
   ) ++ graft.queries.NearQueries.queries
 
   def oracleSql: Map[String, String] = Map(

@@ -229,6 +229,26 @@ object PipelineOracles {
          |SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= 0.7
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // q56: the corpus-as-bigram-LM fluency score — per-DISTINCT-bigram
+    // integer micro-unit −log10 P(w2|w1) (continuation counts), per-doc
+    // occurrence sum, q40's exact average formula.
+    "q56_bigram_lm" ->
+      s"""WITH g AS (SELECT doc_id,
+         |    list_transform(range(1, len(w)), i -> [w[i], w[i+1]]) AS bs
+         |  FROM ($docsWithWords) d0 WHERE len(w) >= 2),
+         |b AS (SELECT doc_id, unnest(bs) AS bg FROM g),
+         |bc AS (SELECT bg, count(*) AS cb FROM b GROUP BY bg),
+         |uc AS (SELECT bg[1] AS w1, sum(cb) AS cu FROM bc GROUP BY bg[1]),
+         |sm AS (SELECT bg, CAST(round(log10(CAST(cu AS DOUBLE) / cb) * 1e6)
+         |         AS BIGINT) AS sm
+         |       FROM bc JOIN uc ON bc.bg[1] = uc.w1)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(sm) AS BIGINT) AS surprisal_micro,
+         |  CAST((CAST(sum(sm) AS BIGINT) * 20000 + count(*) * 1000000)
+         |    // (2 * count(*) * 1000000) AS DOUBLE) / 10000.0 AS avg_bigram_surprisal
+         |FROM b JOIN sm USING (bg)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // q55: recall@3 of the IVF ANN (q25's quantizer CTEs + 2-cell
     // probe) against the exact per-anchor top-3; the recall ratio is
     // the same exact half-up integer division as the engine's rdiv4.

@@ -1008,6 +1008,47 @@ object PipelineQueries {
     Dedup.lshNearDupPairs(s, Tables.documents(s, dir), "doc_id", "text",
       k = 32, bands = 8, shingleN = 2, threshold = 0.7)
 
+  /** Bigram-LM fluency score — the CCNet/KenLM-style "perplexity
+    * filter" stand-in, one model class up from q40's unigram
+    * surprisal: the corpus itself is the language model (bigram
+    * continuation counts), and each document is scored by the average
+    * surprisal −log10 P(w2|w1) of its bigram stream. Disfluent or
+    * shuffled text scores high even when its unigrams are common —
+    * the signal unigram surprisal cannot see. Integer micro-unit
+    * log-probs per DISTINCT bigram + exact terminal division keep the
+    * report engine-exact (the q40 pattern, conditioned on the
+    * preceding token). Scale shape: one shuffle to build the bigram
+    * model (map-side combined), one (w1,w2)-keyed join of the bigram
+    * stream to the model, one per-doc aggregation; a production run
+    * would prune the model to a top-K vocabulary before the join —
+    * same plan, smaller build side.
+    */
+  def q56BigramLm(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), TF.words(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+    val big = d.select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      // Feeds the model build AND the scoring join — materialize the
+      // explode once (the q38 shared-base rationale).
+      .localCheckpoint(true)
+    val bc = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val uc = bc.groupBy(col("w1")).agg(sum(col("cb")).as("cu"))
+    val sm = bc.join(uc, "w1")
+      .select(col("w1"), col("w2"),
+        round(log10(col("cu").cast("double") / col("cb").cast("double"))
+          * 1e6, 0).cast("long").as("sm"))
+    big.join(sm, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("sm")).as("surprisal_micro"))
+      .withColumn("avg_bigram_surprisal",
+        rdiv4(col("surprisal_micro"), col("n_bigrams") * 1000000L))
+      .orderBy(col("doc_id"))
+  }
+
   /** ANN index-quality report: recall@3 of the IVF path (q25's
     * quantizer + 2-cell probe) against the exact brute-force top-3
     * (q19's ranking) per anchor — the gate a production ANN pipeline

@@ -1145,6 +1145,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("q56 bigram-LM scores match a driver-side brute force") {
+    val rows = SparkEntry.queries("q56_bigram_lm")(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split(" ").toSeq)
+      .filter(_._2.length >= 2)
+    assert(rows.length == docs.length, "one row per >=2-word doc")
+    val bigrams = docs.flatMap { case (id, w) =>
+      w.sliding(2).map(p => (id, (p(0), p(1)))) }
+    val cb = bigrams.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val cu = cb.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val sm = cb.map { case (bg, c) =>
+      bg -> BigDecimal(java.math.BigDecimal.valueOf(
+          math.log10(cu(bg._1).toDouble / c.toDouble) * 1e6))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong }
+    val expected = bigrams.groupBy(_._1).map { case (id, bs) =>
+      val total = bs.map(b => sm(b._2)).sum
+      val n = bs.length.toLong
+      val avg = BigDecimal(total) / BigDecimal(n * 1000000L)
+      id -> (n, total,
+        avg.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (n, total, avg) = expected(id)
+      assert(r.getAs[Long]("n_bigrams") == n, s"n_bigrams of $id")
+      assert(r.getAs[Long]("surprisal_micro") == total, s"micro of $id")
+      assert(r.getAs[Double]("avg_bigram_surprisal") == avg, s"avg of $id")
+    }
+  }
+
   test("q54 plan: candidates via equi-join, no cartesian/nested loop") {
     val plan = SparkEntry.queries("q54_lsh_tuned")(spark, sf)
       .queryExecution.executedPlan.toString
