@@ -89,6 +89,7 @@ object SparkEntry {
     "q54_lsh_tuned"           -> (PipelineQueries.q54LshTuned _),
     "q55_ann_recall"          -> (PipelineQueries.q55AnnRecall _),
     "q56_bigram_lm"           -> (PipelineQueries.q56BigramLm _),
+    "q57_image_dhash"         -> (Multimodal.q57ImageDhash _),
   ) ++ graft.queries.NearQueries.queries
 
   def oracleSql: Map[String, String] = Map(

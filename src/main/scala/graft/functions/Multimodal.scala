@@ -222,6 +222,12 @@ object Multimodal {
     StructField("img_id", LongType, nullable = false),
     StructField("rgb_hex", StringType, nullable = false)))
 
+  private val imageDhashSchema: StructType = StructType(Seq(
+    StructField("img_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("dhash_hex", StringType, nullable = false)))
+
   // One PNG encode pass per session: the (img_id, png) table is also
   // materialized to the fixture dir so the DuckDB twin can enumerate
   // the same img_ids (it recomputes everything else from the formula).
@@ -276,6 +282,49 @@ object Multimodal {
 
   def q44ImageResize(s: SparkSession, dir: String): DataFrame =
     resizeImages(images(s), "img_id", "png", 4, 4).orderBy(col("img_id"))
+
+  /** dHash perceptual image fingerprint — the standard image near-dup
+    * signature: decode, integer nearest-resample to a 9×8 grid, exact
+    * integer luma ((299r+587g+114b)//1000), bit k = [gray(i+1,j) >
+    * gray(i,j)] over the 8×8 adjacent-column gradient (row-major
+    * k = j·8+i), emitted as 16 hex chars (hi word then lo word, so
+    * the 64th bit needs no signed-BIGINT gymnastics in either
+    * engine). Hamming distance on the hash ≈ visual similarity;
+    * corpus-scale candidate pairs band it exactly like q30's Charikar
+    * blocks. Every stage is exact integer math, so the DuckDB twin
+    * replays decode→resample→luma→gradient from the fixture's pixel
+    * formula — the engine's real ImageIO decode is load-bearing in
+    * the gate.
+    */
+  def imageDhash(imgs: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val in = imgs.select(col(idCol).cast("long").as("id"), col(binCol).as("data"))
+    val enc = RowEncoder.encoderFor(imageDhashSchema)
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val d = ImageCodec.decode(r.getAs[Array[Byte]](1)).getOrElse(
+          throw new IllegalStateException("payload failed to decode"))
+        val px = ImageCodec.resampleNearest(d, 9, 8)
+        def gray(p: Int): Int =
+          (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
+            114 * (p & 0xff)) / 1000
+        var lo = 0L
+        var hi = 0L
+        var k = 0
+        while (k < 64) {
+          val i = k % 8
+          val j = k / 8
+          if (gray(px(j * 9 + i + 1)) > gray(px(j * 9 + i))) {
+            if (k < 32) lo |= (1L << k) else hi |= (1L << (k - 32))
+          }
+          k += 1
+        }
+        Row(r.getLong(0), d.width, d.height, f"$hi%08x$lo%08x")
+      }
+    }(enc)
+  }
+
+  def q57ImageDhash(s: SparkSession, dir: String): DataFrame =
+    imageDhash(images(s), "img_id", "png").orderBy(col("img_id"))
 }
 
 /** Deterministic media fixture: tiny truecolor PNGs built from a pure

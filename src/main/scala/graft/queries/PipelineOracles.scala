@@ -893,6 +893,34 @@ object PipelineOracles {
          |    '' ORDER BY k) AS rgb_hex
          |FROM rp GROUP BY img_id ORDER BY img_id""".stripMargin,
 
+    // q57: dHash perceptual fingerprint — the oracle replays the
+    // engine's full decode→9×8 nearest resample→integer luma→gradient
+    // chain from the fixture's pixel formula (all `//` math); the two
+    // 32-bit halves avoid the 64th bit's signed-BIGINT edge.
+    "q57_image_dhash" ->
+      s"""WITH imgs AS (
+         |  SELECT img_id, 4 + img_id % 13 AS w, 3 + img_id % 11 AS h
+         |  FROM read_parquet('${graft.functions.MediaFixture.fixtureDir}/images/*.parquet')),
+         |ks AS (SELECT img_id, w, h, unnest(generate_series(0, 71)) AS k FROM imgs),
+         |g AS (SELECT img_id, w, h, k % 9 AS gi, k // 9 AS gj,
+         |        (299*((17*(((k % 9) * w) // 9) + 29*(((k // 9) * h) // 8) + 31*img_id) % 256)
+         |       + 587*(( 3*(((k % 9) * w) // 9) +  7*(((k // 9) * h) // 8) + 11*img_id) % 256)
+         |       + 114*((13*(((k % 9) * w) // 9) +  5*(((k // 9) * h) // 8) + 19*img_id) % 256)) // 1000 AS gray
+         |      FROM ks),
+         |bits AS (SELECT a.img_id, a.gj * 8 + a.gi AS k,
+         |           CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit
+         |         FROM g a JOIN g b ON a.img_id = b.img_id AND a.gj = b.gj
+         |            AND b.gi = a.gi + 1
+         |         WHERE a.gi < 8),
+         |halves AS (SELECT img_id,
+         |    CAST(sum(CASE WHEN k >= 32 THEN bit * (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END) AS BIGINT) AS hi,
+         |    CAST(sum(CASE WHEN k < 32 THEN bit * (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS lo
+         |  FROM bits GROUP BY img_id)
+         |SELECT imgs.img_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+         |  format('{:08x}', hi) || format('{:08x}', lo) AS dhash_hex
+         |FROM imgs JOIN halves ON imgs.img_id = halves.img_id
+         |ORDER BY imgs.img_id""".stripMargin,
+
     // PII scrub: same deterministic injection from doc_id, same
     // Java∩RE2 regexes; DuckDB regexp_replace needs the 'g' flag to
     // match Spark's replace-all default.

@@ -69,4 +69,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rs.length == MediaFixture.nImages)
     rs.foreach(r => assert(r.getAs[String]("rgb_hex").length == 16 * 6))
   }
+
+  test("q57 dhash: monotone gradient saturates, constant image zeroes") {
+    import spark.implicits._
+    // 9x8 source images so the resample is the identity: a strictly
+    // x-increasing luma sets every adjacent-column gradient bit, a
+    // constant image sets none — the two boundary fingerprints.
+    val grad = ImageCodec.encodePng(9, 8, (x, _) => {
+      val v = x * 20; (v << 16) | (v << 8) | v })
+    val flat = ImageCodec.encodePng(9, 8, (_, _) => 0x505050)
+    val rows = Multimodal.imageDhash(
+        Seq((0L, grad), (1L, flat)).toDF("img_id", "png"), "img_id", "png")
+      .orderBy("img_id").collect()
+    assert(rows(0).getAs[String]("dhash_hex") == "f" * 16)
+    assert(rows(1).getAs[String]("dhash_hex") == "0" * 16)
+    // and the fixture sweep emits one 16-hex fingerprint per image
+    val all = SparkEntry.queries("q57_image_dhash")(spark, sf).collect()
+    assert(all.length == MediaFixture.nImages)
+    all.foreach(r =>
+      assert(r.getAs[String]("dhash_hex").matches("[0-9a-f]{16}")))
+  }
 }
