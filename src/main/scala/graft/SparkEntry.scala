@@ -90,6 +90,7 @@ object SparkEntry {
     "q55_ann_recall"          -> (PipelineQueries.q55AnnRecall _),
     "q56_bigram_lm"           -> (PipelineQueries.q56BigramLm _),
     "q57_image_dhash"         -> (Multimodal.q57ImageDhash _),
+    "q58_audio_meta"          -> (Multimodal.q58AudioMeta _),
   ) ++ graft.queries.NearQueries.queries
 
   def oracleSql: Map[String, String] = Map(

@@ -325,6 +325,68 @@ object Multimodal {
 
   def q57ImageDhash(s: SparkSession, dir: String): DataFrame =
     imageDhash(images(s), "img_id", "png").orderBy(col("img_id"))
+
+  private val audioMetaSchema: StructType = StructType(Seq(
+    StructField("clip_id", LongType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("duration_us", LongType, nullable = false),
+    StructField("sum_abs", LongType, nullable = false),
+    StructField("sum_sq", LongType, nullable = false),
+    StructField("peak", IntegerType, nullable = false)))
+
+  private val clipCache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+
+  private def clips(s: SparkSession): DataFrame =
+    clipCache.computeIfAbsent(s, (s2: SparkSession) => {
+      import s2.implicits._
+      val df = (0 until MediaFixture.nClips)
+        .map(id => (id.toLong, MediaFixture.wav(id))).toDF("clip_id", "wav")
+        .persist()
+      df.count()
+      graft.queries.FixtureIO.writeStable(
+        df, s"${MediaFixture.fixtureDir}/audio")
+      df
+    })
+
+  /** Audio signal metadata over opaque WAV binary columns: a GENUINE
+    * RIFF/PCM16 parse on the executors ([[AudioCodec.decodeWav]] —
+    * magic checks, chunk walk, little-endian samples), then exact
+    * integer signal statistics (duration in µs, Σ|s|, Σs², peak).
+    * The DuckDB twin regenerates the fixture's sample formula
+    * arithmetically, so a decode defect — wrong endianness, header
+    * off-by-one, channel misparse — breaks the hash gate. Completes
+    * the multimodal triad next to the image operators (q43/q44/q57);
+    * same scale shape: map-only per-row decode, bytes never leave
+    * executors.
+    */
+  def audioMeta(clipsDf: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val in = clipsDf.select(col(idCol).cast("long").as("id"), col(binCol).as("data"))
+    val enc = RowEncoder.encoderFor(audioMetaSchema)
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val d = AudioCodec.decodeWav(r.getAs[Array[Byte]](1)).getOrElse(
+          throw new IllegalStateException("payload failed to decode as WAV"))
+        var sumAbs = 0L
+        var sumSq = 0L
+        var peak = 0
+        d.samples.foreach { s0 =>
+          val v = s0.toInt
+          val a = math.abs(v)
+          sumAbs += a
+          sumSq += v.toLong * v
+          if (a > peak) peak = a
+        }
+        Row(r.getLong(0), d.sampleRate, d.samples.length.toLong,
+          d.samples.length.toLong * 1000000L / d.sampleRate,
+          sumAbs, sumSq, peak)
+      }
+    }(enc)
+  }
+
+  def q58AudioMeta(s: SparkSession, dir: String): DataFrame =
+    audioMeta(clips(s), "clip_id", "wav").orderBy(col("clip_id"))
 }
 
 /** Deterministic media fixture: tiny truecolor PNGs built from a pure
@@ -346,4 +408,17 @@ object MediaFixture {
     ((13 * x + 5 * y + 19 * id) % 256)
   def png(id: Int): Array[Byte] =
     ImageCodec.encodePng(width(id), height(id), (x, y) => rgb(id, x, y))
+
+  /** Deterministic PCM16 mono clips: sample i of clip id is a pure
+    * integer formula (range ±4096, well inside int16), so the q58
+    * oracle can recompute every signal statistic in SQL while the
+    * engine decodes the actual RIFF bytes.
+    */
+  val nClips = 64
+  val clipRate = 8000
+  def clipSamples(id: Int): Int = 800 + (id % 7) * 160
+  def pcm(id: Int, i: Int): Int = ((31 * i + 17 * id) % 8192) - 4096
+  def wav(id: Int): Array[Byte] =
+    AudioCodec.encodeWav(clipRate,
+      Array.tabulate(clipSamples(id))(i => pcm(id, i).toShort))
 }

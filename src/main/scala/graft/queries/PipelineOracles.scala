@@ -921,6 +921,25 @@ object PipelineOracles {
          |FROM imgs JOIN halves ON imgs.img_id = halves.img_id
          |ORDER BY imgs.img_id""".stripMargin,
 
+    // q58: the engine genuinely parses RIFF/PCM16 bytes; the oracle
+    // regenerates the fixture's sample formula and aggregates the
+    // same exact integer statistics.
+    "q58_audio_meta" ->
+      s"""WITH clips AS (
+         |  SELECT clip_id, 800 + clip_id % 7 * 160 AS n
+         |  FROM read_parquet('${graft.functions.MediaFixture.fixtureDir}/audio/*.parquet')),
+         |sm AS (SELECT clip_id, n,
+         |         ((31 * unnest(generate_series(0, n - 1)) + 17 * clip_id) % 8192) - 4096 AS v
+         |       FROM clips)
+         |SELECT clip_id,
+         |  CAST(${graft.functions.MediaFixture.clipRate} AS INTEGER) AS sample_rate,
+         |  CAST(n AS BIGINT) AS n_samples,
+         |  CAST(n * 1000000 // ${graft.functions.MediaFixture.clipRate} AS BIGINT) AS duration_us,
+         |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+         |  CAST(sum(v * v) AS BIGINT) AS sum_sq,
+         |  CAST(max(abs(v)) AS INTEGER) AS peak
+         |FROM sm GROUP BY clip_id, n ORDER BY clip_id""".stripMargin,
+
     // PII scrub: same deterministic injection from doc_id, same
     // Java∩RE2 regexes; DuckDB regexp_replace needs the 'g' flag to
     // match Spark's replace-all default.

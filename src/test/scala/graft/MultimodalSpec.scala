@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.functions.{ImageCodec, MediaFixture, Multimodal}
+import graft.functions.{AudioCodec, ImageCodec, MediaFixture, Multimodal}
 
 /** Real image decode (q43/q44): PNG is lossless, so
   * decode(encodePng(formula)) must reproduce the formula pixel-exactly
@@ -88,5 +88,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(all.length == MediaFixture.nImages)
     all.foreach(r =>
       assert(r.getAs[String]("dhash_hex").matches("[0-9a-f]{16}")))
+  }
+
+  test("WAV codec: exact round-trip, chunk walk, loud on corruption") {
+    val samples = Array.tabulate(100)(i => (i * 37 - 1850).toShort)
+    val wav = AudioCodec.encodeWav(8000, samples)
+    val d = AudioCodec.decodeWav(wav).get
+    assert(d.sampleRate == 8000 && d.samples.sameElements(samples))
+    // an inserted unknown chunk before fmt/data must be skipped, not
+    // tripped over (the chunk WALK is what makes the parse genuine)
+    val extra = java.nio.ByteBuffer.allocate(wav.length + 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    extra.put(wav, 0, 12) // RIFF + size + WAVE
+      .put("LIST".getBytes("US-ASCII")).putInt(4).putInt(0)
+      .put(wav, 12, wav.length - 12)
+    val d2 = AudioCodec.decodeWav(extra.array()).get
+    assert(d2.samples.sameElements(samples))
+    // corruption classes all refuse instead of misreading
+    assert(AudioCodec.decodeWav(wav.take(30)).isEmpty, "truncated")
+    val badMagic = wav.clone(); badMagic(0) = 'X'.toByte
+    assert(AudioCodec.decodeWav(badMagic).isEmpty, "bad magic")
+    val stereo = wav.clone(); stereo(22) = 2 // channels field
+    assert(AudioCodec.decodeWav(stereo).isEmpty, "non-mono refused")
+    // and the fixture sweep decodes every clip with exact stats
+    val rows = SparkEntry.queries("q58_audio_meta")(spark, sf).collect()
+    assert(rows.length == MediaFixture.nClips)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("clip_id").toInt
+      assert(r.getAs[Long]("n_samples") == MediaFixture.clipSamples(id).toLong)
+      assert(r.getAs[Int]("peak") <= 4096)
+    }
   }
 }
