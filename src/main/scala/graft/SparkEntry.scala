@@ -91,6 +91,7 @@ object SparkEntry {
     "q56_bigram_lm"           -> (PipelineQueries.q56BigramLm _),
     "q57_image_dhash"         -> (Multimodal.q57ImageDhash _),
     "q58_audio_meta"          -> (Multimodal.q58AudioMeta _),
+    "q59_video_frames"        -> (Multimodal.q59VideoFrames _),
   ) ++ graft.queries.NearQueries.queries
 
   def oracleSql: Map[String, String] = Map(

@@ -387,6 +387,68 @@ object Multimodal {
 
   def q58AudioMeta(s: SparkSession, dir: String): DataFrame =
     audioMeta(clips(s), "clip_id", "wav").orderBy(col("clip_id"))
+
+  private val videoFrameSchema: StructType = StructType(Seq(
+    StructField("video_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("sum_r", LongType, nullable = false),
+    StructField("sum_g", LongType, nullable = false),
+    StructField("sum_b", LongType, nullable = false)))
+
+  private val videoCache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+
+  private def videos(s: SparkSession): DataFrame =
+    videoCache.computeIfAbsent(s, (s2: SparkSession) => {
+      import s2.implicits._
+      val df = (0 until MediaFixture.nVideos)
+        .map(id => (id.toLong, MediaFixture.video(id))).toDF("video_id", "gvid")
+        .persist()
+      df.count()
+      graft.queries.FixtureIO.writeStable(
+        df, s"${MediaFixture.fixtureDir}/videos")
+      df
+    })
+
+  /** Video FRAME-SAMPLING over opaque container binary columns: walk
+    * the container header on the executor, slice out only every
+    * `stride`-th frame (unsampled frames are never copied), decode
+    * each sampled frame for real (ImageIO) and report exact per-frame
+    * channel sums. The production shape for "take 1 frame/sec from
+    * 100 TB of video": per-row work is bounded by sampled frames, the
+    * bytes never leave the executor, and the output is a long-form
+    * (video, frame) table ready for the image operators (q57's dHash
+    * composes directly). The oracle recomputes each sampled frame's
+    * sums from the fixture formula — container-walk or decode defects
+    * break the hash gate.
+    */
+  def sampleVideoFrames(vids: DataFrame, idCol: String, binCol: String,
+      stride: Int): DataFrame = {
+    val in = vids.select(col(idCol).cast("long").as("id"), col(binCol).as("data"))
+    val enc = RowEncoder.encoderFor(videoFrameSchema)
+    in.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val n = VideoContainer.frameCount(bytes).getOrElse(
+          throw new IllegalStateException("payload is not a GVID container"))
+        val idxs = 0 until n by stride
+        val frames = VideoContainer.sampleFrames(bytes, idxs).getOrElse(
+          throw new IllegalStateException("container frame walk failed"))
+        idxs.zip(frames).map { case (f, png) =>
+          val d = ImageCodec.decode(png).getOrElse(
+            throw new IllegalStateException(s"frame $f failed to decode"))
+          val (sr, sg, sb) = ImageCodec.channelSums(d)
+          Row(r.getLong(0), f, d.width, d.height, sr, sg, sb)
+        }
+      }
+    }(enc)
+  }
+
+  def q59VideoFrames(s: SparkSession, dir: String): DataFrame =
+    sampleVideoFrames(videos(s), "video_id", "gvid", stride = 3)
+      .orderBy(col("video_id"), col("frame_idx"))
 }
 
 /** Deterministic media fixture: tiny truecolor PNGs built from a pure
@@ -421,4 +483,19 @@ object MediaFixture {
   def wav(id: Int): Array[Byte] =
     AudioCodec.encodeWav(clipRate,
       Array.tabulate(clipSamples(id))(i => pcm(id, i).toShort))
+
+  /** Deterministic "videos": GVID containers of PNG frames whose
+    * pixels reuse the image formula with the frame index folded into
+    * the id — so the q59 oracle recomputes any sampled frame's channel
+    * sums in SQL while the engine walks real container bytes and
+    * ImageIO-decodes real PNGs.
+    */
+  val nVideos = 24
+  def videoFrames(id: Int): Int = 6 + id % 8
+  def frameSeed(id: Int, f: Int): Int = id * 31 + f * 7
+  def video(id: Int): Array[Byte] =
+    VideoContainer.encode((0 until videoFrames(id)).map { f =>
+      val seed = frameSeed(id, f)
+      ImageCodec.encodePng(width(id), height(id), (x, y) => rgb(seed, x, y))
+    })
 }

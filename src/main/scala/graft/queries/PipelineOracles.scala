@@ -940,6 +940,25 @@ object PipelineOracles {
          |  CAST(max(abs(v)) AS INTEGER) AS peak
          |FROM sm GROUP BY clip_id, n ORDER BY clip_id""".stripMargin,
 
+    // q59: every 3rd frame of each GVID container — the oracle
+    // recomputes the sampled frames' channel sums from the fixture
+    // formula (seed = id*31 + f*7), so both the engine's container
+    // walk and its per-frame decode are load-bearing.
+    "q59_video_frames" ->
+      s"""WITH vids AS (
+         |  SELECT video_id, 6 + video_id % 8 AS n,
+         |         4 + video_id % 13 AS w, 3 + video_id % 11 AS h
+         |  FROM read_parquet('${graft.functions.MediaFixture.fixtureDir}/videos/*.parquet')),
+         |fs AS (SELECT video_id, w, h, unnest(generate_series(0, n - 1, 3)) AS f FROM vids),
+         |xs AS (SELECT video_id, f, w, h, unnest(generate_series(0, w - 1)) AS x FROM fs),
+         |px AS (SELECT video_id, f, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs)
+         |SELECT video_id, CAST(f AS INTEGER) AS frame_idx,
+         |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+         |  CAST(sum((17*x + 29*y + 31*(video_id*31 + f*7)) % 256) AS BIGINT) AS sum_r,
+         |  CAST(sum(( 3*x +  7*y + 11*(video_id*31 + f*7)) % 256) AS BIGINT) AS sum_g,
+         |  CAST(sum((13*x +  5*y + 19*(video_id*31 + f*7)) % 256) AS BIGINT) AS sum_b
+         |FROM px GROUP BY video_id, f, w, h ORDER BY video_id, f""".stripMargin,
+
     // PII scrub: same deterministic injection from doc_id, same
     // Java∩RE2 regexes; DuckDB regexp_replace needs the 'g' flag to
     // match Spark's replace-all default.

@@ -119,4 +119,31 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getAs[Int]("peak") <= 4096)
     }
   }
+
+  test("GVID container: sampled slices round-trip, corruption refused") {
+    import graft.functions.VideoContainer
+    val frames = (0 until 7).map(i => Array.fill(10 + i)(i.toByte))
+    val v = VideoContainer.encode(frames)
+    assert(VideoContainer.frameCount(v).contains(7))
+    val sampled = VideoContainer.sampleFrames(v, Seq(0, 3, 6)).get
+    assert(sampled.zip(Seq(0, 3, 6)).forall { case (f, i) =>
+      f.sameElements(frames(i)) })
+    assert(VideoContainer.sampleFrames(v, Seq(7)).isEmpty, "out of range")
+    assert(VideoContainer.frameCount(v.take(6)).isEmpty, "truncated header")
+    val bad = v.clone(); bad(0) = 'X'.toByte
+    assert(VideoContainer.frameCount(bad).isEmpty, "bad magic")
+    assert(VideoContainer.sampleFrames(v.take(30), Seq(0, 3)).isEmpty,
+      "truncated payload")
+    // fixture sweep: every 3rd frame of every video, exact dims
+    val rows = SparkEntry.queries("q59_video_frames")(spark, sf).collect()
+    val expRows = (0 until MediaFixture.nVideos)
+      .map(id => (MediaFixture.videoFrames(id) + 2) / 3).sum
+    assert(rows.length == expRows)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("video_id").toInt
+      assert(r.getAs[Int]("frame_idx") % 3 == 0)
+      assert(r.getAs[Int]("width") == MediaFixture.width(id))
+      assert(r.getAs[Int]("height") == MediaFixture.height(id))
+    }
+  }
 }
