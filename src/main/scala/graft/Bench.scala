@@ -138,7 +138,7 @@ object Bench {
           "q25_ann_ivf,q28_dup_clusters,q29_quantize_int8,q30_simhash_dups," +
           "q31_text_chunks,q34_dedup_apply,q35b_stream_dedup_windowed," +
           "q36_contamination,q38_ngram_jaccard,q51_semantic_dedup," +
-          "q53_corpus_recipe"))
+          "q53_corpus_recipe,q56_bigram_lm"))
       .split(",").map(_.trim).filter(SparkEntry.queries.contains).toSeq
     val isolated = isolatedNames.map { n =>
       val s = SparkSession.builder()
