@@ -209,9 +209,6 @@ object Bench {
     val qShort = headline.map { case (k, v) =>
       (if (k.startsWith("near_ingest")) k else shortKey(k)) -> v }
     val qs = jmap(qShort :+ ("near_tables_total" -> nearMicro.map(_._2).sum))
-    // Short-key per-query sweep on its own detail line — NOT in the
-    // headline, so the headline stays ~400 chars.
-    println(s"""{"detail":"sweep_short","queries":$qs}""")
     val iso = jmap(isolated.map { case (k, v) => shortKey(k) -> v })
     val total = allResults.map(_._2).sum
     val bps = nBlocks / ingestSec
@@ -219,8 +216,13 @@ object Bench {
       if (run2)
         s""","ingest_${nBlocks2}_blocks_per_sec":${fmt(nBlocks2 / ingestSec2)}"""
       else ""
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","isolated":$iso,"ingest_blocks_per_sec":${fmt(bps)}$ingest2Field,"sf":"$sfDir"}"""
-    if (line.length > 1000) // keep the whole line inside the window
+    // The driver contract is ONE JSON line with metric/value/unit/
+    // queries/sf; short keys keep it ~1.4 KB — r11 proved a line this
+    // size fits the 2000-char tail window whole (the parse failure was
+    // the sbt "[info] " prefix, fixed via run/outputStrategy), so the
+    // full contract shape ships rather than a trimmed one.
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"isolated":$iso,"ingest_blocks_per_sec":${fmt(bps)}$ingest2Field,"sf":"$sfDir"}"""
+    if (line.length > 1800) // keep the whole line inside the window
       System.err.println(s"[bench] headline ${line.length} chars — " +
         "approaching the driver's 2000-char tail window")
     println(line)
