@@ -63,6 +63,9 @@ object AudioCodec {
           while (i < data.length) { data(i) = bb.getShort; i += 1 }
         case _ => bb.position(bb.position() + len) // skip unknown chunk
       }
+      // RIFF pads odd-length chunks to even alignment with one byte;
+      // a walk that ignores the pad misreads every later chunk id.
+      if (len % 2 == 1 && bb.remaining >= 1) bb.get
     }
     if (rate <= 0 || data == null) None
     else Some(DecodedClip(rate, data))

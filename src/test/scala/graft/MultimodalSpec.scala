@@ -104,6 +104,16 @@ class MultimodalSpec extends AnyFunSuite {
       .put(wav, 12, wav.length - 12)
     val d2 = AudioCodec.decodeWav(extra.array()).get
     assert(d2.samples.sameElements(samples))
+    // an ODD-length unknown chunk carries a RIFF pad byte; the walk
+    // must skip it or every later chunk id shifts by one
+    val odd = java.nio.ByteBuffer.allocate(wav.length + 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    odd.put(wav, 0, 12)
+      .put("LIST".getBytes("US-ASCII")).putInt(3)
+      .put(Array[Byte](1, 2, 3, 0)) // 3 data bytes + 1 pad
+      .put(wav, 12, wav.length - 12)
+    val d3 = AudioCodec.decodeWav(odd.array()).get
+    assert(d3.samples.sameElements(samples))
     // corruption classes all refuse instead of misreading
     assert(AudioCodec.decodeWav(wav.take(30)).isEmpty, "truncated")
     val badMagic = wav.clone(); badMagic(0) = 'X'.toByte
