@@ -92,6 +92,7 @@ object SparkEntry {
     "q57_image_dhash"         -> (Multimodal.q57ImageDhash _),
     "q58_audio_meta"          -> (Multimodal.q58AudioMeta _),
     "q59_video_frames"        -> (Multimodal.q59VideoFrames _),
+    "q60_stratified_quota"    -> (PipelineQueries.q60StratifiedQuota _),
   ) ++ graft.queries.NearQueries.queries
 
   def oracleSql: Map[String, String] = Map(

@@ -188,6 +188,32 @@ object PipelineOracles {
        |SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q17's integer-exact quality twin: every ratio is a half-up
+    * integer division ((2a·10^4 + b) // 2b) widened to double at the
+    * end — no round(DOUBLE) anywhere, so the 4th-decimal boundary
+    * cannot split between engines (it did at sf0.1 before this).
+    * A val because q60's quota ranking reuses it as a subquery.
+    */
+  private val q17Sql: String =
+    s"""WITH q AS (SELECT doc_id,
+       |    CAST(length(text) AS BIGINT) AS c,
+       |    CAST(len(w) AS BIGINT) AS t,
+       |    CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]', 0)) AS BIGINT) AS p,
+       |    CAST(len(list_filter(w, x -> x IN (${inList(TF.StopwordsEn)}))) AS BIGINT) AS st
+       |  FROM ($docsWithWords) d0),
+       |m AS (SELECT doc_id, c, t, p, st,
+       |    least(100, t) * 10000 AS t1,
+       |    ((c - p) * 2000000 + c) // (2 * c) AS t2,
+       |    (st * 2000000 + t) // (2 * t) AS t3,
+       |    (least(8 * t, c) * 2000000 + 8 * t) // (16 * t) AS t4
+       |  FROM q)
+       |SELECT doc_id, c AS n_chars, t AS n_tokens,
+       |  CAST((c * 20000 + t) // (2 * t) AS DOUBLE) / 10000.0 AS mean_tok_len,
+       |  CAST((p * 20000 + c) // (2 * c) AS DOUBLE) / 10000.0 AS punct_ratio,
+       |  CAST((st * 20000 + t) // (2 * t) AS DOUBLE) / 10000.0 AS stop_ratio,
+       |  CAST(((t1 + t2 + t3 + t4) * 2 + 400) // 800 AS DOUBLE) / 10000.0 AS quality_score
+       |FROM m ORDER BY doc_id""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q11_token_stats" ->
       s"""SELECT doc_id,
@@ -321,29 +347,20 @@ object PipelineOracles {
          |WHERE bit_count(xor(sa.h, sb.h)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
 
-    "q17_quality" ->
-      // Integer-exact twin: every ratio is a half-up integer division
-      // ((2a·10^4 + b) // 2b) widened to double at the end — no
-      // round(DOUBLE) anywhere, so the 4th-decimal boundary cannot
-      // split between engines (it did at sf0.1 before this).
-      s"""WITH q AS (SELECT doc_id,
-         |    CAST(length(text) AS BIGINT) AS c,
-         |    CAST(len(w) AS BIGINT) AS t,
-         |    CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]', 0)) AS BIGINT) AS p,
-         |    CAST(len(list_filter(w, x -> x IN (${inList(TF.StopwordsEn)}))) AS BIGINT) AS st
-         |  FROM ($docsWithWords) d0),
-         |m AS (SELECT doc_id, c, t, p, st,
-         |    least(100, t) * 10000 AS t1,
-         |    ((c - p) * 2000000 + c) // (2 * c) AS t2,
-         |    (st * 2000000 + t) // (2 * t) AS t3,
-         |    (least(8 * t, c) * 2000000 + 8 * t) // (16 * t) AS t4
-         |  FROM q)
-         |SELECT doc_id, c AS n_chars, t AS n_tokens,
-         |  CAST((c * 20000 + t) // (2 * t) AS DOUBLE) / 10000.0 AS mean_tok_len,
-         |  CAST((p * 20000 + c) // (2 * c) AS DOUBLE) / 10000.0 AS punct_ratio,
-         |  CAST((st * 20000 + t) // (2 * t) AS DOUBLE) / 10000.0 AS stop_ratio,
-         |  CAST(((t1 + t2 + t3 + t4) * 2 + 400) // 800 AS DOUBLE) / 10000.0 AS quality_score
-         |FROM m ORDER BY doc_id""".stripMargin,
+    "q17_quality" -> q17Sql,
+
+    // q60: the curation SELECTION step — exactly N docs per source,
+    // ranked by q17's engine-exact quality score (DESC, doc_id ASC
+    // tiebreak). Reuses the q17 oracle verbatim as the scoring
+    // subquery, so the two entries can never drift apart.
+    "q60_stratified_quota" ->
+      s"""WITH sc AS (SELECT doc_id, quality_score FROM ($q17Sql) q17),
+         |r AS (SELECT d.doc_id, d.source, sc.quality_score,
+         |        row_number() OVER (PARTITION BY d.source
+         |          ORDER BY sc.quality_score DESC, d.doc_id) AS rank
+         |      FROM documents d JOIN sc ON d.doc_id = sc.doc_id)
+         |SELECT doc_id, source, quality_score, CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= 25 ORDER BY source, rank""".stripMargin,
 
     "q18_lang_id" -> {
       val scoreCols = TF.LangMarkers.map { case (lang, ms) =>

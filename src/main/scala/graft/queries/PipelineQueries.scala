@@ -1049,6 +1049,29 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact-quota STRATIFIED selection — the curation step that turns
+    * mixture targets into a concrete corpus: exactly the top-25 docs
+    * per source by q17's engine-exact quality score (doc_id tiebreak).
+    * The rate-based sampler (q45) hits quotas in expectation; this
+    * hits them exactly, which is what a mixture spec ("N tokens of
+    * source X") actually requires. Scale shape: one shuffle on
+    * `source` + a per-partition rank; with quota ≪ partition size the
+    * production variant swaps the full sort for a bounded top-N
+    * aggregator per source — same result, same single shuffle.
+    */
+  def q60StratifiedQuota(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sc = q17Quality(s, dir).select(col("doc_id"), col("quality_score"))
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    sc.join(src, "doc_id")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 25)
+      .select(col("doc_id"), col("source"), col("quality_score"), col("rank"))
+      .orderBy(col("source"), col("rank"))
+  }
+
   /** ANN index-quality report: recall@3 of the IVF path (q25's
     * quantizer + 2-cell probe) against the exact brute-force top-3
     * (q19's ranking) per anchor — the gate a production ANN pipeline

@@ -1176,6 +1176,41 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q60 quota: exactly 25 per source, rank-dense, score-ordered") {
+    val rows = SparkEntry.queries("q60_stratified_quota")(spark, sf).collect()
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+    val nSources = Tables.documents(spark, sf)
+      .select("source").distinct().count()
+    assert(bySrc.size == nSources)
+    bySrc.foreach { case (src, rs) =>
+      assert(rs.length == 25, s"quota of $src")
+      val ordered = rs.sortBy(_.getAs[Int]("rank"))
+      assert(ordered.map(_.getAs[Int]("rank")).toSeq == (1 to 25))
+      val scores = ordered.map(_.getAs[Double]("quality_score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"scores of $src not descending")
+    }
+    // quota winners really are the per-source best: no excluded doc
+    // outscores its source's 25th pick
+    val all = SparkEntry.queries("q17_quality")(spark, sf)
+      .select(col("doc_id"), col("quality_score")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val srcOf = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val picked = rows.map(_.getAs[Long]("doc_id")).toSet
+    bySrc.foreach { case (src, rs) =>
+      val cutoff = rs.map(r =>
+        (r.getAs[Double]("quality_score"), r.getAs[Long]("doc_id"))).min
+      all.filterNot(kv => picked(kv._1))
+        .filter(kv => srcOf(kv._1) == src)
+        .foreach { case (id, sc0) => // ordering domain: (score desc, id asc)
+          assert(sc0 < cutoff._1 ||
+            (sc0 == cutoff._1 && id > cutoff._2), s"doc $id beats cutoff of $src")
+        }
+    }
+  }
+
   test("q54 plan: candidates via equi-join, no cartesian/nested loop") {
     val plan = SparkEntry.queries("q54_lsh_tuned")(spark, sf)
       .queryExecution.executedPlan.toString
