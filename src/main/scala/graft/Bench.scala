@@ -36,7 +36,8 @@ object Bench {
         override def onQueryProgress(e: QueryProgressEvent): Unit = {
           val p = e.progress
           if (p.stateOperators.nonEmpty && p.name != null) {
-            val key = p.name.substring(0, p.name.lastIndexOf('_') + 1)
+            val cut = p.name.lastIndexOf('_')
+            val key = if (cut < 0) p.name else p.name.substring(0, cut + 1)
             stateMetrics(key) = (p.stateOperators.map(_.numRowsTotal).sum,
               p.stateOperators.map(_.memoryUsedBytes).sum)
           }

@@ -145,7 +145,7 @@ object DataContract {
         throw new IllegalStateException(
           s"embeddings data-contract drift in $file: $vals elements over " +
             s"$rows rows (expected uniform $dims dims) — the oracles " +
-            "hardcode range(1, ${dims+1}) and ${dims}-component plane " +
+            s"hardcode range(1, ${dims + 1}) and $dims-component plane " +
             "literals; update PipelineOracles + Similarity.plane call " +
             "sites for the new dimensionality")
     }

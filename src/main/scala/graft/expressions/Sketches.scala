@@ -396,9 +396,9 @@ object Sketches {
     override def checkInputDataTypes(): TypeCheckResult =
       requireNumArray(child, "graft_microq")
     override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    @transient private lazy val get = elemAsDouble(child.dataType)
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
-      val get = elemAsDouble(child.dataType)
       val n = arr.numElements()
       val out = new Array[Any](n)
       var i = 0
@@ -433,9 +433,9 @@ object Sketches {
     override def dataType: DataType = ArrayType(StructType(Seq(
       StructField("nd", DoubleType, nullable = false),
       StructField("cell", IntegerType, nullable = false))), containsNull = false)
+    @transient private lazy val get = elemAsDouble(child.dataType)
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
-      val get = elemAsDouble(child.dataType)
       val dims = arr.numElements()
       val xq = new Array[Long](dims)
       var i = 0

@@ -38,16 +38,20 @@ object VideoContainer {
     */
   def sampleFrames(bytes: Array[Byte], idxs: Seq[Int]): Option[Seq[Array[Byte]]] =
     frameCount(bytes).flatMap { n =>
-      if (idxs.exists(i => i < 0 || i >= n)) return None
-      val bb = java.nio.ByteBuffer.wrap(bytes)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      bb.position(8)
-      val lens = Array.fill(n)(bb.getInt)
-      if (lens.exists(_ < 0)) return None
-      val offsets = lens.scanLeft(8 + 4 * n)(_ + _)
-      if (offsets.last > bytes.length) return None
-      Some(idxs.map { i =>
-        java.util.Arrays.copyOfRange(bytes, offsets(i), offsets(i) + lens(i))
-      })
+      if (idxs.exists(i => i < 0 || i >= n)) None
+      else {
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.position(8)
+        val lens = Array.fill(n)(bb.getInt)
+        if (lens.exists(_ < 0)) None
+        else {
+          val offsets = lens.scanLeft(8 + 4 * n)(_ + _)
+          if (offsets.last > bytes.length) None
+          else Some(idxs.map { i =>
+            java.util.Arrays.copyOfRange(bytes, offsets(i), offsets(i) + lens(i))
+          })
+        }
+      }
     }
 }
