@@ -97,6 +97,53 @@ object Bench {
       }
       n -> dt
     }
+    // q48b TTL eviction, PRICED: the sweep's q48b drains the one-file
+    // fixture in a single microbatch, where no event-time timeout can
+    // fire — its state row count equals ALL distinct signatures and
+    // says nothing about the TTL bound. Re-drive the same operator
+    // (production ttl = 1 h) through a staged multi-batch source: two
+    // corpus halves, then two far-future ticks whose watermark jump
+    // fires every stale timeout. The final "neardupb_" state size in
+    // the state_store line is therefore POST-eviction, and the
+    // pre/post pair prints on its own detail line.
+    val q48bTtl: Option[(Long, Long)] = if (ingestOnly) None else try {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import spark.implicits._
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)].collect()
+      val maxId = docs.map(_._1).max
+      val ms = MemoryStream[(Long, String)]
+      val dups = graft.streaming.StreamingJobs.nearDupBoundedStream(
+        spark, ms.toDF().toDF("doc_id", "text"), ttlMs = 3600L * 1000L)
+      val name = "neardupb_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = dups.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      def stateRows: Long = q.recentProgress
+        .filter(_.stateOperators.nonEmpty).lastOption
+        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+      try {
+        val (h1, h2) = docs.partition(_._1 < maxId / 2)
+        ms.addData(h1.toIndexedSeq); q.processAllAvailable()
+        ms.addData(h2.toIndexedSeq); q.processAllAvailable()
+        val pre = stateRows // every distinct signature is live
+        // tick 1 advances the watermark 9 h past the corpus; tick 2's
+        // batch then starts under that watermark and fires the
+        // timeouts (EventTimeTimeout evictions always land one batch
+        // after the watermark move).
+        ms.addData(Seq((maxId + 36000L, "tick tock tick")))
+        q.processAllAvailable()
+        ms.addData(Seq((maxId + 36001L, "tock tick tock")))
+        q.processAllAvailable()
+        val post = stateRows // ticks only — the corpus horizon expired
+        Some((pre, post))
+      } finally {
+        q.stop(); spark.catalog.dropTempView(name)
+        org.apache.spark.sql.graft.StateStoreHygiene.unloadAll()
+      }
+    } catch { case _: Throwable => None }
+
     // NEAR ingest throughput: full block-JSON → 17-table ETL (incl.
     // lineage fixpoint) over a synthetic chain. The reference sustains
     // ~1 block/s (BASELINE.md); this measures our blocks/s at the same
@@ -139,7 +186,7 @@ object Bench {
           "q25_ann_ivf,q28_dup_clusters,q29_quantize_int8,q30_simhash_dups," +
           "q31_text_chunks,q34_dedup_apply,q35b_stream_dedup_windowed," +
           "q36_contamination,q38_ngram_jaccard,q51_semantic_dedup," +
-          "q53_corpus_recipe,q56_bigram_lm"))
+          "q53_corpus_recipe,q56_bigram_lm,near_scale_receipts"))
       .split(",").map(_.trim).filter(SparkEntry.queries.contains).toSeq
     val isolated = isolatedNames.map { n =>
       val s = SparkSession.builder()
@@ -199,6 +246,13 @@ object Bench {
     // Full-name sweep for human readers / logs (clipped from the
     // driver's tail window, load-bearing numbers all re-appear below).
     println(s"""{"detail":"sweep","queries":${jmap(headline)}}""")
+    // Leak gauge: after the fresh-session-per-entry isolated loop every
+    // session but (at most) the last is stopped, so the session-keyed
+    // fixture/ETL caches must have swept down to ≤1 live entry each —
+    // >1 here means stopped sessions are being retained again.
+    println(s"""{"detail":"session_caches","multimodal":${
+      graft.functions.Multimodal.fixtureCacheSize},"near_etl":${
+      graft.queries.NearQueries.etlCacheSize}}""")
     // Final state-store totals per streaming job (prefix → rows/bytes)
     // under the provider above — the per-round "bounded state" number.
     if (stateMetrics.nonEmpty) {
@@ -206,6 +260,9 @@ object Bench {
         s""""$k":{"rows":$rows,"bytes":$bytes}""" }.mkString(",")
       val prov = stateProviderClass.split('.').last
       println(s"""{"detail":"state_store","provider":"$prov","ops":{$ops}}""")
+    }
+    q48bTtl.foreach { case (pre, post) =>
+      println(s"""{"detail":"q48b_ttl_eviction","pre_rows":$pre,"post_rows":$post}""")
     }
     val qShort = headline.map { case (k, v) =>
       (if (k.startsWith("near_ingest")) k else shortKey(k)) -> v }

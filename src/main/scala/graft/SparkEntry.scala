@@ -88,7 +88,12 @@ object SparkEntry {
     "q53_corpus_recipe"       -> (PipelineQueries.q53CorpusRecipe _),
     "q54_lsh_tuned"           -> (PipelineQueries.q54LshTuned _),
     "q55_ann_recall"          -> (PipelineQueries.q55AnnRecall _),
+    "q55b_ann_recall_probe1"  -> (PipelineQueries.q55bAnnRecallProbe1 _),
     "q56_bigram_lm"           -> (PipelineQueries.q56BigramLm _),
+    "q56b_bigram_lm_pruned"   -> ((s: SparkSession, dir: String) =>
+      PipelineQueries.q56bBigramLmPruned(s, dir)),
+    "q61_video_frame_near_dup" ->
+      (graft.functions.Multimodal.q61VideoFrameNearDup _),
     "q57_image_dhash"         -> (Multimodal.q57ImageDhash _),
     "q58_audio_meta"          -> (Multimodal.q58AudioMeta _),
     "q59_video_frames"        -> (Multimodal.q59VideoFrames _),

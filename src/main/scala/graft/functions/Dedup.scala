@@ -152,15 +152,20 @@ object Dedup {
       val nbrMin = edges
         .join(labels, col("v") === col("node"))
         .groupBy(col("u")).agg(min(col("lbl")).as("nlbl"))
-      // Carry the previous label through the propagation round so
-      // convergence is a filter over the (already materialized)
-      // checkpoint — not a second full label-join per iteration.
+      // Carry the previous label through the propagation round, then
+      // materialize AND test convergence in a SINGLE job: the lazy
+      // localCheckpoint is forced by the changed-count aggregate
+      // (count scans every partition, so the checkpoint completes —
+      // an isEmpty/limit action would not guarantee that), which
+      // replaces the former eager-checkpoint-then-isEmpty pair. One
+      // round of propagation = one Spark job, and the lineage is still
+      // truncated each round so plan size stays O(1) in iterations.
       val next = labels
         .join(nbrMin, col("node") === col("u"), "left")
         .select(col("node"), col("lbl").as("prev"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true)
-      changed = !next.filter(col("lbl") =!= col("prev")).isEmpty
+        .localCheckpoint(eager = false)
+      changed = next.filter(col("lbl") =!= col("prev")).count() > 0
       labels = next.select(col("node"), col("lbl"))
       iter += 1
     }

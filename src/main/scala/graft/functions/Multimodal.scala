@@ -232,10 +232,10 @@ object Multimodal {
   // materialized to the fixture dir so the DuckDB twin can enumerate
   // the same img_ids (it recomputes everything else from the formula).
   private val imageCache =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+    new graft.SessionCache[DataFrame]()
 
   private def images(s: SparkSession): DataFrame =
-    imageCache.computeIfAbsent(s, (s2: SparkSession) => {
+    imageCache.get(s, (s2: SparkSession) => {
       import s2.implicits._
       val df = (0 until MediaFixture.nImages)
         .map(id => (id.toLong, MediaFixture.png(id))).toDF("img_id", "png")
@@ -296,6 +296,30 @@ object Multimodal {
     * formula — the engine's real ImageIO decode is load-bearing in
     * the gate.
     */
+  /** The dHash bit computation over a decoded image: 9×8 nearest
+    * resample → integer luma → adjacent-column gradient bits, returned
+    * as the (hi, lo) 32-bit halves. Shared by the image operator (q57)
+    * and the video-frame composition (q61).
+    */
+  private def dhashHalves(d: DecodedImage): (Long, Long) = {
+    val px = ImageCodec.resampleNearest(d, 9, 8)
+    def gray(p: Int): Int =
+      (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
+        114 * (p & 0xff)) / 1000
+    var lo = 0L
+    var hi = 0L
+    var k = 0
+    while (k < 64) {
+      val i = k % 8
+      val j = k / 8
+      if (gray(px(j * 9 + i + 1)) > gray(px(j * 9 + i))) {
+        if (k < 32) lo |= (1L << k) else hi |= (1L << (k - 32))
+      }
+      k += 1
+    }
+    (hi, lo)
+  }
+
   def imageDhash(imgs: DataFrame, idCol: String, binCol: String): DataFrame = {
     val in = imgs.select(col(idCol).cast("long").as("id"), col(binCol).as("data"))
     val enc = RowEncoder.encoderFor(imageDhashSchema)
@@ -303,21 +327,7 @@ object Multimodal {
       rows.map { r =>
         val d = ImageCodec.decode(r.getAs[Array[Byte]](1)).getOrElse(
           throw new IllegalStateException("payload failed to decode"))
-        val px = ImageCodec.resampleNearest(d, 9, 8)
-        def gray(p: Int): Int =
-          (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
-            114 * (p & 0xff)) / 1000
-        var lo = 0L
-        var hi = 0L
-        var k = 0
-        while (k < 64) {
-          val i = k % 8
-          val j = k / 8
-          if (gray(px(j * 9 + i + 1)) > gray(px(j * 9 + i))) {
-            if (k < 32) lo |= (1L << k) else hi |= (1L << (k - 32))
-          }
-          k += 1
-        }
+        val (hi, lo) = dhashHalves(d)
         Row(r.getLong(0), d.width, d.height, f"$hi%08x$lo%08x")
       }
     }(enc)
@@ -336,10 +346,10 @@ object Multimodal {
     StructField("peak", IntegerType, nullable = false)))
 
   private val clipCache =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+    new graft.SessionCache[DataFrame]()
 
   private def clips(s: SparkSession): DataFrame =
-    clipCache.computeIfAbsent(s, (s2: SparkSession) => {
+    clipCache.get(s, (s2: SparkSession) => {
       import s2.implicits._
       val df = (0 until MediaFixture.nClips)
         .map(id => (id.toLong, MediaFixture.wav(id))).toDF("clip_id", "wav")
@@ -398,10 +408,10 @@ object Multimodal {
     StructField("sum_b", LongType, nullable = false)))
 
   private val videoCache =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+    new graft.SessionCache[DataFrame]()
 
   private def videos(s: SparkSession): DataFrame =
-    videoCache.computeIfAbsent(s, (s2: SparkSession) => {
+    videoCache.get(s, (s2: SparkSession) => {
       import s2.implicits._
       val df = (0 until MediaFixture.nVideos)
         .map(id => (id.toLong, MediaFixture.video(id))).toDF("video_id", "gvid")
@@ -449,6 +459,97 @@ object Multimodal {
   def q59VideoFrames(s: SparkSession, dir: String): DataFrame =
     sampleVideoFrames(videos(s), "video_id", "gvid", stride = 3)
       .orderBy(col("video_id"), col("frame_idx"))
+
+  private val videoDhashSchema: StructType = StructType(Seq(
+    StructField("video_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("hi", LongType, nullable = false),
+    StructField("lo", LongType, nullable = false),
+    StructField("dhash_hex", StringType, nullable = false)))
+
+  /** q59's container walk composed with q57's fingerprint: slice the
+    * sampled frames, dHash each — one map-only pass, bytes never leave
+    * the executor; the (hi, lo) halves ride along so downstream
+    * banding/Hamming needs no hex re-parse.
+    */
+  def videoFrameDhash(vids: DataFrame, idCol: String, binCol: String,
+      stride: Int): DataFrame = {
+    val in = vids.select(col(idCol).cast("long").as("id"), col(binCol).as("data"))
+    val enc = RowEncoder.encoderFor(videoDhashSchema)
+    in.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val n = VideoContainer.frameCount(bytes).getOrElse(
+          throw new IllegalStateException("payload is not a GVID container"))
+        val idxs = 0 until n by stride
+        val frames = VideoContainer.sampleFrames(bytes, idxs).getOrElse(
+          throw new IllegalStateException("container frame walk failed"))
+        idxs.zip(frames).map { case (f, png) =>
+          val d = ImageCodec.decode(png).getOrElse(
+            throw new IllegalStateException(s"frame $f failed to decode"))
+          val (hi, lo) = dhashHalves(d)
+          Row(r.getLong(0), f, hi, lo, f"$hi%08x$lo%08x")
+        }
+      }
+    }(enc)
+  }
+
+  /** FRAME-level video near-dup report — the composition the video
+    * pipeline actually runs ("is this minute of footage a re-upload of
+    * that one?"): sampled frames → dHash → near-dup verdict per frame.
+    * A frame's `dup_of` is the smallest (video, frame) whose hash is
+    * within Hamming distance 3; frames with no earlier neighbour are
+    * their own canonical (`is_dup = false`) — the q34 keep/drop shape
+    * at frame granularity, so the report is total (one row per sampled
+    * frame) rather than sparse pairs.
+    *
+    * Scale shape: candidates come from 4 exact 16-bit bands of the
+    * 64-bit hash — by pigeonhole a pair within Hamming ≤ 3 collides in
+    * at least one band, so the banded equi-join + exact Hamming verify
+    * EQUALS the brute-force pair set (no recall loss, no n² anywhere;
+    * q30's Charikar-block pattern). The oracle brute-forces the same
+    * predicate over the formula-replayed hashes — affordable at
+    * fixture scale, bit-identical by construction.
+    */
+  def q61VideoFrameNearDup(s: SparkSession, dir: String): DataFrame = {
+    val fr = videoFrameDhash(videos(s), "video_id", "gvid", stride = 3)
+      // frame key: video*1e6+idx keeps (video, frame) ordering in one
+      // long (frame_idx ≪ 1e6 by construction — stride-sampled indices)
+      .withColumn("fk", col("video_id") * 1000000L + col("frame_idx"))
+      .localCheckpoint(true) // tiny (one row per sampled frame); feeds
+                             // banding, both verify sides and the spine
+    val banded = fr.select(col("fk"), posexplode(array(
+      col("lo").bitwiseAND(lit(65535L)),
+      shiftright(col("lo"), 16).bitwiseAND(lit(65535L)),
+      col("hi").bitwiseAND(lit(65535L)),
+      shiftright(col("hi"), 16).bitwiseAND(lit(65535L)))))
+      .select(col("fk"), col("pos").as("band"), col("col").as("bv"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.fk") < col("b.fk"))
+      .select(col("a.fk").as("fk_a"), col("b.fk").as("fk_b")).distinct()
+    val ham = cand
+      .join(fr.select(col("fk").as("fk_a"), col("hi").as("hi_a"),
+        col("lo").as("lo_a")), "fk_a")
+      .join(fr.select(col("fk").as("fk_b"), col("hi").as("hi_b"),
+        col("lo").as("lo_b")), "fk_b")
+      .filter(expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)") <= 3)
+    val dup = ham.groupBy(col("fk_b").as("fk")).agg(min(col("fk_a")).as("dup_fk"))
+    fr.join(dup, Seq("fk"), "left")
+      .withColumn("dup_fk", coalesce(col("dup_fk"), col("fk")))
+      .select(col("video_id"), col("frame_idx"), col("dhash_hex"),
+        expr("dup_fk div 1000000").as("dup_video_id"),
+        pmod(col("dup_fk"), lit(1000000L)).cast("int").as("dup_frame_idx"),
+        (col("dup_fk") =!= col("fk")).as("is_dup"))
+      .orderBy(col("video_id"), col("frame_idx"))
+  }
+
+  /** Largest live fixture-cache entry count (post-sweep) — the leak
+    * gauge Bench prints after its fresh-session-per-entry loop: a
+    * value > live-session count means stopped sessions are retained.
+    */
+  private[graft] def fixtureCacheSize: Int =
+    Seq(imageCache, clipCache, videoCache).map(_.size).max
 }
 
 /** Deterministic media fixture: tiny truecolor PNGs built from a pure

@@ -156,16 +156,26 @@ object Similarity {
     * self-equi-join. Skew safety is kept — the salted path engages
     * exactly when a hot bucket actually exists.
     */
-  private[graft] def bucketCandidatePairs(keyed: DataFrame,
+  private[graft] def bucketCandidatePairs(keyed0: DataFrame,
       maxBucket: Int): DataFrame = {
-    // One sizing aggregate, materialized once (localCheckpoint truncates
-    // the lineage so the keyed plan is NOT recomputed by the sizing
-    // join when the salted path engages — it is exactly the skewed
-    // inputs that made the double computation expensive). The
-    // checkpoint is one row per non-empty bucket: bounded by the
-    // corpus, tiny in practice.
+    // Materialize the keyed input ONCE: it is the output of the
+    // upstream signature computation (minhash / hyperplane sketches —
+    // the most expensive map stage of the whole dedup), and it is read
+    // by the sizing aggregate AND both sides of the candidate
+    // self-join. Without the checkpoint the sizing action recomputes
+    // every signature a second time. The materialized rows are
+    // (vec_id, band, bucket) — a few dozen bytes × bands per doc,
+    // O(corpus) but ~1000× narrower than the corpus itself; at 100 TB
+    // that is a few hundred GB spread over the cluster vs re-running
+    // the signature scan over the full corpus text.
+    val keyed = keyed0.localCheckpoint(true)
+    // One sizing aggregate over the checkpoint: one row per non-empty
+    // bucket, bounded by the corpus, tiny in practice.
+    // No checkpoint on sizes: the salted path's sizing join re-derives
+    // it from the keyed checkpoint with one cheap aggregate; a second
+    // materialization job per call would cost more than it saves.
     val sizes = keyed.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("m")).localCheckpoint(true)
+      .agg(count(lit(1)).as("m"))
     val mx = sizes.agg(max(col("m"))).collect()(0)
     val maxSize = if (mx.isNullAt(0)) 0L else mx.getLong(0)
     if (maxSize <= maxBucket) {

@@ -19,13 +19,13 @@ object NearQueries {
   // serves all 17 tables from it (lineage resolution is eager, so
   // rebuilding per query would re-run the fixpoint 14×).
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, Map[String, DataFrame]]()
+    new graft.SessionCache[Map[String, DataFrame]]()
 
   private def writeFixture(df: DataFrame, dir: String): Unit =
     FixtureIO.writeStable(df, dir)
 
   private def tables(s: SparkSession): Map[String, DataFrame] =
-    cache.computeIfAbsent(s, (s2: SparkSession) => {
+    cache.get(s, (s2: SparkSession) => {
       val norm = Ingest.blocksFromJson(s2, Fixtures.chain).toDF().persist()
       norm.count()
       // Deterministic parquet mirror of the oracle's input: the
@@ -43,10 +43,10 @@ object NearQueries {
   // checks volume-dependent semantics (window tie-breaks, ordinals,
   // fork/issue84 dedup, deep lineage) and not just the hand fixture.
   private val scaleCache =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, Map[String, DataFrame]]()
+    new graft.SessionCache[Map[String, DataFrame]]()
 
   private def scaleTables(s: SparkSession): Map[String, DataFrame] =
-    scaleCache.computeIfAbsent(s, (s2: SparkSession) => {
+    scaleCache.get(s, (s2: SparkSession) => {
       val norm = Ingest.blocksFromJson(s2, graft.near.ScaleChain.chain())
         .toDF().persist()
       norm.count()
@@ -65,10 +65,10 @@ object NearQueries {
   // chain (seed 13): different collision patterns, fork placements,
   // churn interleavings — same semantics, same oracle SQL.
   private val scale2Cache =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, Map[String, DataFrame]]()
+    new graft.SessionCache[Map[String, DataFrame]]()
 
   private def scale2Tables(s: SparkSession): Map[String, DataFrame] =
-    scale2Cache.computeIfAbsent(s, (s2: SparkSession) => {
+    scale2Cache.get(s, (s2: SparkSession) => {
       val norm = Ingest.blocksFromJson(s2,
         graft.near.ScaleChain.chain(seed = 13L)).toDF().persist()
       norm.count()
@@ -86,10 +86,10 @@ object NearQueries {
   // microbatch are DELETEs) — placement is seed-dependent, so the
   // delta compactions are gated at a second seed too.
   private val streamed2Cache =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, Map[String, DataFrame]]()
+    new graft.SessionCache[Map[String, DataFrame]]()
 
   private def streamed2Tables(s: SparkSession): Map[String, DataFrame] =
-    streamed2Cache.computeIfAbsent(s, (s2: SparkSession) => {
+    streamed2Cache.get(s, (s2: SparkSession) => {
       scale2Tables(s2) // ensure the scale2_norm oracle fixture is written
       val wh = java.nio.file.Files
         .createTempDirectory("graft_stream2_gate_").toString
@@ -114,7 +114,7 @@ object NearQueries {
   // pending resolution, issue84 `_tx_recent` state, delta compaction —
   // is hash-checked at VOLUME, not just at spec scale.
   private val streamedCache =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, Map[String, DataFrame]]()
+    new graft.SessionCache[Map[String, DataFrame]]()
 
   /** The 15 plain tables the streamed gate reads back verbatim; the two
     * registries (accounts, access_keys) additionally go through their
@@ -149,7 +149,7 @@ object NearQueries {
     })).toMap
 
   private def streamedTables(s: SparkSession): Map[String, DataFrame] =
-    streamedCache.computeIfAbsent(s, (s2: SparkSession) => {
+    streamedCache.get(s, (s2: SparkSession) => {
       scaleTables(s2) // ensure the scale_norm oracle fixture is written
       val wh = java.nio.file.Files
         .createTempDirectory("graft_stream_gate_").toString
@@ -170,10 +170,10 @@ object NearQueries {
   // runs the REAL streamed split (token-level JSON → JSONL →
   // distributed read), the oracle re-parses the original document.
   private val genesisCache =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, (DataFrame, DataFrame)]()
+    new graft.SessionCache[(DataFrame, DataFrame)]()
 
   private def genesisTables(s: SparkSession): (DataFrame, DataFrame) =
-    genesisCache.computeIfAbsent(s, (s2: SparkSession) => {
+    genesisCache.get(s, (s2: SparkSession) => {
       val dir = NearOracles.fixtureDir
       val conf = s2.sparkContext.hadoopConfiguration
       val p = new org.apache.hadoop.fs.Path(s"$dir/genesis.json")
@@ -193,10 +193,10 @@ object NearQueries {
     * a later near query simply rebuilds the cache.
     */
   def releaseCaches(s: SparkSession): Unit = {
-    Option(cache.remove(s)).foreach(_.values.foreach(_.unpersist(false)))
-    Option(scaleCache.remove(s)).foreach(_.values.foreach(_.unpersist(false)))
-    Option(streamedCache.remove(s)).foreach(_.values.foreach(_.unpersist(false)))
-    Option(genesisCache.remove(s)).foreach { case (a, b) =>
+    cache.remove(s).foreach(t => t.values.foreach(_.unpersist(false)))
+    scaleCache.remove(s).foreach(t => t.values.foreach(_.unpersist(false)))
+    streamedCache.remove(s).foreach(t => t.values.foreach(_.unpersist(false)))
+    genesisCache.remove(s).foreach { case (a, b) =>
       a.unpersist(false); b.unpersist(false)
     }
   }
@@ -490,4 +490,11 @@ object NearQueries {
     raw.map { case (name, f) =>
       name -> ((s: SparkSession, dir: String) => hashStable(f(s, dir)))
     }
+
+  /** Largest live ETL-cache entry count (post-sweep) — see
+    * [[graft.functions.Multimodal.fixtureCacheSize]].
+    */
+  private[graft] def etlCacheSize: Int =
+    Seq(cache, scaleCache, scale2Cache, streamed2Cache, streamedCache,
+      genesisCache).map(_.size).max
 }

@@ -120,6 +120,45 @@ object PipelineOracles {
     * index, same band slicing, same exact verify). The final CTE `v`
     * holds (doc_a, doc_b, jaccard) candidates.
     */
+  /** Full ANN recall@3 report at a given probe budget — q55 (nProbe=2)
+    * and q55b (nProbe=1) differ only in the `rn <=` bound.
+    */
+  private def annRecallSql(nProbe: Int): String =
+    s"""WITH ${ivfCtes(16, 2)},
+       |probe AS (SELECT anchor_id, aemb, anorm, cell FROM (
+       |    SELECT qe.vec_id AS anchor_id, qe.embedding AS aemb,
+       |      qe.norm AS anorm, c.cell,
+       |      row_number() OVER (PARTITION BY qe.vec_id
+       |        ORDER BY ${sqDist("qe.xq", "c.cx")}, c.cell) AS rn
+       |    FROM qe, c2 c WHERE qe.vec_id IN (0, 1, 2)) t WHERE rn <= $nProbe),
+       |ann AS (SELECT anchor_id, vec_id FROM (
+       |    SELECT anchor_id, s.vec_id,
+       |      row_number() OVER (PARTITION BY anchor_id
+       |        ORDER BY cos_sim DESC, s.vec_id) AS rank
+       |    FROM (SELECT anchor_id, asg.vec_id AS vec_id,
+       |            round(${vdot("asg.embedding", "aemb")} / (asg.norm * anorm), 6) AS cos_sim
+       |          FROM asg JOIN probe USING (cell)
+       |          WHERE asg.vec_id <> anchor_id) s) r
+       |  WHERE rank <= 3),
+       |anch AS (SELECT vec_id AS anchor_id, embedding AS aemb, norm AS anorm
+       |         FROM qe WHERE vec_id IN (0, 1, 2)),
+       |ex AS (SELECT anchor_id, vec_id FROM (
+       |    SELECT anchor_id, s.vec_id,
+       |      row_number() OVER (PARTITION BY anchor_id
+       |        ORDER BY cos_sim DESC, s.vec_id) AS rank
+       |    FROM (SELECT anchor_id, qe.vec_id AS vec_id,
+       |            round(${vdot("qe.embedding", "aemb")} / (qe.norm * anorm), 6) AS cos_sim
+       |          FROM qe, anch WHERE qe.vec_id <> anchor_id) s) r
+       |  WHERE rank <= 3),
+       |h AS (SELECT ex.anchor_id,
+       |        CAST(count(*) AS BIGINT) AS n_exact,
+       |        CAST(count(ann.vec_id) AS BIGINT) AS n_hits
+       |      FROM ex LEFT JOIN ann USING (anchor_id, vec_id)
+       |      GROUP BY ex.anchor_id)
+       |SELECT anchor_id, n_exact, n_hits,
+       |  CAST((n_hits * 20000 + n_exact) // (2 * n_exact) AS DOUBLE) / 10000.0 AS recall
+       |FROM h ORDER BY anchor_id""".stripMargin
+
   private def pairCtes(k: Int, bands: Int, shingleN: Int): String = {
     require(k % bands == 0, s"bands=$bands must divide k=$k")
     require(shingleN >= 2, // n=1 would render "len(w)--1" below
@@ -275,44 +314,39 @@ object PipelineOracles {
          |FROM b JOIN sm USING (bg)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // q56b: the pruned operating point — top-8 continuations per w1
+    // (count-desc, w2 asc tiebreak; both engines compare ASCII words
+    // byte-wise), full-cu surprisal on the survivors, fixed 6e6-micro
+    // OOV surprisal on everything else.
+    "q56b_bigram_lm_pruned" ->
+      s"""WITH g AS (SELECT doc_id,
+         |    list_transform(range(1, len(w)), i -> [w[i], w[i+1]]) AS bs
+         |  FROM ($docsWithWords) d0 WHERE len(w) >= 2),
+         |b AS (SELECT doc_id, unnest(bs) AS bg FROM g),
+         |bc AS (SELECT bg, count(*) AS cb FROM b GROUP BY bg),
+         |uc AS (SELECT bg[1] AS w1, sum(cb) AS cu FROM bc GROUP BY bg[1]),
+         |tk AS (SELECT bg, cb, row_number() OVER (PARTITION BY bg[1]
+         |         ORDER BY cb DESC, bg[2]) AS rk FROM bc),
+         |sm AS (SELECT bg, CAST(round(log10(CAST(cu AS DOUBLE) / cb) * 1e6)
+         |         AS BIGINT) AS sm
+         |       FROM tk JOIN uc ON tk.bg[1] = uc.w1 WHERE rk <= 8)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(count(*) - count(sm.sm) AS BIGINT) AS n_oov,
+         |  CAST(sum(coalesce(sm.sm, 6000000)) AS BIGINT) AS surprisal_micro,
+         |  CAST((CAST(sum(coalesce(sm.sm, 6000000)) AS BIGINT) * 20000
+         |      + count(*) * 1000000)
+         |    // (2 * count(*) * 1000000) AS DOUBLE) / 10000.0
+         |    AS avg_bigram_surprisal
+         |FROM b LEFT JOIN sm USING (bg)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // q55: recall@3 of the IVF ANN (q25's quantizer CTEs + 2-cell
     // probe) against the exact per-anchor top-3; the recall ratio is
     // the same exact half-up integer division as the engine's rdiv4.
-    "q55_ann_recall" ->
-      s"""WITH ${ivfCtes(16, 2)},
-         |probe AS (SELECT anchor_id, aemb, anorm, cell FROM (
-         |    SELECT qe.vec_id AS anchor_id, qe.embedding AS aemb,
-         |      qe.norm AS anorm, c.cell,
-         |      row_number() OVER (PARTITION BY qe.vec_id
-         |        ORDER BY ${sqDist("qe.xq", "c.cx")}, c.cell) AS rn
-         |    FROM qe, c2 c WHERE qe.vec_id IN (0, 1, 2)) t WHERE rn <= 2),
-         |ann AS (SELECT anchor_id, vec_id FROM (
-         |    SELECT anchor_id, s.vec_id,
-         |      row_number() OVER (PARTITION BY anchor_id
-         |        ORDER BY cos_sim DESC, s.vec_id) AS rank
-         |    FROM (SELECT anchor_id, asg.vec_id AS vec_id,
-         |            round(${vdot("asg.embedding", "aemb")} / (asg.norm * anorm), 6) AS cos_sim
-         |          FROM asg JOIN probe USING (cell)
-         |          WHERE asg.vec_id <> anchor_id) s) r
-         |  WHERE rank <= 3),
-         |anch AS (SELECT vec_id AS anchor_id, embedding AS aemb, norm AS anorm
-         |         FROM qe WHERE vec_id IN (0, 1, 2)),
-         |ex AS (SELECT anchor_id, vec_id FROM (
-         |    SELECT anchor_id, s.vec_id,
-         |      row_number() OVER (PARTITION BY anchor_id
-         |        ORDER BY cos_sim DESC, s.vec_id) AS rank
-         |    FROM (SELECT anchor_id, qe.vec_id AS vec_id,
-         |            round(${vdot("qe.embedding", "aemb")} / (qe.norm * anorm), 6) AS cos_sim
-         |          FROM qe, anch WHERE qe.vec_id <> anchor_id) s) r
-         |  WHERE rank <= 3),
-         |h AS (SELECT ex.anchor_id,
-         |        CAST(count(*) AS BIGINT) AS n_exact,
-         |        CAST(count(ann.vec_id) AS BIGINT) AS n_hits
-         |      FROM ex LEFT JOIN ann USING (anchor_id, vec_id)
-         |      GROUP BY ex.anchor_id)
-         |SELECT anchor_id, n_exact, n_hits,
-         |  CAST((n_hits * 20000 + n_exact) // (2 * n_exact) AS DOUBLE) / 10000.0 AS recall
-         |FROM h ORDER BY anchor_id""".stripMargin,
+    "q55_ann_recall" -> annRecallSql(nProbe = 2),
+    // q55b: the same report at a 1-cell probe budget (rn <= 1) — the
+    // second point on the ANN cost/recall curve.
+    "q55b_ann_recall_probe1" -> annRecallSql(nProbe = 1),
 
     "q16_simhash" ->
       s"""SELECT doc_id, CAST(
@@ -976,6 +1010,48 @@ object PipelineOracles {
          |  CAST(sum((13*x +  5*y + 19*(video_id*31 + f*7)) % 256) AS BIGINT) AS sum_b
          |FROM px GROUP BY video_id, f, w, h ORDER BY video_id, f""".stripMargin,
 
+    // q61: dHash over the sampled video frames (q57's chain with the
+    // frame seed video_id*31 + f*7), then the frame-level near-dup
+    // verdict — the oracle brute-forces Hamming ≤ 3 over all frame
+    // pairs (fixture-scale affordable), which the engine's exact
+    // 4×16-bit banding equals by pigeonhole.
+    "q61_video_frame_near_dup" ->
+      s"""WITH vids AS (
+         |  SELECT video_id, 6 + video_id % 8 AS n,
+         |         4 + video_id % 13 AS w, 3 + video_id % 11 AS h
+         |  FROM read_parquet('${graft.functions.MediaFixture.fixtureDir}/videos/*.parquet')),
+         |fs AS (SELECT video_id, w, h, unnest(generate_series(0, n - 1, 3)) AS f FROM vids),
+         |ks AS (SELECT video_id, f, video_id * 31 + f * 7 AS sd, w, h,
+         |         unnest(generate_series(0, 71)) AS k FROM fs),
+         |g AS (SELECT video_id, f, k % 9 AS gi, k // 9 AS gj,
+         |        (299*((17*(((k % 9) * w) // 9) + 29*(((k // 9) * h) // 8) + 31*sd) % 256)
+         |       + 587*(( 3*(((k % 9) * w) // 9) +  7*(((k // 9) * h) // 8) + 11*sd) % 256)
+         |       + 114*((13*(((k % 9) * w) // 9) +  5*(((k // 9) * h) // 8) + 19*sd) % 256)) // 1000 AS gray
+         |      FROM ks),
+         |bits AS (SELECT a.video_id, a.f, a.gj * 8 + a.gi AS k,
+         |           CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit
+         |         FROM g a JOIN g b ON a.video_id = b.video_id AND a.f = b.f
+         |            AND a.gj = b.gj AND b.gi = a.gi + 1
+         |         WHERE a.gi < 8),
+         |halves AS (SELECT video_id, f,
+         |    CAST(sum(CASE WHEN k >= 32 THEN bit * (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END) AS BIGINT) AS hi,
+         |    CAST(sum(CASE WHEN k < 32 THEN bit * (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS lo
+         |  FROM bits GROUP BY video_id, f),
+         |fr AS (SELECT video_id, f, hi, lo,
+         |         video_id * 1000000 + f AS fk,
+         |         format('{:08x}', hi) || format('{:08x}', lo) AS dhash_hex
+         |       FROM halves),
+         |dup AS (SELECT b.fk, min(a.fk) AS dup_fk
+         |        FROM fr a JOIN fr b ON a.fk < b.fk
+         |          AND bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+         |        GROUP BY b.fk)
+         |SELECT fr.video_id, CAST(fr.f AS INTEGER) AS frame_idx, fr.dhash_hex,
+         |  coalesce(dup.dup_fk, fr.fk) // 1000000 AS dup_video_id,
+         |  CAST(coalesce(dup.dup_fk, fr.fk) % 1000000 AS INTEGER) AS dup_frame_idx,
+         |  (coalesce(dup.dup_fk, fr.fk) != fr.fk) AS is_dup
+         |FROM fr LEFT JOIN dup ON fr.fk = dup.fk
+         |ORDER BY fr.video_id, fr.f""".stripMargin,
+
     // PII scrub: same deterministic injection from doc_id, same
     // Java∩RE2 regexes; DuckDB regexp_replace needs the 'g' flag to
     // match Spark's replace-all default.
@@ -1085,13 +1161,17 @@ object PipelineOracles {
          |    list_distinct(list_transform(range(1, len(w)-3),
          |      i -> array_to_string(w[i:i+4], ' '))) AS sh
          |  FROM ($docsWithWords) dw),
-         |tes AS (SELECT DISTINCT unnest(sh) AS sng
-         |        FROM s5 JOIN spl USING (doc_id) WHERE b >= 95),
+         |tes AS (SELECT DISTINCT
+         |          CAST('0x' || substr(md5(sng), 1, 15) AS BIGINT) AS shh
+         |        FROM (SELECT unnest(sh) AS sng
+         |              FROM s5 JOIN spl USING (doc_id) WHERE b >= 95)),
          |cont AS (SELECT DISTINCT xx.doc_id FROM
-         |    (SELECT s5.doc_id, unnest(sh) AS sng
-         |     FROM s5 JOIN surv3 USING (doc_id) JOIN spl USING (doc_id)
-         |     WHERE spl.b < 90) xx
-         |    JOIN tes USING (sng))
+         |    (SELECT doc_id,
+         |       CAST('0x' || substr(md5(sng), 1, 15) AS BIGINT) AS shh
+         |     FROM (SELECT s5.doc_id AS doc_id, unnest(sh) AS sng
+         |           FROM s5 JOIN surv3 USING (doc_id) JOIN spl USING (doc_id)
+         |           WHERE spl.b < 90) probe) xx
+         |    JOIN tes USING (shh))
          |SELECT doc_id, split, disposition, (disposition = 'kept') AS keep
          |FROM (
          |  SELECT dd.doc_id,

@@ -766,25 +766,36 @@ object PipelineQueries {
   def q46FilterCascade(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
     val stop = TF.StopwordsEn.map(w => s"'$w'").mkString(", ")
-    val sig = d.withColumn("w", TF.words(col("text")))
+    // Repetition stats MAP-ONLY: the top-bigram count of one document
+    // is a per-row fact, so shuffling exploded bigrams through two
+    // groupBys + a join (the obvious shape) moves every bigram of the
+    // corpus across the cluster for nothing. Instead sort each doc's
+    // bigram array and take the longest run of equal neighbours — a
+    // per-row O(n log n) higher-order aggregate that keeps the whole
+    // cascade a single scan with zero shuffles (the 100 TB shape: a
+    // quality cascade should stream, not shuffle).
+    d.withColumn("w", TF.words(col("text")))
+      .withColumn("bgs", array_sort(TF.shingles(col("w"), 2)))
       .select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
         size(col("w")).cast("long").as("n_tokens"),
         size(expr("regexp_extract_all(lower(text), '[^a-z0-9 ]', 0)"))
           .cast("long").as("n_punct"),
-        expr(s"size(filter(w, t -> t IN ($stop)))").cast("long").as("n_stop"))
-    val rep = d
-      .select(col("doc_id"), explode(TF.shingles(TF.words(col("text")), 2)).as("bg"))
-      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).cast("long").as("n_bigrams"),
-        max(col("c")).cast("long").as("max_bigram_count"))
-    sig.join(rep, Seq("doc_id"), "left")
+        expr(s"size(filter(w, t -> t IN ($stop)))").cast("long").as("n_stop"),
+        size(col("bgs")).cast("long").as("n_bigrams"),
+        expr("""aggregate(
+            bgs,
+            named_struct('prev', '', 'run', 0L, 'best', 0L),
+            (acc, x) -> named_struct(
+              'prev', x,
+              'run',  IF(x = acc.prev, acc.run + 1L, 1L),
+              'best', GREATEST(acc.best, IF(x = acc.prev, acc.run + 1L, 1L))),
+            acc -> acc.best)""").as("max_bigram_count"))
       .withColumn("too_short", col("n_tokens") < 20)          // Gopher min length
       .withColumn("high_punct", col("n_punct") * 5L > col("n_chars"))   // ratio > 0.2
       .withColumn("low_stopwords", col("n_stop") * 50L < col("n_tokens")) // ratio < 0.02
       .withColumn("repetitive",                                // top bigram > 0.1
-        coalesce(col("max_bigram_count") * 10L > col("n_bigrams"), lit(false)))
+        col("max_bigram_count") * 10L > col("n_bigrams"))
       .withColumn("keep", !col("too_short") && !col("high_punct") &&
         !col("low_stopwords") && !col("repetitive"))
       .withColumn("reject_reason",
@@ -920,11 +931,13 @@ object PipelineQueries {
       .select(col("doc_id"), col("keep").as("rules_keep"), col("reject_reason"))
       .localCheckpoint(true)
     val surv1 = rules.filter(col("rules_keep")).select("doc_id")
-    val th = d.select(col("doc_id"), md5(col("text")).as("th"))
+    // Exact dedup in ONE shuffle: min-id-per-hash is a window over the
+    // text hash, not a groupBy + re-join (which shuffles the same rows
+    // twice and adds a join). Same keep set, half the data movement.
+    val exact = d.select(col("doc_id"), md5(col("text")).as("th"))
       .join(surv1, "doc_id")
-      .localCheckpoint(true)
-    val exact = th
-      .join(th.groupBy("th").agg(min("doc_id").as("exact_canon")), "th")
+      .withColumn("exact_canon", min("doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("th")))
       .select(col("doc_id"), (col("doc_id") === col("exact_canon")).as("exact_keep"))
       .localCheckpoint(true)
     val surv2 = exact.filter(col("exact_keep")).select("doc_id")
@@ -955,11 +968,19 @@ object PipelineQueries {
     // rejected/dup train docs are never shingled at all. The two
     // scopes are disjoint splits, so the former whole-corpus shared
     // materialization saved nothing across them.
+    // The shingle join runs on the portable 60-bit md5-prefix hash,
+    // not the shingle STRING — 8-byte shuffle/broadcast keys instead
+    // of ~30-byte 5-gram text (the q38 df-prune precedent). The oracle
+    // hashes with the same md5 formula, so the rare cross-shingle
+    // collision (≈ n²/2^61 — a false 'contaminated' verdict) is seen
+    // IDENTICALLY by both engines; the comparison stays exact.
     val testSh = d.filter(bucket >= 95)
-      .select(explode(TF.shingleSet(col("text"), 5)).as("sng")).distinct()
+      .select(explode(TF.shingleSet(col("text"), 5)).as("sng"))
+      .select(TF.hash60(col("sng")).as("sh")).distinct()
     val contaminated = d.join(surv3, "doc_id").filter(bucket < 90)
       .select(col("doc_id"), explode(TF.shingleSet(col("text"), 5)).as("sng"))
-      .join(testSh, "sng")
+      .select(col("doc_id"), TF.hash60(col("sng")).as("sh"))
+      .join(testSh, Seq("sh"), "left_semi")
       .select("doc_id").distinct()
       .withColumn("contam", lit(true))
     d.select(col("doc_id"), bucket.as("b"))
@@ -1049,6 +1070,54 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q56 at the PRODUCTION operating point — the model is pruned to
+    * the top-`k` continuations per context word before the scoring
+    * join (count-desc, w2 tiebreak), and a bigram outside the pruned
+    * model scores a fixed OOV surprisal (`oovMicro`, log10-micro
+    * units). q56's scale note promised exactly this knob: the
+    * UNPRUNED model is vocabulary² in the worst case and is the
+    * plan's largest intermediate at 100 TB, while the pruned model is
+    * ≤ k·|vocab| rows — a broadcast-able build side at realistic
+    * vocabularies — with the SAME plan shape (one model shuffle +
+    * one equi-join; the added top-k rank is a window over the
+    * model-sized aggregate, not the corpus). `cu` stays the FULL
+    * continuation total per w1 (true context counts — pruning bounds
+    * the model's row count, it does not re-normalize the
+    * distribution), and `n_oov` reports how many bigrams fell back,
+    * so the fidelity cost of the operating point is visible in the
+    * output rather than silent.
+    */
+  def q56bBigramLmPruned(s: SparkSession, dir: String, k: Int = 8,
+      oovMicro: Long = 6000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), TF.words(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+    val big = d.select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .localCheckpoint(true)
+    val bc = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val uc = bc.groupBy(col("w1")).agg(sum(col("cb")).as("cu"))
+    val topk = bc.withColumn("rk", row_number().over(
+        Window.partitionBy(col("w1")).orderBy(col("cb").desc, col("w2"))))
+      .filter(col("rk") <= k)
+    val sm = topk.join(uc, "w1")
+      .select(col("w1"), col("w2"),
+        round(log10(col("cu").cast("double") / col("cb").cast("double"))
+          * 1e6, 0).cast("long").as("sm"))
+    big.join(sm, Seq("w1", "w2"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (count(lit(1)) - count(col("sm"))).as("n_oov"),
+        sum(coalesce(col("sm"), lit(oovMicro))).as("surprisal_micro"))
+      .withColumn("avg_bigram_surprisal",
+        rdiv4(col("surprisal_micro"), col("n_bigrams") * 1000000L))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact-quota STRATIFIED selection — the curation step that turns
     * mixture targets into a concrete corpus: exactly the top-25 docs
     * per source by q17's engine-exact quality score (doc_id tiebreak).
@@ -1083,7 +1152,19 @@ object PipelineQueries {
     * is the map-only assignment + cell-key probe join; the comparison
     * itself is a 3-rows-per-anchor semi-join.
     */
-  def q55AnnRecall(s: SparkSession, dir: String): DataFrame = {
+  def q55AnnRecall(s: SparkSession, dir: String): DataFrame =
+    annRecall(s, dir, nProbe = 2)
+
+  /** The recall gate at a SECOND probe budget — nProbe = 1 (half the
+    * candidate volume of q55's 2-cell probe, strictly ≤ its recall):
+    * with q54's second LSH point this makes the ANN cost/recall trade
+    * a measured curve rather than a single sample. Same plan, smaller
+    * probe fan-out; the oracle differs only in its `rn <=` bound.
+    */
+  def q55bAnnRecallProbe1(s: SparkSession, dir: String): DataFrame =
+    annRecall(s, dir, nProbe = 1)
+
+  private def annRecall(s: SparkSession, dir: String, nProbe: Int): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val anchors = Seq(0L, 1L, 2L)
     val exact = Similarity.bruteTopK(emb, anchors, k = 3)
@@ -1091,7 +1172,7 @@ object PipelineQueries {
       // Two downstream consumers (count base + hit semi-join) — one
       // tiny materialization instead of two broadcast-ranking passes.
       .localCheckpoint(true)
-    val approx = Similarity.annTopKIvf(emb, anchors, k = 3)
+    val approx = Similarity.annTopKIvf(emb, anchors, k = 3, nProbe = nProbe)
       .select(col("anchor_id"), col("vec_id"))
     val hits = exact.join(approx, Seq("anchor_id", "vec_id"), "left_semi")
       .groupBy(col("anchor_id")).agg(count(lit(1)).as("n_hits"))

@@ -32,7 +32,18 @@ object StreamingJobs {
       try q.awaitTermination() finally q.stop()
       // materialize before the memory sink's table is dropped
       project(s.table(name)).localCheckpoint(true)
-    } finally s.catalog.dropTempView(name)
+    } finally {
+      s.catalog.dropTempView(name)
+      // Unload the drained query's state-store providers: each drain
+      // uses a throwaway checkpoint dir, so its providers (and under
+      // RocksDB their native memory + maintenance work) can never be
+      // reused — leaving them loaded makes every LATER query in a
+      // shared session pay for an accumulating pile of dead stores
+      // (the r12 sweep's q35b 15 s vs 3 s isolated). Unloading is
+      // safe mid-session: the next streaming query re-loads its own
+      // providers on demand.
+      org.apache.spark.sql.graft.StateStoreHygiene.unloadAll()
+    }
   }
 
   /** events as a file stream with `ts` normalized to the LongType-

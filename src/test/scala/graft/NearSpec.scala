@@ -218,4 +218,34 @@ class NearSpec extends AnyFunSuite {
       assert(fn(spark, sf).count() > 0, s"$name returned no rows")
     }
   }
+
+  test("allTables localCheckpoint contract: lost blocks fail LOUDLY") {
+    // Ingest.scala documents that the eager localCheckpoint bases do
+    // not survive executor loss — acceptable for a per-microbatch /
+    // bench lifetime ONLY because a lost block surfaces as a hard
+    // error instead of a silent recompute that could resolve lineage
+    // against a half-rebuilt base. Simulate the loss (unpersisting a
+    // local checkpoint destroys its only copy, exactly like losing
+    // the executor that held it) and require the read to THROW, with
+    // the checkpoint-block message, not return rows.
+    val sc = spark.sparkContext
+    val norm = Ingest.blocksFromJson(spark, Fixtures.chain).toDF().persist()
+    norm.count()
+    val before = sc.getPersistentRDDs.keySet
+    val tables = Ingest.allTables(norm)
+    assert(tables("transactions").count() > 0) // healthy before the loss
+    (sc.getPersistentRDDs.keySet -- before).foreach { id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(true))
+    }
+    val err = intercept[Throwable] {
+      tables("execution_outcomes").count()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    val msgs = chain(err).flatMap(t => Option(t.getMessage))
+    assert(msgs.exists(m => m.contains("Checkpoint block") ||
+        m.contains("rdd_")),
+      s"expected a loud checkpoint-block failure, got: ${msgs.take(3)}")
+    norm.unpersist(true)
+  }
 }
