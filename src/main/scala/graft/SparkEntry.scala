@@ -94,6 +94,10 @@ object SparkEntry {
       PipelineQueries.q56bBigramLmPruned(s, dir)),
     "q61_video_frame_near_dup" ->
       (graft.functions.Multimodal.q61VideoFrameNearDup _),
+    "q62_audio_near_dup"      ->
+      (graft.functions.Multimodal.q62AudioNearDup _),
+    "q63_stream_image_dedup"  ->
+      (graft.streaming.StreamingJobs.streamImageDedup _),
     "q57_image_dhash"         -> (Multimodal.q57ImageDhash _),
     "q58_audio_meta"          -> (Multimodal.q58AudioMeta _),
     "q59_video_frames"        -> (Multimodal.q59VideoFrames _),

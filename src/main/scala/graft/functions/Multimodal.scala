@@ -516,8 +516,27 @@ object Multimodal {
       // frame key: video*1e6+idx keeps (video, frame) ordering in one
       // long (frame_idx ≪ 1e6 by construction — stride-sampled indices)
       .withColumn("fk", col("video_id") * 1000000L + col("frame_idx"))
-      .localCheckpoint(true) // tiny (one row per sampled frame); feeds
-                             // banding, both verify sides and the spine
+    hash64NearDupVerdict(fr)
+      .select(col("video_id"), col("frame_idx"), col("dhash_hex"),
+        expr("dup_fk div 1000000").as("dup_video_id"),
+        pmod(col("dup_fk"), lit(1000000L)).cast("int").as("dup_frame_idx"),
+        (col("dup_fk") =!= col("fk")).as("is_dup"))
+      .orderBy(col("video_id"), col("frame_idx"))
+  }
+
+  /** Near-dup verdict over any 64-bit perceptual hash: the input needs
+    * `fk` (an ordering key), `hi`, `lo` (the hash halves) — every
+    * other column rides through. Appends `dup_fk` = the smallest fk
+    * whose hash is within Hamming distance 3, or the row's own fk.
+    * Candidates come from 4 exact 16-bit bands (pigeonhole-complete
+    * for Hamming ≤ 3 — no recall loss vs brute force, no n²
+    * anywhere); shared by the video-frame (q61) and audio-clip (q62)
+    * near-dup reports.
+    */
+  private def hash64NearDupVerdict(fr0: DataFrame): DataFrame = {
+    val fr = fr0.localCheckpoint(true) // tiny (one row per item); feeds
+                                       // banding, both verify sides and
+                                       // the output spine
     val banded = fr.select(col("fk"), posexplode(array(
       col("lo").bitwiseAND(lit(65535L)),
       shiftright(col("lo"), 16).bitwiseAND(lit(65535L)),
@@ -537,11 +556,80 @@ object Multimodal {
     val dup = ham.groupBy(col("fk_b").as("fk")).agg(min(col("fk_a")).as("dup_fk"))
     fr.join(dup, Seq("fk"), "left")
       .withColumn("dup_fk", coalesce(col("dup_fk"), col("fk")))
-      .select(col("video_id"), col("frame_idx"), col("dhash_hex"),
-        expr("dup_fk div 1000000").as("dup_video_id"),
-        pmod(col("dup_fk"), lit(1000000L)).cast("int").as("dup_frame_idx"),
+  }
+
+  private val audioHashSchema: StructType = StructType(Seq(
+    StructField("clip_id", LongType, nullable = false),
+    StructField("hi", LongType, nullable = false),
+    StructField("lo", LongType, nullable = false),
+    StructField("ahash_hex", StringType, nullable = false)))
+
+  /** Perceptual AUDIO fingerprint — dHash's idea on the waveform
+    * envelope: split the clip into 65 equal windows (sample t →
+    * window t·65/n, integer floor), sum |sample| per window (exact
+    * integer energy), bit k = [E(k+1) > E(k)] over the 64 adjacent
+    * deltas. Loudness-profile shaped, so a re-encoded / gain-shifted
+    * copy keeps most bits (the audio analogue of q57's gradient
+    * fingerprint), and every stage is integer-exact so the DuckDB
+    * twin replays it from the fixture's sample formula — the genuine
+    * RIFF/PCM16 parse (q58's decoder) stays load-bearing.
+    */
+  def audioEnvelopeHash(clipsDf: DataFrame, idCol: String,
+      binCol: String): DataFrame = {
+    val in = clipsDf.select(col(idCol).cast("long").as("id"), col(binCol).as("data"))
+    val enc = RowEncoder.encoderFor(audioHashSchema)
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val d = AudioCodec.decodeWav(r.getAs[Array[Byte]](1)).getOrElse(
+          throw new IllegalStateException("payload failed to decode as WAV"))
+        val n = d.samples.length
+        require(n >= 65, s"clip too short for a 65-window envelope: $n")
+        val en = new Array[Long](65)
+        var t = 0
+        while (t < n) {
+          en(t * 65 / n) += math.abs(d.samples(t).toInt)
+          t += 1
+        }
+        var lo = 0L
+        var hi = 0L
+        var k = 0
+        while (k < 64) {
+          if (en(k + 1) > en(k)) {
+            if (k < 32) lo |= (1L << k) else hi |= (1L << (k - 32))
+          }
+          k += 1
+        }
+        Row(r.getLong(0), hi, lo, f"$hi%08x$lo%08x")
+      }
+    }(enc)
+  }
+
+  /** CLIP-level audio near-dup — completes near-dup coverage across
+    * the modality triad (text: q15/q38, image/video: q57/q61, audio:
+    * here): envelope fingerprint per clip, then the same
+    * banding-exact Hamming ≤ 3 verdict as q61. Same scale shape:
+    * map-only decode (bytes never leave executors) + the banded
+    * equi-join; the oracle brute-forces the verdict over
+    * formula-replayed fingerprints.
+    */
+  def q62AudioNearDup(s: SparkSession, dir: String): DataFrame = {
+    val fr = audioEnvelopeHash(clips(s), "clip_id", "wav")
+      .withColumn("fk", col("clip_id"))
+    hash64NearDupVerdict(fr)
+      .select(col("clip_id"), col("ahash_hex"),
+        col("dup_fk").as("dup_clip_id"),
         (col("dup_fk") =!= col("fk")).as("is_dup"))
-      .orderBy(col("video_id"), col("frame_idx"))
+      .orderBy(col("clip_id"))
+  }
+
+  /** Materialize the image fixture (idempotent per session) and return
+    * its parquet directory — the streaming image-dedup job (q63) reads
+    * the same fixture THROUGH a file stream instead of the in-memory
+    * frame.
+    */
+  private[graft] def ensureImagesFixture(s: SparkSession): String = {
+    images(s)
+    s"${MediaFixture.fixtureDir}/images"
   }
 
   /** Largest live fixture-cache entry count (post-sweep) — the leak

@@ -1052,6 +1052,69 @@ object PipelineOracles {
          |FROM fr LEFT JOIN dup ON fr.fk = dup.fk
          |ORDER BY fr.video_id, fr.f""".stripMargin,
 
+    // q63: streaming image dedup — q57's formula-replayed dHash, then
+    // min-per-hash (equals the engine's first-seen canonical on the
+    // single-batch fixture drain); every image gets a verdict row.
+    "q63_stream_image_dedup" ->
+      s"""WITH imgs AS (
+         |  SELECT img_id, 4 + img_id % 13 AS w, 3 + img_id % 11 AS h
+         |  FROM read_parquet('${graft.functions.MediaFixture.fixtureDir}/images/*.parquet')),
+         |ks AS (SELECT img_id, w, h, unnest(generate_series(0, 71)) AS k FROM imgs),
+         |g AS (SELECT img_id, w, h, k % 9 AS gi, k // 9 AS gj,
+         |        (299*((17*(((k % 9) * w) // 9) + 29*(((k // 9) * h) // 8) + 31*img_id) % 256)
+         |       + 587*(( 3*(((k % 9) * w) // 9) +  7*(((k // 9) * h) // 8) + 11*img_id) % 256)
+         |       + 114*((13*(((k % 9) * w) // 9) +  5*(((k // 9) * h) // 8) + 19*img_id) % 256)) // 1000 AS gray
+         |      FROM ks),
+         |bits AS (SELECT a.img_id, a.gj * 8 + a.gi AS k,
+         |           CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit
+         |         FROM g a JOIN g b ON a.img_id = b.img_id AND a.gj = b.gj
+         |            AND b.gi = a.gi + 1
+         |         WHERE a.gi < 8),
+         |halves AS (SELECT img_id,
+         |    CAST(sum(CASE WHEN k >= 32 THEN bit * (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END) AS BIGINT) AS hi,
+         |    CAST(sum(CASE WHEN k < 32 THEN bit * (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS lo
+         |  FROM bits GROUP BY img_id),
+         |fr AS (SELECT img_id, hi, lo,
+         |         format('{:08x}', hi) || format('{:08x}', lo) AS dhash_hex
+         |       FROM halves)
+         |SELECT img_id, dhash_hex, dup_of, (img_id != dup_of) AS is_dup
+         |FROM (SELECT img_id, dhash_hex,
+         |        min(img_id) OVER (PARTITION BY hi, lo) AS dup_of FROM fr) z
+         |ORDER BY img_id""".stripMargin,
+
+    // q62: the audio envelope fingerprint (65 equal windows by
+    // t*65//n, integer |sample| energy, 64 adjacent-delta bits) and
+    // the clip-level near-dup verdict, brute-forced over Hamming ≤ 3
+    // — the engine's banding equals it by pigeonhole.
+    "q62_audio_near_dup" ->
+      s"""WITH clips AS (
+         |  SELECT clip_id, 800 + clip_id % 7 * 160 AS n
+         |  FROM read_parquet('${graft.functions.MediaFixture.fixtureDir}/audio/*.parquet')),
+         |sm AS (SELECT clip_id, n, unnest(generate_series(0, n - 1)) AS t FROM clips),
+         |e AS (SELECT clip_id, (t * 65) // n AS wi,
+         |        sum(abs(((31 * t + 17 * clip_id) % 8192) - 4096)) AS en
+         |      FROM sm GROUP BY clip_id, (t * 65) // n),
+         |bits AS (SELECT a.clip_id, a.wi AS k,
+         |           CASE WHEN b.en > a.en THEN 1 ELSE 0 END AS bit
+         |         FROM e a JOIN e b ON a.clip_id = b.clip_id AND b.wi = a.wi + 1
+         |         WHERE a.wi < 64),
+         |halves AS (SELECT clip_id,
+         |    CAST(sum(CASE WHEN k >= 32 THEN bit * (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END) AS BIGINT) AS hi,
+         |    CAST(sum(CASE WHEN k < 32 THEN bit * (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS lo
+         |  FROM bits GROUP BY clip_id),
+         |fr AS (SELECT clip_id, hi, lo,
+         |         format('{:08x}', hi) || format('{:08x}', lo) AS ahash_hex
+         |       FROM halves),
+         |dup AS (SELECT b.clip_id, min(a.clip_id) AS dup_clip_id
+         |        FROM fr a JOIN fr b ON a.clip_id < b.clip_id
+         |          AND bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+         |        GROUP BY b.clip_id)
+         |SELECT fr.clip_id, fr.ahash_hex,
+         |  coalesce(dup.dup_clip_id, fr.clip_id) AS dup_clip_id,
+         |  (coalesce(dup.dup_clip_id, fr.clip_id) != fr.clip_id) AS is_dup
+         |FROM fr LEFT JOIN dup ON fr.clip_id = dup.clip_id
+         |ORDER BY fr.clip_id""".stripMargin,
+
     // PII scrub: same deterministic injection from doc_id, same
     // Java∩RE2 regexes; DuckDB regexp_replace needs the 'g' flag to
     // match Spark's replace-all default.

@@ -1255,6 +1255,53 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q62 banding equals brute-force Hamming<=3 over the clip hashes") {
+    val rows = SparkEntry.queries("q62_audio_near_dup")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val fr = rows.map { r =>
+      val hex = r.getAs[String]("ahash_hex")
+      r.getAs[Long]("clip_id") ->
+        (java.lang.Long.parseUnsignedLong(hex.substring(0, 8), 16),
+          java.lang.Long.parseUnsignedLong(hex.substring(8), 16))
+    }.toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("clip_id")
+      val (hi, lo) = fr(id)
+      val expect = fr.keys.filter(_ < id).filter { o =>
+        val (ohi, olo) = fr(o)
+        java.lang.Long.bitCount(hi ^ ohi) + java.lang.Long.bitCount(lo ^ olo) <= 3
+      }.minOption.getOrElse(id)
+      assert(r.getAs[Long]("dup_clip_id") == expect, s"clip $id")
+      assert(r.getAs[Boolean]("is_dup") == (expect != id))
+    }
+  }
+
+  test("q63 cross-batch: a later-batch re-upload resolves to the kept image") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val png5 = graft.functions.MediaFixture.png(5)
+    val png7 = graft.functions.MediaFixture.png(7)
+    val ms = MemoryStream[(Long, Array[Byte])]
+    val verdicts = graft.streaming.StreamingJobs.imageDedupStream(
+      spark, ms.toDF().toDF("img_id", "png"))
+    val name = "q63_crossbatch_test"
+    val q = verdicts.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      ms.addData((5L, png5), (7L, png7))
+      q.processAllAvailable() // batch 1: both canonical (self-verdicts)
+      ms.addData((1005L, png5))
+      q.processAllAvailable() // batch 2: same bytes, later id → dup of 5
+      val got = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(got == Set((5L, 5L), (7L, 7L), (1005L, 5L)),
+        s"expected first-seen canonical + later-batch dup, got $got")
+    } finally {
+      q.stop(); spark.catalog.dropTempView(name)
+    }
+  }
+
   test("q61 plan: banded candidates via equi-join, no cartesian/nested loop") {
     val plan = SparkEntry.queries("q61_video_frame_near_dup")(spark, sf)
       .queryExecution.executedPlan.toString
