@@ -98,6 +98,8 @@ object SparkEntry {
       (graft.functions.Multimodal.q62AudioNearDup _),
     "q63_stream_image_dedup"  ->
       (graft.streaming.StreamingJobs.streamImageDedup _),
+    "q64_recipe_yield"        -> (PipelineQueries.q64RecipeYield _),
+    "q65_dedup_agreement"     -> (PipelineQueries.q65DedupAgreement _),
     "q57_image_dhash"         -> (Multimodal.q57ImageDhash _),
     "q58_audio_meta"          -> (Multimodal.q58AudioMeta _),
     "q59_video_frames"        -> (Multimodal.q59VideoFrames _),

@@ -1052,6 +1052,37 @@ object PipelineOracles {
          |FROM fr LEFT JOIN dup ON fr.fk = dup.fk
          |ORDER BY fr.video_id, fr.f""".stripMargin,
 
+    // q65: dedup-method agreement — exact md5 pairs, q15's verified
+    // LSH pairs, and SimHash Hamming ≤ 3 pairs (brute-forced here;
+    // the engine's 4×8-bit banding equals it by pigeonhole), merged
+    // with per-method flags.
+    "q65_dedup_agreement" ->
+      s"""WITH $q15PairCtes,
+         |shh AS (
+         |  SELECT doc_id, CAST(
+         |    list_sum(list_transform(range(0, 32), j ->
+         |      CASE WHEN list_sum(list_transform(hw, h ->
+         |             CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |           THEN 1 << j ELSE 0 END)) AS BIGINT) AS h
+         |  FROM (SELECT doc_id,
+         |          list_transform(w, t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)) AS hw
+         |        FROM ($docsWithWords) d0)),
+         |ex AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |       FROM documents a JOIN documents b
+         |         ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id),
+         |lshp AS (SELECT doc_a, doc_b FROM v WHERE jaccard >= 0.8),
+         |smp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |        FROM shh a JOIN shh b ON a.doc_id < b.doc_id
+         |          AND bit_count(xor(a.h, b.h)) <= 3),
+         |u AS (SELECT doc_a, doc_b, max(e) AS e, max(l) AS l, max(sm) AS sm
+         |      FROM (SELECT doc_a, doc_b, 1 AS e, 0 AS l, 0 AS sm FROM ex
+         |            UNION ALL SELECT doc_a, doc_b, 0, 1, 0 FROM lshp
+         |            UNION ALL SELECT doc_a, doc_b, 0, 0, 1 FROM smp)
+         |      GROUP BY doc_a, doc_b)
+         |SELECT doc_a, doc_b, (e = 1) AS by_exact, (l = 1) AS by_lsh,
+         |  (sm = 1) AS by_simhash, CAST(e + l + sm AS BIGINT) AS n_methods
+         |FROM u ORDER BY doc_a, doc_b""".stripMargin,
+
     // q63: streaming image dedup — q57's formula-replayed dHash, then
     // min-per-hash (equals the engine's first-seen canonical on the
     // single-batch fixture drain); every image gets a verdict row.
@@ -1193,8 +1224,33 @@ object PipelineOracles {
       // among rule-survivors, q15's LSH pairs restricted to remaining
       // survivors + q34's recursive closure, then the q36-style 5-gram
       // decontamination of train-split survivors against the test
-      // split. First failing stage names the disposition.
-      s"""WITH RECURSIVE $q46CascadeCtes,
+      // split. First failing stage names the disposition. The CTE
+      // chain is shared with q64's yield accounting.
+      s"""WITH RECURSIVE $corpusRecipeCtes
+         |SELECT doc_id, split, disposition, keep FROM recipe
+         |ORDER BY doc_id""".stripMargin,
+
+    // q64: the recipe's yield ledger — docs/tokens per (source,
+    // disposition) over the SAME recipe CTEs as q53.
+    "q64_recipe_yield" ->
+      s"""WITH RECURSIVE $corpusRecipeCtes,
+         |tok AS (SELECT doc_id, source,
+         |          CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS nt
+         |        FROM documents)
+         |SELECT source, disposition,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(nt) AS BIGINT) AS n_tokens
+         |FROM recipe JOIN tok USING (doc_id)
+         |GROUP BY source, disposition
+         |ORDER BY source, disposition""".stripMargin,
+  )
+
+  /** The full q53 staged-recipe CTE chain, ending in
+    * `recipe(doc_id, split, disposition, keep)` — shared by the q53
+    * oracle and q64's per-source yield accounting.
+    */
+  private lazy val corpusRecipeCtes: String =
+      s"""$q46CascadeCtes,
          |$q15PairCtes,
          |surv1 AS (SELECT doc_id FROM fc WHERE keep),
          |eth AS (SELECT dd.doc_id, md5(text) AS th
@@ -1234,24 +1290,23 @@ object PipelineOracles {
          |     FROM (SELECT s5.doc_id AS doc_id, unnest(sh) AS sng
          |           FROM s5 JOIN surv3 USING (doc_id) JOIN spl USING (doc_id)
          |           WHERE spl.b < 90) probe) xx
-         |    JOIN tes USING (shh))
-         |SELECT doc_id, split, disposition, (disposition = 'kept') AS keep
-         |FROM (
-         |  SELECT dd.doc_id,
-         |    CASE WHEN spl.b < 90 THEN 'train'
-         |         WHEN spl.b < 95 THEN 'validation'
-         |         ELSE 'test' END AS split,
-         |    CASE WHEN NOT fc.keep THEN 'rule:' || fc.reject_reason
-         |         WHEN NOT coalesce(ex.exact_keep, TRUE) THEN 'exact_dup'
-         |         WHEN NOT coalesce(nr.near_keep, TRUE) THEN 'near_dup'
-         |         WHEN cont.doc_id IS NOT NULL THEN 'contaminated'
-         |         ELSE 'kept' END AS disposition
-         |  FROM documents dd
-         |  JOIN spl ON dd.doc_id = spl.doc_id
-         |  JOIN fc ON dd.doc_id = fc.doc_id
-         |  LEFT JOIN ex ON dd.doc_id = ex.doc_id
-         |  LEFT JOIN nr ON dd.doc_id = nr.doc_id
-         |  LEFT JOIN cont ON dd.doc_id = cont.doc_id) z
-         |ORDER BY doc_id""".stripMargin,
-  )
+         |    JOIN tes USING (shh)),
+         |recipe AS (
+         |  SELECT doc_id, split, disposition, (disposition = 'kept') AS keep
+         |  FROM (
+         |    SELECT dd.doc_id,
+         |      CASE WHEN spl.b < 90 THEN 'train'
+         |           WHEN spl.b < 95 THEN 'validation'
+         |           ELSE 'test' END AS split,
+         |      CASE WHEN NOT fc.keep THEN 'rule:' || fc.reject_reason
+         |           WHEN NOT coalesce(ex.exact_keep, TRUE) THEN 'exact_dup'
+         |           WHEN NOT coalesce(nr.near_keep, TRUE) THEN 'near_dup'
+         |           WHEN cont.doc_id IS NOT NULL THEN 'contaminated'
+         |           ELSE 'kept' END AS disposition
+         |    FROM documents dd
+         |    JOIN spl ON dd.doc_id = spl.doc_id
+         |    JOIN fc ON dd.doc_id = fc.doc_id
+         |    LEFT JOIN ex ON dd.doc_id = ex.doc_id
+         |    LEFT JOIN nr ON dd.doc_id = nr.doc_id
+         |    LEFT JOIN cont ON dd.doc_id = cont.doc_id) z)""".stripMargin
 }

@@ -1003,6 +1003,65 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The recipe's YIELD LEDGER — the accounting table every corpus
+    * build ends with: docs and tokens per (source, disposition), i.e.
+    * what each cleaning stage cost, broken down by provenance ("rule
+    * filters ate 40% of crawl-X's tokens; near-dedup cost almost
+    * nothing on curated-Y"). Composition of q53's staged verdict with
+    * the token counts; one groupBy over the corpus spine — the
+    * dominant cost is the recipe itself, and the ledger adds a single
+    * low-cardinality (|sources|×|dispositions|) aggregate. The oracle
+    * shares q53's recipe CTEs verbatim, so the two reports can never
+    * drift apart.
+    */
+  def q64RecipeYield(s: SparkSession, dir: String): DataFrame = {
+    val rec = q53CorpusRecipe(s, dir).select(col("doc_id"), col("disposition"))
+    val tok = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+      size(TF.words(col("text"))).cast("long").as("nt"))
+    rec.join(tok, "doc_id")
+      .groupBy(col("source"), col("disposition"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      .orderBy(col("source"), col("disposition"))
+  }
+
+  /** Dedup-method AGREEMENT report — the evaluation table a pipeline
+    * owner reads before picking a dedup tier: the union of the exact
+    * (md5 text identity), MinHash-LSH (q15's verified ≥0.8 Jaccard)
+    * and SimHash (q30's Hamming ≤ 3) pair sets, one row per pair with
+    * a per-method verdict and the method count. Exact ⊆ the others'
+    * TARGET sets but not their candidate sets, so disagreement
+    * columns show each sketch's recall holes on real data ("LSH
+    * missed 3 exact dups; SimHash flags 40 pairs LSH doesn't").
+    * Scale shape: each member keeps its own documented shape; the
+    * merge is one groupBy over the UNION OF PAIR SETS (dup-pair
+    * sized, never corpus²).
+    */
+  def q65DedupAgreement(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val th = d.select(col("doc_id"), md5(col("text")).as("th"))
+    val ex = th.as("a").join(th.as("b"),
+        col("a.th") === col("b.th") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val lsh = Dedup.lshNearDupPairs(s, d, "doc_id", "text",
+        k = 16, bands = 4, shingleN = 3, threshold = 0.8)
+      .select(col("doc_a"), col("doc_b"))
+    val sim = q30SimhashDups(s, dir).select(col("doc_a"), col("doc_b"))
+    ex.withColumn("m", lit("exact"))
+      .unionByName(lsh.withColumn("m", lit("lsh")))
+      .unionByName(sim.withColumn("m", lit("simhash")))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(
+        max(when(col("m") === "exact", 1L).otherwise(0L)).as("e"),
+        max(when(col("m") === "lsh", 1L).otherwise(0L)).as("l"),
+        max(when(col("m") === "simhash", 1L).otherwise(0L)).as("sm"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("e") === 1L).as("by_exact"),
+        (col("l") === 1L).as("by_lsh"),
+        (col("sm") === 1L).as("by_simhash"),
+        (col("e") + col("l") + col("sm")).as("n_methods"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** SEMANTIC dedup (SemDeDup): coarse-cluster the embedding corpus,
     * dedup within clusters on exact cosine, keep the min-id
     * representative per duplicate group — the embedding-space sibling

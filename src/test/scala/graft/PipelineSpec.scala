@@ -1302,6 +1302,44 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q64 yield ledger sums to the corpus and agrees with q53's verdicts") {
+    val led = SparkEntry.queries("q64_recipe_yield")(spark, sf).collect()
+    val rec = SparkEntry.queries("q53_corpus_recipe")(spark, sf).collect()
+    val docs = SparkEntry.queries("q11_token_stats")(spark, sf).count()
+    assert(led.map(_.getAs[Long]("n_docs")).sum == rec.length.toLong)
+    assert(rec.length.toLong == docs) // one verdict per document
+    // per-disposition doc counts must match the verdict table exactly
+    val byDisp = rec.groupBy(_.getAs[String]("disposition"))
+      .map { case (k, v) => k -> v.length.toLong }
+    val ledByDisp = led.groupBy(_.getAs[String]("disposition"))
+      .map { case (k, v) => k -> v.map(_.getAs[Long]("n_docs")).sum }
+    assert(ledByDisp == byDisp, s"ledger $ledByDisp vs verdicts $byDisp")
+  }
+
+  test("q65 agreement: exact pairs flagged exact, method count consistent") {
+    val rows = SparkEntry.queries("q65_dedup_agreement")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = Seq("by_exact", "by_lsh", "by_simhash")
+        .count(r.getAs[Boolean](_))
+      assert(n >= 1 && r.getAs[Long]("n_methods") == n.toLong)
+    }
+    // independent exact-pair recomputation: every md5-identical pair
+    // must appear with by_exact = true
+    val d = Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(col("text")).as("th")).collect()
+    val byTh = d.groupBy(_.getString(1)).values.filter(_.length > 1)
+    val exactPairs = byTh.flatMap { g =>
+      val ids = g.map(_.getLong(0)).sorted
+      for (i <- ids.indices; j <- i + 1 until ids.length)
+        yield (ids(i), ids(j))
+    }.toSet
+    val flagged = rows.filter(_.getAs[Boolean]("by_exact"))
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(flagged == exactPairs,
+      s"exact flags ${flagged.size} vs recomputed ${exactPairs.size}")
+  }
+
   test("q61 plan: banded candidates via equi-join, no cartesian/nested loop") {
     val plan = SparkEntry.queries("q61_video_frame_near_dup")(spark, sf)
       .queryExecution.executedPlan.toString
