@@ -100,6 +100,8 @@ object SparkEntry {
       (graft.streaming.StreamingJobs.streamImageDedup _),
     "q64_recipe_yield"        -> (PipelineQueries.q64RecipeYield _),
     "q65_dedup_agreement"     -> (PipelineQueries.q65DedupAgreement _),
+    "q66_stream_quality_yield" ->
+      (graft.streaming.StreamingJobs.streamQualityYield _),
     "q57_image_dhash"         -> (Multimodal.q57ImageDhash _),
     "q58_audio_meta"          -> (Multimodal.q58AudioMeta _),
     "q59_video_frames"        -> (Multimodal.q59VideoFrames _),

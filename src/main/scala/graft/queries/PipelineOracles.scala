@@ -1052,6 +1052,21 @@ object PipelineOracles {
          |FROM fr LEFT JOIN dup ON fr.fk = dup.fk
          |ORDER BY fr.video_id, fr.f""".stripMargin,
 
+    // q66: the streaming quality-gate ledger — batch twin of the
+    // running (source × disposition) docs/tokens aggregate over the
+    // q46 cascade.
+    "q66_stream_quality_yield" ->
+      s"""WITH $q46CascadeCtes,
+         |src AS (SELECT doc_id, source FROM documents)
+         |SELECT src.source,
+         |  CASE WHEN fc.keep THEN 'kept'
+         |       ELSE 'rule:' || fc.reject_reason END AS disposition,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(fc.n_tokens) AS BIGINT) AS n_tokens
+         |FROM fc JOIN src USING (doc_id)
+         |GROUP BY src.source, disposition
+         |ORDER BY source, disposition""".stripMargin,
+
     // q65: dedup-method agreement — exact md5 pairs, q15's verified
     // LSH pairs, and SimHash Hamming ≤ 3 pairs (brute-forced here;
     // the engine's 4×8-bit banding equals it by pigeonhole), merged

@@ -763,8 +763,20 @@ object PipelineQueries {
     * projection + q39's two key-shuffles for the bigram-dominance rule;
     * the cascade itself is pure column logic inside one codegen stage.
     */
-  def q46FilterCascade(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+  def q46FilterCascade(s: SparkSession, dir: String): DataFrame =
+    filterCascadeOver(Tables.documents(s, dir))
+      .select(col("doc_id"), col("n_tokens"), col("too_short"),
+        col("high_punct"), col("low_stopwords"), col("repetitive"),
+        col("keep"), col("reject_reason"))
+      .orderBy(col("doc_id"))
+
+  /** The cascade over ANY frame with a `text` column — every input
+    * column rides through, the stats/flags/verdict are appended. Pure
+    * per-row column logic (no shuffle, no action), so it applies
+    * unchanged to a STREAMING frame — q66 runs it inside a streaming
+    * query as the ingest-time quality gate.
+    */
+  private[graft] def filterCascadeOver(d: DataFrame): DataFrame = {
     val stop = TF.StopwordsEn.map(w => s"'$w'").mkString(", ")
     // Repetition stats MAP-ONLY: the top-bigram count of one document
     // is a per-row fact, so shuffling exploded bigrams through two
@@ -776,13 +788,15 @@ object PipelineQueries {
     // quality cascade should stream, not shuffle).
     d.withColumn("w", TF.words(col("text")))
       .withColumn("bgs", array_sort(TF.shingles(col("w"), 2)))
-      .select(col("doc_id"),
-        length(col("text")).cast("long").as("n_chars"),
-        size(col("w")).cast("long").as("n_tokens"),
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+      .withColumn("n_punct",
         size(expr("regexp_extract_all(lower(text), '[^a-z0-9 ]', 0)"))
-          .cast("long").as("n_punct"),
-        expr(s"size(filter(w, t -> t IN ($stop)))").cast("long").as("n_stop"),
-        size(col("bgs")).cast("long").as("n_bigrams"),
+          .cast("long"))
+      .withColumn("n_stop",
+        expr(s"size(filter(w, t -> t IN ($stop)))").cast("long"))
+      .withColumn("n_bigrams", size(col("bgs")).cast("long"))
+      .withColumn("max_bigram_count",
         expr("""aggregate(
             bgs,
             named_struct('prev', '', 'run', 0L, 'best', 0L),
@@ -790,7 +804,8 @@ object PipelineQueries {
               'prev', x,
               'run',  IF(x = acc.prev, acc.run + 1L, 1L),
               'best', GREATEST(acc.best, IF(x = acc.prev, acc.run + 1L, 1L))),
-            acc -> acc.best)""").as("max_bigram_count"))
+            acc -> acc.best)"""))
+      .drop("w", "bgs")
       .withColumn("too_short", col("n_tokens") < 20)          // Gopher min length
       .withColumn("high_punct", col("n_punct") * 5L > col("n_chars"))   // ratio > 0.2
       .withColumn("low_stopwords", col("n_stop") * 50L < col("n_tokens")) // ratio < 0.02
@@ -804,10 +819,6 @@ object PipelineQueries {
           .when(col("low_stopwords"), "low_stopwords")
           .when(col("repetitive"), "repetitive")
           .otherwise(""))
-      .select(col("doc_id"), col("n_tokens"), col("too_short"),
-        col("high_punct"), col("low_stopwords"), col("repetitive"),
-        col("keep"), col("reject_reason"))
-      .orderBy(col("doc_id"))
   }
 
   /** PII SCRUBBING — the redaction pass every training-corpus build

@@ -366,6 +366,30 @@ object StreamingJobs {
       drain(s, agg, "dedupw_")(_.orderBy(col("event_type")))
     }
 
+  /** STREAMING quality-gate YIELD MONITOR — the live dashboard number
+    * a corpus-ingest pipeline watches: the q46 rule cascade applied to
+    * each arriving document (pure per-row column logic — the cascade's
+    * zero-shuffle shape is exactly what lets it run inside a streaming
+    * query unchanged), feeding a running docs/tokens ledger per
+    * (source, disposition). Complete output mode is the HONEST shape
+    * here, unlike q23/q37: the aggregation state is one row per
+    * (source × disposition) — bounded by group CARDINALITY (a handful
+    * of sources × 5 verdicts), not by the stream's length — so the
+    * running ledger never grows with data volume. Oracle: the batch
+    * cascade joined to sources, grouped the same way.
+    */
+  def streamQualityYield(s: SparkSession, dir: String): DataFrame = {
+    val casc = graft.queries.PipelineQueries
+      .filterCascadeOver(docsStream(s, dir))
+    val agg = casc
+      .withColumn("disposition",
+        when(col("keep"), lit("kept"))
+          .otherwise(concat(lit("rule:"), col("reject_reason"))))
+      .groupBy(col("source"), col("disposition"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    drain(s, agg, "qyield_")(_.orderBy(col("source"), col("disposition")))
+  }
+
   /** STREAMING ingest-time IMAGE dedup — the streaming × multimodal
     * composition a media-ingest pipeline runs at the door: each
     * arriving image is decoded and dHashed ON THE EXECUTOR (q57's

@@ -1340,6 +1340,25 @@ class PipelineSpec extends AnyFunSuite {
       s"exact flags ${flagged.size} vs recomputed ${exactPairs.size}")
   }
 
+  test("q66 streaming ledger equals the batch cascade regrouped") {
+    val led = SparkEntry.queries("q66_stream_quality_yield")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("disposition")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
+    val casc = SparkEntry.queries("q46_filter_cascade")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("keep"), r.getAs[String]("reject_reason"),
+          r.getAs[Long]("n_tokens"))).toMap
+    val srcOf = Tables.documents(spark, sf).select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = casc.toSeq.groupBy { case (id, (keep, reason, _)) =>
+      (srcOf(id), if (keep) "kept" else s"rule:$reason")
+    }.map { case (k, v) =>
+      k -> (v.size.toLong, v.map(_._2._3).sum)
+    }
+    assert(led == expect, s"ledger ${led.size} groups vs batch ${expect.size}")
+  }
+
   test("q61 plan: banded candidates via equi-join, no cartesian/nested loop") {
     val plan = SparkEntry.queries("q61_video_frame_near_dup")(spark, sf)
       .queryExecution.executedPlan.toString
