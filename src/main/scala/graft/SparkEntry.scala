@@ -102,6 +102,8 @@ object SparkEntry {
     "q65_dedup_agreement"     -> (PipelineQueries.q65DedupAgreement _),
     "q66_stream_quality_yield" ->
       (graft.streaming.StreamingJobs.streamQualityYield _),
+    "q67_event_range_join"    -> ((s: SparkSession, dir: String) =>
+      PipelineQueries.q67EventRangeJoin(s, dir)),
     "q57_image_dhash"         -> (Multimodal.q57ImageDhash _),
     "q58_audio_meta"          -> (Multimodal.q58AudioMeta _),
     "q59_video_frames"        -> (Multimodal.q59VideoFrames _),

@@ -1052,6 +1052,19 @@ object PipelineOracles {
          |FROM fr LEFT JOIN dup ON fr.fk = dup.fk
          |ORDER BY fr.video_id, fr.f""".stripMargin,
 
+    // q67: interval self-join, phrased naively — DuckDB handles the
+    // inequality join directly at oracle scale; the engine's binned
+    // equi-join produces the identical pair set.
+    "q67_event_range_join" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t
+        |           FROM events)
+        |SELECT a.user_id, a.t AS ts_a_us, b.t AS ts_b_us,
+        |  a.event_type AS type_a, b.event_type AS type_b,
+        |  b.t - a.t AS gap_us
+        |FROM e a JOIN e b ON a.user_id = b.user_id
+        |  AND b.t > a.t AND b.t - a.t <= 600000000
+        |ORDER BY 1, 2, 3, 4, 5""".stripMargin,
+
     // q66: the streaming quality-gate ledger — batch twin of the
     // running (source × disposition) docs/tokens aggregate over the
     // q46 cascade.

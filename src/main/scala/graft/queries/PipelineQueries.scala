@@ -1073,6 +1073,42 @@ object PipelineQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** RANGE JOIN (interval self-join): pairs of events by the same
+    * user within `gapUs` of each other — the "what happened around
+    * this event" primitive behind funnel/attribution analysis. The
+    * naive phrasing (`b.t > a.t AND b.t - a.t <= gap`) gives Catalyst
+    * no equi-key, so Spark executes it as a BroadcastNestedLoopJoin —
+    * O(n²) comparisons regardless of how sparse time is. The
+    * Spark-first rewrite BINS time into gap-sized buckets: a match's
+    * endpoints are at most one bin apart, so exploding the left side
+    * to (bin, bin+1) turns the predicate into an EQUI-join on
+    * (user_id, bin) with exactly one candidate bin per pair (no
+    * dedup needed) and the residual range filter runs only inside
+    * matching buckets — the standard interval-join shape (Flink's
+    * interval join; Databricks' range-join hint does the same
+    * binning). Scale: shuffle keys are (user, bin); per-bucket work
+    * is bounded by events-per-user-per-gap, never n².
+    */
+  def q67EventRangeJoin(s: SparkSession, dir: String,
+      gapUs: Long = 600000000L): DataFrame = {
+    val e = Tables.events(s, dir).select(col("user_id"), col("event_type"),
+      expr("ts div 1000").as("t")) // µs — the oracle-portable grain
+      .withColumn("bin", expr(s"t div ${gapUs}L"))
+    val probe = e.withColumn("jbin",
+      explode(array(col("bin"), col("bin") + 1L)))
+    probe.as("a").join(e.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.jbin") === col("b.bin") &&
+          col("b.t") > col("a.t") &&
+          col("b.t") - col("a.t") <= gapUs)
+      .select(col("a.user_id").as("user_id"),
+        col("a.t").as("ts_a_us"), col("b.t").as("ts_b_us"),
+        col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
+        (col("b.t") - col("a.t")).as("gap_us"))
+      .orderBy(col("user_id"), col("ts_a_us"), col("ts_b_us"),
+        col("type_a"), col("type_b"))
+  }
+
   /** SEMANTIC dedup (SemDeDup): coarse-cluster the embedding corpus,
     * dedup within clusters on exact cosine, keep the min-id
     * representative per duplicate group — the embedding-space sibling

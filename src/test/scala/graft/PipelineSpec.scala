@@ -1359,6 +1359,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(led == expect, s"ledger ${led.size} groups vs batch ${expect.size}")
   }
 
+  test("q67 range join is an equi-join — no nested-loop fallback") {
+    // the operator's whole point: the naive inequality phrasing would
+    // be a BroadcastNestedLoopJoin; the binned rewrite must not be
+    val df = SparkEntry.queries("q67_event_range_join")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // value check vs in-process brute force
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type", "ts div 1000 as t").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val brute = (for {
+      a <- ev; b <- ev
+      if a._1 == b._1 && b._3 > a._3 && b._3 - a._3 <= 600000000L
+    } yield (a._1, a._3, b._3, a._2, b._2)).toSeq.sorted
+    val got = df.collect().map(r => (r.getAs[Long]("user_id"),
+      r.getAs[Long]("ts_a_us"), r.getAs[Long]("ts_b_us"),
+      r.getAs[String]("type_a"), r.getAs[String]("type_b"))).toSeq.sorted
+    assert(got == brute, s"binned join ${got.size} pairs vs brute ${brute.size}")
+  }
+
   test("q61 plan: banded candidates via equi-join, no cartesian/nested loop") {
     val plan = SparkEntry.queries("q61_video_frame_near_dup")(spark, sf)
       .queryExecution.executedPlan.toString
