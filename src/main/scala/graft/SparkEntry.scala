@@ -104,6 +104,8 @@ object SparkEntry {
       (graft.streaming.StreamingJobs.streamQualityYield _),
     "q67_event_range_join"    -> ((s: SparkSession, dir: String) =>
       PipelineQueries.q67EventRangeJoin(s, dir)),
+    "q68_sessionize"          -> ((s: SparkSession, dir: String) =>
+      PipelineQueries.q68Sessionize(s, dir)),
     "q57_image_dhash"         -> (Multimodal.q57ImageDhash _),
     "q58_audio_meta"          -> (Multimodal.q58AudioMeta _),
     "q59_video_frames"        -> (Multimodal.q59VideoFrames _),

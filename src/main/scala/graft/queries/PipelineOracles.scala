@@ -1065,6 +1065,28 @@ object PipelineOracles {
         |  AND b.t > a.t AND b.t - a.t <= 600000000
         |ORDER BY 1, 2, 3, 4, 5""".stripMargin,
 
+    // q68: lag + conditional cumulative sum sessionizer — identical
+    // two-window phrasing; tie-safe (gap-0 events share a session
+    // under any tie order), so the aggregates match exactly.
+    "q68_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+        |b AS (SELECT user_id, t,
+        |        CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t)
+        |               IS NULL
+        |             OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+        |               > 600000000
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM e),
+        |sx AS (SELECT user_id, t,
+        |        CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY t
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |       FROM b)
+        |SELECT user_id, session_idx,
+        |  min(t) AS session_start_us, max(t) AS session_end_us,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM sx GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+
     // q66: the streaming quality-gate ledger — batch twin of the
     // running (source × disposition) docs/tokens aggregate over the
     // q46 cascade.

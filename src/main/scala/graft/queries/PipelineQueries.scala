@@ -1109,6 +1109,38 @@ object PipelineQueries {
         col("type_a"), col("type_b"))
   }
 
+  /** BATCH SESSIONIZATION — the gap-based session windows of q37's
+    * streaming job, as the batch backfill/repair pass every event
+    * warehouse also needs: a session breaks where the gap to the
+    * previous event of the same user exceeds `gapUs`, session index =
+    * running count of breaks (lag + conditional cumulative sum — the
+    * classic two-window sessionizer), then one aggregate per session.
+    * Tie-safe: simultaneous events have gap 0, so session membership
+    * and the aggregates are independent of tie order even though the
+    * window itself isn't. Scale shape: both windows and the final
+    * aggregate share ONE shuffle on user_id (the sort within
+    * partitions is per-user event history, which spills fine); no
+    * joins, no second shuffle.
+    */
+  def q68Sessionize(s: SparkSession, dir: String,
+      gapUs: Long = 600000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("t"))
+    Tables.events(s, dir)
+      .select(col("user_id"), expr("ts div 1000").as("t"))
+      .withColumn("prev", lag(col("t"), 1).over(byUser))
+      .withColumn("brk",
+        when(col("prev").isNull || col("t") - col("prev") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("brk")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("t")).as("session_start_us"),
+        max(col("t")).as("session_end_us"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
   /** SEMANTIC dedup (SemDeDup): coarse-cluster the embedding corpus,
     * dedup within clusters on exact cosine, keep the min-id
     * representative per duplicate group — the embedding-space sibling

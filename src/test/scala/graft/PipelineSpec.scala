@@ -1380,6 +1380,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == brute, s"binned join ${got.size} pairs vs brute ${brute.size}")
   }
 
+  test("q68 sessionizer: both windows and the aggregate share ONE hash shuffle") {
+    val df = SparkEntry.queries("q68_sessionize")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val hashExchanges = "hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1,
+      s"expected a single user_id hash exchange, found $hashExchanges:\n${plan.take(2000)}")
+    // sessions are well-formed: disjoint per user, gaps > threshold
+    // between consecutive sessions, bounded within
+    val rows = df.collect()
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (_, ss) =>
+      val sorted = ss.sortBy(_.getAs[Long]("session_idx"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("session_start_us") -
+            a.getAs[Long]("session_end_us") > 600000000L,
+            "adjacent sessions closer than the gap threshold")
+        case _ =>
+      }
+      sorted.foreach(r => assert(r.getAs[Long]("session_start_us") <=
+        r.getAs[Long]("session_end_us")))
+    }
+  }
+
   test("q61 plan: banded candidates via equi-join, no cartesian/nested loop") {
     val plan = SparkEntry.queries("q61_video_frame_near_dup")(spark, sf)
       .queryExecution.executedPlan.toString
