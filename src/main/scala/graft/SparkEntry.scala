@@ -106,6 +106,8 @@ object SparkEntry {
       PipelineQueries.q67EventRangeJoin(s, dir)),
     "q68_sessionize"          -> ((s: SparkSession, dir: String) =>
       PipelineQueries.q68Sessionize(s, dir)),
+    "q69_funnel_matrix"       -> ((s: SparkSession, dir: String) =>
+      PipelineQueries.q69FunnelMatrix(s, dir)),
     "q57_image_dhash"         -> (Multimodal.q57ImageDhash _),
     "q58_audio_meta"          -> (Multimodal.q58AudioMeta _),
     "q59_video_frames"        -> (Multimodal.q59VideoFrames _),

@@ -1087,6 +1087,30 @@ object PipelineOracles {
         |FROM sx GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
 
+    // q69: the conversion matrix over q67's naive-join twin; the
+    // |types|² spine keeps zero-conversion cells present, and the
+    // rate is the engine-exact rdiv4 integer division.
+    "q69_funnel_matrix" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+        |ty AS (SELECT DISTINCT event_type FROM e),
+        |tot AS (SELECT event_type AS type_a, CAST(count(*) AS BIGINT) AS n_a
+        |        FROM e GROUP BY event_type),
+        |pr AS (SELECT DISTINCT a.user_id, a.t AS ta,
+        |         a.event_type AS type_a, b.event_type AS type_b
+        |       FROM e a JOIN e b ON a.user_id = b.user_id
+        |         AND b.t > a.t AND b.t - a.t <= 600000000),
+        |cv AS (SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n_conv
+        |       FROM pr GROUP BY type_a, type_b)
+        |SELECT ta.event_type AS type_a, tb.event_type AS type_b, tot.n_a,
+        |  coalesce(cv.n_conv, 0) AS n_converted,
+        |  CAST((coalesce(cv.n_conv, 0) * 20000 + tot.n_a)
+        |    // (2 * tot.n_a) AS DOUBLE) / 10000.0 AS conv_rate
+        |FROM ty ta CROSS JOIN ty tb
+        |JOIN tot ON tot.type_a = ta.event_type
+        |LEFT JOIN cv ON cv.type_a = ta.event_type
+        |            AND cv.type_b = tb.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
+
     // q66: the streaming quality-gate ledger — batch twin of the
     // running (source × disposition) docs/tokens aggregate over the
     // q46 cascade.

@@ -1141,6 +1141,38 @@ object PipelineQueries {
       .orderBy(col("user_id"), col("session_idx"))
   }
 
+  /** FUNNEL / CONVERSION matrix — for every ordered pair of event
+    * types (a → b): how many a-events were followed by at least one
+    * b-event of the same user within the window, out of how many
+    * a-events total. Built ON q67's binned range join (the pairs are
+    * its output — no new join machinery), distinct-ed to a-event
+    * occurrences so an A followed by three Bs converts once. The
+    * matrix spine is the |types|² cross of two tiny distinct-type
+    * frames — a broadcast of dimension tables, not a data cross
+    * join — so pairs with ZERO conversions still get a row (a funnel
+    * report with silently missing cells misreads as 100% coverage).
+    * Scale: q67's shape + two low-cardinality aggregates.
+    */
+  def q69FunnelMatrix(s: SparkSession, dir: String,
+      gapUs: Long = 600000000L): DataFrame = {
+    val types = Tables.events(s, dir)
+      .select(col("event_type")).distinct().localCheckpoint(true)
+    val totals = Tables.events(s, dir)
+      .groupBy(col("event_type").as("type_a")).agg(count(lit(1)).as("n_a"))
+    val conv = q67EventRangeJoin(s, dir, gapUs)
+      .select(col("user_id"), col("ts_a_us"), col("type_a"), col("type_b"))
+      .distinct()
+      .groupBy(col("type_a"), col("type_b")).agg(count(lit(1)).as("n_conv"))
+    types.select(col("event_type").as("type_a"))
+      .crossJoin(broadcast(types.select(col("event_type").as("type_b"))))
+      .join(totals, Seq("type_a"))
+      .join(conv, Seq("type_a", "type_b"), "left")
+      .select(col("type_a"), col("type_b"), col("n_a"),
+        coalesce(col("n_conv"), lit(0L)).as("n_converted"),
+        rdiv4(coalesce(col("n_conv"), lit(0L)), col("n_a")).as("conv_rate"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** SEMANTIC dedup (SemDeDup): coarse-cluster the embedding corpus,
     * dedup within clusters on exact cosine, keep the min-id
     * representative per duplicate group — the embedding-space sibling
