@@ -42,7 +42,7 @@ PATTERNS = {
 }
 SCALA_ONLY = {"import-root"}
 
-ROOTS = ["src/**/*.scala", "dev/*.py", "*.md", "build.sbt",
+ROOTS = ["src/**/*.scala", "dev/*.py", "*.md", "docs/*.md", "build.sbt",
          "project/*.sbt", "project/*.scala"]
 
 def main() -> int:
