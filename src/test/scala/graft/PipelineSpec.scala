@@ -1403,6 +1403,48 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("dupClusters matches union-find on random + adversarial graphs") {
+    // Direct guard on the propagation loop's convergence logic (the
+    // r13 one-job-per-iteration rewrite): min-label propagation needs
+    // diameter-many rounds, so long PATHS are the adversarial shape —
+    // a loop that stops one round early returns a non-minimal label
+    // somewhere in the middle of the path.
+    import spark.implicits._
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (u, v) =>
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+      }
+      // canonical = min member, which for this union rule is the root
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    val rnd = new scala.util.Random(20260814L)
+    val cases: Seq[Seq[(Long, Long)]] = Seq(
+      // a 40-node path declared in reverse (worst diameter, and the
+      // min label enters from the far end)
+      (39L to 1L by -1L).map(i => (i, i - 1)),
+      // star + triangle + isolated edge
+      Seq((10L, 11L), (10L, 12L), (10L, 13L), (20L, 21L), (21L, 22L),
+        (22L, 20L), (30L, 31L)),
+      // random graphs at two densities
+      Seq.fill(120)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter(p => p._1 != p._2),
+      Seq.fill(25)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+        .filter(p => p._1 != p._2))
+    cases.zipWithIndex.foreach { case (edges, i) =>
+      val df = edges.toDF("doc_a", "doc_b")
+      val got = graft.functions.Dedup.dupClusters(df, "doc_a", "doc_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = unionFind(edges)
+      assert(got == want, s"case $i: ${got.size} labels vs ${want.size}")
+    }
+  }
+
   test("q61 plan: banded candidates via equi-join, no cartesian/nested loop") {
     val plan = SparkEntry.queries("q61_video_frame_near_dup")(spark, sf)
       .queryExecution.executedPlan.toString
