@@ -144,8 +144,15 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct().localCheckpoint(true)
-    var labels = edges.select(col("u").as("node")).distinct()
-      .withColumn("lbl", col("node")).localCheckpoint(true)
+    // Init FUSED with the first propagation round: every node's
+    // round-1 label is min(self, min neighbour), which the symmetric
+    // edge list yields in the same single shuffle the identity init
+    // would have cost — one whole propagation round (a join + groupBy
+    // over the pair graph) never runs.
+    var labels = edges.groupBy(col("u"))
+      .agg(min(col("v")).as("nv"))
+      .select(col("u").as("node"), least(col("u"), col("nv")).as("lbl"))
+      .localCheckpoint(true)
     var changed = true
     var iter = 0
     while (changed && iter < maxIter) {
