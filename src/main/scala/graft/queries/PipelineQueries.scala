@@ -1210,9 +1210,10 @@ object PipelineQueries {
     * report engine-exact (the q40 pattern, conditioned on the
     * preceding token). Scale shape: one shuffle to build the bigram
     * model (map-side combined), one (w1,w2)-keyed join of the bigram
-    * stream to the model, one per-doc aggregation; a production run
-    * would prune the model to a top-K vocabulary before the join —
-    * same plan, smaller build side.
+    * stream to the model, one per-doc aggregation. The production
+    * operating point — the model pruned to the top-K continuations
+    * per context word before the join, with an OOV fallback — is
+    * [[q56bBigramLmPruned]], oracle-gated in its own right.
     */
   def q56BigramLm(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
