@@ -1087,6 +1087,41 @@ object PipelineOracles {
         |FROM sx GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
 
+    // q70: deterministic HyperLogLog replay — same md5 hash, same
+    // base-2-string rank, exact integer registers and scaled harmonic
+    // sum, one IEEE-identical double divide at the end.
+    "q70_hll_distinct" ->
+      """WITH h AS (SELECT event_type, user_id,
+        |    CAST('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS h
+        |  FROM events),
+        |r AS (SELECT event_type, h // 2251799813685248 AS bucket,
+        |        CASE WHEN h % 2251799813685248 = 0 THEN 52
+        |             ELSE 52 - length(format('{:b}', h % 2251799813685248))
+        |        END AS rank
+        |      FROM h),
+        |regs AS (SELECT event_type, bucket, max(rank) AS mj
+        |         FROM r GROUP BY event_type, bucket),
+        |sk AS (SELECT event_type,
+        |        sum(CAST(1 AS BIGINT) << CAST(52 - mj AS INTEGER))
+        |          + (512 - count(*)) * (CAST(1 AS BIGINT) << 52) AS s_scaled,
+        |        CAST(512 - count(*) AS BIGINT) AS v_zero
+        |       FROM regs GROUP BY event_type),
+        |ex AS (SELECT event_type,
+        |         CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+        |       FROM events GROUP BY event_type),
+        |est AS (SELECT event_type, s_scaled, v_zero,
+        |  CAST(round((0.7213 / (1 + 1.079 / 512)) * 512 * 512
+        |    * 4503599627370496.0 / s_scaled) AS BIGINT) AS hll_est
+        |  FROM sk)
+        |SELECT est.event_type, est.hll_est,
+        |  CASE WHEN v_zero > 0 AND hll_est < 1280
+        |       THEN CAST(round(512 * ln(CAST(512 AS DOUBLE) / v_zero)) AS BIGINT)
+        |       ELSE hll_est END AS est_corrected,
+        |  ex.n_exact, est.v_zero
+        |FROM est JOIN ex ON est.event_type = ex.event_type
+        |ORDER BY est.event_type""".stripMargin,
+
     // q69: the conversion matrix over q67's naive-join twin; the
     // |types|² spine keeps zero-conversion cells present, and the
     // rate is the engine-exact rdiv4 integer division.

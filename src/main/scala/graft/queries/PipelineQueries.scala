@@ -1173,6 +1173,60 @@ object PipelineQueries {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** HYPERLOGLOG distinct count — the sketch that replaces exact
+    * COUNT(DISTINCT) at 100 TB: per (group, bucket) state is ONE max
+    * (512 registers per group, map-side combined), vs the exact
+    * count's unbounded distinct set shuffle. Built deterministic so
+    * the DuckDB oracle replays it bit-for-bit: the portable 60-bit
+    * md5 hash (top 9 bits → bucket, low 51 → rank = 52 − bit-length,
+    * computed by BASE-2 STRING length — exact integer on both
+    * engines), registers aggregated as exact longs, the harmonic sum
+    * scaled by 2^52 so every term is integral, and ONE double
+    * multiply/divide/round at the very end (IEEE-identical given
+    * identical integer inputs). The standard ±1.04/√512 ≈ 4.6%
+    * estimator, with the standard small-range linear-counting switch
+    * (m·ln(m/V) when the raw estimate is under 2.5m with empty
+    * registers) in `est_corrected`; the raw estimate, `n_exact` and
+    * the zero-register count all ride along, so the report shows its
+    * own error and which regime produced the headline number.
+    */
+  def q70HllDistinct(s: SparkSession, dir: String): DataFrame = {
+    val m = 512 // 2^9 registers
+    val e = Tables.events(s, dir).select(col("event_type"), col("user_id"))
+    val hashed = e.select(col("event_type"),
+        col("user_id"),
+        TF.hash60(concat(lit("hll:"), col("user_id").cast("string"))).as("h"))
+      .withColumn("bucket", expr("h div 2251799813685248")) // h >> 51
+      .withColumn("rest", pmod(col("h"), lit(2251799813685248L)))
+      .withColumn("rank",
+        when(col("rest") === 0L, lit(52L))
+          .otherwise(lit(52L) - length(conv(col("rest"), 10, 2))))
+    val regs = hashed.groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rank")).as("mj"))
+    val alpha = s"(0.7213 / (1 + 1.079 / $m))"
+    val sketch = regs.groupBy(col("event_type"))
+      .agg(
+        (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(52 - mj AS INT))"))
+          + (lit(m.toLong) - count(lit(1))) * lit(1L << 52)).as("s_scaled"),
+        (lit(m.toLong) - count(lit(1))).as("v_zero"))
+      .withColumn("hll_est", expr(
+        s"CAST(round($alpha * $m * $m * 4503599627370496.0 / s_scaled) AS BIGINT)"))
+      // Small-range regime (raw < 2.5m with empty registers): the
+      // standard linear-counting switch, m·ln(m/V) — rounded to a
+      // LONG, so the ln's sub-ulp engine variance is absorbed exactly
+      // like the raw estimate's terminal division.
+      .withColumn("est_corrected", expr(
+        s"CASE WHEN v_zero > 0 AND hll_est < ${5 * m / 2}" +
+          s" THEN CAST(round($m * ln(CAST($m AS DOUBLE) / v_zero)) AS BIGINT)" +
+          " ELSE hll_est END"))
+    val exact = e.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    sketch.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("hll_est"), col("est_corrected"),
+        col("n_exact"), col("v_zero"))
+      .orderBy(col("event_type"))
+  }
+
   /** SEMANTIC dedup (SemDeDup): coarse-cluster the embedding corpus,
     * dedup within clusters on exact cosine, keep the min-id
     * representative per duplicate group — the embedding-space sibling

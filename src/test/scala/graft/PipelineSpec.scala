@@ -1445,6 +1445,19 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q70 HLL estimate lands within the sketch's error band") {
+    val rows = SparkEntry.queries("q70_hll_distinct")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("n_exact").toDouble
+      val est = r.getAs[Long]("est_corrected").toDouble
+      // 3σ of 1.04/sqrt(512) ≈ 14%; linear counting is tighter still
+      assert(math.abs(est - exact) / exact <= 0.14,
+        s"${r.getAs[String]("event_type")}: est $est vs exact $exact")
+      assert(r.getAs[Long]("v_zero") >= 0 && r.getAs[Long]("v_zero") <= 512)
+    }
+  }
+
   test("q61 plan: banded candidates via equi-join, no cartesian/nested loop") {
     val plan = SparkEntry.queries("q61_video_frame_near_dup")(spark, sf)
       .queryExecution.executedPlan.toString
