@@ -106,6 +106,8 @@ object SparkEntry {
       PipelineQueries.q67EventRangeJoin(s, dir)),
     "q68_sessionize"          -> ((s: SparkSession, dir: String) =>
       PipelineQueries.q68Sessionize(s, dir)),
+    "q68b_sessionize_skew"    -> ((s: SparkSession, dir: String) =>
+      PipelineQueries.q68bSessionizeSkewSafe(s, dir)),
     "q69_funnel_matrix"       -> ((s: SparkSession, dir: String) =>
       PipelineQueries.q69FunnelMatrix(s, dir)),
     "q70_hll_distinct"        -> (PipelineQueries.q70HllDistinct _),

@@ -1068,24 +1068,13 @@ object PipelineOracles {
     // q68: lag + conditional cumulative sum sessionizer — identical
     // two-window phrasing; tie-safe (gap-0 events share a session
     // under any tie order), so the aggregates match exactly.
-    "q68_sessionize" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
-        |b AS (SELECT user_id, t,
-        |        CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t)
-        |               IS NULL
-        |             OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
-        |               > 600000000
-        |             THEN 1 ELSE 0 END AS brk
-        |      FROM e),
-        |sx AS (SELECT user_id, t,
-        |        CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY t
-        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
-        |       FROM b)
-        |SELECT user_id, session_idx,
-        |  min(t) AS session_start_us, max(t) AS session_end_us,
-        |  CAST(count(*) AS BIGINT) AS n_events
-        |FROM sx GROUP BY user_id, session_idx
-        |ORDER BY user_id, session_idx""".stripMargin,
+    "q68_sessionize" -> q68SessionizeSql,
+
+    // q68b: the skew-safe two-phase engine plan produces the SAME
+    // session partition as q68's single-window fold (phase-2's
+    // boundary merge is exactly the cuts the chunking introduced), so
+    // the oracle IS q68's — the twins differ only in plan shape.
+    "q68b_sessionize_skew" -> q68SessionizeSql,
 
     // q70: deterministic HyperLogLog replay — same md5 hash, same
     // base-2-string rank, exact integer registers and scaled harmonic
@@ -1353,6 +1342,29 @@ object PipelineOracles {
          |GROUP BY source, disposition
          |ORDER BY source, disposition""".stripMargin,
   )
+
+  /** q68's lag + conditional-cumsum sessionizer SQL — shared verbatim
+    * by q68 and its skew-safe two-phase twin q68b (identical output,
+    * different engine plan).
+    */
+  private lazy val q68SessionizeSql: String =
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+        |b AS (SELECT user_id, t,
+        |        CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t)
+        |               IS NULL
+        |             OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+        |               > 600000000
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM e),
+        |sx AS (SELECT user_id, t,
+        |        CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY t
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |       FROM b)
+        |SELECT user_id, session_idx,
+        |  min(t) AS session_start_us, max(t) AS session_end_us,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM sx GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin
 
   /** The full q53 staged-recipe CTE chain, ending in
     * `recipe(doc_id, split, disposition, keep)` — shared by the q53

@@ -1141,6 +1141,85 @@ object PipelineQueries {
       .orderBy(col("user_id"), col("session_idx"))
   }
 
+  /** SKEW-SAFE two-phase sessionization — q68's output, without q68's
+    * one residual scale risk: `Window.partitionBy(user_id)` serializes
+    * a single pathological user (a bot with 10⁸ events) into ONE task.
+    * Phase 1 sessionizes per (user_id, coarse time CHUNK) — the same
+    * lag + conditional-cumsum fold, but the window partition key now
+    * includes the chunk, so a hot user's history splits across as many
+    * tasks as it spans chunks. Phase 2 repairs the cuts: a session can
+    * merge across a chunk boundary ONLY if its edge event is within
+    * `gapUs` of the cut (any farther and the gap predicate already
+    * breaks it), so the merge pass re-runs the same fold over just the
+    * BOUNDARY-candidate sessions — at most two per (user, chunk),
+    * bounded by the time span over `chunkUs`, never by event volume.
+    * No false merges through skipped interior sessions: an interior
+    * session B between candidates A and C sits ≥ `gapUs` inside its
+    * chunk on both ends, which forces C.start − A.end > gapUs (each
+    * case reduces to B's own local break or B's edge margin). Exactly
+    * the q37→q37b / q35→q35b bounded-twin pattern; oracle = q68's —
+    * the partition into sessions is identical, only the plan differs.
+    */
+  def q68bSessionizeSkewSafe(s: SparkSession, dir: String,
+      gapUs: Long = 600000000L, chunkUs: Long = 86400000000L): DataFrame =
+    sessionizeTwoPhase(
+      Tables.events(s, dir).select(col("user_id"), expr("ts div 1000").as("t")),
+      gapUs, chunkUs)
+
+  /** Core of [[q68bSessionizeSkewSafe]] over any (user_id, t µs) frame —
+    * split out so the spec can drive it with a planted hot-user fixture
+    * and assert the phase-1 task spread.
+    */
+  private[graft] def sessionizeTwoPhase(events: DataFrame,
+      gapUs: Long, chunkUs: Long): DataFrame = {
+    require(chunkUs > gapUs, "a chunk must exceed the session gap")
+    import org.apache.spark.sql.expressions.Window
+    val byChunk = Window.partitionBy(col("user_id"), col("chunk"))
+      .orderBy(col("t"))
+    val local = events
+      .withColumn("chunk", expr(s"t div ${chunkUs}L"))
+      .withColumn("prev", lag(col("t"), 1).over(byChunk))
+      .withColumn("brk",
+        when(col("prev").isNull || col("t") - col("prev") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("brk")).over(
+        byChunk.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("chunk"), col("sid"))
+      .agg(min(col("t")).as("s0"), max(col("t")).as("s1"),
+        count(lit(1)).as("n"))
+      // Mergeable across a cut iff an edge event is within gapUs of it:
+      // left edge s0 < chunkStart + gapUs (the previous chunk's last
+      // event is ≤ chunkStart − 1), right edge chunkEnd − s1 ≤ gapUs
+      // (the next chunk's first event is ≥ chunkEnd).
+      .withColumn("cand",
+        col("s0") - col("chunk") * lit(chunkUs) < gapUs ||
+          (col("chunk") + 1) * lit(chunkUs) - col("s1") <= gapUs)
+    val interior = local.filter(!col("cand"))
+      .select(col("user_id"), col("s0"), col("s1"), col("n"))
+    // Phase 2 runs per user over SESSION rows (≤ 2 candidates per
+    // chunk), so the hot key that would serialize q68 is a few hundred
+    // rows here regardless of its event count.
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("s0"))
+    val merged = local.filter(col("cand"))
+      .withColumn("pend", lag(col("s1"), 1).over(byUser))
+      .withColumn("brk",
+        when(col("pend").isNull || col("s0") - col("pend") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("mid", sum(col("brk")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("mid"))
+      .agg(min(col("s0")).as("s0"), max(col("s1")).as("s1"),
+        sum(col("n")).as("n"))
+      .select(col("user_id"), col("s0"), col("s1"), col("n"))
+    interior.unionByName(merged)
+      .withColumn("session_idx", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("s0"))).cast("long"))
+      .select(col("user_id"), col("session_idx"),
+        col("s0").as("session_start_us"), col("s1").as("session_end_us"),
+        col("n").as("n_events"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
   /** FUNNEL / CONVERSION matrix — for every ordered pair of event
     * types (a → b): how many a-events were followed by at least one
     * b-event of the same user within the window, out of how many

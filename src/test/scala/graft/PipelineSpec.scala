@@ -1403,6 +1403,65 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q68b two-phase sessionizer equals q68 on sf data") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("user_id"), r.getAs[Long]("session_idx"),
+        r.getAs[Long]("session_start_us"), r.getAs[Long]("session_end_us"),
+        r.getAs[Long]("n_events"))
+    val a = SparkEntry.queries("q68_sessionize")(spark, sf).collect().map(key)
+    val b = SparkEntry.queries("q68b_sessionize_skew")(spark, sf)
+      .collect().map(key)
+    assert(a.nonEmpty && b.toSeq == a.toSeq)
+  }
+
+  test("q68b: planted hot user — exact across cuts, phase-1 spreads the key") {
+    import spark.implicits._
+    import graft.queries.PipelineQueries
+    val gap = 100L; val chunk = 1000L
+    val rnd = new scala.util.Random(68)
+    // User 1: one 5000-event session spanning ~150 chunks — the bot
+    // that would serialize into one task under a per-user window.
+    val hot = (0L until 5000L).map(i => (1L, i * 30L))
+    val edges = Seq(
+      (2L, 900L), (2L, 1000L), (2L, 1101L), // cross-cut merge at gap
+      // == 100, then a 101-gap break INSIDE the chunk
+      (3L, 50L), (3L, 940L), (3L, 960L), (3L, 1050L), // left-edge
+      // candidate + right-edge session merging across the cut
+      (4L, 990L), (4L, 1500L), (4L, 2010L), // the skip trap: interior
+      // session between two boundary candidates must block their merge
+      (5L, 500L), (5L, 500L), (5L, 500L)) // ties
+    val fuzz = for { u <- 6L to 15L; _ <- 1 to 200 }
+      yield (u, rnd.between(0L, 20000L))
+    val all = hot ++ edges ++ fuzz
+    val got = PipelineQueries
+      .sessionizeTwoPhase(all.toDF("user_id", "t"), gap, chunk)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq.sorted
+    // In-process reference: the plain single-pass gap fold.
+    val expect = all.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val sessions = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      es.map(_._2).sorted.foreach { t =>
+        if (sessions.nonEmpty && t - sessions.last._2 <= gap) {
+          val (s0, _, n) = sessions.last
+          sessions(sessions.size - 1) = (s0, t, n + 1)
+        } else sessions += ((t, t, 1L))
+      }
+      sessions.zipWithIndex.map { case ((s0, s1, n), i) =>
+        (u, (i + 1).toLong, s0, s1, n) }
+    }.sorted
+    assert(got == expect, s"${got.size} sessions vs reference ${expect.size}")
+    // The hot user resolved to ONE session despite ~150 chunk cuts.
+    assert(got.count(_._1 == 1L) == 1)
+    // Skew claim: phase 1 partitions on (user, chunk) — its key
+    // cardinality must exceed the user count (the hot user alone
+    // contributes ~150 keys), so no single task owns a hot user.
+    val nKeys = all.toDF("user_id", "t")
+      .selectExpr("user_id", s"t div ${chunk}L AS c").distinct().count()
+    val nUsers = all.map(_._1).distinct.size.toLong
+    assert(nKeys > 10 * nUsers, s"phase-1 keys $nKeys vs users $nUsers")
+  }
+
   test("dupClusters matches union-find on random + adversarial graphs") {
     // Direct guard on the propagation loop's convergence logic (the
     // r13 one-job-per-iteration rewrite): min-label propagation needs
