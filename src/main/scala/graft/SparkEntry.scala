@@ -99,6 +99,7 @@ object SparkEntry {
     "q63_stream_image_dedup"  ->
       (graft.streaming.StreamingJobs.streamImageDedup _),
     "q64_recipe_yield"        -> (PipelineQueries.q64RecipeYield _),
+    "q64b_recipe_yield_staged" -> (PipelineQueries.q64bRecipeYieldStaged _),
     "q65_dedup_agreement"     -> (PipelineQueries.q65DedupAgreement _),
     "q66_stream_quality_yield" ->
       (graft.streaming.StreamingJobs.streamQualityYield _),

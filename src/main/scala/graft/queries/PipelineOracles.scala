@@ -1330,7 +1330,19 @@ object PipelineOracles {
 
     // q64: the recipe's yield ledger — docs/tokens per (source,
     // disposition) over the SAME recipe CTEs as q53.
-    "q64_recipe_yield" ->
+    "q64_recipe_yield" -> q64YieldSql,
+
+    // q64b: the STAGED path (engine writes q53's disposition table to
+    // parquet once, the ledger reads it back) against the same
+    // recompute SQL — the gate proves write → read → aggregate equals
+    // recompute → aggregate, i.e. the staging contract holds.
+    "q64b_recipe_yield_staged" -> q64YieldSql,
+  )
+
+  /** q64's recompute-path yield-ledger SQL — shared verbatim by q64
+    * and its materialized-stage twin q64b.
+    */
+  private lazy val q64YieldSql: String =
       s"""WITH RECURSIVE $corpusRecipeCtes,
          |tok AS (SELECT doc_id, source,
          |          CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS nt
@@ -1340,8 +1352,7 @@ object PipelineOracles {
          |  CAST(sum(nt) AS BIGINT) AS n_tokens
          |FROM recipe JOIN tok USING (doc_id)
          |GROUP BY source, disposition
-         |ORDER BY source, disposition""".stripMargin,
-  )
+         |ORDER BY source, disposition""".stripMargin
 
   /** q68's lag + conditional-cumsum sessionizer SQL — shared verbatim
     * by q68 and its skew-safe two-phase twin q68b (identical output,

@@ -1025,14 +1025,69 @@ object PipelineQueries {
     * shares q53's recipe CTEs verbatim, so the two reports can never
     * drift apart.
     */
-  def q64RecipeYield(s: SparkSession, dir: String): DataFrame = {
-    val rec = q53CorpusRecipe(s, dir).select(col("doc_id"), col("disposition"))
+  def q64RecipeYield(s: SparkSession, dir: String): DataFrame =
+    yieldLedgerOver(
+      q53CorpusRecipe(s, dir).select(col("doc_id"), col("disposition")), s, dir)
+
+  /** The (source × disposition) docs/tokens aggregate shared by q64
+    * (recompute path) and q64b (staged path).
+    */
+  private def yieldLedgerOver(rec: DataFrame, s: SparkSession,
+      dir: String): DataFrame = {
     val tok = Tables.documents(s, dir).select(col("doc_id"), col("source"),
       size(TF.words(col("text"))).cast("long").as("nt"))
     rec.join(tok, "doc_id")
       .groupBy(col("source"), col("disposition"))
       .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
       .orderBy(col("source"), col("disposition"))
+  }
+
+  /** MATERIALIZED-STAGE recipe yield — the staging contract the 100 TB
+    * deployment actually runs: q64 recomputes q53's whole recipe for
+    * one report, but a real pipeline writes the DISPOSITION TABLE once
+    * and every downstream report reads it. [[stagedDisposition]] is
+    * that table: q53's full verdict persisted as plain parquet under a
+    * staging path keyed by the INPUT's identity (dir + documents file
+    * length + mtime — a changed corpus can never serve a stale stage),
+    * written on first demand, then read by every later call. The
+    * ledger itself projects two of the four staged columns, so the
+    * parquet scan prunes to doc_id+disposition. Oracle = q64's
+    * recompute SQL — the gate proves write → read → aggregate equals
+    * recompute → aggregate, which IS the staging contract (a
+    * schema-drifted or torn stage fails the hash).
+    */
+  def q64bRecipeYieldStaged(s: SparkSession, dir: String): DataFrame =
+    yieldLedgerOver(
+      stagedDisposition(s, dir).select(col("doc_id"), col("disposition")),
+      s, dir)
+
+  /** Staging root: gitignored build artifact, env-overridable. */
+  private[graft] val stageRoot: String =
+    sys.env.getOrElse("GRAFT_STAGE_DIR", "/root/repo/.fixture/stage")
+
+  /** The staged q53 disposition table for `dir` — written once (all
+    * four verdict columns, a real stage keeps the full schema), marker
+    * committed AFTER the data so a torn write is retried, then read
+    * back. At scale this is an ordinary partitioned parquet write; no
+    * single-file coalescing (the DuckDB oracle never reads this path —
+    * it recomputes, which is the point of the gate).
+    */
+  private[graft] def stagedDisposition(s: SparkSession, dir: String): DataFrame = {
+    val src = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(src)
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|${st.getLen}|${st.getModificationTime}|v1"
+        .getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    val stage = s"$stageRoot/recipe_$tag"
+    val marker = new org.apache.hadoop.fs.Path(s"$stage/_staged")
+    if (!fs.exists(marker)) {
+      q53CorpusRecipe(s, dir).write.mode("overwrite")
+        .parquet(s"$stage/disposition")
+      fs.create(marker, true).close()
+    }
+    s.read.parquet(s"$stage/disposition")
   }
 
   /** Dedup-method AGREEMENT report — the evaluation table a pipeline

@@ -1316,6 +1316,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(ledByDisp == byDisp, s"ledger $ledByDisp vs verdicts $byDisp")
   }
 
+  test("q64b staged ledger equals q64, reuses the stage, prunes the scan") {
+    import graft.queries.PipelineQueries
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("source"), r.getAs[String]("disposition"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))
+    val recompute = SparkEntry.queries("q64_recipe_yield")(spark, sf)
+      .collect().map(key).toSeq
+    val staged = SparkEntry.queries("q64b_recipe_yield_staged")(spark, sf)
+    val got = staged.collect().map(key).toSeq
+    assert(recompute.nonEmpty && got == recompute)
+    // The ledger's parquet scan over the stage prunes to the two
+    // projected columns (the staged table has four).
+    val scan = staged.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("/stage/recipe_"))
+    assert(scan.exists(_.contains(
+      "ReadSchema: struct<doc_id:bigint,disposition:string>")),
+      s"stage scan not pruned: $scan")
+    // Write-once: a second call must READ the existing stage, not
+    // rewrite it (parquet part files keep their names + mtimes).
+    def listing = {
+      val base = java.nio.file.Paths.get(PipelineQueries.stageRoot)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala
+        .filter(p => p.toString.contains("recipe_") &&
+          p.toString.endsWith(".parquet"))
+        .map(p => (p.toString,
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)).toSet
+    }
+    val before = listing
+    assert(before.nonEmpty)
+    SparkEntry.queries("q64b_recipe_yield_staged")(spark, sf)
+      .write.mode("overwrite").format("noop").save()
+    assert(listing == before, "second call rewrote the stage")
+  }
+
   test("q65 agreement: exact pairs flagged exact, method count consistent") {
     val rows = SparkEntry.queries("q65_dedup_agreement")(spark, sf).collect()
     assert(rows.nonEmpty)
