@@ -144,6 +144,47 @@ object Bench {
       }
     } catch { case _: Throwable => None }
 
+    // q63b TTL eviction, PRICED the same way: the sweep's q63b drains
+    // the 96-image fixture in one microbatch (no timeout can fire), so
+    // re-drive the image fold through two fixture halves + two
+    // far-future ticks. The final "imgdedupb_" state size in the
+    // state_store line is therefore POST-eviction (this drive runs
+    // after the sweep; last progress wins), and the pre/post pair
+    // prints on its own detail line.
+    val q63bTtl: Option[(Long, Long)] = if (ingestOnly) None else try {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import spark.implicits._
+      val n = graft.functions.MediaFixture.nImages
+      val imgs = (0 until n)
+        .map(i => (i.toLong, graft.functions.MediaFixture.png(i)))
+      val ms = MemoryStream[(Long, Array[Byte])]
+      val dups = graft.streaming.StreamingJobs.imageDedupBoundedStream(
+        spark, ms.toDF().toDF("img_id", "png"), ttlMs = 3600L * 1000L)
+      val name = "imgdedupb_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = dups.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      def stateRows: Long = q.recentProgress
+        .filter(_.stateOperators.nonEmpty).lastOption
+        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+      try {
+        val (h1, h2) = imgs.partition(_._1 < n / 2)
+        ms.addData(h1.toIndexedSeq); q.processAllAvailable()
+        ms.addData(h2.toIndexedSeq); q.processAllAvailable()
+        val pre = stateRows // every distinct fingerprint is live
+        ms.addData(Seq((n + 36000L, graft.functions.MediaFixture.png(0))))
+        q.processAllAvailable()
+        ms.addData(Seq((n + 36001L, graft.functions.MediaFixture.png(1))))
+        q.processAllAvailable()
+        val post = stateRows // ticks only — the fixture horizon expired
+        Some((pre, post))
+      } finally {
+        q.stop(); spark.catalog.dropTempView(name)
+        org.apache.spark.sql.graft.StateStoreHygiene.unloadAll()
+      }
+    } catch { case _: Throwable => None }
+
     // NEAR ingest throughput: full block-JSON → 17-table ETL (incl.
     // lineage fixpoint) over a synthetic chain. The reference sustains
     // ~1 block/s (BASELINE.md); this measures our blocks/s at the same
@@ -263,6 +304,9 @@ object Bench {
     }
     q48bTtl.foreach { case (pre, post) =>
       println(s"""{"detail":"q48b_ttl_eviction","pre_rows":$pre,"post_rows":$post}""")
+    }
+    q63bTtl.foreach { case (pre, post) =>
+      println(s"""{"detail":"q63b_ttl_eviction","pre_rows":$pre,"post_rows":$post}""")
     }
     val qShort = headline.map { case (k, v) =>
       (if (k.startsWith("near_ingest")) k else shortKey(k)) -> v }

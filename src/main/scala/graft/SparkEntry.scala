@@ -98,6 +98,8 @@ object SparkEntry {
       (graft.functions.Multimodal.q62AudioNearDup _),
     "q63_stream_image_dedup"  ->
       (graft.streaming.StreamingJobs.streamImageDedup _),
+    "q63b_stream_image_dedup_ttl" -> ((s: SparkSession, dir: String) =>
+      StreamingJobs.streamImageDedupBounded(s, dir)),
     "q64_recipe_yield"        -> (PipelineQueries.q64RecipeYield _),
     "q64b_recipe_yield_staged" -> (PipelineQueries.q64bRecipeYieldStaged _),
     "q65_dedup_agreement"     -> (PipelineQueries.q65DedupAgreement _),

@@ -1184,32 +1184,13 @@ object PipelineOracles {
     // q63: streaming image dedup — q57's formula-replayed dHash, then
     // min-per-hash (equals the engine's first-seen canonical on the
     // single-batch fixture drain); every image gets a verdict row.
-    "q63_stream_image_dedup" ->
-      s"""WITH imgs AS (
-         |  SELECT img_id, 4 + img_id % 13 AS w, 3 + img_id % 11 AS h
-         |  FROM read_parquet('${graft.functions.MediaFixture.fixtureDir}/images/*.parquet')),
-         |ks AS (SELECT img_id, w, h, unnest(generate_series(0, 71)) AS k FROM imgs),
-         |g AS (SELECT img_id, w, h, k % 9 AS gi, k // 9 AS gj,
-         |        (299*((17*(((k % 9) * w) // 9) + 29*(((k // 9) * h) // 8) + 31*img_id) % 256)
-         |       + 587*(( 3*(((k % 9) * w) // 9) +  7*(((k // 9) * h) // 8) + 11*img_id) % 256)
-         |       + 114*((13*(((k % 9) * w) // 9) +  5*(((k // 9) * h) // 8) + 19*img_id) % 256)) // 1000 AS gray
-         |      FROM ks),
-         |bits AS (SELECT a.img_id, a.gj * 8 + a.gi AS k,
-         |           CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit
-         |         FROM g a JOIN g b ON a.img_id = b.img_id AND a.gj = b.gj
-         |            AND b.gi = a.gi + 1
-         |         WHERE a.gi < 8),
-         |halves AS (SELECT img_id,
-         |    CAST(sum(CASE WHEN k >= 32 THEN bit * (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END) AS BIGINT) AS hi,
-         |    CAST(sum(CASE WHEN k < 32 THEN bit * (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS lo
-         |  FROM bits GROUP BY img_id),
-         |fr AS (SELECT img_id, hi, lo,
-         |         format('{:08x}', hi) || format('{:08x}', lo) AS dhash_hex
-         |       FROM halves)
-         |SELECT img_id, dhash_hex, dup_of, (img_id != dup_of) AS is_dup
-         |FROM (SELECT img_id, dhash_hex,
-         |        min(img_id) OVER (PARTITION BY hi, lo) AS dup_of FROM fr) z
-         |ORDER BY img_id""".stripMargin,
+    "q63_stream_image_dedup" -> q63ImageDedupSql,
+
+    // q63b: the TTL-bounded twin — on the single-batch fixture drain
+    // no event-time timeout fires before the output is final, so the
+    // oracle is q63's verbatim (identical result, bounded state; the
+    // eviction semantics are pinned by the multi-batch spec).
+    "q63b_stream_image_dedup_ttl" -> q63ImageDedupSql,
 
     // q62: the audio envelope fingerprint (65 equal windows by
     // t*65//n, integer |sample| energy, 64 adjacent-delta bits) and
@@ -1353,6 +1334,38 @@ object PipelineOracles {
          |FROM recipe JOIN tok USING (doc_id)
          |GROUP BY source, disposition
          |ORDER BY source, disposition""".stripMargin
+
+  /** q63's formula-replayed dHash + min-per-hash verdict SQL — shared
+    * verbatim by q63 and its TTL-bounded twin q63b (identical output
+    * on the single-batch fixture drain; the twins differ only in
+    * state-eviction behavior, pinned by the multi-batch spec).
+    */
+  private lazy val q63ImageDedupSql: String =
+      s"""WITH imgs AS (
+         |  SELECT img_id, 4 + img_id % 13 AS w, 3 + img_id % 11 AS h
+         |  FROM read_parquet('${graft.functions.MediaFixture.fixtureDir}/images/*.parquet')),
+         |ks AS (SELECT img_id, w, h, unnest(generate_series(0, 71)) AS k FROM imgs),
+         |g AS (SELECT img_id, w, h, k % 9 AS gi, k // 9 AS gj,
+         |        (299*((17*(((k % 9) * w) // 9) + 29*(((k // 9) * h) // 8) + 31*img_id) % 256)
+         |       + 587*(( 3*(((k % 9) * w) // 9) +  7*(((k // 9) * h) // 8) + 11*img_id) % 256)
+         |       + 114*((13*(((k % 9) * w) // 9) +  5*(((k // 9) * h) // 8) + 19*img_id) % 256)) // 1000 AS gray
+         |      FROM ks),
+         |bits AS (SELECT a.img_id, a.gj * 8 + a.gi AS k,
+         |           CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit
+         |         FROM g a JOIN g b ON a.img_id = b.img_id AND a.gj = b.gj
+         |            AND b.gi = a.gi + 1
+         |         WHERE a.gi < 8),
+         |halves AS (SELECT img_id,
+         |    CAST(sum(CASE WHEN k >= 32 THEN bit * (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END) AS BIGINT) AS hi,
+         |    CAST(sum(CASE WHEN k < 32 THEN bit * (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS lo
+         |  FROM bits GROUP BY img_id),
+         |fr AS (SELECT img_id, hi, lo,
+         |         format('{:08x}', hi) || format('{:08x}', lo) AS dhash_hex
+         |       FROM halves)
+         |SELECT img_id, dhash_hex, dup_of, (img_id != dup_of) AS is_dup
+         |FROM (SELECT img_id, dhash_hex,
+         |        min(img_id) OVER (PARTITION BY hi, lo) AS dup_of FROM fr) z
+         |ORDER BY img_id""".stripMargin
 
   /** q68's lag + conditional-cumsum sessionizer SQL — shared verbatim
     * by q68 and its skew-safe two-phase twin q68b (identical output,

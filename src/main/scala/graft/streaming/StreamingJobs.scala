@@ -400,10 +400,10 @@ object StreamingJobs {
     * emitted with its verdict (canonical-or-self), so the report is
     * total like q61's, and a perceptually-identical re-upload arriving
     * in any later batch resolves to the image already kept. State is
-    * one long per distinct hash; the production deployment bounds it
-    * exactly like q48b's TTL timeout (images have no event time in
-    * the fixture, so the unbounded shape is the honest drain here —
-    * documented, not hidden). The oracle replays dHash from the pixel
+    * one long per distinct hash; [[streamImageDedupBounded]] (q63b)
+    * is the production TTL-bounded twin — this entry keeps the
+    * unbounded shape as the semantics-of-record baseline the twin's
+    * oracle is shared with. The oracle replays dHash from the pixel
     * formula and takes min-per-hash, which equals first-seen on the
     * single-batch drain.
     */
@@ -418,6 +418,80 @@ object StreamingJobs {
         (col("img_id") =!= col("dup_of")).as("is_dup"))
         .orderBy(col("img_id"))
     }
+  }
+
+  /** TTL-BOUNDED streaming image dedup — the production shape of
+    * [[streamImageDedup]], closing its documented unbounded-state
+    * residual exactly the way q48b closed q48's: the same
+    * dHash-keyed first-seen fold, registered with `EventTimeTimeout`
+    * so a fingerprint not re-seen within `ttlMs` of its last
+    * occurrence's event time is evicted once the watermark passes —
+    * state is bounded by the distinct fingerprints inside the
+    * trailing TTL horizon, not all time. The timeout anchors to the
+    * group's max EVENT time, not the watermark (q48b's
+    * jump-eviction fix applies verbatim). The image fixture has no
+    * event-time column, so arrival time is synthesized
+    * deterministically at one image per second (`img_id` seconds
+    * from epoch — q48b's `doc_id`-seconds convention); production
+    * wires the real upload timestamp. On the single-batch fixture
+    * drain no timeout fires before the output is final, so the
+    * oracle is q63's — identical result, bounded state. The trade:
+    * a perceptual re-upload of an image older than the horizon is
+    * kept as a fresh canonical — the standard dedup-window
+    * compromise.
+    */
+  def streamImageDedupBounded(s: SparkSession, dir: String,
+      ttlMs: Long = 3600L * 1000L): DataFrame = {
+    val fixDir = graft.functions.Multimodal.ensureImagesFixture(s)
+    val schema = StructType(Seq(
+      StructField("img_id", LongType, nullable = false),
+      StructField("png", BinaryType, nullable = true)))
+    val src = s.readStream.schema(schema).parquet(fixDir)
+    drain(s, imageDedupBoundedStream(s, src, ttlMs), "imgdedupb_",
+        outputMode = "append") { t =>
+      t.select(col("img_id"), col("dhash_hex"), col("dup_of"),
+        (col("img_id") =!= col("dup_of")).as("is_dup"))
+        .orderBy(col("img_id"))
+    }
+  }
+
+  /** Core of [[streamImageDedupBounded]] over any streaming frame with
+    * (img_id LONG, png BINARY) columns — split out so the eviction
+    * semantics are spec-testable with a controllable multi-batch
+    * source (the parquet drain finishes in one batch, where no
+    * timeout can fire).
+    */
+  private[graft] def imageDedupBoundedStream(s: SparkSession,
+      imgs: DataFrame, ttlMs: Long): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    // img_id + 1 seconds from epoch: id 0 at exactly epoch 0 would sit
+    // ON the initial watermark and be dropped as late by the stateful
+    // operator's late-row filter — the shift keeps every synthetic
+    // arrival strictly inside the watermark from batch one.
+    val keyed = graft.functions.Multimodal.imageDhash(imgs, "img_id", "png")
+      .withColumn("ev_ts", timestamp_micros((col("img_id") + 1L) * 1000000L))
+      .withWatermark("ev_ts", "1 hour")
+      .select(col("dhash_hex"), col("img_id"), col("ev_ts"))
+      .as[(String, Long, java.sql.Timestamp)]
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, String, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (hash: String, rows: Iterator[(String, Long, java.sql.Timestamp)],
+            state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val arrived = rows.toArray
+            val maxTs = arrived.map(_._3.getTime).max
+            state.setTimeoutTimestamp(maxTs + ttlMs)
+            val ids = arrived.map(_._2)
+            val canon = state.getOption.getOrElse(ids.min)
+            state.update(canon)
+            ids.sorted.iterator.map(id => (id, hash, canon))
+          }
+      }
+      .toDF("img_id", "dhash_hex", "dup_of")
   }
 
   /** Core of [[streamImageDedup]] over any streaming frame with

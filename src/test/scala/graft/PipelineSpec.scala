@@ -1302,6 +1302,54 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q63b TTL eviction forgets image fingerprints idle past the horizon") {
+    // The q48b 4-batch drive, on the image fold: pair in batch 1;
+    // batch 2 jumps the watermark past A's horizon; batch 3 re-sees B
+    // in-TTL (lazy eviction must NOT have dropped it — event-time-
+    // anchored timeout) while A, idle past its horizon, is evicted;
+    // batch 4 re-sees A's bytes → canon RESETS (state forgotten),
+    // unlike unbounded q63 which would resolve to 1.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val pngA = graft.functions.MediaFixture.png(5)
+    val pngB = graft.functions.MediaFixture.png(7)
+    val ms = MemoryStream[(Long, Array[Byte])]
+    val verdicts = graft.streaming.StreamingJobs.imageDedupBoundedStream(
+      spark, ms.toDF().toDF("img_id", "png"), ttlMs = 3600L * 1000L)
+    val name = "q63b_evict_test"
+    val q = verdicts.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      ms.addData((1L, pngA), (2L, pngA))
+      q.processAllAvailable() // A: canon=1, timeout 2s+1h event time
+      ms.addData((20000L, pngB))
+      q.processAllAvailable() // wm → 20000s-1h ≫ A's horizon; A idle
+      ms.addData((25000L, pngB))
+      q.processAllAvailable() // B in-TTL → dup of 20000; A evicted
+      ms.addData((30000L, pngA), (30001L, pngA))
+      q.processAllAvailable() // fresh state: canon resets to 30000
+      val got = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(got == Set((1L, 1L), (2L, 1L), (20000L, 20000L),
+        (25000L, 20000L), (30000L, 30000L), (30001L, 30000L)),
+        s"expected in-TTL dup + eviction reset, got $got")
+    } finally {
+      q.stop(); spark.catalog.dropTempView(name)
+    }
+  }
+
+  test("q63b single-batch drain equals q63 (the oracle-shared contract)") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("img_id"), r.getAs[String]("dhash_hex"),
+        r.getAs[Long]("dup_of"), r.getAs[Boolean]("is_dup"))
+    val a = SparkEntry.queries("q63_stream_image_dedup")(spark, sf)
+      .collect().map(key).toSeq
+    val b = SparkEntry.queries("q63b_stream_image_dedup_ttl")(spark, sf)
+      .collect().map(key).toSeq
+    assert(a.nonEmpty && b == a)
+  }
+
   test("q64 yield ledger sums to the corpus and agrees with q53's verdicts") {
     val led = SparkEntry.queries("q64_recipe_yield")(spark, sf).collect()
     val rec = SparkEntry.queries("q53_corpus_recipe")(spark, sf).collect()
