@@ -1111,6 +1111,49 @@ object PipelineOracles {
         |FROM est JOIN ex ON est.event_type = ex.event_type
         |ORDER BY est.event_type""".stripMargin,
 
+    // q70b: the merge proof — per-part registers (event_id % 4 row
+    // split), register-wise max merge, then q70's exact estimator over
+    // both the merged and the directly-built registers.
+    "q70b_hll_merge" ->
+      """WITH h AS (SELECT event_type, event_id % 4 AS part,
+        |    CAST('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS h
+        |  FROM events),
+        |r AS (SELECT event_type, part, h // 2251799813685248 AS bucket,
+        |        CASE WHEN h % 2251799813685248 = 0 THEN 52
+        |             ELSE 52 - length(format('{:b}', h % 2251799813685248))
+        |        END AS rank
+        |      FROM h),
+        |pregs AS (SELECT event_type, part, bucket, max(rank) AS mj
+        |          FROM r GROUP BY event_type, part, bucket),
+        |mregs AS (SELECT event_type, bucket, max(mj) AS mj
+        |          FROM pregs GROUP BY event_type, bucket),
+        |dregs AS (SELECT event_type, bucket, max(rank) AS mj
+        |          FROM r GROUP BY event_type, bucket),
+        |skm AS (SELECT event_type,
+        |         sum(CAST(1 AS BIGINT) << CAST(52 - mj AS INTEGER))
+        |           + (512 - count(*)) * (CAST(1 AS BIGINT) << 52) AS s_scaled
+        |        FROM mregs GROUP BY event_type),
+        |skd AS (SELECT event_type,
+        |         sum(CAST(1 AS BIGINT) << CAST(52 - mj AS INTEGER))
+        |           + (512 - count(*)) * (CAST(1 AS BIGINT) << 52) AS s_scaled
+        |        FROM dregs GROUP BY event_type),
+        |em AS (SELECT event_type,
+        |         CAST(round((0.7213 / (1 + 1.079 / 512)) * 512 * 512
+        |           * 4503599627370496.0 / s_scaled) AS BIGINT) AS hll_est_merged
+        |       FROM skm),
+        |ed AS (SELECT event_type,
+        |         CAST(round((0.7213 / (1 + 1.079 / 512)) * 512 * 512
+        |           * 4503599627370496.0 / s_scaled) AS BIGINT) AS hll_est_direct
+        |       FROM skd),
+        |np AS (SELECT event_type, CAST(count(DISTINCT part) AS BIGINT) AS n_parts
+        |       FROM pregs GROUP BY event_type)
+        |SELECT em.event_type, np.n_parts, em.hll_est_merged, ed.hll_est_direct,
+        |  (em.hll_est_merged = ed.hll_est_direct) AS merge_ok
+        |FROM em JOIN ed ON em.event_type = ed.event_type
+        |JOIN np ON em.event_type = np.event_type
+        |ORDER BY em.event_type""".stripMargin,
+
     // q69: the conversion matrix over q67's naive-join twin; the
     // |types|² spine keeps zero-conversion cells present, and the
     // rate is the engine-exact rdiv4 integer division.

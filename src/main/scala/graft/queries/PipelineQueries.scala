@@ -1325,26 +1325,11 @@ object PipelineQueries {
     * own error and which regime produced the headline number.
     */
   def q70HllDistinct(s: SparkSession, dir: String): DataFrame = {
-    val m = 512 // 2^9 registers
-    val e = Tables.events(s, dir).select(col("event_type"), col("user_id"))
-    val hashed = e.select(col("event_type"),
-        col("user_id"),
-        TF.hash60(concat(lit("hll:"), col("user_id").cast("string"))).as("h"))
-      .withColumn("bucket", expr("h div 2251799813685248")) // h >> 51
-      .withColumn("rest", pmod(col("h"), lit(2251799813685248L)))
-      .withColumn("rank",
-        when(col("rest") === 0L, lit(52L))
-          .otherwise(lit(52L) - length(conv(col("rest"), 10, 2))))
-    val regs = hashed.groupBy(col("event_type"), col("bucket"))
+    val m = hllM
+    val regs = hllHashedEvents(s, dir)
+      .groupBy(col("event_type"), col("bucket"))
       .agg(max(col("rank")).as("mj"))
-    val alpha = s"(0.7213 / (1 + 1.079 / $m))"
-    val sketch = regs.groupBy(col("event_type"))
-      .agg(
-        (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(52 - mj AS INT))"))
-          + (lit(m.toLong) - count(lit(1))) * lit(1L << 52)).as("s_scaled"),
-        (lit(m.toLong) - count(lit(1))).as("v_zero"))
-      .withColumn("hll_est", expr(
-        s"CAST(round($alpha * $m * $m * 4503599627370496.0 / s_scaled) AS BIGINT)"))
+    val sketch = hllEstimateOver(regs, "hll_est")
       // Small-range regime (raw < 2.5m with empty registers): the
       // standard linear-counting switch, m·ln(m/V) — rounded to a
       // LONG, so the ln's sub-ulp engine variance is absorbed exactly
@@ -1353,11 +1338,83 @@ object PipelineQueries {
         s"CASE WHEN v_zero > 0 AND hll_est < ${5 * m / 2}" +
           s" THEN CAST(round($m * ln(CAST($m AS DOUBLE) / v_zero)) AS BIGINT)" +
           " ELSE hll_est END"))
-    val exact = e.groupBy(col("event_type"))
+    val exact = Tables.events(s, dir).groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("n_exact"))
     sketch.join(exact, Seq("event_type"))
       .select(col("event_type"), col("hll_est"), col("est_corrected"),
         col("n_exact"), col("v_zero"))
+      .orderBy(col("event_type"))
+  }
+
+  private val hllM = 512 // 2^9 registers
+
+  /** q70's deterministic per-row HLL hash stream — (event_type,
+    * event_id, bucket, rank) from the portable 60-bit md5 hash of
+    * user_id; shared by q70 (global registers) and q70b (per-partition
+    * sketches + register-wise merge).
+    */
+  private def hllHashedEvents(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"),
+        TF.hash60(concat(lit("hll:"), col("user_id").cast("string"))).as("h"))
+      .withColumn("bucket", expr("h div 2251799813685248")) // h >> 51
+      .withColumn("rest", pmod(col("h"), lit(2251799813685248L)))
+      .withColumn("rank",
+        when(col("rest") === 0L, lit(52L))
+          .otherwise(lit(52L) - length(conv(col("rest"), 10, 2))))
+
+  /** q70's exact-integer estimator over an (event_type, mj) register
+    * frame: 2^52-scaled harmonic sum in longs, one terminal IEEE
+    * divide — bit-replayable by the oracle regardless of which
+    * register frame (global or merged) it runs over.
+    */
+  private def hllEstimateOver(regs: DataFrame, estCol: String): DataFrame = {
+    val m = hllM
+    val alpha = s"(0.7213 / (1 + 1.079 / $m))"
+    regs.groupBy(col("event_type"))
+      .agg(
+        (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(52 - mj AS INT))"))
+          + (lit(m.toLong) - count(lit(1))) * lit(1L << 52)).as("s_scaled"),
+        (lit(m.toLong) - count(lit(1))).as("v_zero"))
+      .withColumn(estCol, expr(
+        s"CAST(round($alpha * $m * $m * 4503599627370496.0 / s_scaled) AS BIGINT)"))
+  }
+
+  /** MERGEABLE-SKETCH proof for q70 — the property that makes HLL the
+    * 100 TB distinct-count operator is not the one global groupBy but
+    * register-wise MAX MERGE: every partition/day/source builds its
+    * own 512-register sketch independently, and the union's sketch is
+    * just max-per-register over them — no re-scan, no distinct-set
+    * shuffle, sketches stored and combined like any other aggregate
+    * state. This entry splits the event stream into `nParts` disjoint
+    * row partitions (event_id mod — the same user CAN land in several
+    * parts, which is exactly what merge must absorb), sketches each
+    * part, max-merges the registers, and runs q70's estimator over
+    * both the merged and the directly-built registers: `merge_ok`
+    * pins their bit-for-bit equality. The oracle replays both paths
+    * with q70's determinism machinery (same hash, same base-2 rank,
+    * same scaled integer harmonic sum).
+    */
+  def q70bHllMerge(s: SparkSession, dir: String, nParts: Int = 4): DataFrame = {
+    val hashed = hllHashedEvents(s, dir)
+      .withColumn("part", pmod(col("event_id"), lit(nParts.toLong)))
+    val partRegs = hashed
+      .groupBy(col("event_type"), col("part"), col("bucket"))
+      .agg(max(col("rank")).as("mj"))
+    val merged = partRegs.groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("mj")).as("mj"))
+    val estMerged = hllEstimateOver(merged, "hll_est_merged")
+      .select(col("event_type"), col("hll_est_merged"))
+    val direct = hllEstimateOver(
+      hashed.groupBy(col("event_type"), col("bucket"))
+        .agg(max(col("rank")).as("mj")),
+      "hll_est_direct").select(col("event_type"), col("hll_est_direct"))
+    val np = partRegs.select(col("event_type"), col("part")).distinct()
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_parts"))
+    estMerged.join(direct, Seq("event_type")).join(np, Seq("event_type"))
+      .select(col("event_type"), col("n_parts"), col("hll_est_merged"),
+        col("hll_est_direct"),
+        (col("hll_est_merged") === col("hll_est_direct")).as("merge_ok"))
       .orderBy(col("event_type"))
   }
 

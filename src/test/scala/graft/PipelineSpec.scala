@@ -1600,6 +1600,35 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q70b merged sketch equals the direct one, under any partition split") {
+    import graft.queries.PipelineQueries
+    val rows = SparkEntry.queries("q70b_hll_merge")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("merge_ok"),
+        s"${r.getAs[String]("event_type")}: merged " +
+          s"${r.getAs[Long]("hll_est_merged")} vs direct " +
+          s"${r.getAs[Long]("hll_est_direct")}")
+      val np = r.getAs[Long]("n_parts")
+      assert(np >= 1 && np <= 4)
+    }
+    // The direct arm IS q70's raw estimate (same registers, same
+    // estimator) — the twins can't drift.
+    val q70 = SparkEntry.queries("q70_hll_distinct")(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("hll_est"))
+      .toMap
+    rows.foreach(r => assert(
+      r.getAs[Long]("hll_est_direct") == q70(r.getAs[String]("event_type"))))
+    // Merge is split-invariant: a different (coprime) part count must
+    // yield the identical merged estimate — the sketch property that
+    // lets 1000 executors build sketches independently.
+    val alt = PipelineQueries.q70bHllMerge(spark, sf, nParts = 7).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("hll_est_merged"))
+      .toMap
+    rows.foreach(r => assert(
+      r.getAs[Long]("hll_est_merged") == alt(r.getAs[String]("event_type"))))
+  }
+
   test("q61 plan: banded candidates via equi-join, no cartesian/nested loop") {
     val plan = SparkEntry.queries("q61_video_frame_near_dup")(spark, sf)
       .queryExecution.executedPlan.toString
