@@ -103,6 +103,8 @@ object SparkEntry {
     "q64_recipe_yield"        -> (PipelineQueries.q64RecipeYield _),
     "q64b_recipe_yield_staged" -> (PipelineQueries.q64bRecipeYieldStaged _),
     "q65_dedup_agreement"     -> (PipelineQueries.q65DedupAgreement _),
+    "q65b_dedup_agreement_star" ->
+      (PipelineQueries.q65bDedupAgreementStar _),
     "q66_stream_quality_yield" ->
       (graft.streaming.StreamingJobs.streamQualityYield _),
     "q67_event_range_join"    -> ((s: SparkSession, dir: String) =>

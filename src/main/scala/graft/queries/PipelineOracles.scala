@@ -1224,6 +1224,67 @@ object PipelineOracles {
          |  (sm = 1) AS by_simhash, CAST(e + l + sm AS BIGINT) AS n_methods
          |FROM u ORDER BY doc_a, doc_b""".stripMargin,
 
+    // q65b: the star-shaped agreement — per-doc membership against
+    // each method's canonical. Exact canon via min-per-md5-group (hash
+    // identity is transitive), LSH/SimHash canons via the recursive
+    // min-reachable closure over their pair relations (the engine's
+    // connected-component labeling), canons coalesced to self for
+    // non-members so every column stays non-null.
+    "q65b_dedup_agreement_star" ->
+      s"""WITH RECURSIVE $q15PairCtes,
+         |shh AS (
+         |  SELECT doc_id, CAST(
+         |    list_sum(list_transform(range(0, 32), j ->
+         |      CASE WHEN list_sum(list_transform(hw, h ->
+         |             CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |           THEN 1 << j ELSE 0 END)) AS BIGINT) AS h
+         |  FROM (SELECT doc_id,
+         |          list_transform(w, t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)) AS hw
+         |        FROM ($docsWithWords) d0)),
+         |eth AS (SELECT doc_id, md5(text) AS th FROM documents),
+         |eg AS (SELECT th, min(doc_id) AS canon, count(*) AS n
+         |       FROM eth GROUP BY th),
+         |exd AS (SELECT eth.doc_id, eg.canon FROM eth JOIN eg USING (th)
+         |        WHERE eg.n > 1),
+         |lshp AS (SELECT doc_a, doc_b FROM v WHERE jaccard >= 0.8),
+         |le AS (SELECT doc_a AS u, doc_b AS vtx FROM lshp
+         |       UNION SELECT doc_b, doc_a FROM lshp),
+         |lreach(u, vtx) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM le) l0
+         |  UNION
+         |  SELECT r.u, e.vtx FROM lreach r JOIN le e ON r.vtx = e.u),
+         |lcl AS (SELECT u AS doc_id, min(vtx) AS canon
+         |        FROM lreach GROUP BY u),
+         |smp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |        FROM shh a JOIN shh b ON a.doc_id < b.doc_id
+         |          AND bit_count(xor(a.h, b.h)) <= 3),
+         |se AS (SELECT doc_a AS u, doc_b AS vtx FROM smp
+         |       UNION SELECT doc_b, doc_a FROM smp),
+         |sreach(u, vtx) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM se) s0
+         |  UNION
+         |  SELECT r.u, e.vtx FROM sreach r JOIN se e ON r.vtx = e.u),
+         |scl AS (SELECT u AS doc_id, min(vtx) AS canon
+         |        FROM sreach GROUP BY u),
+         |uni AS (SELECT DISTINCT doc_id FROM (
+         |          SELECT doc_id FROM exd UNION ALL SELECT doc_id FROM lcl
+         |          UNION ALL SELECT doc_id FROM scl) z)
+         |SELECT uni.doc_id,
+         |  (exd.doc_id IS NOT NULL) AS by_exact,
+         |  (lcl.doc_id IS NOT NULL) AS by_lsh,
+         |  (scl.doc_id IS NOT NULL) AS by_simhash,
+         |  coalesce(exd.canon, uni.doc_id) AS exact_canon,
+         |  coalesce(lcl.canon, uni.doc_id) AS lsh_canon,
+         |  coalesce(scl.canon, uni.doc_id) AS sim_canon,
+         |  CAST(CAST(exd.doc_id IS NOT NULL AS INTEGER)
+         |    + CAST(lcl.doc_id IS NOT NULL AS INTEGER)
+         |    + CAST(scl.doc_id IS NOT NULL AS INTEGER) AS BIGINT) AS n_methods
+         |FROM uni
+         |LEFT JOIN exd ON uni.doc_id = exd.doc_id
+         |LEFT JOIN lcl ON uni.doc_id = lcl.doc_id
+         |LEFT JOIN scl ON uni.doc_id = scl.doc_id
+         |ORDER BY uni.doc_id""".stripMargin,
+
     // q63: streaming image dedup — q57's formula-replayed dHash, then
     // min-per-hash (equals the engine's first-seen canonical on the
     // single-batch fixture drain); every image gets a verdict row.

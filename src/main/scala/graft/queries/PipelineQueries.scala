@@ -205,8 +205,14 @@ object PipelineQueries {
     * are an equi-join on (block, value) — exact for the distance bound,
     * map-only bucketing, salted hot buckets, no cross join.
     */
-  def q30SimhashDups(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+  def q30SimhashDups(s: SparkSession, dir: String): DataFrame =
+    simhashDupPairsOver(s, Tables.documents(s, dir))
+
+  /** Core of [[q30SimhashDups]] over any (doc_id, text) frame — shared
+    * with q65b's star-shaped agreement.
+    */
+  private[graft] def simhashDupPairsOver(s: SparkSession,
+      d: DataFrame): DataFrame = {
     val sh = d.select(col("doc_id"),
       graft.expressions.Sketches.simhash32(s, TF.words(col("text")))
         .cast("long").as("h"))
@@ -1100,7 +1106,10 @@ object PipelineQueries {
     * missed 3 exact dups; SimHash flags 40 pairs LSH doesn't").
     * Scale shape: each member keeps its own documented shape; the
     * merge is one groupBy over the UNION OF PAIR SETS (dup-pair
-    * sized, never corpus²).
+    * sized, never corpus²) — but pair sets are CLIQUE-shaped within a
+    * duplicate group (g·(g−1)/2 rows for a g-sized group), so an
+    * adversarial mega-group makes this report quadratic;
+    * [[q65bDedupAgreementStar]] is the O(group) star-shaped twin.
     */
   def q65DedupAgreement(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
@@ -1126,6 +1135,59 @@ object PipelineQueries {
         (col("sm") === 1L).as("by_simhash"),
         (col("e") + col("l") + col("sm")).as("n_methods"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** STAR-SHAPED dedup-method agreement — q65's signal with its one
+    * flagged scale caution closed: q65 enumerates PAIRS, which is
+    * clique-shaped — g·(g−1)/2 rows for a g-sized duplicate group, so
+    * an adversarial mega-group (1M copies of one boilerplate doc at
+    * 100 TB) makes the *report itself* quadratic. q65b reports per
+    * DOC against each method's canonical instead: exact groups via
+    * min-per-hash (hash identity is transitive — no closure needed),
+    * LSH and SimHash groups via the q28 connected-component labeling
+    * their pair relations already feed, then one full outer join of
+    * the three memberships — O(g) rows per group, same per-doc
+    * membership signal ("which methods flag this doc, under which
+    * canonical"). Canons coalesce to SELF for non-members (the
+    * booleans carry membership), keeping every column non-null.
+    */
+  def q65bDedupAgreementStar(s: SparkSession, dir: String): DataFrame =
+    dedupAgreementStarOver(s, Tables.documents(s, dir))
+
+  /** Core of [[q65bDedupAgreementStar]] over any (doc_id, text) frame —
+    * split out so the spec can drive it with a planted mega-group.
+    */
+  private[graft] def dedupAgreementStarOver(s: SparkSession,
+      d: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("th"))
+    val exact = d.select(col("doc_id"), md5(col("text")).as("th"))
+      .withColumn("ec", min(col("doc_id")).over(w))
+      .withColumn("gsz", count(lit(1)).over(w))
+      .filter(col("gsz") > 1)
+      .select(col("doc_id"), col("ec"))
+    val lsh = Dedup.dupClusters(
+        Dedup.lshNearDupPairs(s, d, "doc_id", "text",
+            k = 16, bands = 4, shingleN = 3, threshold = 0.8)
+          .select(col("doc_a"), col("doc_b")),
+        "doc_a", "doc_b")
+      .select(col("vec_id").as("doc_id"), col("cluster_id").as("lc"))
+    val sim = Dedup.dupClusters(
+        simhashDupPairsOver(s, d).select(col("doc_a"), col("doc_b")),
+        "doc_a", "doc_b")
+      .select(col("vec_id").as("doc_id"), col("cluster_id").as("sc"))
+    exact.join(lsh, Seq("doc_id"), "full")
+      .join(sim, Seq("doc_id"), "full")
+      .select(col("doc_id"),
+        col("ec").isNotNull.as("by_exact"),
+        col("lc").isNotNull.as("by_lsh"),
+        col("sc").isNotNull.as("by_simhash"),
+        coalesce(col("ec"), col("doc_id")).as("exact_canon"),
+        coalesce(col("lc"), col("doc_id")).as("lsh_canon"),
+        coalesce(col("sc"), col("doc_id")).as("sim_canon"))
+      .withColumn("n_methods",
+        col("by_exact").cast("long") + col("by_lsh").cast("long") +
+          col("by_simhash").cast("long"))
+      .orderBy(col("doc_id"))
   }
 
   /** RANGE JOIN (interval self-join): pairs of events by the same

@@ -1442,6 +1442,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(led == expect, s"ledger ${led.size} groups vs batch ${expect.size}")
   }
 
+  test("q65b star report is O(group) on a planted mega-group") {
+    import spark.implicits._
+    import graft.queries.PipelineQueries
+    // 1000 verbatim copies of one boilerplate doc — the adversarial
+    // shape that makes q65's pair enumeration quadratic — plus 50
+    // distinct fillers.
+    val boiler = "the same boilerplate terms of service text repeated verbatim"
+    val docs = ((0L until 1000L).map(i => (i, boiler)) ++
+      (1000L until 1050L).map(i =>
+        (i, s"unique filler document number $i with tokens ${i * 7} ${i * 13} ${i * 31}")))
+      .toDF("doc_id", "text")
+    // The pair-shaped report would emit g(g-1)/2 rows for this group
+    // alone (measured on the exact arm q65 uses) ...
+    val th = docs.select(col("doc_id"), md5(col("text")).as("th"))
+    val nPairs = th.as("a").join(th.as("b"),
+      col("a.th") === col("b.th") && col("a.doc_id") < col("b.doc_id")).count()
+    assert(nPairs == 499500L)
+    // ... the star report emits one row per member doc.
+    val star = PipelineQueries.dedupAgreementStarOver(spark, docs).collect()
+    val mega = star.filter(_.getAs[Boolean]("by_exact"))
+    assert(mega.length == 1000)
+    mega.foreach { r =>
+      assert(r.getAs[Long]("exact_canon") == 0L)
+      assert(r.getAs[Long]("lsh_canon") == 0L)
+      assert(r.getAs[Long]("sim_canon") == 0L)
+      assert(r.getAs[Long]("n_methods") == 3L)
+    }
+    assert(star.length <= 1050, s"star rows ${star.length}")
+  }
+
+  test("q65b per-doc membership equals q65's pair-derived membership") {
+    val pairs = SparkEntry.queries("q65_dedup_agreement")(spark, sf).collect()
+    def members(flag: String): Set[Long] = pairs.filter(_.getAs[Boolean](flag))
+      .flatMap(r => Seq(r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val star = SparkEntry.queries("q65b_dedup_agreement_star")(spark, sf)
+      .collect()
+    def starMembers(flag: String): Set[Long] =
+      star.filter(_.getAs[Boolean](flag)).map(_.getAs[Long]("doc_id")).toSet
+    Seq("by_exact", "by_lsh", "by_simhash").foreach { m =>
+      assert(starMembers(m) == members(m), s"method $m membership drifted")
+    }
+  }
+
   test("q67 range join is an equi-join — no nested-loop fallback") {
     // the operator's whole point: the naive inequality phrasing would
     // be a BroadcastNestedLoopJoin; the binned rewrite must not be
