@@ -224,10 +224,12 @@ object Bench {
     val isolatedNames = (if (ingestOnly) "" else
       sys.env.getOrElse("SPARK_GRAFT_ISOLATED",
         "q02_revenue_by_nation,q24_embedding_dups,q24b_embedding_dups_lsh," +
-          "q25_ann_ivf,q28_dup_clusters,q29_quantize_int8,q30_simhash_dups," +
+          "q25_ann_ivf,q26_multimodal_features,q27_winnow_fingerprint," +
+          "q28_dup_clusters,q29_quantize_int8,q30_simhash_dups," +
           "q31_text_chunks,q34_dedup_apply,q35b_stream_dedup_windowed," +
-          "q36_contamination,q38_ngram_jaccard,q51_semantic_dedup," +
-          "q53_corpus_recipe,q56_bigram_lm,near_scale_receipts"))
+          "q36_contamination,q38_ngram_jaccard,q48_stream_near_dup," +
+          "q51_semantic_dedup,q53_corpus_recipe,q56_bigram_lm," +
+          "near_scale_receipts"))
       .split(",").map(_.trim).filter(SparkEntry.queries.contains).toSeq
     val isolated = isolatedNames.map { n =>
       val s = SparkSession.builder()

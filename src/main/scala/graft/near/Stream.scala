@@ -81,9 +81,18 @@ object Stream {
 
   private val listenerRegistered = new java.util.concurrent.atomic.AtomicBoolean(false)
 
+  /** `minHeight` implements the runbook's sync-from-block verb
+    * (TROBLESHOOTING.md "If it stuck", configs.rs:54-65): blocks below
+    * it are dropped AFTER parse, so a stuck-block restart skips the
+    * borked heights while the file-source checkpoint still marks their
+    * files consumed. `enableAccountChanges = false` is non-strict
+    * mode's account_changes skip ([[Runbook]] packages both).
+    */
   def run(spark: SparkSession, inputDir: String, warehouseDir: String,
       checkpointDir: String, trigger: Trigger = Trigger.AvailableNow(),
-      maxFilesPerTrigger: Int = 1000, maxRetries: Int = 4): StreamingQuery = {
+      maxFilesPerTrigger: Int = 1000, maxRetries: Int = 4,
+      minHeight: Long = Long.MinValue,
+      enableAccountChanges: Boolean = true): StreamingQuery = {
     import spark.implicits._
     if (listenerRegistered.compareAndSet(false, true))
       spark.streams.addListener(Metrics.listener())
@@ -95,9 +104,13 @@ object Stream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val norm = batch.select(col("value")).as[String]
+        val norm0 = batch.select(col("value")).as[String]
           .map(BlockParser.parse _).toDF()
-        processBatch(spark, norm, warehouseDir, maxRetries)
+        val norm =
+          if (minHeight == Long.MinValue) norm0
+          else norm0.filter(col("blockHeight").cast("long") >= minHeight)
+        processBatch(spark, norm, warehouseDir, maxRetries,
+          enableAccountChanges = enableAccountChanges)
         ()
       }
       .start()

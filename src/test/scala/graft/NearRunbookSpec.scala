@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+import graft.near.{Ingest, Runbook, ScaleChain, Stream, Warehouse}
+
+/** End-to-end drive of the packaged TROBLESHOOTING verbs: a "stuck"
+  * indexer is skipped past a borked range and the range is re-indexed
+  * later — the exact incident flow the reference's handbook prescribes
+  * ("skip … then we MUST go back and re-index the borked blocks").
+  */
+class NearRunbookSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def writeChainFiles(input: String): Seq[String] = {
+    Files.createDirectories(Paths.get(input))
+    val chain = ScaleChain.chain()
+    chain.zipWithIndex.foreach { case (json, i) =>
+      Files.write(Paths.get(input, f"b$i%04d.json"), json.getBytes("UTF-8"))
+    }
+    chain
+  }
+
+  /** Multiset of rows, with the one ORDER-DEFINED piece normalized:
+    * which physical row of an issue84 hash collision gets the
+    * `_issue84_<height>` suffix is first-seen-wins (identical to the
+    * reference's conflict-time behavior), so a skip-then-re-index run
+    * suffixes the EARLIER block's row where the in-order run suffixes
+    * the later one. Stripping the suffix compares the invariant part;
+    * a genuine duplicate or loss still changes the multiset.
+    */
+  private def rowSet(df: DataFrame): Seq[String] = {
+    val hashCols = Set("transaction_hash", "originated_from_transaction_hash")
+    val strip = df.columns.foldLeft(df) { (d, c) =>
+      if (hashCols(c))
+        d.withColumn(c, regexp_replace(col(c), "_issue84_\\d+", ""))
+      else d
+    }
+    strip.drop("block_date").collect()
+      .map(_.toSeq.map {
+        case b: Array[Byte] => b.map("%02x".format(_)).mkString
+        case v => String.valueOf(v)
+      }.mkString("|")).sorted.toSeq
+  }
+
+  test("runbook: stuck → skip-block → re-index-range converges to the healthy run") {
+    val root = Files.createTempDirectory("graft_runbook").toString
+    val input = s"$root/input"; val wh = s"$root/wh"; val ckpt = s"$root/ckpt"
+    val chain = writeChainFiles(input)
+    val (a, b) = (5120L, 5139L) // the borked range, mid-chain
+
+    // 1. Healthy ingest until the indexer "sticks" at height A: the
+    // bounded pass (sync-from-block + stop-after) covers [5000, A).
+    Runbook.cli(spark, Array("sync-from-block", "--input", input,
+      "--warehouse", wh, "--checkpoint", ckpt, "--height", "5000",
+      "--stop-after-number-of-blocks", (a - 5000L).toString))
+    // 2. Skip the borked range: restart syncing from B+1 (streaming,
+    // checkpointed — the handbook's brute-forced restart height).
+    Runbook.cli(spark, Array("sync-from-block", "--input", input,
+      "--warehouse", wh, "--checkpoint", ckpt, "--height", (b + 1).toString))
+    val afterSkip = Warehouse.table(spark, wh, "blocks")
+      .selectExpr("CAST(block_height AS BIGINT) AS h")
+      .collect().map(_.getLong(0)).toSet
+    assert(!afterSkip.exists(h => h >= a && h <= b), "skip left borked blocks")
+    assert(afterSkip.contains(b + 1) && afterSkip.contains(a - 1))
+
+    // 3. The mandated repair: re-index the borked heights in place.
+    Runbook.cli(spark, Array("re-index-range", "--input", input,
+      "--warehouse", wh, "--from", a.toString, "--to", b.toString))
+
+    // Reference: the healthy, never-stuck streamed ingest of the same
+    // chain (the volume gate's shape).
+    val whRef = s"$root/wh_ref"
+    chain.grouped(64).foreach { batch =>
+      Stream.processBatch(spark,
+        Ingest.blocksFromJson(spark, batch).toDF(), whRef)
+    }
+    val tables = graft.queries.NearQueries.StreamedPlainTables
+    tables.foreach { t =>
+      val got = rowSet(Warehouse.table(spark, wh, t))
+      val want = rowSet(Warehouse.table(spark, whRef, t))
+      assert(got.size == want.size, s"$t: ${got.size} vs ${want.size} rows")
+      assert(got == want, s"table $t diverged after re-index")
+    }
+    // Registries converge through their delta compactions.
+    def reg(dir: String, name: String,
+        compact: DataFrame => DataFrame): Seq[String] =
+      rowSet(compact(Warehouse.table(spark, dir, name)))
+    assert(reg(wh, "accounts", Warehouse.accountsCurrent)
+      == reg(whRef, "accounts", Warehouse.accountsCurrent))
+    assert(reg(wh, "access_keys", Warehouse.accessKeysCurrent)
+      == reg(whRef, "access_keys", Warehouse.accessKeysCurrent))
+  }
+
+  test("runbook: malformed invocations fail loudly with usage") {
+    Seq(
+      Array("frobnicate"),
+      Array[String](),
+      Array("re-index-range", "--input", "/tmp/x"), // missing --warehouse etc.
+      Array("sync-from-block", "--height"), // flag without value
+      Array("sync-from-block", "stray")
+    ).foreach { bad =>
+      val e = intercept[IllegalArgumentException](Runbook.cli(spark, bad))
+      assert(e.getMessage.contains("usage:"), bad.mkString(" "))
+    }
+  }
+}
