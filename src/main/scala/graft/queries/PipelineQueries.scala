@@ -1165,16 +1165,34 @@ object PipelineQueries {
       .withColumn("gsz", count(lit(1)).over(w))
       .filter(col("gsz") > 1)
       .select(col("doc_id"), col("ec"))
-    val lsh = Dedup.dupClusters(
-        Dedup.lshNearDupPairs(s, d, "doc_id", "text",
-            k = 16, bands = 4, shingleN = 3, threshold = 0.8)
-          .select(col("doc_a"), col("doc_b")),
-        "doc_a", "doc_b")
-      .select(col("vec_id").as("doc_id"), col("cluster_id").as("lc"))
-    val sim = Dedup.dupClusters(
-        simhashDupPairsOver(s, d).select(col("doc_a"), col("doc_b")),
-        "doc_a", "doc_b")
-      .select(col("vec_id").as("doc_id"), col("cluster_id").as("sc"))
+    // ONE label-propagation run for both sketch methods: nodes are
+    // method-tagged (m·2^61 + doc_id — doc ids are comfortably below
+    // 2^61), so components can never span methods and the per-slice
+    // min label decodes back to that method's min doc. Propagation
+    // rounds = max of the two diameters instead of their sum (one
+    // loop, one edge materialization). At sf0.1 the entry is ~7.5 s
+    // isolated, dominated by fixed per-job cost (the two sketch
+    // pipelines ≈ 3 s, the propagation rounds ≈ 3 s of sub-second
+    // jobs over a few-hundred-edge graph); at scale those same rounds
+    // are O(diameter) shuffles of pair-sized data while the pipelines
+    // grow with the corpus — the plan, not the toy-scale constant, is
+    // the operating shape.
+    val off = 1L << 61
+    def tag(pairs: DataFrame, m: Long): DataFrame = pairs.select(
+      (lit(m * off) + col("doc_a")).as("a"),
+      (lit(m * off) + col("doc_b")).as("b"))
+    val enc = tag(Dedup.lshNearDupPairs(s, d, "doc_id", "text",
+        k = 16, bands = 4, shingleN = 3, threshold = 0.8)
+        .select(col("doc_a"), col("doc_b")), 1L)
+      .unionByName(tag(
+        simhashDupPairsOver(s, d).select(col("doc_a"), col("doc_b")), 2L))
+    val cl = Dedup.dupClusters(enc, "a", "b")
+    val lsh = cl.filter(col("vec_id") < 2L * off)
+      .select((col("vec_id") - off).as("doc_id"),
+        (col("cluster_id") - off).as("lc"))
+    val sim = cl.filter(col("vec_id") >= 2L * off)
+      .select((col("vec_id") - 2L * off).as("doc_id"),
+        (col("cluster_id") - 2L * off).as("sc"))
     exact.join(lsh, Seq("doc_id"), "full")
       .join(sim, Seq("doc_id"), "full")
       .select(col("doc_id"),
