@@ -118,6 +118,7 @@ object SparkEntry {
     "q70_hll_distinct"        -> (PipelineQueries.q70HllDistinct _),
     "q70b_hll_merge"          -> ((s: SparkSession, dir: String) =>
       PipelineQueries.q70bHllMerge(s, dir)),
+    "q71_quantile_sketch"     -> (PipelineQueries.q71QuantileSketch _),
     "q57_image_dhash"         -> (Multimodal.q57ImageDhash _),
     "q58_audio_meta"          -> (Multimodal.q58AudioMeta _),
     "q59_video_frames"        -> (Multimodal.q59VideoFrames _),

@@ -1154,6 +1154,47 @@ object PipelineOracles {
         |JOIN np ON em.event_type = np.event_type
         |ORDER BY em.event_type""".stripMargin,
 
+    // q71: histogram-quantile sketch — exact percentiles by the same
+    // integer rank formula at a per-source row_number, estimates from
+    // the identical 8-wide/256-bin cumulative histogram.
+    "q71_quantile_sketch" ->
+      s"""WITH tok AS (SELECT source,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS nt
+        |  FROM documents),
+        |n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |      FROM tok GROUP BY source),
+        |r AS (SELECT source, n_docs,
+        |        (50 * n_docs + 99) // 100 AS r50,
+        |        (95 * n_docs + 99) // 100 AS r95,
+        |        (99 * n_docs + 99) // 100 AS r99
+        |      FROM n),
+        |rk AS (SELECT source, nt,
+        |         row_number() OVER (PARTITION BY source ORDER BY nt) AS rn
+        |       FROM tok),
+        |ex AS (SELECT rk.source,
+        |         max(CASE WHEN rn = r50 THEN nt END) AS p50_exact,
+        |         max(CASE WHEN rn = r95 THEN nt END) AS p95_exact,
+        |         max(CASE WHEN rn = r99 THEN nt END) AS p99_exact
+        |       FROM rk JOIN r USING (source) GROUP BY rk.source),
+        |hb AS (SELECT source, least(nt // 8, 255) AS bin,
+        |         CAST(count(*) AS BIGINT) AS c
+        |       FROM tok GROUP BY source, least(nt // 8, 255)),
+        |hc AS (SELECT source, bin,
+        |         sum(c) OVER (PARTITION BY source ORDER BY bin
+        |           ROWS UNBOUNDED PRECEDING) AS cum
+        |       FROM hb),
+        |es AS (SELECT hc.source,
+        |         CAST(min(CASE WHEN cum >= r50 THEN (bin + 1) * 8 END) AS BIGINT) AS p50_est,
+        |         CAST(min(CASE WHEN cum >= r95 THEN (bin + 1) * 8 END) AS BIGINT) AS p95_est,
+        |         CAST(min(CASE WHEN cum >= r99 THEN (bin + 1) * 8 END) AS BIGINT) AS p99_est
+        |       FROM hc JOIN r USING (source) GROUP BY hc.source)
+        |SELECT r.source, r.n_docs,
+        |  ex.p50_exact, ex.p95_exact, ex.p99_exact,
+        |  es.p50_est, es.p95_est, es.p99_est
+        |FROM r JOIN ex ON r.source = ex.source
+        |JOIN es ON r.source = es.source
+        |ORDER BY r.source""".stripMargin,
+
     // q69: the conversion matrix over q67's naive-join twin; the
     // |types|² spine keeps zero-conversion cells present, and the
     // rate is the engine-exact rdiv4 integer division.

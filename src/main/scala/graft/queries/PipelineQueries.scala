@@ -1498,6 +1498,61 @@ object PipelineQueries {
       .orderBy(col("event_type"))
   }
 
+  /** MERGEABLE HISTOGRAM-QUANTILE sketch — the sequence-length
+    * distribution report behind packing/truncation decisions (q41's
+    * operating knob): per source, p50/p95/p99 of the token count.
+    * EXACT per-group percentiles need a full per-group sort — the
+    * 100 TB non-starter — so the headline numbers come from a
+    * FIXED-BIN HISTOGRAM (width 8, 256 bins, overflow clipped): state
+    * is ≤256 counters per source, map-side combined, and mergeable by
+    * plain count addition (partial histograms from every partition/
+    * day/shard just sum — the q70b property, by associativity).
+    * Estimate = the upper bound of the first bin whose cumulative
+    * count reaches the target rank, which provably lands in
+    * (exact, exact+8] — the bin width IS the error bar. The exact
+    * percentiles ride along as the fidelity report (computed by
+    * explicit integer rank ceil(q·n/100) = (q·n+99) div 100 at a
+    * row_number over the per-source value order — tie-safe: the value
+    * at a rank is unique even though row numbers among ties aren't;
+    * integer rank arithmetic avoids the 0.95·n binary-rounding
+    * boundary that would flip ceil between engines).
+    */
+  def q71QuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(s, dir).select(col("source"),
+      size(TF.words(col("text"))).cast("long").as("nt"))
+    val n = tok.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("r50", expr("(50 * n_docs + 99) div 100"))
+      .withColumn("r95", expr("(95 * n_docs + 99) div 100"))
+      .withColumn("r99", expr("(99 * n_docs + 99) div 100"))
+    val rk = tok.withColumn("rn",
+      row_number().over(Window.partitionBy(col("source")).orderBy(col("nt"))))
+    val exact = rk.join(broadcast(n), "source")
+      .groupBy(col("source")).agg(
+        max(when(col("rn") === col("r50"), col("nt"))).as("p50_exact"),
+        max(when(col("rn") === col("r95"), col("nt"))).as("p95_exact"),
+        max(when(col("rn") === col("r99"), col("nt"))).as("p99_exact"))
+    val bins = tok.withColumn("bin", least(expr("nt div 8"), lit(255L)))
+      .groupBy(col("source"), col("bin")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("source")).orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val est = bins.join(broadcast(n), "source")
+      .groupBy(col("source")).agg(
+        min(when(col("cum") >= col("r50"), (col("bin") + 1L) * 8L))
+          .as("p50_est"),
+        min(when(col("cum") >= col("r95"), (col("bin") + 1L) * 8L))
+          .as("p95_est"),
+        min(when(col("cum") >= col("r99"), (col("bin") + 1L) * 8L))
+          .as("p99_est"))
+    n.select(col("source"), col("n_docs"))
+      .join(exact, "source").join(est, "source")
+      .select(col("source"), col("n_docs"),
+        col("p50_exact"), col("p95_exact"), col("p99_exact"),
+        col("p50_est"), col("p95_est"), col("p99_est"))
+      .orderBy(col("source"))
+  }
+
   /** SEMANTIC dedup (SemDeDup): coarse-cluster the embedding corpus,
     * dedup within clusters on exact cosine, keep the min-id
     * representative per duplicate group — the embedding-space sibling

@@ -1672,6 +1672,61 @@ class PipelineSpec extends AnyFunSuite {
       r.getAs[Long]("hll_est_merged") == alt(r.getAs[String]("event_type"))))
   }
 
+  test("q71 histogram estimate brackets the exact percentile by one bin") {
+    val rows = SparkEntry.queries("q71_quantile_sketch")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq("50", "95", "99").foreach { q =>
+        val exact = r.getAs[Long](s"p${q}_exact")
+        val est = r.getAs[Long](s"p${q}_est")
+        // est = upper bound of the bin holding the rank-target value:
+        // (exact, exact + 8] whenever the value is inside the binned
+        // range (the overflow bin clips at 2048).
+        if (est <= 2048L)
+          assert(exact < est && est <= exact + 8L,
+            s"${r.getAs[String]("source")} p$q: exact $exact est $est")
+      }
+      // percentiles are monotone in q, in both arms
+      assert(r.getAs[Long]("p50_exact") <= r.getAs[Long]("p95_exact"))
+      assert(r.getAs[Long]("p95_exact") <= r.getAs[Long]("p99_exact"))
+      assert(r.getAs[Long]("p50_est") <= r.getAs[Long]("p95_est"))
+      assert(r.getAs[Long]("p95_est") <= r.getAs[Long]("p99_est"))
+    }
+    // Merge property: the histogram is count-additive, so partial
+    // histograms built per row-partition and summed give the identical
+    // estimate — verified against an in-process replay.
+    import org.apache.spark.sql.functions.{col, size}
+    val tok = Tables.documents(spark, sf)
+      .select(col("source"),
+        size(graft.functions.TextFunctions.words(col("text"))).cast("long")
+          .as("nt")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val merged = tok.groupBy(_._1).map { case (src, rs) =>
+      // four partial histograms (rows round-robined), then summed
+      val parts = rs.zipWithIndex.groupBy(_._2 % 4).values.map { p =>
+        p.map(_._1._2).groupBy(v => math.min(v / 8, 255L))
+          .map { case (b, vs) => b -> vs.size.toLong }
+      }
+      val hist = parts.flatten
+        .groupBy(_._1).map { case (b, cs) => b -> cs.map(_._2).sum }
+      val nd = rs.length.toLong
+      def estOf(rq: Long): Long = {
+        var cum = 0L
+        hist.toSeq.sortBy(_._1).collectFirst {
+          case (b, c) if { cum += c; cum >= rq } => (b + 1) * 8
+        }.get
+      }
+      src -> (estOf((50 * nd + 99) / 100), estOf((95 * nd + 99) / 100),
+        estOf((99 * nd + 99) / 100))
+    }
+    rows.foreach { r =>
+      val (e50, e95, e99) = merged(r.getAs[String]("source"))
+      assert(r.getAs[Long]("p50_est") == e50 &&
+        r.getAs[Long]("p95_est") == e95 && r.getAs[Long]("p99_est") == e99,
+        s"merged-histogram replay diverged for ${r.getAs[String]("source")}")
+    }
+  }
+
   test("q61 plan: banded candidates via equi-join, no cartesian/nested loop") {
     val plan = SparkEntry.queries("q61_video_frame_near_dup")(spark, sf)
       .queryExecution.executedPlan.toString
