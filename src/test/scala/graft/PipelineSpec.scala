@@ -1534,10 +1534,16 @@ class PipelineSpec extends AnyFunSuite {
       (r.getAs[Long]("user_id"), r.getAs[Long]("session_idx"),
         r.getAs[Long]("session_start_us"), r.getAs[Long]("session_end_us"),
         r.getAs[Long]("n_events"))
+    val df = SparkEntry.queries("q68b_sessionize_skew")(spark, sf)
     val a = SparkEntry.queries("q68_sessionize")(spark, sf).collect().map(key)
-    val b = SparkEntry.queries("q68b_sessionize_skew")(spark, sf)
-      .collect().map(key)
+    val b = df.collect().map(key)
     assert(a.nonEmpty && b.toSeq == a.toSeq)
+    // The skew fix IS the plan shape: phase 1's exchange must key on
+    // (user_id, chunk), not user_id alone.
+    val plan = df.queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(user_id#\\d+L?, chunk#\\d+L?".r
+      .findFirstIn(plan).isDefined,
+      s"phase-1 exchange not keyed by (user_id, chunk):\n${plan.take(2000)}")
   }
 
   test("q68b: planted hot user — exact across cuts, phase-1 spreads the key") {
