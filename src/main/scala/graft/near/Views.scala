@@ -213,7 +213,7 @@ object Views {
     val locked = states
       .join(live, states("accountId") === live("account_id"))
       .select(col("day"), col("bts"),
-        struct(states.columns.map(states(_)): _*).as("s"))
+        struct(states.columns.toIndexedSeq.map(states(_)): _*).as("s"))
       .as[(Long, Long, Lockup.State)]
       .map { case (day, bts, s) => (day, Lockup.lockedAmount(s, bts).toString) }
       .toDF("day", "locked")

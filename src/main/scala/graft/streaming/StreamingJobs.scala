@@ -195,7 +195,9 @@ object StreamingJobs {
     */
   private def docsStream(s: SparkSession, dir: String): DataFrame = {
     DataContract.assertPlainInt64(s, s"$dir/documents.parquet",
-      docsSchema.fields.collect { case f if f.dataType == LongType => f.name })
+      docsSchema.fields.collect {
+        case f if f.dataType == LongType => f.name
+      }.toIndexedSeq)
     s.readStream.schema(docsSchema)
       .option("basePath", dir).parquet(s"$dir/documents.parque[t]")
   }
