@@ -83,8 +83,14 @@ object Runbook {
         await(Stream.run(spark, req("input"), req("warehouse"),
           req("checkpoint")))
       case "sync-from-latest" =>
-        val tip = parseBlocks(spark, req("input"))
-          .agg(max(col("blockHeight").cast("long"))).collect()(0)
+        // Tip probe: one JSON-path extraction per file, NOT the full
+        // BlockParser normalization — the bytes must be read either
+        // way (the lake layout encodes no height in file names), but
+        // per-byte cost is a single path walk instead of building the
+        // whole normalized block structure.
+        val tip = spark.read.option("wholetext", "true").text(req("input"))
+          .agg(max(get_json_object(col("value"), "$.block.header.height")
+            .cast("long"))).collect()(0)
         val minH = if (tip.isNullAt(0)) Long.MinValue else tip.getLong(0) + 1
         await(Stream.run(spark, req("input"), req("warehouse"),
           req("checkpoint"), minHeight = minH,

@@ -94,6 +94,26 @@ class NearRunbookSpec extends AnyFunSuite {
       == reg(whRef, "access_keys", Warehouse.accessKeysCurrent))
   }
 
+  test("runbook: sync-from-latest abandons the backlog; re-index-range backfills it") {
+    val root = Files.createTempDirectory("graft_runbook_tip").toString
+    val input = s"$root/input"; val wh = s"$root/wh"; val ckpt = s"$root/ckpt"
+    Files.createDirectories(Paths.get(input))
+    graft.near.Fixtures.chain.zipWithIndex.foreach { case (json, i) =>
+      Files.write(Paths.get(input, f"b$i%02d.json"), json.getBytes("UTF-8"))
+    }
+    // Everything present is at-or-below the tip → nothing ingested.
+    Runbook.cli(spark, Array("sync-from-latest", "--input", input,
+      "--warehouse", wh, "--checkpoint", ckpt))
+    assert(Warehouse.tableOpt(spark, wh, "blocks").isEmpty,
+      "sync-from-latest ingested backlog blocks")
+    // The other node's job (per the handbook): backfill the abandoned
+    // range explicitly.
+    Runbook.cli(spark, Array("re-index-range", "--input", input,
+      "--warehouse", wh, "--from", "0", "--to", "1000000"))
+    val n = Warehouse.table(spark, wh, "blocks").count()
+    assert(n == 4L, s"backfill wrote $n blocks")
+  }
+
   test("runbook: malformed invocations fail loudly with usage") {
     Seq(
       Array("frobnicate"),
