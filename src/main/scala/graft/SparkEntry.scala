@@ -119,6 +119,8 @@ object SparkEntry {
     "q70b_hll_merge"          -> ((s: SparkSession, dir: String) =>
       PipelineQueries.q70bHllMerge(s, dir)),
     "q71_quantile_sketch"     -> (PipelineQueries.q71QuantileSketch _),
+    "q72_stream_funnel_join"  -> ((s: SparkSession, dir: String) =>
+      StreamingJobs.streamFunnelJoin(s, dir)),
     "q57_image_dhash"         -> (Multimodal.q57ImageDhash _),
     "q58_audio_meta"          -> (Multimodal.q58AudioMeta _),
     "q59_video_frames"        -> (Multimodal.q59VideoFrames _),

@@ -1154,6 +1154,21 @@ object PipelineOracles {
         |JOIN np ON em.event_type = np.event_type
         |ORDER BY em.event_type""".stripMargin,
 
+    // q72: the stream-stream interval join's batch twin — the plain
+    // inequality join restricted to the (view, purchase) type pair;
+    // on the single-batch fixture drain the streaming join emits
+    // exactly these matches.
+    "q72_stream_funnel_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t
+        |           FROM events)
+        |SELECT a.user_id, a.t AS t_view_us, b.t AS t_buy_us,
+        |  a.event_id AS view_id, b.event_id AS purchase_id,
+        |  b.t - a.t AS gap_us
+        |FROM e a JOIN e b ON a.user_id = b.user_id
+        |  AND a.event_type = 'view' AND b.event_type = 'purchase'
+        |  AND b.t > a.t AND b.t - a.t <= 600000000
+        |ORDER BY a.user_id, a.t, b.t, a.event_id, b.event_id""".stripMargin,
+
     // q71: histogram-quantile sketch — exact percentiles by the same
     // integer rank formula at a per-source row_number, estimates from
     // the identical 8-wide/256-bin cumulative histogram.

@@ -392,6 +392,59 @@ object StreamingJobs {
     drain(s, agg, "qyield_")(_.orderBy(col("source"), col("disposition")))
   }
 
+  /** STREAM-STREAM INTERVAL JOIN — the watermarked two-stream join
+    * (§ Structured Streaming's flagship stateful operator, previously
+    * unexercised here): each view event joined to the same user's
+    * purchase events within `gapUs` — the streaming twin of one q67
+    * funnel cell, live instead of batch. Both sides carry event-time
+    * watermarks and the join predicate bounds buy_ts to
+    * (view_ts, view_ts + gap], which is exactly what lets Spark
+    * EVICT state: view rows age out once the watermark passes
+    * view_ts + gap (no purchase can match them anymore), purchase
+    * rows once it passes buy_ts — state is bounded by the trailing
+    * horizon on both sides, not stream length. Self-join over one
+    * file source (both sides filter the same stream). On the
+    * single-batch fixture drain every match lands in one batch, so
+    * the oracle is the plain batch inequality join restricted to the
+    * (view, purchase) type pair.
+    */
+  def streamFunnelJoin(s: SparkSession, dir: String,
+      gapUs: Long = 600000000L): DataFrame = {
+    val joined = funnelJoinStream(s, eventsStream(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("t")), gapUs)
+    drain(s, joined, "funneljoin_", outputMode = "append") { t =>
+      t.orderBy(col("user_id"), col("t_view_us"), col("t_buy_us"),
+        col("view_id"), col("purchase_id"))
+    }
+  }
+
+  /** Core of [[streamFunnelJoin]] over any streaming frame with
+    * (event_id LONG, user_id LONG, event_type STRING, t µs LONG)
+    * columns — split out so the cross-batch match contract is
+    * spec-testable with a controllable multi-batch source.
+    */
+  private[graft] def funnelJoinStream(s: SparkSession, events: DataFrame,
+      gapUs: Long): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("t").as("t_view_us"), timestamp_micros(col("t")).as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val buys = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("buy_user_id"),
+        col("t").as("t_buy_us"), timestamp_micros(col("t")).as("buy_ts"))
+      .withWatermark("buy_ts", "1 hour")
+    views.join(buys,
+        col("user_id") === col("buy_user_id") &&
+          col("buy_ts") > col("view_ts") &&
+          col("buy_ts") <= col("view_ts") +
+            expr(s"INTERVAL $gapUs MICROSECOND"))
+      .select(col("user_id"), col("t_view_us"), col("t_buy_us"),
+        col("view_id"), col("purchase_id"),
+        (col("t_buy_us") - col("t_view_us")).as("gap_us"))
+  }
+
   /** STREAMING ingest-time IMAGE dedup — the streaming × multimodal
     * composition a media-ingest pipeline runs at the door: each
     * arriving image is decoded and dHashed ON THE EXECUTOR (q57's

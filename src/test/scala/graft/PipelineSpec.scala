@@ -1350,6 +1350,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(a.nonEmpty && b == a)
   }
 
+  test("q72 stream-stream join matches across batches, respects the gap") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val t0 = 1700000000000000L // µs, well inside the watermark era
+    val ms = MemoryStream[(Long, Long, String, Long)]
+    val joined = graft.streaming.StreamingJobs.funnelJoinStream(spark,
+      ms.toDF().toDF("event_id", "user_id", "event_type", "t"),
+      gapUs = 600000000L)
+    val name = "q72_crossbatch_test"
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      ms.addData((1L, 10L, "view", t0))
+      q.processAllAvailable() // view buffered in join state
+      ms.addData((2L, 10L, "purchase", t0 + 300000000L), // in-gap, matches
+        (3L, 11L, "purchase", t0 + 300000000L)) // no view for user 11
+      q.processAllAvailable()
+      ms.addData((4L, 10L, "purchase", t0 + 1200000000L)) // beyond the gap
+      q.processAllAvailable()
+      val got = spark.table(name).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("view_id"),
+          r.getAs[Long]("purchase_id"), r.getAs[Long]("gap_us"))).toSet
+      assert(got == Set((10L, 1L, 2L, 300000000L)),
+        s"expected one cross-batch in-gap match, got $got")
+    } finally {
+      q.stop(); spark.catalog.dropTempView(name)
+    }
+  }
+
   test("q64 yield ledger sums to the corpus and agrees with q53's verdicts") {
     val led = SparkEntry.queries("q64_recipe_yield")(spark, sf).collect()
     val rec = SparkEntry.queries("q53_corpus_recipe")(spark, sf).collect()
