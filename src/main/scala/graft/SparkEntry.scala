@@ -121,6 +121,7 @@ object SparkEntry {
     "q71_quantile_sketch"     -> (PipelineQueries.q71QuantileSketch _),
     "q72_stream_funnel_join"  -> ((s: SparkSession, dir: String) =>
       StreamingJobs.streamFunnelJoin(s, dir)),
+    "q73_heavy_hitters"       -> (PipelineQueries.q73HeavyHitters _),
     "q57_image_dhash"         -> (Multimodal.q57ImageDhash _),
     "q58_audio_meta"          -> (Multimodal.q58AudioMeta _),
     "q59_video_frames"        -> (Multimodal.q59VideoFrames _),

@@ -1154,6 +1154,28 @@ object PipelineOracles {
         |JOIN np ON em.event_type = np.event_type
         |ORDER BY em.event_type""".stripMargin,
 
+    // q73: count-min replay — same md5 cell hashes, every counter
+    // recomputed exactly, min-over-rows estimate for the exact top-20.
+    "q73_heavy_hitters" ->
+      s"""WITH tk AS (SELECT unnest(w) AS tok FROM ($docsWithWords) d),
+         |ex AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_exact
+         |       FROM tk GROUP BY tok),
+         |top AS (SELECT tok, n_exact FROM ex
+         |        ORDER BY n_exact DESC, tok LIMIT 20),
+         |ds AS (SELECT unnest(range(0, 4)) AS d),
+         |cnt AS (SELECT ds.d,
+         |         CAST('0x' || substr(md5('cm' || CAST(ds.d AS VARCHAR) || ':' || tk.tok), 1, 15) AS BIGINT) % 1024 AS cell,
+         |         CAST(count(*) AS BIGINT) AS c
+         |        FROM tk CROSS JOIN ds GROUP BY 1, 2),
+         |tc AS (SELECT top.tok, top.n_exact, ds.d,
+         |         CAST('0x' || substr(md5('cm' || CAST(ds.d AS VARCHAR) || ':' || top.tok), 1, 15) AS BIGINT) % 1024 AS cell
+         |       FROM top CROSS JOIN ds),
+         |est AS (SELECT tc.tok, tc.n_exact, min(cnt.c) AS n_est
+         |        FROM tc JOIN cnt ON cnt.d = tc.d AND cnt.cell = tc.cell
+         |        GROUP BY tc.tok, tc.n_exact)
+         |SELECT tok AS token, n_exact, n_est FROM est
+         |ORDER BY n_exact DESC, token""".stripMargin,
+
     // q72: the stream-stream interval join's batch twin — the plain
     // inequality join restricted to the (view, purchase) type pair;
     // on the single-batch fixture drain the streaming join emits

@@ -1553,6 +1553,49 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** COUNT-MIN heavy hitters — the frequency sketch behind "which
+    * tokens/domains/boilerplate strings dominate the corpus" at
+    * 100 TB: the exact per-token groupBy shuffles the full distinct
+    * vocabulary; the sketch's state is D×W = 4×1024 integer counters
+    * TOTAL — bounded, map-side combined, and count-additive mergeable
+    * across partitions/days/shards (the q70b/q71 property). Each
+    * token occurrence increments one cell per hash row (portable
+    * 60-bit md5 hashes, so the DuckDB oracle replays every counter
+    * exactly); a token's estimate is the MIN over its D cells, which
+    * is ≥ the true count by construction (collisions only inflate).
+    * The report prices the sketch against truth: the top-20 tokens by
+    * EXACT count (deterministic tie-break on the token string), each
+    * with its exact count and its sketch estimate. Candidates here
+    * come from the exact arm (the fidelity ride-along); a production
+    * deployment gets them from a per-partition space-saving pass and
+    * never materializes the full vocabulary.
+    */
+  def q73HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val W = 1024L; val D = 4
+    val tok = Tables.documents(s, dir)
+      .select(explode(TF.words(col("text"))).as("tok"))
+    def cellOf(d: Int, c: org.apache.spark.sql.Column) =
+      pmod(TF.hash60(concat(lit(s"cm$d:"), c)), lit(W))
+    val exact = tok.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+    val top = exact.orderBy(col("n_exact").desc, col("tok")).limit(20)
+      .localCheckpoint(true)
+    val counters = tok.select(explode(array((0 until D).map(d =>
+        struct(lit(d).as("d"), cellOf(d, col("tok")).as("cell"))): _*))
+        .as("dc"))
+      .groupBy(col("dc.d").as("d"), col("dc.cell").as("cell"))
+      .agg(count(lit(1)).as("c"))
+    val cand = top.select(col("tok"), col("n_exact"),
+        explode(array((0 until D).map(d =>
+          struct(lit(d).as("d"), cellOf(d, col("tok")).as("cell"))): _*))
+          .as("dc"))
+      .select(col("tok"), col("n_exact"),
+        col("dc.d").as("d"), col("dc.cell").as("cell"))
+    cand.join(counters, Seq("d", "cell"))
+      .groupBy(col("tok"), col("n_exact")).agg(min(col("c")).as("n_est"))
+      .select(col("tok").as("token"), col("n_exact"), col("n_est"))
+      .orderBy(col("n_exact").desc, col("token"))
+  }
+
   /** SEMANTIC dedup (SemDeDup): coarse-cluster the embedding corpus,
     * dedup within clusters on exact cosine, keep the min-id
     * representative per duplicate group — the embedding-space sibling

@@ -1708,6 +1708,26 @@ class PipelineSpec extends AnyFunSuite {
       r.getAs[Long]("hll_est_merged") == alt(r.getAs[String]("event_type"))))
   }
 
+  test("q73 count-min estimates dominate exact counts, never undercount") {
+    val rows = SparkEntry.queries("q73_heavy_hitters")(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      // the CM guarantee: collisions only inflate
+      assert(r.getAs[Long]("n_est") >= r.getAs[Long]("n_exact"),
+        s"${r.getAs[String]("token")} undercounted")
+    }
+    val counts = rows.map(_.getAs[Long]("n_exact")).toSeq
+    assert(counts == counts.sorted.reverse, "not ordered by exact count")
+    // independent recount of the #1 token
+    import org.apache.spark.sql.functions.{col, explode}
+    val topTok = rows.head.getAs[String]("token")
+    val n = Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextFunctions.words(col("text")))
+        .as("t"))
+      .filter(col("t") === topTok).count()
+    assert(rows.head.getAs[Long]("n_exact") == n)
+  }
+
   test("q71 histogram estimate brackets the exact percentile by one bin") {
     val rows = SparkEntry.queries("q71_quantile_sketch")(spark, sf).collect()
     assert(rows.nonEmpty)
