@@ -229,7 +229,8 @@ object Bench {
           "q31_text_chunks,q34_dedup_apply,q35b_stream_dedup_windowed," +
           "q36_contamination,q38_ngram_jaccard,q48_stream_near_dup," +
           "q51_semantic_dedup,q53_corpus_recipe,q56_bigram_lm," +
-          "q65b_dedup_agreement_star,near_scale_receipts"))
+          "q65b_dedup_agreement_star,q72_stream_funnel_join," +
+          "near_scale_receipts"))
       .split(",").map(_.trim).filter(SparkEntry.queries.contains).toSeq
     val isolated = isolatedNames.map { n =>
       val s = SparkSession.builder()

@@ -1521,10 +1521,13 @@ object PipelineQueries {
     import org.apache.spark.sql.expressions.Window
     val tok = Tables.documents(s, dir).select(col("source"),
       size(TF.words(col("text"))).cast("long").as("nt"))
+    // Tiny (|sources| rows) but referenced by three branches — one
+    // materialization instead of three corpus scans.
     val n = tok.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
       .withColumn("r50", expr("(50 * n_docs + 99) div 100"))
       .withColumn("r95", expr("(95 * n_docs + 99) div 100"))
       .withColumn("r99", expr("(99 * n_docs + 99) div 100"))
+      .localCheckpoint(true)
     val rk = tok.withColumn("rn",
       row_number().over(Window.partitionBy(col("source")).orderBy(col("nt"))))
     val exact = rk.join(broadcast(n), "source")

@@ -406,7 +406,12 @@ object StreamingJobs {
     * file source (both sides filter the same stream). On the
     * single-batch fixture drain every match lands in one batch, so
     * the oracle is the plain batch inequality join restricted to the
-    * (view, purchase) type pair.
+    * (view, purchase) type pair. Sweep-cost note: a stream-stream
+    * join opens FOUR state stores per shuffle partition (keyed +
+    * key-with-index per side), so under the bench's RocksDB provider
+    * the entry pays ~128 store opens of fixed cost at sf0.1 — the
+    * constant dominates at toy scale and amortizes at real volume
+    * (the isolated pin adjudicates the sweep number).
     */
   def streamFunnelJoin(s: SparkSession, dir: String,
       gapUs: Long = 600000000L): DataFrame = {
