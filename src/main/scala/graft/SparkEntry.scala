@@ -122,6 +122,7 @@ object SparkEntry {
     "q72_stream_funnel_join"  -> ((s: SparkSession, dir: String) =>
       StreamingJobs.streamFunnelJoin(s, dir)),
     "q73_heavy_hitters"       -> (PipelineQueries.q73HeavyHitters _),
+    "q74_bucketed_join"       -> (Analytics.q74BucketedJoin _),
     "q57_image_dhash"         -> (Multimodal.q57ImageDhash _),
     "q58_audio_meta"          -> (Multimodal.q58AudioMeta _),
     "q59_video_frames"        -> (Multimodal.q59VideoFrames _),
@@ -206,5 +207,15 @@ object SparkEntry {
         |  count(*) AS n,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q74: the bucketed co-located join must not change a single row —
+    // the oracle is the plain join + aggregate over the ORIGINAL
+    // parquet (bucketing is a physical-layout property only).
+    "q74_bucketed_join" ->
+      """SELECT o_orderpriority,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
   ) ++ PipelineOracles.sql ++ graft.queries.NearOracles.sql
 }

@@ -181,4 +181,69 @@ object Analytics {
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
       .orderBy(col("k_bucket"))
   }
+
+  private val bucketMirrorCache = new graft.SessionCache[String]()
+
+  /** BUCKETED CO-LOCATED JOIN — the one 100 TB join strategy the
+    * surface didn't yet demonstrate: both fact tables written ONCE as
+    * 16-bucket parquet tables hashed on the join key, after which
+    * every orderkey-join runs with ZERO shuffle of either side —
+    * Spark's scan reports the bucket hash-partitioning, the
+    * SortMergeJoin's distribution requirement is already met, and no
+    * Exchange appears before the join (the spec pins that plan). At
+    * 100 TB this is the difference between shuffling the fact table
+    * on every join and shuffling it once at ingest: the same
+    * co-location serves every downstream orderkey join and
+    * aggregation. The bucketed mirror is session-registered (Spark's
+    * in-memory catalog holds bucket metadata per session) and staged
+    * under the warehouse dir keyed by the input's identity, the q64b
+    * staging convention. Oracle: the plain inequality-free join +
+    * aggregate over the original parquet — co-location must not
+    * change a single row.
+    */
+  def q74BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val (l, o) = bucketedJoinSides(s, dir)
+    l.hint("merge").join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(dsumExpr(col("l_extendedprice").cast("decimal(18,4)") *
+        (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** The two bucketed sides, pruned to the entry's columns — split out
+    * so the spec can assert the bare join's no-Exchange plan.
+    */
+  private[graft] def bucketedJoinSides(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val suf = ensureBucketedMirror(s, dir)
+    (s.table(s"graft_lineitem_b_$suf").select(col("l_orderkey"),
+      col("l_extendedprice"), col("l_discount")),
+      s.table(s"graft_orders_b_$suf").select(col("o_orderkey"),
+        col("o_orderpriority")))
+  }
+
+  /** Write-once bucketed mirrors of orders/lineitem (16 buckets on the
+    * orderkey), registered in this session's catalog; the suffix keys
+    * the stage by input identity (dir + lineitem file length + mtime)
+    * so a changed corpus can never serve a stale mirror.
+    */
+  private def ensureBucketedMirror(s: SparkSession, dir: String): String =
+    bucketMirrorCache.get(s, { s2 =>
+      val src = new org.apache.hadoop.fs.Path(s"$dir/lineitem.parquet")
+      val fs = src.getFileSystem(s2.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(src)
+      val suf = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$dir|${st.getLen}|${st.getModificationTime}|v1"
+          .getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      def write(name: String, df: DataFrame, key: String): Unit =
+        if (!s2.catalog.tableExists(name))
+          df.write.bucketBy(16, key).mode("overwrite")
+            .format("parquet").saveAsTable(name)
+      write(s"graft_orders_b_$suf", Tables.orders(s2, dir), "o_orderkey")
+      write(s"graft_lineitem_b_$suf", Tables.lineitem(s2, dir), "l_orderkey")
+      suf
+    })
 }

@@ -95,4 +95,28 @@ class AnalyticsSpec extends AnyFunSuite {
     }, plan.take(3000))
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
   }
+
+  test("q74 bucketed join: zero Exchange before the join, rows equal the plain join") {
+    import org.apache.spark.sql.functions.col
+    val (l, o) = graft.queries.Analytics.bucketedJoinSides(spark, sf)
+    val bare = l.hint("merge").join(o, col("l_orderkey") === col("o_orderkey"))
+    val plan = bare.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan.take(2000))
+    assert(!plan.contains("Exchange"),
+      s"bucketed join still shuffles:\n${plan.take(2000)}")
+    // The full entry's only exchanges are post-join (final aggregate +
+    // the orderBy's range partitioning) — none feed the join.
+    val fullPlan = SparkEntry.queries("q74_bucketed_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(fullPlan).size
+    assert(exchanges <= 2,
+      s"expected only post-join exchanges, found $exchanges:\n${fullPlan.take(3000)}")
+    // co-location must not change a single row
+    val plain = graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"))
+      .join(graft.Tables.orders(spark, sf).select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .count()
+    assert(bare.count() == plain)
+  }
 }
