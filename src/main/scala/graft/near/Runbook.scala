@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions._
   *    consumed and a later restart does not revisit them.
   *  - `--non-strict-mode` / `--stop-after-number-of-blocks N` — the
   *    bounded relaxed pass (TROBLESHOOTING.md:90-114): account_changes
-  *    are skipped and unresolved receipts drop after the 4-retry
-  *    budget (`receipts.rs:231`); with a stop-count the run becomes a
-  *    bounded batch over heights [H, H+N).
+  *    AND the access-keys registry are skipped ("will skip
+  *    account_state_changes, access_keys") and unresolved receipts
+  *    drop after the 4-retry budget (`receipts.rs:231`); with a
+  *    stop-count the run becomes a bounded batch over heights
+  *    [H, H+N).
   *  - `sync-from-interruption [--delta N]` — resume from the
   *    checkpoint (TROBLESHOOTING.md:117): Spark replays the unfinished
   *    microbatch and `_blocks_recent` drops re-delivered blocks whole,
@@ -77,7 +79,7 @@ object Runbook {
             await(Stream.run(spark, req("input"), req("warehouse"),
               req("checkpoint"), minHeight = h,
               maxRetries = if (nonStrict) 4 else Int.MaxValue,
-              enableAccountChanges = !nonStrict))
+              enableAccountChanges = !nonStrict, enableAccessKeys = !nonStrict))
         }
       case "sync-from-interruption" => // --delta subsumed by checkpoint replay
         await(Stream.run(spark, req("input"), req("warehouse"),
@@ -95,7 +97,7 @@ object Runbook {
         await(Stream.run(spark, req("input"), req("warehouse"),
           req("checkpoint"), minHeight = minH,
           maxRetries = if (nonStrict) 4 else Int.MaxValue,
-          enableAccountChanges = !nonStrict))
+          enableAccountChanges = !nonStrict, enableAccessKeys = !nonStrict))
       case "re-index-range" =>
         reindexRange(spark, req("input"), req("warehouse"),
           req("from").toLong, req("to").toLong, nonStrict)
@@ -117,7 +119,7 @@ object Runbook {
       .filter(col("blockHeight").cast("long").between(from, to))
     Stream.processBatch(spark, norm, warehouseDir,
       maxRetries = if (nonStrict) 4 else Int.MaxValue,
-      enableAccountChanges = !nonStrict)
+      enableAccountChanges = !nonStrict, enableAccessKeys = !nonStrict)
   }
 
   private def parseBlocks(spark: SparkSession, inputDir: String): DataFrame = {

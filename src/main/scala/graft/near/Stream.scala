@@ -92,7 +92,8 @@ object Stream {
       checkpointDir: String, trigger: Trigger = Trigger.AvailableNow(),
       maxFilesPerTrigger: Int = 1000, maxRetries: Int = 4,
       minHeight: Long = Long.MinValue,
-      enableAccountChanges: Boolean = true): StreamingQuery = {
+      enableAccountChanges: Boolean = true,
+      enableAccessKeys: Boolean = true): StreamingQuery = {
     import spark.implicits._
     if (listenerRegistered.compareAndSet(false, true))
       spark.streams.addListener(Metrics.listener())
@@ -110,7 +111,8 @@ object Stream {
           if (minHeight == Long.MinValue) norm0
           else norm0.filter(col("blockHeight").cast("long") >= minHeight)
         processBatch(spark, norm, warehouseDir, maxRetries,
-          enableAccountChanges = enableAccountChanges)
+          enableAccountChanges = enableAccountChanges,
+          enableAccessKeys = enableAccessKeys)
         ()
       }
       .start()
@@ -168,6 +170,7 @@ object Stream {
       warehouseDir: String, maxRetries: Int = 4,
       enableAccountChanges: Boolean = true,
       enableEvents: Boolean = true,
+      enableAccessKeys: Boolean = true,
       collisionWindowBlocks: Long = 1000L,
       mirror: Option[JdbcSink.ConnectionFactory] = None,
       recoveryLookbackDays: Int = 2,
@@ -530,9 +533,14 @@ object Stream {
         // (the JDBC mirror gets the guarded upsert, JdbcSink).
         "accounts" ->
           Transforms.accountsRegistry(Transforms.accountEvents(norm)),
-        "access_keys" ->
-          Transforms.accessKeysRegistry(Transforms.accessKeyEvents(norm)),
-      ) ++ (if (enableAccountChanges)
+      ) ++ (if (enableAccessKeys)
+        // non-strict mode skips the access-keys registry along with
+        // account_changes (TROBLESHOOTING.md:104) — a later strict
+        // re-index appends the skipped range's deltas and the
+        // compacted view converges.
+        Map("access_keys" ->
+          Transforms.accessKeysRegistry(Transforms.accessKeyEvents(norm)))
+      else Map.empty) ++ (if (enableAccountChanges)
         Map("account_changes" -> Transforms.accountChanges(norm))
       else Map.empty) ++ (if (enableEvents) {
         def eventPk(df: DataFrame) = pkGuard(df,

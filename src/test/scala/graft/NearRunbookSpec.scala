@@ -114,6 +114,30 @@ class NearRunbookSpec extends AnyFunSuite {
     assert(n == 4L, s"backfill wrote $n blocks")
   }
 
+  test("runbook: non-strict mode skips account_changes AND access_keys") {
+    // TROBLESHOOTING.md:104 — "will skip account_state_changes,
+    // access_keys". The relaxed pass trades those tables for
+    // liveness; the handbook's own follow-up is a regular-mode run +
+    // investigation (full re-consistency comes from re-indexing on a
+    // warehouse that did not run non-strict — the skip-block flow the
+    // convergence spec drives).
+    val root = Files.createTempDirectory("graft_runbook_ns").toString
+    val input = s"$root/input"; val wh = s"$root/wh"; val ckpt = s"$root/ckpt"
+    Files.createDirectories(Paths.get(input))
+    graft.near.Fixtures.chain.zipWithIndex.foreach { case (json, i) =>
+      Files.write(Paths.get(input, f"b$i%02d.json"), json.getBytes("UTF-8"))
+    }
+    Runbook.cli(spark, Array("sync-from-block", "--input", input,
+      "--warehouse", wh, "--checkpoint", ckpt, "--height", "0",
+      "--stop-after-number-of-blocks", "1000000", "--non-strict-mode"))
+    assert(Warehouse.tableOpt(spark, wh, "blocks").nonEmpty)
+    assert(Warehouse.tableOpt(spark, wh, "transactions").nonEmpty)
+    assert(Warehouse.tableOpt(spark, wh, "account_changes").isEmpty,
+      "non-strict wrote account_changes")
+    assert(Warehouse.tableOpt(spark, wh, "access_keys").isEmpty,
+      "non-strict wrote access_keys")
+  }
+
   test("runbook: malformed invocations fail loudly with usage") {
     Seq(
       Array("frobnicate"),
