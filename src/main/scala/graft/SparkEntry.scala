@@ -122,6 +122,10 @@ object SparkEntry {
     "q72_stream_funnel_join"  -> ((s: SparkSession, dir: String) =>
       StreamingJobs.streamFunnelJoin(s, dir)),
     "q73_heavy_hitters"       -> (PipelineQueries.q73HeavyHitters _),
+    "q73b_heavy_hitters_sketch" ->
+      (PipelineQueries.q73bHeavyHittersSketch _),
+    "q71b_quantile_sketch_only" ->
+      (PipelineQueries.q71bQuantileSketchOnly _),
     "q74_bucketed_join"       -> (Analytics.q74BucketedJoin _),
     "q57_image_dhash"         -> (Multimodal.q57ImageDhash _),
     "q58_audio_meta"          -> (Multimodal.q58AudioMeta _),

@@ -182,8 +182,6 @@ object Analytics {
       .orderBy(col("k_bucket"))
   }
 
-  private val bucketMirrorCache = new graft.SessionCache[String]()
-
   /** BUCKETED CO-LOCATED JOIN — the one 100 TB join strategy the
     * surface didn't yet demonstrate: both fact tables written ONCE as
     * 16-bucket parquet tables hashed on the join key, after which
@@ -194,10 +192,10 @@ object Analytics {
     * 100 TB this is the difference between shuffling the fact table
     * on every join and shuffling it once at ingest: the same
     * co-location serves every downstream orderkey join and
-    * aggregation. The bucketed mirror is session-registered (Spark's
-    * in-memory catalog holds bucket metadata per session) and staged
-    * under the warehouse dir keyed by the input's identity, the q64b
-    * staging convention. Oracle: the plain inequality-free join +
+    * aggregation. The bucketed mirror is staged write-once under the
+    * external stage root keyed by the input's identity (the q64b
+    * staging convention) and re-attached to each session's catalog as
+    * an external bucketed table. Oracle: the plain inequality-free join +
     * aggregate over the original parquet — co-location must not
     * change a single row.
     */
@@ -225,25 +223,54 @@ object Analytics {
   }
 
   /** Write-once bucketed mirrors of orders/lineitem (16 buckets on the
-    * orderkey), registered in this session's catalog; the suffix keys
-    * the stage by input identity (dir + lineitem file length + mtime)
-    * so a changed corpus can never serve a stale mirror.
+    * orderkey), registered in this session's catalog as EXTERNAL
+    * tables under [[PipelineQueries.stageRoot]].
+    *
+    * Replay idempotency is keyed on the FILESYSTEM, not the per-JVM
+    * catalog (the r14 defect: a managed-table location under the
+    * warehouse dir outlives the in-memory catalog, so every JVM after
+    * the first died with LOCATION_ALREADY_EXISTS). The contract here
+    * is `stagedDisposition`'s marker-after-data pattern:
+    *   - marker present  → the stage is complete; re-attach it to this
+    *     session's catalog with CREATE TABLE … CLUSTERED BY … LOCATION
+    *     (bucket metadata lives in the DDL, the bucket-id file naming
+    *     is already on disk), touching zero data.
+    *   - location without marker → a torn write from a crashed JVM;
+    *     the mirror is a derived cache, so delete and rebuild.
+    * The identity tag (dir + lineitem file length + mtime) is
+    * recomputed on EVERY call — one getFileStatus — so a regenerated
+    * corpus or a different dir in the same session can never be served
+    * a stale mirror.
     */
   private def ensureBucketedMirror(s: SparkSession, dir: String): String =
-    bucketMirrorCache.get(s, { s2 =>
+    Analytics.synchronized {
+      val hconf = s.sparkContext.hadoopConfiguration
       val src = new org.apache.hadoop.fs.Path(s"$dir/lineitem.parquet")
-      val fs = src.getFileSystem(s2.sparkContext.hadoopConfiguration)
+      val fs = src.getFileSystem(hconf)
       val st = fs.getFileStatus(src)
       val suf = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$dir|${st.getLen}|${st.getModificationTime}|v1"
+        .digest(s"$dir|${st.getLen}|${st.getModificationTime}|v2"
           .getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(8)
-      def write(name: String, df: DataFrame, key: String): Unit =
-        if (!s2.catalog.tableExists(name))
-          df.write.bucketBy(16, key).mode("overwrite")
-            .format("parquet").saveAsTable(name)
-      write(s"graft_orders_b_$suf", Tables.orders(s2, dir), "o_orderkey")
-      write(s"graft_lineitem_b_$suf", Tables.lineitem(s2, dir), "l_orderkey")
+      def ensure(name: String, df: => DataFrame, key: String): Unit =
+        if (!s.catalog.tableExists(name)) {
+          val loc = new org.apache.hadoop.fs.Path(
+            s"${PipelineQueries.stageRoot}/bucketed/$name")
+          val lfs = loc.getFileSystem(hconf)
+          val marker = new org.apache.hadoop.fs.Path(loc, "_GRAFT_STAGED")
+          if (lfs.exists(marker)) {
+            s.sql(s"CREATE TABLE $name (${df.schema.toDDL}) USING PARQUET " +
+              s"CLUSTERED BY ($key) INTO 16 BUCKETS LOCATION '$loc'")
+          } else {
+            if (lfs.exists(loc)) lfs.delete(loc, true)
+            df.write.bucketBy(16, key).mode("overwrite")
+              .option("path", loc.toString).format("parquet")
+              .saveAsTable(name)
+            lfs.create(marker, true).close()
+          }
+        }
+      ensure(s"graft_orders_b_$suf", Tables.orders(s, dir), "o_orderkey")
+      ensure(s"graft_lineitem_b_$suf", Tables.lineitem(s, dir), "l_orderkey")
       suf
-    })
+    }
 }

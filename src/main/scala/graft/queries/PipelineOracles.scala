@@ -1232,6 +1232,60 @@ object PipelineOracles {
         |JOIN es ON r.source = es.source
         |ORDER BY r.source""".stripMargin,
 
+    // q71b: the sketch-only twin — q71's histogram arm verbatim, no
+    // exact/row_number arm (the engine side has no per-group sort; the
+    // estimates must still hash-equal the shared formula).
+    "q71b_quantile_sketch_only" ->
+      s"""WITH tok AS (SELECT source,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS nt
+        |  FROM documents),
+        |n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |      FROM tok GROUP BY source),
+        |r AS (SELECT source, n_docs,
+        |        (50 * n_docs + 99) // 100 AS r50,
+        |        (95 * n_docs + 99) // 100 AS r95,
+        |        (99 * n_docs + 99) // 100 AS r99
+        |      FROM n),
+        |hb AS (SELECT source, least(nt // 8, 255) AS bin,
+        |         CAST(count(*) AS BIGINT) AS c
+        |       FROM tok GROUP BY source, least(nt // 8, 255)),
+        |hc AS (SELECT source, bin,
+        |         sum(c) OVER (PARTITION BY source ORDER BY bin
+        |           ROWS UNBOUNDED PRECEDING) AS cum
+        |       FROM hb),
+        |es AS (SELECT hc.source,
+        |         CAST(min(CASE WHEN cum >= r50 THEN (bin + 1) * 8 END) AS BIGINT) AS p50_est,
+        |         CAST(min(CASE WHEN cum >= r95 THEN (bin + 1) * 8 END) AS BIGINT) AS p95_est,
+        |         CAST(min(CASE WHEN cum >= r99 THEN (bin + 1) * 8 END) AS BIGINT) AS p99_est
+        |       FROM hc JOIN r USING (source) GROUP BY hc.source)
+        |SELECT r.source, r.n_docs, es.p50_est, es.p95_est, es.p99_est
+        |FROM r JOIN es ON r.source = es.source
+        |ORDER BY r.source""".stripMargin,
+
+    // q73b: the sketch-only candidate path must land on the SAME
+    // report as the exact arm — the oracle is q73's SQL verbatim
+    // (exact top-20 + count-min replay); a candidate-recall hole on
+    // the fixture fails the hash.
+    "q73b_heavy_hitters_sketch" ->
+      s"""WITH tk AS (SELECT unnest(w) AS tok FROM ($docsWithWords) d),
+         |ex AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_exact
+         |       FROM tk GROUP BY tok),
+         |top AS (SELECT tok, n_exact FROM ex
+         |        ORDER BY n_exact DESC, tok LIMIT 20),
+         |ds AS (SELECT unnest(range(0, 4)) AS d),
+         |cnt AS (SELECT ds.d,
+         |         CAST('0x' || substr(md5('cm' || CAST(ds.d AS VARCHAR) || ':' || tk.tok), 1, 15) AS BIGINT) % 1024 AS cell,
+         |         CAST(count(*) AS BIGINT) AS c
+         |        FROM tk CROSS JOIN ds GROUP BY 1, 2),
+         |tc AS (SELECT top.tok, top.n_exact, ds.d,
+         |         CAST('0x' || substr(md5('cm' || CAST(ds.d AS VARCHAR) || ':' || top.tok), 1, 15) AS BIGINT) % 1024 AS cell
+         |       FROM top CROSS JOIN ds),
+         |est AS (SELECT tc.tok, tc.n_exact, min(cnt.c) AS n_est
+         |        FROM tc JOIN cnt ON cnt.d = tc.d AND cnt.cell = tc.cell
+         |        GROUP BY tc.tok, tc.n_exact)
+         |SELECT tok AS token, n_exact, n_est FROM est
+         |ORDER BY n_exact DESC, token""".stripMargin,
+
     // q69: the conversion matrix over q67's naive-join twin; the
     // |types|² spine keeps zero-conversion cells present, and the
     // rate is the engine-exact rdiv4 integer division.

@@ -1556,6 +1556,44 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** SKETCH-ONLY quantiles — q71 with the exact fidelity arm DROPPED:
+    * the shape the report actually runs at 100 TB, where the per-source
+    * row_number (a full per-group sort) is the non-starter q71's
+    * scaladoc names. Plan: ONE corpus scan → ≤256-counter histogram per
+    * source (map-side combined, count-additive mergeable) → cumulative
+    * walk over |sources|×256 rows → rank lookup. No window over the
+    * corpus, no per-group sort anywhere; the only corpus-sized shuffle
+    * is the (source, bin) partial-aggregate merge, whose post-combine
+    * volume is bins×partitions. Estimates are bit-identical to q71's
+    * estimate columns (same bins, same integer ranks), so the oracle
+    * is q71's histogram arm verbatim.
+    */
+  def q71bQuantileSketchOnly(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(s, dir).select(col("source"),
+      size(TF.words(col("text"))).cast("long").as("nt"))
+    val n = tok.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("r50", expr("(50 * n_docs + 99) div 100"))
+      .withColumn("r95", expr("(95 * n_docs + 99) div 100"))
+      .withColumn("r99", expr("(99 * n_docs + 99) div 100"))
+    val bins = tok.withColumn("bin", least(expr("nt div 8"), lit(255L)))
+      .groupBy(col("source"), col("bin")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("source")).orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    bins.join(broadcast(n), "source")
+      .groupBy(col("source"), col("n_docs")).agg(
+        min(when(col("cum") >= col("r50"), (col("bin") + 1L) * 8L))
+          .as("p50_est"),
+        min(when(col("cum") >= col("r95"), (col("bin") + 1L) * 8L))
+          .as("p95_est"),
+        min(when(col("cum") >= col("r99"), (col("bin") + 1L) * 8L))
+          .as("p99_est"))
+      .select(col("source"), col("n_docs"),
+        col("p50_est"), col("p95_est"), col("p99_est"))
+      .orderBy(col("source"))
+  }
+
   /** COUNT-MIN heavy hitters — the frequency sketch behind "which
     * tokens/domains/boilerplate strings dominate the corpus" at
     * 100 TB: the exact per-token groupBy shuffles the full distinct
@@ -1574,14 +1612,23 @@ object PipelineQueries {
     * never materializes the full vocabulary.
     */
   def q73HeavyHitters(s: SparkSession, dir: String): DataFrame = {
-    val W = 1024L; val D = 4
     val tok = Tables.documents(s, dir)
       .select(explode(TF.words(col("text"))).as("tok"))
-    def cellOf(d: Int, c: org.apache.spark.sql.Column) =
-      pmod(TF.hash60(concat(lit(s"cm$d:"), c)), lit(W))
     val exact = tok.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
     val top = exact.orderBy(col("n_exact").desc, col("tok")).limit(20)
       .localCheckpoint(true)
+    cmEstimateReport(tok, top)
+  }
+
+  /** Shared count-min pricing stage for q73/q73b: the D×W counters over
+    * the full token stream (bounded 4096-cell state, map-side
+    * combined), each `top` candidate's estimate = MIN over its D
+    * cells. `top` must carry (tok, n_exact).
+    */
+  private def cmEstimateReport(tok: DataFrame, top: DataFrame): DataFrame = {
+    val W = 1024L; val D = 4
+    def cellOf(d: Int, c: org.apache.spark.sql.Column) =
+      pmod(TF.hash60(concat(lit(s"cm$d:"), c)), lit(W))
     val counters = tok.select(explode(array((0 until D).map(d =>
         struct(lit(d).as("d"), cellOf(d, col("tok")).as("cell"))): _*))
         .as("dc"))
@@ -1597,6 +1644,90 @@ object PipelineQueries {
       .groupBy(col("tok"), col("n_exact")).agg(min(col("c")).as("n_est"))
       .select(col("tok").as("token"), col("n_exact"), col("n_est"))
       .orderBy(col("n_exact").desc, col("token"))
+  }
+
+  /** SKETCH-ONLY heavy hitters — q73 with the exact-arm candidate
+    * generation (the full-vocabulary groupBy, `q73HeavyHitters`'s
+    * `exact`) replaced by the production path the q73 scaladoc names:
+    * a PER-PARTITION Misra-Gries/space-saving pass with bounded state.
+    *
+    * Stage 1 (candidates): each input partition streams its tokens
+    * through a ≤2·CAP-entry counter map; when the map fills, the
+    * (size−CAP)-th smallest count is subtracted from every counter and
+    * non-positive entries drop (batched Misra-Gries — amortized O(1)
+    * per token, undercount ≤ N_p/CAP for a partition of N_p tokens).
+    * Each partition emits only its local top-[[Q73bLocalK]] tokens, so
+    * the merge is ≤ LOCALK·partitions rows — never the vocabulary.
+    * Any token with true partition share > 1/CAP survives its
+    * partition's pruning, so a global top-20 heavy hitter (which is
+    * heavy in essentially every partition at these CAP/K settings) is
+    * always a candidate; the spec pins candidate ⊇ exact-top-20 on the
+    * fixture and on a repartitioned shuffle of it.
+    *
+    * Stage 2 (exact counts, candidates only): one more corpus scan
+    * with the candidate set broadcast — the groupBy state is ≤ the
+    * candidate count (thousands), not the vocabulary; top-20 by
+    * (n_exact DESC, token) is then deterministic and partitioning-
+    * independent, which is what lets the DuckDB oracle be q73's SQL
+    * VERBATIM (same rows, same hashes).
+    *
+    * Stage 3: the shared count-min pricing ([[cmEstimateReport]]).
+    * Net plan: three corpus scans, every aggregate's state bounded
+    * (2·CAP per task / 4096 cells / candidate-set keys) — no stage
+    * materializes or shuffles the full vocabulary, the property that
+    * makes the report runnable at 100 TB where q73's exact arm would
+    * shuffle billions of distinct tokens.
+    */
+  def q73bHeavyHittersSketch(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(explode(TF.words(col("text"))).as("tok"))
+    cmEstimateReport(tok, q73bExactTop(s, tok).localCheckpoint(true))
+  }
+
+  /** q73b stage 2 pre-checkpoint: candidate-gated exact top-20 — split
+    * out so the spec can assert its plan (every tok-keyed aggregate
+    * gated below by the broadcast candidate join).
+    */
+  private[graft] def q73bExactTop(s: SparkSession, tok: DataFrame): DataFrame =
+    tok.join(broadcast(q73bCandidates(s, tok)), "tok")
+      .groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("tok")).limit(20)
+
+  private[graft] val Q73bCap = 4096
+  private[graft] val Q73bLocalK = 64
+
+  /** q73b stage 1: per-partition bounded-state candidate tokens —
+    * split out so the spec can drive it alone (emission bound, recall
+    * under repartitioning).
+    */
+  private[graft] def q73bCandidates(s: SparkSession,
+      tok: DataFrame): DataFrame = {
+    import s.implicits._
+    val cap = Q73bCap; val localK = Q73bLocalK
+    tok.as[String].mapPartitions { it =>
+      val m = new java.util.HashMap[String, Long]()
+      it.foreach { t =>
+        m.merge(t, 1L, (a, b) => a + b)
+        if (m.size >= 2 * cap) {
+          val counts = new Array[Long](m.size)
+          var i = 0
+          val vit = m.values.iterator()
+          while (vit.hasNext) { counts(i) = vit.next(); i += 1 }
+          java.util.Arrays.sort(counts)
+          val th = counts(m.size - cap) // (size-CAP)-th smallest
+          val eit = m.entrySet().iterator()
+          while (eit.hasNext) {
+            val e = eit.next()
+            if (e.getValue <= th) eit.remove()
+            else e.setValue(e.getValue - th)
+          }
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      m.entrySet().asScala.toSeq
+        .sortBy(e => (-e.getValue, e.getKey))
+        .take(localK).map(_.getKey).iterator
+    }.toDF("tok").distinct()
   }
 
   /** SEMANTIC dedup (SemDeDup): coarse-cluster the embedding corpus,

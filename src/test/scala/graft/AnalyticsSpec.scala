@@ -20,6 +20,17 @@ object SparkTestSession {
 class AnalyticsSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("registry completeness: queries and oracleSql keysets match") {
+    // VERDICT r14 #2: a declared entry silently absent from the
+    // correctness artifact must be structurally impossible. Every
+    // queries key needs an oracle (the driver's hash gate) and every
+    // oracle needs a query (a dangling oracle is dead SQL).
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries without oracle: ${(q -- o).toSeq.sorted}")
+    assert((o -- q).isEmpty, s"oracles without query: ${(o -- q).toSeq.sorted}")
+  }
+
   test("every declared query runs and returns rows on sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)

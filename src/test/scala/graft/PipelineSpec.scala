@@ -1783,6 +1783,102 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q73b sketch-only report equals q73, candidates stay bounded") {
+    import org.apache.spark.sql.functions.{col, explode}
+    val exact = SparkEntry.queries("q73_heavy_hitters")(spark, sf).collect()
+    val sketch = SparkEntry.queries("q73b_heavy_hitters_sketch")(spark, sf)
+      .collect()
+    assert(sketch.length == 20)
+    assert(exact.map(_.toSeq).toSeq == sketch.map(_.toSeq).toSeq,
+      "sketch-only top-20 diverged from the exact arm")
+    // Candidate recall must survive a different partitioning (the
+    // mapPartitions stage sees different local streams), and the
+    // per-partition emission bound must hold.
+    val tok = Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextFunctions.words(col("text")))
+        .as("tok"))
+    Seq(tok, tok.repartition(13)).foreach { t =>
+      val cands = graft.queries.PipelineQueries.q73bCandidates(spark, t)
+        .collect().map(_.getString(0)).toSet
+      val top20 = exact.map(_.getAs[String]("token")).toSet
+      assert((top20 -- cands).isEmpty,
+        s"candidates missed exact-top-20 tokens: ${top20 -- cands}")
+      val nParts = t.rdd.getNumPartitions
+      assert(cands.size <= graft.queries.PipelineQueries.Q73bLocalK * nParts)
+    }
+  }
+
+  test("q73b plan: no full-vocabulary aggregate — token groupBys are candidate-gated") {
+    // The sketch-only twin's whole point: the only aggregates over the
+    // raw token stream are the bounded (d, cell) counters; every
+    // tok-keyed aggregate sits above the broadcast candidate
+    // semi-join. Assert on the optimized plan: each Aggregate whose
+    // grouping is exactly [tok] must have a join below it, and the
+    // candidate stage itself is object-mapped (no Exchange feeding it).
+    import org.apache.spark.sql.functions.{col, explode}
+    val tok = Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextFunctions.words(col("text")))
+        .as("tok"))
+    val qe = graft.queries.PipelineQueries.q73bExactTop(spark, tok)
+      .queryExecution
+    val plan = qe.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join,
+      SerializeFromObject}
+    plan.foreach {
+      case a: Aggregate
+          if a.groupingExpressions.length == 1 &&
+            a.groupingExpressions.head.references.toSeq
+              .exists(_.name == "tok") &&
+            !a.groupingExpressions.head.references.toSeq
+              .exists(r => r.name == "d" || r.name == "cell") =>
+        // legitimate tok-keyed aggregates: the candidate-gated exact
+        // count (join below) and the candidates' own distinct (object
+        // pipeline below, ≤ LOCALK·partitions rows by construction)
+        val gated = a.child.collectFirst { case j: Join => j }.nonEmpty ||
+          a.child.collectFirst { case o: SerializeFromObject => o }.nonEmpty
+        assert(gated, s"ungated full-vocabulary aggregate:\n$a")
+      case _ =>
+    }
+    val phys = qe.executedPlan.toString
+    assert(phys.contains("MapPartitions"),
+      "candidate stage (mapPartitions space-saving) missing from plan")
+  }
+
+  test("q71b sketch-only estimates equal q71's estimate columns") {
+    val full = SparkEntry.queries("q71_quantile_sketch")(spark, sf)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("p50_est"), r.getAs[Long]("p95_est"),
+          r.getAs[Long]("p99_est"))).toMap
+    val only = SparkEntry.queries("q71b_quantile_sketch_only")(spark, sf)
+      .collect()
+    assert(only.nonEmpty && only.length == full.size)
+    only.foreach { r =>
+      val (e50, e95, e99) = full(r.getAs[String]("source"))
+      assert(r.getAs[Long]("p50_est") == e50 &&
+        r.getAs[Long]("p95_est") == e95 &&
+        r.getAs[Long]("p99_est") == e99)
+    }
+    // No sort anywhere except the terminal presentation ORDER BY: the
+    // exact arm's per-source row_number sort must be gone.
+    val phys = SparkEntry.queries("q71b_quantile_sketch_only")(spark, sf)
+      .queryExecution.executedPlan
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val windows = phys.collect { case w: WindowExec => w }
+    // one window remains: the cumulative sum over ≤256 bins per source
+    windows.foreach { w =>
+      val inputCols = w.child.output.map(_.name).toSet
+      assert(inputCols.contains("bin") || inputCols.contains("cum"),
+        s"unexpected window over non-histogram input: ${w.child.output}")
+    }
+    val sorts = phys.collect { case s: SortExec => s }
+    sorts.foreach { srt =>
+      val cols = srt.child.output.map(_.name).toSet
+      assert(!cols.contains("nt"),
+        "per-document sort present — the exact arm leaked into q71b")
+    }
+  }
+
   test("q61 plan: banded candidates via equi-join, no cartesian/nested loop") {
     val plan = SparkEntry.queries("q61_video_frame_near_dup")(spark, sf)
       .queryExecution.executedPlan.toString
