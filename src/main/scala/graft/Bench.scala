@@ -69,9 +69,25 @@ object Bench {
     val names =
       if (ingestOnly) Seq.empty[String] else SparkEntry.queries.keys.toSeq.sorted
     val isNear = (n: String) => n.startsWith("near_")
+    // Streaming entries open one state-store instance PER STORE PER
+    // SHUFFLE PARTITION at query start — at 32 partitions q72's 4
+    // stores mean 128 RocksDB opens of pure fixed setup that measures
+    // the harness, not the operator (r14 verdict #6). State volume at
+    // sf0.1 is tiny, so bench those entries at 8 partitions: identical
+    // plan shape and results (every entry is oracle-gated at cpus=4 in
+    // Verify), 4× less fixed store setup. Restore the session default
+    // afterwards so batch entries are untouched.
+    val isStreaming = (n: String) => n.contains("stream")
+    def withBenchConf[T](s: SparkSession, n: String)(f: => T): T =
+      if (!isStreaming(n)) f
+      else {
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      }
     // Warmup pass: JVM/JIT + parquet footer caches; excluded from timing.
     names.foreach { n =>
-      try {
+      try withBenchConf(spark, n) {
         if (isNear(n)) exec(SparkEntry.queries(n)(spark, sfDir))
         else execReleasing(SparkEntry.queries(n)(spark, sfDir))
       } catch { case _: Throwable => () }
@@ -82,7 +98,7 @@ object Bench {
     }
     val results = names.map { n =>
       val t0 = System.nanoTime()
-      try {
+      try withBenchConf(spark, n) {
         if (isNear(n)) exec(SparkEntry.queries(n)(spark, sfDir))
         else execReleasing(SparkEntry.queries(n)(spark, sfDir))
       } catch { case _: Throwable => () }
@@ -243,8 +259,10 @@ object Bench {
         .getOrCreate()
       s.sparkContext.setLogLevel("WARN")
       try {
-        def execS(): Unit = SparkEntry.queries(n)(s, sfDir)
-          .write.mode("overwrite").format("noop").save()
+        def execS(): Unit = withBenchConf(s, n) {
+          SparkEntry.queries(n)(s, sfDir)
+            .write.mode("overwrite").format("noop").save()
+        }
         try execS() catch { case _: Throwable => () } // warmup
         val t0 = System.nanoTime()
         try execS() catch { case _: Throwable => () }

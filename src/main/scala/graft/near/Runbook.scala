@@ -33,10 +33,12 @@ import org.apache.spark.sql.functions._
   *    runbook demands after any skip ("we MUST go back … and re-index
   *    the borked blocks", TROBLESHOOTING.md:79): one bounded batch
   *    over the borked heights against the live warehouse. Replay
-  *    safety comes from the ingest path itself: already-seen block
-  *    hashes drop whole (`_blocks_recent`), receipts parked by the
-  *    skip run re-enter and resolve against the re-indexed parents,
-  *    and registries re-fold from the appended deltas.
+  *    safety is the verb's own warehouse anti-join (already-ingested
+  *    heights drop whole at ANY distance from the tip — `_blocks_
+  *    recent` alone is windowed) plus a guarded backfill of the two
+  *    tables a non-strict pass skips; receipts parked by the skip run
+  *    re-enter and resolve against the re-indexed parents, and
+  *    registries re-fold from the appended deltas.
   */
 object Runbook {
 
@@ -111,15 +113,140 @@ object Runbook {
     * apply unchanged. Strict by default: a receipt that cannot resolve
     * parks forever rather than dropping (this is a repair pass — data
     * loss here defeats its purpose).
+    *
+    * Replay safety has TWO layers. `_blocks_recent` drops re-delivered
+    * hashes whole, but that state is windowed to the trailing
+    * `collisionWindowBlocks` heights — a repair re-run after the
+    * stream advanced past the window would re-ingest and duplicate
+    * rows (the r14 advisor's hole). So the range is ALSO anti-joined
+    * here against the warehouse's own `blocks` table restricted to
+    * [from, to]: the range is bounded, blocks is the 1-row-per-block
+    * table (the warehouse's smallest), and the filtered lookup side is
+    * broadcast-sized — O(range), not O(history). Heights already
+    * fully ingested drop whole; the verb is idempotent at any distance
+    * from the tip.
+    *
+    * Blocks ALREADY in the warehouse are not simply skipped: if they
+    * were ingested by a `--non-strict-mode` pass their account_changes
+    * and access-keys deltas were never written ("will skip
+    * account_state_changes, access_keys", TROBLESHOOTING.md:104), and
+    * the runbook's MUST-re-index covers that hole too. A strict
+    * re-index therefore backfills exactly the two skippable tables for
+    * the range's blocks recorded in the `_nonstrict_blocks` ledger,
+    * marker-guarded so a re-run appends nothing twice, through the
+    * same staged-manifest commit protocol as ingest
+    * ([[backfillSkippedSatellites]]).
     */
   def reindexRange(spark: SparkSession, inputDir: String,
       warehouseDir: String, from: Long, to: Long,
       nonStrict: Boolean = false): Unit = {
-    val norm = parseBlocks(spark, inputDir)
+    val ranged = parseBlocks(spark, inputDir)
       .filter(col("blockHeight").cast("long").between(from, to))
+    val norm = Warehouse.tableOpt(spark, warehouseDir, "blocks") match {
+      case Some(b) =>
+        val seen = b.filter(col("block_height").cast("long")
+            .between(from, to))
+          .select(col("block_hash").as("seen_bh"))
+        if (!nonStrict)
+          backfillSkippedSatellites(spark, warehouseDir,
+            ranged.join(broadcast(seen),
+              ranged("blockHash") === col("seen_bh"), "left_semi"))
+        ranged.join(broadcast(seen),
+          ranged("blockHash") === col("seen_bh"), "left_anti")
+      case None => ranged
+    }
     Stream.processBatch(spark, norm, warehouseDir,
       maxRetries = if (nonStrict) 4 else Int.MaxValue,
       enableAccountChanges = !nonStrict, enableAccessKeys = !nonStrict)
+  }
+
+  /** Backfill account_changes + access-keys registry deltas for blocks
+    * whose per-block rows exist but whose skippable satellites were
+    * dropped by a non-strict pass. Idempotency: the recompute covers
+    * exactly the `_nonstrict_blocks` ledger minus `_reindex_backfilled`
+    * (see the gating note in the body), markers commit atomically with
+    * the data, and access-key deltas additionally drop rows whose
+    * (public_key, account_id, last_update_block_height) identity
+    * already exists (belt and braces — the recompute over a fixed
+    * block set is deterministic, so equal identity ⟹ equal row).
+    * Writes go
+    * through the staged-manifest commit with the live state tables
+    * carried forward to the new version — a crash mid-backfill rolls
+    * forward/back exactly like an ingest batch, and the stream's
+    * replay-dedup window survives the version bump.
+    */
+  private[graft] def backfillSkippedSatellites(spark: SparkSession,
+      warehouseDir: String, already: DataFrame): Unit = {
+    // Which already-present blocks need the backfill? Exactly those the
+    // `_nonstrict_blocks` ledger recorded at ingest time, minus those a
+    // previous repair already covered (`_reindex_backfilled`). Inferring
+    // this from table contents is NOT sound — a healthy block can have
+    // zero account_changes rows yet carry key events, and re-folding a
+    // strictly-ingested block's key events over a different batch
+    // boundary appends divergent delta rows that max_by ties could
+    // surface into the compacted view. Both ledgers are tiny (1 row per
+    // incident block) and broadcast.
+    val nsLedger = Warehouse.tableOpt(spark, warehouseDir,
+      Stream.NonStrictBlocksTable)
+    if (nsLedger.isEmpty || already.isEmpty) return
+    val repaired = Warehouse.tableOpt(spark, warehouseDir,
+      Stream.ReindexBackfilledTable)
+    val pendingHashes = {
+      val p = nsLedger.get.select(col("block_hash"))
+      repaired match {
+        case Some(r) => p.join(r.select(col("block_hash").as("rbh")),
+          p("block_hash") === col("rbh"), "left_anti")
+        case None => p
+      }
+    }
+    val ns = already.join(
+      broadcast(pendingHashes.select(col("block_hash").as("nsbh")).distinct()),
+      already("blockHash") === col("nsbh"), "left_semi")
+    if (ns.isEmpty) return
+    val ac = Transforms.accountChanges(ns)
+    val ak0 = Transforms.accessKeysRegistry(Transforms.accessKeyEvents(ns))
+    val ak = Warehouse.tableOpt(spark, warehouseDir, "access_keys") match {
+      case Some(w) => ak0.join(
+        broadcast(w.select(col("public_key").as("w_pk"),
+          col("account_id").as("w_aid"),
+          col("last_update_block_height").as("w_h")).distinct()),
+        ak0("public_key") === col("w_pk") &&
+          ak0("account_id") === col("w_aid") &&
+          ak0("last_update_block_height") === col("w_h"), "left_anti")
+      case None => ak0
+    }
+    val committed = BatchCommit.recover(spark, warehouseDir)
+    val next = committed + 1
+    val moves = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    if (!ac.isEmpty)
+      moves ++= BatchCommit.stageTable(spark, warehouseDir, "account_changes",
+        ac.withColumn("block_date",
+          Stream.dayCol("changed_in_block_timestamp")),
+        Some("block_date"))
+    if (!ak.isEmpty)
+      moves ++= BatchCommit.stageTable(spark, warehouseDir, "access_keys",
+        ak, None)
+    // Mark every covered block repaired — including blocks that
+    // contributed no rows (their recompute is settled; a later repair
+    // of an overlapping range must not re-fold them).
+    moves ++= BatchCommit.stageTable(spark, warehouseDir,
+      Stream.ReindexBackfilledTable,
+      ns.select(col("blockHash").as("block_hash")), None)
+    // Carry every live state table to the new version BEFORE advancing
+    // (cleanup deletes the old version's states).
+    Seq(Stream.PendingDir, Stream.PendingEdgesDir, Stream.TxRecentDir,
+      Stream.BlocksRecentDir).foreach { name =>
+      val p = BatchCommit.statePath(warehouseDir, committed, name)
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val hfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (hfs.exists(hp))
+        scala.util.Try(spark.read.parquet(p)).foreach(df =>
+          BatchCommit.writeState(spark, warehouseDir, next, name, df))
+    }
+    BatchCommit.writeManifest(spark, warehouseDir, next, moves.map(_._2).toSeq)
+    BatchCommit.applyMoves(spark, warehouseDir, moves.toSeq)
+    BatchCommit.advance(spark, warehouseDir, next)
+    BatchCommit.cleanup(spark, warehouseDir, next)
   }
 
   private def parseBlocks(spark: SparkSession, inputDir: String): DataFrame = {

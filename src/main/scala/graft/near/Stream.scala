@@ -49,6 +49,18 @@ object Stream {
   val TxRecentDir = "_tx_recent"
   val BlocksRecentDir = "_blocks_recent"
 
+  /** Warehouse-root ledgers for the non-strict incident flow (plain
+    * append tables, committed with the batch): which block hashes were
+    * ingested with skipped satellites, and which of those a strict
+    * re-index has since repaired. A block's presence/absence of
+    * account_changes rows CANNOT stand in for these (a healthy block
+    * can legitimately have zero state changes yet carry key events),
+    * so the strictness fact is recorded where it is known — at write
+    * time.
+    */
+  val NonStrictBlocksTable = "_nonstrict_blocks"
+  val ReindexBackfilledTable = "_reindex_backfilled"
+
   /** Tables carrying a block timestamp, with its column name — written
     * partitioned by UTC day of that column so time predicates prune
     * partitions at 100 TB.
@@ -542,6 +554,13 @@ object Stream {
           Transforms.accessKeysRegistry(Transforms.accessKeyEvents(norm)))
       else Map.empty) ++ (if (enableAccountChanges)
         Map("account_changes" -> Transforms.accountChanges(norm))
+      else Map.empty) ++ (if (!enableAccountChanges || !enableAccessKeys)
+        // Non-strict ledger: re-index-range's backfill gates on THIS,
+        // not on inferred table presence (see the constant's note).
+        Map(NonStrictBlocksTable -> norm.select(
+          col("blockHash").as("block_hash"),
+          lit(!enableAccountChanges).as("skipped_account_changes"),
+          lit(!enableAccessKeys).as("skipped_access_keys")))
       else Map.empty) ++ (if (enableEvents) {
         def eventPk(df: DataFrame) = pkGuard(df,
           Seq(col("emitted_for_receipt_id"),
@@ -606,7 +625,7 @@ object Stream {
       // it keeps MirrorLookup's lookup side current for the lineage
       // fallbacks.
       mirror.foreach { f =>
-        written.foreach { case (name, df) =>
+        written.filterNot(_._1.startsWith("_")).foreach { case (name, df) =>
           name match {
             case "accounts" => JdbcSink.write(
               df.select("account_id", "created_by_receipt_id",

@@ -1089,8 +1089,16 @@ object PipelineQueries {
     val stage = s"$stageRoot/recipe_$tag"
     val marker = new org.apache.hadoop.fs.Path(s"$stage/_staged")
     if (!fs.exists(marker)) {
-      q53CorpusRecipe(s, dir).write.mode("overwrite")
-        .parquet(s"$stage/disposition")
+      // Write-then-RENAME-then-marker: a concurrent session can observe
+      // the missing marker too, but each writer builds under its own
+      // temp dir and the directory rename is atomic, so the loser's
+      // rename fails (target exists) and it simply reads the winner's
+      // stage — no reader can ever see a half-written directory.
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$stage/.tmp_disposition_${java.util.UUID.randomUUID}")
+      val dst = new org.apache.hadoop.fs.Path(s"$stage/disposition")
+      q53CorpusRecipe(s, dir).write.mode("overwrite").parquet(tmp.toString)
+      if (!fs.rename(tmp, dst)) fs.delete(tmp, true) // lost the race
       fs.create(marker, true).close()
     }
     s.read.parquet(s"$stage/disposition")
@@ -1607,9 +1615,10 @@ object PipelineQueries {
     * The report prices the sketch against truth: the top-20 tokens by
     * EXACT count (deterministic tie-break on the token string), each
     * with its exact count and its sketch estimate. Candidates here
-    * come from the exact arm (the fidelity ride-along); a production
-    * deployment gets them from a per-partition space-saving pass and
-    * never materializes the full vocabulary.
+    * come from the exact arm (the fidelity ride-along); the production
+    * path — per-partition space-saving candidates, no full-vocabulary
+    * aggregate — is [[q73bHeavyHittersSketch]], oracle-gated against
+    * this report's SQL verbatim.
     */
   def q73HeavyHitters(s: SparkSession, dir: String): DataFrame = {
     val tok = Tables.documents(s, dir)

@@ -138,6 +138,92 @@ class NearRunbookSpec extends AnyFunSuite {
       "non-strict wrote access_keys")
   }
 
+  test("runbook: re-index of already-ingested heights is idempotent beyond the replay window") {
+    // The r14 advisor's hole: `_blocks_recent` is windowed, so a
+    // repair re-run over heights the stream has long passed used to
+    // re-ingest them whole. Drive it: ingest with a TINY collision
+    // window (10 blocks) so the early heights are far outside it, then
+    // re-index an early, already-ingested range — twice.
+    val root = Files.createTempDirectory("graft_runbook_idem").toString
+    val input = s"$root/input"; val wh = s"$root/wh"
+    val chain = writeChainFiles(input)
+    chain.grouped(64).foreach { batch =>
+      Stream.processBatch(spark, Ingest.blocksFromJson(spark, batch).toDF(),
+        wh, collisionWindowBlocks = 10L)
+    }
+    def snapshot(): Map[String, Seq[String]] =
+      (graft.queries.NearQueries.StreamedPlainTables ++
+        Seq("account_changes", "access_keys")).map { t =>
+        t -> rowSet(Warehouse.table(spark, wh, t))
+      }.toMap
+    val before = snapshot()
+    (1 to 2).foreach { _ =>
+      Runbook.cli(spark, Array("re-index-range", "--input", input,
+        "--warehouse", wh, "--from", "5010", "--to", "5049"))
+      val after = snapshot()
+      before.keys.foreach { t =>
+        assert(after(t) == before(t),
+          s"table $t changed on re-index of ingested heights " +
+            s"(${before(t).size} -> ${after(t).size} rows)")
+      }
+    }
+  }
+
+  test("runbook: strict re-index backfills the tables a non-strict pass skipped") {
+    val root = Files.createTempDirectory("graft_runbook_bf").toString
+    val input = s"$root/input"; val wh = s"$root/wh"; val ckpt = s"$root/ckpt"
+    val chain = writeChainFiles(input)
+    // Non-strict ingest of the whole chain: blocks/transactions land,
+    // account_changes + access_keys do not.
+    Runbook.cli(spark, Array("sync-from-block", "--input", input,
+      "--warehouse", wh, "--checkpoint", ckpt, "--height", "0",
+      "--stop-after-number-of-blocks", "1000000", "--non-strict-mode"))
+    assert(Warehouse.tableOpt(spark, wh, "account_changes").isEmpty)
+    assert(Warehouse.tableOpt(spark, wh, "access_keys").isEmpty)
+    // account_changes/access_keys don't exist yet — snapshot the rest.
+    val plainTables = graft.queries.NearQueries.StreamedPlainTables
+      .filterNot(_ == "account_changes")
+    val plainBefore = plainTables
+      .map(t => t -> rowSet(Warehouse.table(spark, wh, t))).toMap
+    // The mandated strict repair over the same heights.
+    Runbook.cli(spark, Array("re-index-range", "--input", input,
+      "--warehouse", wh, "--from", "0", "--to", "1000000"))
+    val acAfter1 = rowSet(Warehouse.table(spark, wh, "account_changes"))
+    val akAfter1 = rowSet(Warehouse.table(spark, wh, "access_keys"))
+    // Second repair run must be an exact no-op (raw tables, not just
+    // the compacted views — the `_reindex_backfilled` marker gate).
+    Runbook.cli(spark, Array("re-index-range", "--input", input,
+      "--warehouse", wh, "--from", "0", "--to", "1000000"))
+    assert(rowSet(Warehouse.table(spark, wh, "account_changes")) == acAfter1,
+      "second repair changed account_changes")
+    assert(rowSet(Warehouse.table(spark, wh, "access_keys")) == akAfter1,
+      "second repair changed access_keys")
+    // Healthy single-pass reference.
+    val whRef = s"$root/wh_ref"
+    chain.grouped(64).foreach { batch =>
+      Stream.processBatch(spark, Ingest.blocksFromJson(spark, batch).toDF(),
+        whRef)
+    }
+    assert(rowSet(Warehouse.table(spark, wh, "account_changes"))
+      == rowSet(Warehouse.table(spark, whRef, "account_changes")),
+      "backfilled account_changes diverged from the healthy run")
+    assert(rowSet(Warehouse.accessKeysCurrent(
+        Warehouse.table(spark, wh, "access_keys")))
+      == rowSet(Warehouse.accessKeysCurrent(
+        Warehouse.table(spark, whRef, "access_keys"))),
+      "backfilled access-keys view diverged from the healthy run")
+    // The already-present per-block tables must be untouched.
+    plainBefore.foreach { case (t, want) =>
+      assert(rowSet(Warehouse.table(spark, wh, t)) == want,
+        s"backfill duplicated rows in $t")
+    }
+    // Raw access_keys deltas: fold boundaries differ between the
+    // one-shot backfill and the 64-block reference batches, so compare
+    // the COMPACTED views above; here just pin that the backfill wrote
+    // SOMETHING for the registry.
+    assert(akAfter1.nonEmpty, "backfill wrote no access-key deltas")
+  }
+
   test("runbook: malformed invocations fail loudly with usage") {
     Seq(
       Array("frobnicate"),
