@@ -122,6 +122,8 @@ object SparkEntry {
     "q72_stream_funnel_join"  -> ((s: SparkSession, dir: String) =>
       StreamingJobs.streamFunnelJoin(s, dir)),
     "q73_heavy_hitters"       -> (PipelineQueries.q73HeavyHitters _),
+    "q75_stream_funnel_outer" -> ((s: SparkSession, dir: String) =>
+      StreamingJobs.streamFunnelJoinOuter(s, dir)),
     "q73b_heavy_hitters_sketch" ->
       (PipelineQueries.q73bHeavyHittersSketch _),
     "q71b_quantile_sketch_only" ->

@@ -1176,6 +1176,39 @@ object PipelineOracles {
          |SELECT tok AS token, n_exact, n_est FROM est
          |ORDER BY n_exact DESC, token""".stripMargin,
 
+    // q75: the LEFT OUTER funnel — q72's matches plus one −1-sentinel
+    // abandonment row per unmatched view the engine's watermark has
+    // PROVEN unmatchable (view_ts + gap behind the global watermark =
+    // min over both sides of ms-floored max event time − 1 h); views
+    // still inside the horizon at stream end are withheld on both
+    // sides of the compare.
+    "q75_stream_funnel_outer" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t
+        |           FROM events),
+        |v AS (SELECT event_id, user_id, t FROM e WHERE event_type = 'view'),
+        |b AS (SELECT event_id, user_id, t FROM e
+        |      WHERE event_type = 'purchase'),
+        |wm AS (SELECT least((SELECT max(t) // 1000 FROM v),
+        |                    (SELECT max(t) // 1000 FROM b)) * 1000
+        |         - 3600000000 AS w),
+        |m AS (SELECT v.user_id, v.t AS t_view_us, b.t AS t_buy_us,
+        |        v.event_id AS view_id, b.event_id AS purchase_id,
+        |        b.t - v.t AS gap_us
+        |      FROM v JOIN b ON v.user_id = b.user_id
+        |        AND b.t > v.t AND b.t - v.t <= 600000000),
+        |u AS (SELECT v.user_id, v.t AS t_view_us,
+        |        CAST(-1 AS BIGINT) AS t_buy_us, v.event_id AS view_id,
+        |        CAST(-1 AS BIGINT) AS purchase_id,
+        |        CAST(-1 AS BIGINT) AS gap_us
+        |      FROM v, wm
+        |      WHERE v.t + 600000000 < wm.w
+        |        AND NOT EXISTS (SELECT 1 FROM b
+        |          WHERE b.user_id = v.user_id AND b.t > v.t
+        |            AND b.t - v.t <= 600000000))
+        |SELECT * FROM m UNION ALL SELECT * FROM u
+        |ORDER BY user_id, t_view_us, t_buy_us, view_id, purchase_id"""
+        .stripMargin,
+
     // q72: the stream-stream interval join's batch twin — the plain
     // inequality join restricted to the (view, purchase) type pair;
     // on the single-batch fixture drain the streaming join emits

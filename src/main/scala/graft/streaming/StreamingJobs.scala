@@ -450,6 +450,62 @@ object StreamingJobs {
         (col("t_buy_us") - col("t_view_us")).as("gap_us"))
   }
 
+  /** STREAM-STREAM LEFT OUTER interval join (q75) — q72's funnel with
+    * the abandonment rows: every view either converts within the gap
+    * (the q72 match) or is emitted ONCE with null-side sentinels when
+    * the watermark proves no purchase can arrive for it anymore
+    * (view_ts + gap falls behind the global watermark). This is the
+    * stateful-operator behavior the inner join never exercises: the
+    * null-extended row's emission TIME is watermark-driven, not
+    * data-driven — Spark holds the unmatched view in state until the
+    * eviction horizon, then emits exactly one abandonment row in a
+    * later (possibly no-data) microbatch. Views still inside the
+    * horizon when the stream ends are withheld — not abandoned, not
+    * converted — and the oracle reproduces that cut from the same
+    * watermark arithmetic (ms-floored max event time per side, min
+    * across sides, 1 h delay) the engine uses. State, as in q72, is
+    * bounded by the trailing horizon on both sides. Null sentinels are
+    * −1 (not SQL NULL) so the driver's hash compare is total-order
+    * stable.
+    */
+  def streamFunnelJoinOuter(s: SparkSession, dir: String,
+      gapUs: Long = 600000000L): DataFrame = {
+    val joined = funnelJoinOuterStream(s, eventsStream(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("t")), gapUs)
+    drain(s, joined, "funneljoino_", outputMode = "append") { t =>
+      t.orderBy(col("user_id"), col("t_view_us"), col("t_buy_us"),
+        col("view_id"), col("purchase_id"))
+    }
+  }
+
+  /** Core of [[streamFunnelJoinOuter]] — split out for the
+    * multi-batch abandonment-emission spec.
+    */
+  private[graft] def funnelJoinOuterStream(s: SparkSession,
+      events: DataFrame, gapUs: Long): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("t").as("t_view_us"), timestamp_micros(col("t")).as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val buys = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("buy_user_id"),
+        col("t").as("t_buy_us"), timestamp_micros(col("t")).as("buy_ts"))
+      .withWatermark("buy_ts", "1 hour")
+    views.join(buys,
+        col("user_id") === col("buy_user_id") &&
+          col("buy_ts") > col("view_ts") &&
+          col("buy_ts") <= col("view_ts") +
+            expr(s"INTERVAL $gapUs MICROSECOND"),
+        "left_outer")
+      .select(col("user_id"), col("t_view_us"),
+        coalesce(col("t_buy_us"), lit(-1L)).as("t_buy_us"),
+        col("view_id"),
+        coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+        coalesce(col("t_buy_us") - col("t_view_us"), lit(-1L)).as("gap_us"))
+  }
+
   /** STREAMING ingest-time IMAGE dedup — the streaming × multimodal
     * composition a media-ingest pipeline runs at the door: each
     * arriving image is decoded and dHashed ON THE EXECUTOR (q57's

@@ -1380,6 +1380,44 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q75 outer funnel: abandonment emits on watermark, withheld views stay buffered") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val t0 = 1700000000000000L // µs
+    val H = 3600000000L // 1 h in µs (the watermark delay)
+    val ms = MemoryStream[(Long, Long, String, Long)]
+    val joined = graft.streaming.StreamingJobs.funnelJoinOuterStream(spark,
+      ms.toDF().toDF("event_id", "user_id", "event_type", "t"),
+      gapUs = 600000000L)
+    val name = "q75_crossbatch_test"
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    def rows() = spark.table(name).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("view_id"),
+        r.getAs[Long]("purchase_id"), r.getAs[Long]("gap_us"))).toSet
+    try {
+      ms.addData((1L, 10L, "view", t0), (5L, 12L, "view", t0))
+      q.processAllAvailable()
+      assert(rows().isEmpty, "nothing can emit before a match or eviction")
+      ms.addData((2L, 10L, "purchase", t0 + 300000000L)) // in-gap match
+      q.processAllAvailable()
+      assert(rows() == Set((10L, 1L, 2L, 300000000L)),
+        "the in-gap match must emit immediately; no abandonment yet")
+      // Far-future events on BOTH sides push the global watermark past
+      // t0 + gap: user 12's view is now provably unmatchable and must
+      // emit exactly one sentinel row. The far-future view itself is
+      // unmatched but INSIDE the horizon — withheld, no row.
+      ms.addData((6L, 99L, "view", t0 + 3 * H),
+        (7L, 98L, "purchase", t0 + 3 * H))
+      q.processAllAvailable()
+      assert(rows() == Set((10L, 1L, 2L, 300000000L), (12L, 5L, -1L, -1L)),
+        s"expected match + one abandonment, got ${rows()}")
+    } finally {
+      q.stop(); spark.catalog.dropTempView(name)
+    }
+  }
+
   test("q64 yield ledger sums to the corpus and agrees with q53's verdicts") {
     val led = SparkEntry.queries("q64_recipe_yield")(spark, sf).collect()
     val rec = SparkEntry.queries("q53_corpus_recipe")(spark, sf).collect()
