@@ -124,6 +124,7 @@ object SparkEntry {
     "q73_heavy_hitters"       -> (PipelineQueries.q73HeavyHitters _),
     "q75_stream_funnel_outer" -> ((s: SparkSession, dir: String) =>
       StreamingJobs.streamFunnelJoinOuter(s, dir)),
+    "q76_incremental_dedup"   -> (PipelineQueries.q76IncrementalDedup _),
     "q73b_heavy_hitters_sketch" ->
       (PipelineQueries.q73bHeavyHittersSketch _),
     "q71b_quantile_sketch_only" ->

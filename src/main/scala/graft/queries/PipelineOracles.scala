@@ -227,6 +227,16 @@ object PipelineOracles {
        |SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q76: the incremental path must equal the FULL recompute restricted
+    * to pairs touching an arrival (doc_id % 10 = 0) — the staged-index
+    * correctness contract.
+    */
+  private val q76IncrementalSql: String =
+    s"""WITH $q15PairCtes
+       |SELECT doc_a, doc_b, jaccard FROM v
+       |WHERE jaccard >= 0.8 AND (doc_a % 10 = 0 OR doc_b % 10 = 0)
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** q17's integer-exact quality twin: every ratio is a half-up
     * integer division ((2a·10^4 + b) // 2b) widened to double at the
     * end — no round(DOUBLE) anywhere, so the 4th-decimal boundary
@@ -285,6 +295,7 @@ object PipelineOracles {
     },
 
     "q15_lsh_near_dups" -> q15PairsSql,
+    "q76_incremental_dedup" -> q76IncrementalSql,
 
     // q54: the q15 pipeline at a second (k, bands, n, threshold)
     // operating point — same CTE generator, different knobs; proves

@@ -1739,6 +1739,90 @@ object PipelineQueries {
     }.toDF("tok").distinct()
   }
 
+  /** INCREMENTAL LSH dedup (q76) — the arrival-batch pattern a 100 TB
+    * pipeline actually runs: when 10% new documents land, DON'T re-LSH
+    * the whole corpus. The corpus's banded index (doc → 4 band hashes
+    * over the q15 MinHash family) is the expensive O(corpus) sketch
+    * work, so it is STAGED write-once under the input-identity key
+    * (the q64b convention); an arrival batch then (a) sketches only
+    * itself, (b) probes the staged index with a (band, band_hash)
+    * equi-join for arrival×corpus candidates, (c) self-bands for
+    * arrival×arrival candidates (salted via the shared
+    * bucketCandidatePairs), and (d) exact-verifies candidates only.
+    * Per-batch cost is O(arrivals + candidates + candidate-doc word
+    * fetch), never O(corpus). The arrivals split is deterministic
+    * (doc_id % 10 == 0) so the DuckDB oracle is the q15 pair family
+    * restricted to pairs touching an arrival — the incremental path
+    * must produce row-identical pairs to the full recompute, which IS
+    * the index-correctness contract (a stale or torn index fails the
+    * hash).
+    */
+  def q76IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val k = 16; val bands = 4; val shingleN = 3; val threshold = 0.8
+    val rows = k / bands
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id").cast("long").as("id"),
+        TF.words(col("text")).as("w"))
+      .filter(size(col("w")) >= shingleN)
+    def bandsOf(df: DataFrame): DataFrame =
+      df.withColumn("sig", graft.expressions.Sketches
+          .minhashSigFromWords(s, col("w"), shingleN, k))
+        .select(col("id"),
+          posexplode(transform(sequence(lit(0), lit(bands - 1)),
+            b => md5(concat_ws("|",
+              transform(slice(col("sig"), b * lit(rows) + lit(1), lit(rows)),
+                v => v.cast("string")))))))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "band_hash")
+    val corpusBands = stagedCorpusBands(s, dir,
+      bandsOf(base.filter(col("id") % 10 =!= 0)))
+    val arrBands = bandsOf(base.filter(col("id") % 10 === 0))
+    val cross = arrBands.as("n").join(corpusBands.as("c"),
+        col("n.band") === col("c.band") &&
+          col("n.band_hash") === col("c.band_hash"))
+      .select(least(col("n.id"), col("c.id")).as("doc_a"),
+        greatest(col("n.id"), col("c.id")).as("doc_b"))
+    val within = Similarity.bucketCandidatePairs(
+        arrBands.select(col("id").as("vec_id"), col("band"),
+          col("band_hash").as("bucket")), maxBucket = 4096)
+      .select(col("vec_id_a").as("doc_a"), col("vec_id_b").as("doc_b"))
+    val cand = cross.unionByName(within).distinct()
+    val shA = base.select(col("id").as("doc_a"), col("w").as("w_a"))
+    val shB = base.select(col("id").as("doc_b"), col("w").as("w_b"))
+    cand.join(shA, "doc_a").join(shB, "doc_b")
+      .withColumn("jaccard", round(graft.expressions.Sketches
+        .shingleJaccard(s, col("w_a"), col("w_b"), shingleN), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The staged corpus band index for q76 — written once per input
+    * identity (write-then-rename-then-marker, the stagedDisposition
+    * protocol), read by every arrival batch.
+    */
+  private def stagedCorpusBands(s: SparkSession, dir: String,
+      build: => DataFrame): DataFrame = {
+    val src = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(src)
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|${st.getLen}|${st.getModificationTime}|lsh16x4v1"
+        .getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    val stage = s"$stageRoot/lshindex_$tag"
+    val marker = new org.apache.hadoop.fs.Path(s"$stage/_staged")
+    if (!fs.exists(marker)) {
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$stage/.tmp_bands_${java.util.UUID.randomUUID}")
+      val dst = new org.apache.hadoop.fs.Path(s"$stage/bands")
+      build.write.mode("overwrite").parquet(tmp.toString)
+      if (!fs.rename(tmp, dst)) fs.delete(tmp, true) // lost the race
+      fs.create(marker, true).close()
+    }
+    s.read.parquet(s"$stage/bands")
+  }
+
   /** SEMANTIC dedup (SemDeDup): coarse-cluster the embedding corpus,
     * dedup within clusters on exact cosine, keep the min-id
     * representative per duplicate group — the embedding-space sibling

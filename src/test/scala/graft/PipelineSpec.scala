@@ -1418,6 +1418,35 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q76 incremental dedup equals full q15 restricted to arrival pairs; index staged once") {
+    import org.apache.spark.sql.functions.col
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))
+    val full = SparkEntry.queries("q15_lsh_near_dups")(spark, sf)
+      .filter(col("doc_a") % 10 === 0 || col("doc_b") % 10 === 0)
+      .collect().map(key).toSet
+    val inc = SparkEntry.queries("q76_incremental_dedup")(spark, sf)
+      .collect().map(key).toSet
+    assert(inc == full,
+      s"incremental ${inc.size} pairs vs full-restricted ${full.size}")
+    // Write-once: the staged index dir must not be rewritten by a
+    // second call (same mtime), and the probe plan must scan the STAGE
+    // path, not re-derive corpus bands from documents.
+    val stageRoot = new java.io.File(
+      graft.queries.PipelineQueries.stageRoot)
+    val idx = stageRoot.listFiles().filter(_.getName.startsWith("lshindex_"))
+    assert(idx.nonEmpty, "no staged lsh index found")
+    val bands = new java.io.File(idx.head, "bands")
+    val m1 = bands.lastModified()
+    val df2 = SparkEntry.queries("q76_incremental_dedup")(spark, sf)
+    assert(df2.count() == inc.size)
+    assert(bands.lastModified() == m1, "second call rewrote the index")
+    val plan = df2.queryExecution.executedPlan.toString
+    assert(plan.contains("lshindex_"),
+      "probe plan does not scan the staged index")
+  }
+
   test("q64 yield ledger sums to the corpus and agrees with q53's verdicts") {
     val led = SparkEntry.queries("q64_recipe_yield")(spark, sf).collect()
     val rec = SparkEntry.queries("q53_corpus_recipe")(spark, sf).collect()
