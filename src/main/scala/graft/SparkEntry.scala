@@ -125,6 +125,7 @@ object SparkEntry {
     "q75_stream_funnel_outer" -> ((s: SparkSession, dir: String) =>
       StreamingJobs.streamFunnelJoinOuter(s, dir)),
     "q76_incremental_dedup"   -> (PipelineQueries.q76IncrementalDedup _),
+    "q77_ann_int8_rerank"     -> (PipelineQueries.q77AnnInt8Rerank _),
     "q73b_heavy_hitters_sketch" ->
       (PipelineQueries.q73bHeavyHittersSketch _),
     "q71b_quantile_sketch_only" ->

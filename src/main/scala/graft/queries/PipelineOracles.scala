@@ -537,6 +537,43 @@ object PipelineOracles {
         |        FROM embeddings) t0) t1
         |ORDER BY vec_id""".stripMargin,
 
+    "q77_ann_int8_rerank" ->
+      // Twin of q77: q29's integer codes (round-half precedent), an
+      // integer-exact quantized dot (scales cancel in the cosine),
+      // approximate top-8, full-precision re-rank of only those.
+      s"""WITH qe AS (SELECT vec_id, embedding,
+         |    sqrt(${vdot("embedding", "embedding")}) AS norm,
+         |    list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS mx
+         |  FROM embeddings),
+         |qq AS (SELECT vec_id, embedding, norm,
+         |    CASE WHEN mx = 0 THEN list_transform(embedding, v -> CAST(0 AS BIGINT))
+         |    ELSE list_transform(embedding,
+         |      v -> CAST(round(CAST(v AS DOUBLE) * 127.0 / mx, 0) AS BIGINT)) END AS q
+         |  FROM qe),
+         |qn AS (SELECT vec_id, embedding, norm, q,
+         |    CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS nq
+         |  FROM qq),
+         |a AS (SELECT vec_id AS anchor_id, q AS qa, nq AS nqa,
+         |        embedding AS aemb, norm AS anorm
+         |      FROM qn WHERE vec_id IN (0, 1, 2)),
+         |sc AS (SELECT a.anchor_id, x.vec_id,
+         |    round(CAST(list_sum(list_transform(range(1, 65),
+         |        i -> x.q[i] * a.qa[i])) AS DOUBLE)
+         |      / sqrt(CAST(x.nq * a.nqa AS DOUBLE)), 6) AS cos_q,
+         |    x.embedding, x.norm, a.aemb, a.anorm
+         |  FROM qn x, a WHERE x.vec_id <> a.anchor_id),
+         |topm AS (SELECT * FROM (
+         |    SELECT sc.*, row_number() OVER (PARTITION BY anchor_id
+         |      ORDER BY cos_q DESC, vec_id) AS qrank FROM sc) t
+         |  WHERE qrank <= 8),
+         |rr AS (SELECT anchor_id, vec_id, cos_q,
+         |    round(${vdot("embedding", "aemb")} / (norm * anorm), 6) AS cos_sim
+         |  FROM topm)
+         |SELECT anchor_id, rank, vec_id, cos_q, cos_sim FROM (
+         |  SELECT rr.*, row_number() OVER (PARTITION BY anchor_id
+         |    ORDER BY cos_sim DESC, vec_id) AS rank FROM rr) t
+         |WHERE rank <= 3 ORDER BY anchor_id, rank""".stripMargin,
+
     "q28_dup_clusters" -> {
       // Same pair set as q24b (banded LSH), then the component
       // representative (min reachable id) via a recursive closure.

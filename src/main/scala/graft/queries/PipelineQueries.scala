@@ -1985,6 +1985,67 @@ object PipelineQueries {
   def q55bAnnRecallProbe1(s: SparkSession, dir: String): DataFrame =
     annRecall(s, dir, nProbe = 1)
 
+  /** INT8-QUANTIZED ANN with exact re-rank (q77) — the
+    * memory-compression axis of the ANN family (q19 brute / q21 LSH /
+    * q25 IVF cover the candidate-pruning axis): the corpus scan runs
+    * over q29's max-abs int8 codes (8× smaller than fp32 — at 100 TB
+    * that is the difference between an in-memory scan and a disk-bound
+    * one; the codes would be precomputed storage, recomputed here
+    * because the fixture is small), scores candidates with an
+    * INTEGER-EXACT quantized dot (≤ 64·127² per pair — no overflow,
+    * engine-identical; the per-vector scale factors cancel in the
+    * cosine so the quantized cosine needs no float rescale), takes the
+    * approximate top-M (M=8) per anchor, and re-ranks ONLY those M
+    * with full-precision cosine — fp32 vectors are touched for
+    * 3·M rows total. Per-anchor windows inherit q19's documented
+    * shape. The report carries both scores so the quantization error
+    * is visible per hit; the oracle replays the exact same integer
+    * codes (q29's round-half precedent) and both rankings.
+    */
+  def q77AnnInt8Rerank(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val anchorIds = Seq(0L, 1L, 2L); val m = 8; val k = 3
+    val qed = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"),
+        sqrt(graft.expressions.Sketches.fdot(s, col("embedding"),
+          col("embedding"))).as("norm"),
+        expr("aggregate(embedding, cast(0.0 as double), " +
+          "(acc, v) -> greatest(acc, abs(cast(v as double))))").as("mx"))
+      .withColumn("q", expr(
+        """CASE WHEN mx = 0.0
+          |THEN transform(embedding, v -> cast(0 as bigint))
+          |ELSE transform(embedding,
+          |  v -> cast(round(cast(v as double) * 127.0 / mx, 0) as bigint))
+          |END""".stripMargin))
+      .withColumn("nq", expr(
+        "aggregate(transform(q, v -> v * v), cast(0 as bigint), " +
+          "(a, v) -> a + v)"))
+    val anch = qed.filter(col("vec_id").isin(anchorIds: _*))
+      .select(col("vec_id").as("anchor_id"), col("q").as("qa"),
+        col("nq").as("nqa"), col("embedding").as("aemb"),
+        col("norm").as("anorm"))
+    val scored = qed.crossJoin(broadcast(anch))
+      .filter(col("vec_id") =!= col("anchor_id"))
+      .withColumn("sint", expr(
+        "aggregate(zip_with(q, qa, (x, y) -> x * y), cast(0 as bigint), " +
+          "(a, v) -> a + v)"))
+      .withColumn("cos_q", round(col("sint").cast("double") /
+        sqrt((col("nq") * col("nqa")).cast("double")), 6))
+    val wq = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cos_q").desc, col("vec_id"))
+    val topM = scored.withColumn("qrank", row_number().over(wq))
+      .filter(col("qrank") <= m)
+    val reranked = topM.withColumn("cos_sim", round(
+      graft.expressions.Sketches.fdot(s, col("embedding"), col("aemb")) /
+        (col("norm") * col("anorm")), 6))
+    val wr = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    reranked.withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col("rank"), col("vec_id"),
+        col("cos_q"), col("cos_sim"))
+      .orderBy(col("anchor_id"), col("rank"))
+  }
+
   private def annRecall(s: SparkSession, dir: String, nProbe: Int): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val anchors = Seq(0L, 1L, 2L)

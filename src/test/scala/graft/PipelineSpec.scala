@@ -1447,6 +1447,28 @@ class PipelineSpec extends AnyFunSuite {
       "probe plan does not scan the staged index")
   }
 
+  test("q77 int8 rerank recovers the exact top-3; quantized cosine tracks exact") {
+    val got = SparkEntry.queries("q77_ann_int8_rerank")(spark, sf).collect()
+    assert(got.length == 9) // 3 anchors × top-3
+    // On this fixture the int8 top-8 never drops an exact top-3 hit,
+    // so the reranked report IS the exact brute-force answer —
+    // recall@3 = 1.0 with fp32 touched for only 3·8 rows.
+    val exact = graft.functions.Similarity.bruteTopK(
+        Tables.embeddings(spark, sf), Seq(0L, 1L, 2L), k = 3).collect()
+      .map(r => (r.getAs[Long]("anchor_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toSet
+    val rer = got.map(r => (r.getAs[Long]("anchor_id"), r.getAs[Int]("rank"),
+      r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toSet
+    assert(rer == exact, s"reranked top-3 diverged from exact: $rer vs $exact")
+    // int8 max-abs quantization of unit-scale embeddings keeps the
+    // cosine within ~1/127-scale error — the report's visible gap.
+    got.foreach { r =>
+      assert(math.abs(r.getAs[Double]("cos_q") -
+        r.getAs[Double]("cos_sim")) < 0.01,
+        s"quantization error out of band on ${r.getAs[Long]("vec_id")}")
+    }
+  }
+
   test("q64 yield ledger sums to the corpus and agrees with q53's verdicts") {
     val led = SparkEntry.queries("q64_recipe_yield")(spark, sf).collect()
     val rec = SparkEntry.queries("q53_corpus_recipe")(spark, sf).collect()
