@@ -126,6 +126,7 @@ object SparkEntry {
       StreamingJobs.streamFunnelJoinOuter(s, dir)),
     "q76_incremental_dedup"   -> (PipelineQueries.q76IncrementalDedup _),
     "q77_ann_int8_rerank"     -> (PipelineQueries.q77AnnInt8Rerank _),
+    "q78_selective_probe"     -> (Analytics.q78SelectiveProbe _),
     "q73b_heavy_hitters_sketch" ->
       (PipelineQueries.q73bHeavyHittersSketch _),
     "q71b_quantile_sketch_only" ->
@@ -219,6 +220,15 @@ object SparkEntry {
     // q74: the bucketed co-located join must not change a single row —
     // the oracle is the plain join + aggregate over the ORIGINAL
     // parquet (bucketing is a physical-layout property only).
+    "q78_selective_probe" ->
+      """SELECT p_brand,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_price,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand = 'Brand#23'
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
     "q74_bucketed_join" ->
       """SELECT o_orderpriority,
         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS revenue,

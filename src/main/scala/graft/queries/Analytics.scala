@@ -222,6 +222,36 @@ object Analytics {
         col("o_orderpriority")))
   }
 
+  /** SELECTIVE DIMENSION PROBE (q78) — the TPC-H-Q17-shaped join whose
+    * 100 TB lever is RUNTIME row-level filtering: the part side is cut
+    * to one brand (~1% of the dimension) before the join, and Spark's
+    * runtime bloom-filter optimization can inject a
+    * `bloom_filter_might_contain(p_partkey)` predicate INTO THE FACT
+    * SCAN, so lineitem rows for the 99% of parts that cannot match are
+    * dropped at the scan instead of surviving to the join exchange.
+    * The join is deliberately UNHINTED: an explicit broadcast() hint
+    * suppresses InjectRuntimeFilter (verified), while the free
+    * optimizer still picks the broadcast join at fixture sizes and
+    * keeps the bloom lever available at the sizes where it matters
+    * (the spec pins the injected `might_contain` under sf-scaled
+    * thresholds AND result-equality with the default plan; the shared
+    * oracle proves semantics are config-independent). The only fact
+    * shuffle is the final 1-group aggregate's.
+    */
+  def q78SelectiveProbe(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+      .filter(col("p_brand") === "Brand#23")
+      .select(col("p_partkey"), col("p_brand"))
+    val l = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_quantity"))
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(dsum(col("l_extendedprice")).as("sum_price"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand"))
+  }
+
   /** Write-once bucketed mirrors of orders/lineitem (16 buckets on the
     * orderkey), registered in this session's catalog as EXTERNAL
     * tables under [[PipelineQueries.stageRoot]].

@@ -51,6 +51,31 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q78: runtime bloom filter injects into the fact scan; results config-independent") {
+    val base = SparkEntry.queries("q78_selective_probe")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    // Sibling session (same SparkContext, its own SQLConf) with the
+    // join forced to shuffle (no auto-broadcast) and the bloom
+    // thresholds scaled to the fixture: the optimizer must inject a
+    // might_contain(l_partkey) runtime filter below the join — the
+    // 100 TB row-level pruning lever — and the result must be
+    // identical to the default plan's.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "100MB")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter." +
+      "applicationSideScanSizeThreshold", "0")
+    val df = SparkEntry.queries("q78_selective_probe")(s2, sf)
+    val opt = df.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(opt.contains("might_contain"),
+      "no runtime bloom filter injected under the scaled thresholds")
+    assert(df.collect().map(_.toSeq).toSeq == base,
+      "bloom-filtered plan changed the result")
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
