@@ -76,6 +76,41 @@ class AnalyticsSpec extends AnyFunSuite {
       "bloom-filtered plan changed the result")
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    // The OTHER half of the engine's skew story: q68b salts a known-hot
+    // aggregate STRUCTURALLY; for joins the deployment lever is AQE's
+    // runtime skew split — no salting code, the hot partition is split
+    // from actual shuffle stats. Pin that the lever actually engages on
+    // a planted 200k-row hot key under fixture-scaled thresholds.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    s2.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    import org.apache.spark.sql.functions._
+    val hot = s2.range(200000L)
+      .select(lit(0L).as("k"), concat(lit("x"), col("id")).as("payload"))
+    val tail = s2.range(1L, 64L)
+      .select(col("id").as("k"), lit("t").as("payload"))
+    val left = hot.unionByName(tail)
+    val right = s2.range(64L).select(col("id").as("k2"), col("id").as("w"))
+    // Global (un-keyed) aggregate: a keyed aggregate directly above the
+    // join would REQUIRE the join's hash distribution and AQE would
+    // refuse to split the partition (splitting breaks the requirement);
+    // sum(length(payload)) also keeps the wide column alive through
+    // column pruning so the hot partition is actually big.
+    val joined = left.join(right, col("k") === col("k2"))
+      .agg(count(lit(1)).as("n"), sum(length(col("payload"))).as("bytes"))
+    val row = joined.collect().head
+    assert(row.getAs[Long]("n") == 200063L) // 200k hot + 63 tail matches
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      s"AQE did not mark the hot partition skewed:\n${plan.take(1500)}")
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
