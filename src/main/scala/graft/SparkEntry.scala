@@ -127,6 +127,7 @@ object SparkEntry {
     "q76_incremental_dedup"   -> (PipelineQueries.q76IncrementalDedup _),
     "q77_ann_int8_rerank"     -> (PipelineQueries.q77AnnInt8Rerank _),
     "q78_selective_probe"     -> (Analytics.q78SelectiveProbe _),
+    "q79_substring_dedup"     -> (PipelineQueries.q79SubstringDedup _),
     "q73b_heavy_hitters_sketch" ->
       (PipelineQueries.q73bHeavyHittersSketch _),
     "q71b_quantile_sketch_only" ->

@@ -227,6 +227,23 @@ object PipelineOracles {
        |SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q79: span hashes replayed with the same md5-prefix (identical even
+    * under a collision), one count per hash, per-doc fold, rdiv4 ratio.
+    */
+  private val q79SubstringSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, CAST(len(w) - 15 AS BIGINT) AS n_spans,
+       |    unnest(list_transform(range(1, len(w) - 14),
+       |      i -> CAST('0x' || substr(md5(array_to_string(w[i:i+15], ' ')), 1, 15) AS BIGINT))) AS gh
+       |  FROM ($docsWithWords) d WHERE len(w) >= 16),
+       |c AS (SELECT gh, count(*) AS cnt FROM g GROUP BY gh),
+       |r AS (SELECT g.doc_id, g.n_spans,
+       |        CAST(sum(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+       |      FROM g JOIN c USING (gh) GROUP BY g.doc_id, g.n_spans)
+       |SELECT doc_id, n_spans, n_dup_spans,
+       |  CAST((n_dup_spans * 20000 + n_spans) // (2 * n_spans) AS DOUBLE) / 10000.0 AS dup_ratio
+       |FROM r ORDER BY doc_id""".stripMargin
+
   /** q76: the incremental path must equal the FULL recompute restricted
     * to pairs touching an arrival (doc_id % 10 = 0) — the staged-index
     * correctness contract.
@@ -296,6 +313,7 @@ object PipelineOracles {
 
     "q15_lsh_near_dups" -> q15PairsSql,
     "q76_incremental_dedup" -> q76IncrementalSql,
+    "q79_substring_dedup" -> q79SubstringSql,
 
     // q54: the q15 pipeline at a second (k, bands, n, threshold)
     // operating point — same CTE generator, different knobs; proves

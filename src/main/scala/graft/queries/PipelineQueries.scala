@@ -1739,6 +1739,53 @@ object PipelineQueries {
     }.toDF("tok").distinct()
   }
 
+  /** EXACT SUBSTRING duplication report (q79) — the Spark twin of
+    * suffix-array training-data dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", arXiv 2107.06499):
+    * a position's L-token span (L = 16, the paper's 50-token idea at
+    * fixture scale) is DUPLICATED when the exact same span occurs
+    * anywhere else in the corpus — the signal behind "remove the
+    * copied boilerplate inside otherwise-unique pages" that
+    * document-level minhash (q15) structurally cannot see. Per doc:
+    * total spans, duplicated spans, ratio (integer-exact rdiv4).
+    *
+    * Scale shape: one explode to (doc, span-hash) rows — 8-byte
+    * md5-prefix hashes, never the span strings, and BOTH engines hash
+    * identically so even a collision (≈10⁻⁹) stays bit-identical —
+    * then ONE hash shuffle on the span key with a count window, then
+    * the per-doc fold. This is the honest cost of exact-substring
+    * semantics (a suffix array does comparable total work); the
+    * window-over-key variant is chosen over groupBy+self-join because
+    * it shuffles the span rows ONCE (the duplicated-gram dictionary of
+    * a web corpus is too large to assume broadcastable).
+    */
+  def q79SubstringDedup(s: SparkSession, dir: String): DataFrame =
+    substringDedupReport(Tables.documents(s, dir))
+
+  /** q79's core over any (doc_id, text) frame — split out for the
+    * planted-duplicate spec.
+    */
+  private[graft] def substringDedupReport(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = 16
+    val d = docs
+      .select(col("doc_id"), TF.words(col("text")).as("w"))
+      .filter(size(col("w")) >= L)
+    val grams = d.select(col("doc_id"),
+        (size(col("w")) - lit(L - 1)).cast("long").as("n_spans"),
+        explode(expr(s"transform(sequence(1, size(w) - ${L - 1}), " +
+          s"i -> array_join(slice(w, i, $L), ' '))")).as("gram"))
+      .select(col("doc_id"), col("n_spans"), TF.hash60(col("gram")).as("g"))
+    val counted = grams.withColumn("cnt",
+      count(lit(1)).over(Window.partitionBy(col("g"))))
+    counted.groupBy(col("doc_id"), col("n_spans"))
+      .agg(sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_ratio", rdiv4(col("n_dup_spans"), col("n_spans")))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        col("dup_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   /** INCREMENTAL LSH dedup (q76) — the arrival-batch pattern a 100 TB
     * pipeline actually runs: when 10% new documents land, DON'T re-LSH
     * the whole corpus. The corpus's banded index (doc → 4 band hashes

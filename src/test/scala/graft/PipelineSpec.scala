@@ -1469,6 +1469,34 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q79 flags exactly the shared/repeated 16-token spans, cross- and within-doc") {
+    import spark.implicits._
+    val run = (1 to 16).map(i => s"p$i").mkString(" ") // the copied span
+    val docs = Seq(
+      // doc 1: the run embedded in unique context — exactly ONE of its
+      // 15 spans (the aligned window) can match doc 2's.
+      (1L, ((1 to 4).map(i => s"u$i") :+ run) ++ (1 to 10).map(i => s"v$i")),
+      (2L, ((1 to 9).map(i => s"x$i") :+ run) ++ (1 to 5).map(i => s"y$i")),
+      // doc 3: all-unique — zero duplicated spans.
+      (3L, (1 to 20).map(i => s"z$i")),
+      // doc 4: the SAME run twice within one doc (self-duplication
+      // counts — the boilerplate-inside-one-page case).
+      (4L, (Seq(run) ++ (1 to 8).map(i => s"q$i")) :+ run)
+    ).map { case (id, parts) => (id, parts.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val got = graft.queries.PipelineQueries.substringDedupReport(docs)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("n_dup_spans"))).toMap
+    // doc1: 30 words -> 15 spans, 1 aligned match (shared with 2 and 4)
+    assert(got(1L) == (15L, 1L), s"doc1: ${got(1L)}")
+    assert(got(2L) == (15L, 1L), s"doc2: ${got(2L)}")
+    assert(got(3L) == (5L, 0L), s"doc3: ${got(3L)}")
+    // doc4: 40 words -> 25 spans; the two aligned run-windows (pos 1
+    // and pos 25) are duplicated, every straddling window is unique.
+    assert(got(4L) == (25L, 2L), s"doc4: ${got(4L)}")
+  }
+
   test("q64 yield ledger sums to the corpus and agrees with q53's verdicts") {
     val led = SparkEntry.queries("q64_recipe_yield")(spark, sf).collect()
     val rec = SparkEntry.queries("q53_corpus_recipe")(spark, sf).collect()
