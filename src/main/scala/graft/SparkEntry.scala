@@ -128,6 +128,8 @@ object SparkEntry {
     "q77_ann_int8_rerank"     -> (PipelineQueries.q77AnnInt8Rerank _),
     "q78_selective_probe"     -> (Analytics.q78SelectiveProbe _),
     "q79_substring_dedup"     -> (PipelineQueries.q79SubstringDedup _),
+    "q79b_substring_dedup_2ph" ->
+      (PipelineQueries.q79bSubstringDedup2Phase _),
     "q73b_heavy_hitters_sketch" ->
       (PipelineQueries.q73bHeavyHittersSketch _),
     "q71b_quantile_sketch_only" ->

@@ -314,6 +314,9 @@ object PipelineOracles {
     "q15_lsh_near_dups" -> q15PairsSql,
     "q76_incremental_dedup" -> q76IncrementalSql,
     "q79_substring_dedup" -> q79SubstringSql,
+    // q79b shares q79's oracle verbatim — the two-phase plan must be
+    // row-identical to the window baseline.
+    "q79b_substring_dedup_2ph" -> q79SubstringSql,
 
     // q54: the q15 pipeline at a second (k, bands, n, threshold)
     // operating point — same CTE generator, different knobs; proves

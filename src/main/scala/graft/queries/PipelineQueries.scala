@@ -1753,11 +1753,14 @@ object PipelineQueries {
     * md5-prefix hashes, never the span strings, and BOTH engines hash
     * identically so even a collision (≈10⁻⁹) stays bit-identical —
     * then ONE hash shuffle on the span key with a count window, then
-    * the per-doc fold. This is the honest cost of exact-substring
-    * semantics (a suffix array does comparable total work); the
-    * window-over-key variant is chosen over groupBy+self-join because
-    * it shuffles the span rows ONCE (the duplicated-gram dictionary of
-    * a web corpus is too large to assume broadcastable).
+    * the per-doc fold. This is the SEMANTICS BASELINE (the q64/q64b
+    * convention): the count window shuffles the span rows once but
+    * requires every row of a span key in one task — no partial
+    * aggregation, not AQE-splittable — so the one boilerplate gram a
+    * web corpus repeats 10⁸–10⁹ times serializes a reducer. The
+    * deployment shape is [[q79bSubstringDedup2Phase]] (same rows,
+    * shared oracle), which replaces the window with a partial-agg
+    * dictionary + skew-splittable equi-join.
     */
   def q79SubstringDedup(s: SparkSession, dir: String): DataFrame =
     substringDedupReport(Tables.documents(s, dir))
@@ -1767,19 +1770,90 @@ object PipelineQueries {
     */
   private[graft] def substringDedupReport(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val L = 16
-    val d = docs
-      .select(col("doc_id"), TF.words(col("text")).as("w"))
-      .filter(size(col("w")) >= L)
-    val grams = d.select(col("doc_id"),
-        (size(col("w")) - lit(L - 1)).cast("long").as("n_spans"),
-        explode(expr(s"transform(sequence(1, size(w) - ${L - 1}), " +
-          s"i -> array_join(slice(w, i, $L), ' '))")).as("gram"))
-      .select(col("doc_id"), col("n_spans"), TF.hash60(col("gram")).as("g"))
+    val grams = substringGrams(docs)
     val counted = grams.withColumn("cnt",
       count(lit(1)).over(Window.partitionBy(col("g"))))
     counted.groupBy(col("doc_id"), col("n_spans"))
       .agg(sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_ratio", rdiv4(col("n_dup_spans"), col("n_spans")))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        col("dup_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The shared (doc_id, n_spans, g) gram stream of q79/q79b — one row
+    * per 16-token span position, the span carried as an 8-byte
+    * md5-prefix hash (never the string).
+    */
+  private[graft] def substringGrams(docs: DataFrame): DataFrame = {
+    val L = 16
+    docs
+      .select(col("doc_id"), TF.words(col("text")).as("w"))
+      .filter(size(col("w")) >= L)
+      .select(col("doc_id"),
+        (size(col("w")) - lit(L - 1)).cast("long").as("n_spans"),
+        explode(expr(s"transform(sequence(1, size(w) - ${L - 1}), " +
+          s"i -> array_join(slice(w, i, $L), ' '))")).as("gram"))
+      .select(col("doc_id"), col("n_spans"), TF.hash60(col("gram")).as("g"))
+  }
+
+  /** q79 at the DEPLOYMENT shape (q79b) — same report, hot-span-safe
+    * plan. q79's count window hash-partitions the full gram stream by
+    * span key and requires EVERY row of a key in one task: the one
+    * boilerplate 16-gram that appears 10⁸–10⁹ times in a web corpus
+    * (exactly the spans this query exists to find — Lee et al. report
+    * single spans repeated ~10⁵× in C4 at 1/1000th this scale) lands
+    * tens of GB on a single reducer, with no partial aggregation and
+    * no AQE escape (a window is not skew-splittable). The two-phase
+    * twin: (1) `groupBy(g).count()` — map-side partial aggregation
+    * caps the reduce side at one partial per map task per key, so the
+    * hot span costs one long per task, not one row per occurrence —
+    * filtered to the `cnt >= 2` duplicated-gram dictionary; (2) an
+    * equi-join of that dictionary back onto the gram stream on `g`,
+    * where AQE's runtime skew split handles the residual hot key (the
+    * mechanism AnalyticsSpec's planted-200k-row-key test pins), and
+    * the dictionary is NOT broadcast-hinted — a web corpus's
+    * duplicated-gram dictionary is too large to assume broadcastable,
+    * and hinting would also suppress the skew split; AQE still
+    * broadcast-converts at runtime when the dictionary is actually
+    * small. Same rows, same oracle SQL as q79 (shared verbatim); q79
+    * stays as the semantics baseline (the q64/q64b convention).
+    */
+  def q79bSubstringDedup2Phase(s: SparkSession, dir: String): DataFrame =
+    substringDedupTwoPhase(Tables.documents(s, dir))
+
+  /** q79b's core over any (doc_id, text) frame — split out for the
+    * row-identity, plan-shape, and planted-hot-span specs.
+    */
+  /** q79b phase 1: the duplicated-gram dictionary — `groupBy(g).count`
+    * (map-side partial aggregation caps a hot span's reduce-side cost
+    * at one partial per map task) filtered to `cnt >= 2`. Split out so
+    * the plan spec can pin the partial aggregate independently of the
+    * checkpoint that truncates q79b's final lineage.
+    */
+  private[graft] def substringDupDict(grams: DataFrame): DataFrame =
+    grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select(col("g"), lit(1L).as("is_dup"))
+
+  private[graft] def substringDedupTwoPhase(docs: DataFrame): DataFrame = {
+    val grams = substringGrams(docs)
+    val dupDict = substringDupDict(grams)
+      // Materialized (executor-local) so the join's build side arrives
+      // through a fresh ENSURE_REQUIREMENTS exchange: without the stage
+      // break the dictionary's final aggregate FUSES into the join's
+      // stage, and AQE's OptimizeSkewedJoin — whose precondition is
+      // that the stage holds exactly the join's two bare shuffle
+      // stages — never pattern-matches, silently re-serializing the
+      // hot span. Found empirically; the planted-hot-span spec pins
+      // skew=true so a regression of this shape fails loudly. The
+      // dictionary (distinct duplicated grams) is corpus-sublinear;
+      // materializing it once is the price of the skew-splittable join.
+      .localCheckpoint(true)
+    grams.join(dupDict, Seq("g"), "left")
+      .groupBy(col("doc_id"), col("n_spans"))
+      .agg(sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_spans"))
       .withColumn("dup_ratio", rdiv4(col("n_dup_spans"), col("n_spans")))
       .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
         col("dup_ratio"))

@@ -1495,6 +1495,82 @@ class PipelineSpec extends AnyFunSuite {
     // doc4: 40 words -> 25 spans; the two aligned run-windows (pos 1
     // and pos 25) are duplicated, every straddling window is unique.
     assert(got(4L) == (25L, 2L), s"doc4: ${got(4L)}")
+    // q79b (two-phase) is row-identical to the window baseline on the
+    // same planted fixture.
+    val got2 = graft.queries.PipelineQueries.substringDedupTwoPhase(docs)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_spans"),
+        r.getAs[Long]("n_dup_spans"), r.getAs[Double]("dup_ratio")))
+    val base = graft.queries.PipelineQueries.substringDedupReport(docs)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_spans"),
+        r.getAs[Long]("n_dup_spans"), r.getAs[Double]("dup_ratio")))
+    assert(got2.sameElements(base), s"q79b diverged: ${got2.toSeq} vs ${base.toSeq}")
+  }
+
+  test("q79b plan: partial aggregate on the span key, NO window over the gram stream") {
+    val df = SparkEntry.queries("q79b_substring_dedup_2ph")(spark, sf)
+    df.collect() // materialize so AQE finalizes the executed plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"q79b must not window over the gram stream:\n${plan.take(1500)}")
+    // The duplicated-gram dictionary is built with map-side partial
+    // aggregation keyed on g — the mechanism that caps a hot span's
+    // reduce-side cost at one partial per map task. The dictionary is
+    // checkpointed inside q79b (the stage break that lets AQE's skew
+    // rule pattern-match the join), which truncates the final plan's
+    // lineage — so pin the partial aggregate on the dictionary
+    // builder's own plan.
+    import graft.queries.PipelineQueries
+    val dict = PipelineQueries.substringDupDict(
+      PipelineQueries.substringGrams(
+        graft.Tables.documents(spark, sf)))
+    dict.collect()
+    val dplan = dict.queryExecution.executedPlan.toString
+    val partialOnG = dplan.linesIterator.exists(l =>
+      l.contains("partial_count") && l.contains("keys=[g#"))
+    assert(partialOnG,
+      s"no partial count keyed on g in:\n${dplan.take(2000)}")
+  }
+
+  test("q79b planted hot span: AQE skew-splits the dictionary join, result exact") {
+    // The scale scenario q79 cannot survive: ONE boilerplate 16-gram in
+    // (almost) every document. Under fixture-scaled skew thresholds the
+    // two-phase plan's dictionary join must (a) stay correct and (b)
+    // let AQE split the hot span's partition at runtime — the window
+    // variant structurally cannot (every row of a key in one task).
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    s2.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    val run = (1 to 16).map(i => s"p$i").mkString(" ")
+    // 100k docs: 90% are EXACTLY the boilerplate run (one span, all
+    // the same hash — the hot key), 10% are 16 unique tokens (one
+    // unique span each). The hot partition must dominate in shuffle
+    // BYTES, not just rows — a constant key compresses better than
+    // unique ones, so a milder row skew can fall under the 2× byte
+    // factor and silently not split (observed at 4 shuffle
+    // partitions with a 3×-row fixture).
+    val docs = s2.range(100000L).selectExpr("id AS doc_id",
+      s"CASE WHEN id % 10 = 0 THEN concat_ws(' ', " +
+        "transform(sequence(1, 16), j -> concat('u', id, '_', j))) " +
+        s"ELSE '$run' END AS text")
+    val df = graft.queries.PipelineQueries.substringDedupTwoPhase(docs)
+    val rows = df.collect()
+    assert(rows.length == 100000)
+    rows.foreach { r =>
+      val dup = if (r.getAs[Long]("doc_id") % 10 == 0) 0L else 1L
+      assert(r.getAs[Long]("n_spans") == 1L &&
+        r.getAs[Long]("n_dup_spans") == dup,
+        s"wrong report for doc ${r.getAs[Long]("doc_id")}: $r")
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      s"AQE did not skew-split the hot span join:\n${plan.take(2000)}")
   }
 
   test("q64 yield ledger sums to the corpus and agrees with q53's verdicts") {
