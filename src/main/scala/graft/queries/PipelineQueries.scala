@@ -1071,6 +1071,51 @@ object PipelineQueries {
   private[graft] val stageRoot: String =
     sys.env.getOrElse("GRAFT_STAGE_DIR", "/root/repo/.fixture/stage")
 
+  /** Input-identity tag for a staged artifact: dir + source file length
+    * + mtime + a per-artifact salt, so a regenerated testdata dir (or a
+    * changed recipe version) gets a fresh stage automatically.
+    */
+  private[graft] def stageTag(s: SparkSession, dir: String,
+      sourceFile: String, salt: String): String = {
+    val src = new org.apache.hadoop.fs.Path(s"$dir/$sourceFile")
+    val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(src)
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|${st.getLen}|${st.getModificationTime}|$salt"
+        .getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+  }
+
+  /** The write-once stage protocol shared by every staged artifact
+    * (q64b disposition, q76 band index, q77 int8 codes): build under a
+    * session-unique temp dir, atomically RENAME into place, commit the
+    * `_staged` marker only AFTER data is present — no reader can ever
+    * observe a half-written directory. A failed rename has two
+    * distinct causes and only one of them may commit the marker:
+    * dst exists (lost the commit race — read the winner's data) vs
+    * dst absent (transient FS failure — marking now would permanently
+    * poison the stage, every later read failing until a manual rm, so
+    * throw and let the next call rebuild).
+    */
+  private[graft] def writeOnceStage(s: SparkSession, stage: String,
+      dataDir: String, build: => DataFrame): DataFrame = {
+    val dst = new org.apache.hadoop.fs.Path(s"$stage/$dataDir")
+    val fs = dst.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$stage/_staged")
+    if (!fs.exists(marker)) {
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$stage/.tmp_${dataDir}_${java.util.UUID.randomUUID}")
+      build.write.mode("overwrite").parquet(tmp.toString)
+      if (!fs.rename(tmp, dst)) {
+        fs.delete(tmp, true)
+        if (!fs.exists(dst)) sys.error(
+          s"stage rename failed with no winner present: $dst")
+      }
+      fs.create(marker, true).close()
+    }
+    s.read.parquet(dst.toString)
+  }
+
   /** The staged q53 disposition table for `dir` — written once (all
     * four verdict columns, a real stage keeps the full schema), marker
     * committed AFTER the data so a torn write is retried, then read
@@ -1078,31 +1123,10 @@ object PipelineQueries {
     * single-file coalescing (the DuckDB oracle never reads this path —
     * it recomputes, which is the point of the gate).
     */
-  private[graft] def stagedDisposition(s: SparkSession, dir: String): DataFrame = {
-    val src = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
-    val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val st = fs.getFileStatus(src)
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|${st.getLen}|${st.getModificationTime}|v1"
-        .getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(16)
-    val stage = s"$stageRoot/recipe_$tag"
-    val marker = new org.apache.hadoop.fs.Path(s"$stage/_staged")
-    if (!fs.exists(marker)) {
-      // Write-then-RENAME-then-marker: a concurrent session can observe
-      // the missing marker too, but each writer builds under its own
-      // temp dir and the directory rename is atomic, so the loser's
-      // rename fails (target exists) and it simply reads the winner's
-      // stage — no reader can ever see a half-written directory.
-      val tmp = new org.apache.hadoop.fs.Path(
-        s"$stage/.tmp_disposition_${java.util.UUID.randomUUID}")
-      val dst = new org.apache.hadoop.fs.Path(s"$stage/disposition")
-      q53CorpusRecipe(s, dir).write.mode("overwrite").parquet(tmp.toString)
-      if (!fs.rename(tmp, dst)) fs.delete(tmp, true) // lost the race
-      fs.create(marker, true).close()
-    }
-    s.read.parquet(s"$stage/disposition")
-  }
+  private[graft] def stagedDisposition(s: SparkSession, dir: String): DataFrame =
+    writeOnceStage(s,
+      s"$stageRoot/recipe_${stageTag(s, dir, "documents.parquet", "v1")}",
+      "disposition", q53CorpusRecipe(s, dir))
 
   /** Dedup-method AGREEMENT report — the evaluation table a pipeline
     * owner reads before picking a dedup tier: the union of the exact
@@ -1822,9 +1846,6 @@ object PipelineQueries {
   def q79bSubstringDedup2Phase(s: SparkSession, dir: String): DataFrame =
     substringDedupTwoPhase(Tables.documents(s, dir))
 
-  /** q79b's core over any (doc_id, text) frame — split out for the
-    * row-identity, plan-shape, and planted-hot-span specs.
-    */
   /** q79b phase 1: the duplicated-gram dictionary — `groupBy(g).count`
     * (map-side partial aggregation caps a hot span's reduce-side cost
     * at one partial per map task) filtered to `cnt >= 2`. Split out so
@@ -1837,6 +1858,9 @@ object PipelineQueries {
       .filter(col("cnt") >= 2)
       .select(col("g"), lit(1L).as("is_dup"))
 
+  /** q79b's core over any (doc_id, text) frame — split out for the
+    * row-identity, plan-shape, and planted-hot-span specs.
+    */
   private[graft] def substringDedupTwoPhase(docs: DataFrame): DataFrame = {
     val grams = substringGrams(docs)
     val dupDict = substringDupDict(grams)
@@ -1923,26 +1947,10 @@ object PipelineQueries {
     * protocol), read by every arrival batch.
     */
   private def stagedCorpusBands(s: SparkSession, dir: String,
-      build: => DataFrame): DataFrame = {
-    val src = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
-    val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val st = fs.getFileStatus(src)
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|${st.getLen}|${st.getModificationTime}|lsh16x4v1"
-        .getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(16)
-    val stage = s"$stageRoot/lshindex_$tag"
-    val marker = new org.apache.hadoop.fs.Path(s"$stage/_staged")
-    if (!fs.exists(marker)) {
-      val tmp = new org.apache.hadoop.fs.Path(
-        s"$stage/.tmp_bands_${java.util.UUID.randomUUID}")
-      val dst = new org.apache.hadoop.fs.Path(s"$stage/bands")
-      build.write.mode("overwrite").parquet(tmp.toString)
-      if (!fs.rename(tmp, dst)) fs.delete(tmp, true) // lost the race
-      fs.create(marker, true).close()
-    }
-    s.read.parquet(s"$stage/bands")
-  }
+      build: => DataFrame): DataFrame =
+    writeOnceStage(s,
+      s"$stageRoot/lshindex_${stageTag(s, dir, "documents.parquet", "lsh16x4v1")}",
+      "bands", build)
 
   /** SEMANTIC dedup (SemDeDup): coarse-cluster the embedding corpus,
     * dedup within clusters on exact cosine, keep the min-id
@@ -2111,8 +2119,9 @@ object PipelineQueries {
     * q25 IVF cover the candidate-pruning axis): the corpus scan runs
     * over q29's max-abs int8 codes (8× smaller than fp32 — at 100 TB
     * that is the difference between an in-memory scan and a disk-bound
-    * one; the codes would be precomputed storage, recomputed here
-    * because the fixture is small), scores candidates with an
+    * one; the codes are PRECOMPUTED STORAGE — written once per input
+    * identity via [[stagedInt8Codes]] as `array<tinyint>` parquet and
+    * read back by every run), scores candidates with an
     * INTEGER-EXACT quantized dot (≤ 64·127² per pair — no overflow,
     * engine-identical; the per-vector scale factors cancel in the
     * cosine so the quantized cosine needs no float rescale), takes the
@@ -2123,28 +2132,54 @@ object PipelineQueries {
     * is visible per hit; the oracle replays the exact same integer
     * codes (q29's round-half precedent) and both rankings.
     */
+  /** q77's int8 code table, STAGED (the q64b/q76 write-once
+    * convention, keyed by the embeddings table's input identity):
+    * vec_id + the max-abs int8 codes as `array<tinyint>` — the actual
+    * 8×-smaller storage artifact, not a per-run recompute — + the
+    * precomputed integer self-dot. Read back with the codes widened
+    * to bigint so the quantized arithmetic is bit-identical to the
+    * inline-computed r15 shape (tinyint×tinyint would overflow at
+    * 127²).
+    */
+  private[graft] def stagedInt8Codes(s: SparkSession, dir: String): DataFrame = {
+    val build = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        expr("aggregate(embedding, cast(0.0 as double), " +
+          "(acc, v) -> greatest(acc, abs(cast(v as double))))").as("mx"))
+      .withColumn("q8", expr(
+        """CASE WHEN mx = 0.0
+          |THEN transform(embedding, v -> cast(0 as tinyint))
+          |ELSE transform(embedding,
+          |  v -> cast(round(cast(v as double) * 127.0 / mx, 0) as tinyint))
+          |END""".stripMargin))
+      .withColumn("nq", expr(
+        "aggregate(transform(q8, v -> cast(v as bigint) * cast(v as bigint)), " +
+          "cast(0 as bigint), (a, v) -> a + v)"))
+      .select(col("vec_id"), col("q8"), col("nq"))
+    writeOnceStage(s,
+      s"$stageRoot/int8codes_${stageTag(s, dir, "embeddings.parquet", "int8v1")}",
+      "codes", build)
+  }
+
   def q77AnnInt8Rerank(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val anchorIds = Seq(0L, 1L, 2L); val m = 8; val k = 3
-    val qed = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"),
-        sqrt(graft.expressions.Sketches.fdot(s, col("embedding"),
-          col("embedding"))).as("norm"),
-        expr("aggregate(embedding, cast(0.0 as double), " +
-          "(acc, v) -> greatest(acc, abs(cast(v as double))))").as("mx"))
-      .withColumn("q", expr(
-        """CASE WHEN mx = 0.0
-          |THEN transform(embedding, v -> cast(0 as bigint))
-          |ELSE transform(embedding,
-          |  v -> cast(round(cast(v as double) * 127.0 / mx, 0) as bigint))
-          |END""".stripMargin))
-      .withColumn("nq", expr(
-        "aggregate(transform(q, v -> v * v), cast(0 as bigint), " +
-          "(a, v) -> a + v)"))
-    val anch = qed.filter(col("vec_id").isin(anchorIds: _*))
+    // The approximate scan phase touches ONLY the staged code table —
+    // the 8× smaller artifact is what's read, which is the entire
+    // point of quantized ANN at 100 TB.
+    val codes = stagedInt8Codes(s, dir)
+      .select(col("vec_id"),
+        expr("transform(q8, v -> cast(v as bigint))").as("q"), col("nq"))
+    val embF = Tables.embeddings(s, dir)
+    val anch = codes.filter(col("vec_id").isin(anchorIds: _*))
       .select(col("vec_id").as("anchor_id"), col("q").as("qa"),
-        col("nq").as("nqa"), col("embedding").as("aemb"),
-        col("norm").as("anorm"))
-    val scored = qed.crossJoin(broadcast(anch))
+        col("nq").as("nqa"))
+      .join(embF.filter(col("vec_id").isin(anchorIds: _*))
+        .select(col("vec_id").as("anchor_id"),
+          col("embedding").as("aemb"),
+          sqrt(graft.expressions.Sketches.fdot(s, col("embedding"),
+            col("embedding"))).as("anorm")), "anchor_id")
+    val scored = codes.crossJoin(broadcast(anch))
       .filter(col("vec_id") =!= col("anchor_id"))
       .withColumn("sint", expr(
         "aggregate(zip_with(q, qa, (x, y) -> x * y), cast(0 as bigint), " +
@@ -2155,9 +2190,18 @@ object PipelineQueries {
       .orderBy(col("cos_q").desc, col("vec_id"))
     val topM = scored.withColumn("qrank", row_number().over(wq))
       .filter(col("qrank") <= m)
-    val reranked = topM.withColumn("cos_sim", round(
-      graft.expressions.Sketches.fdot(s, col("embedding"), col("aemb")) /
-        (col("norm") * col("anorm")), 6))
+      .select(col("anchor_id"), col("vec_id"), col("cos_q"),
+        col("aemb"), col("anorm"))
+    // fp32 is fetched for the 3·M survivors only — the tiny top-M set
+    // broadcasts into the fp32 table, never the reverse.
+    val reranked = embF
+      .select(col("vec_id"), col("embedding"),
+        sqrt(graft.expressions.Sketches.fdot(s, col("embedding"),
+          col("embedding"))).as("norm"))
+      .join(broadcast(topM), "vec_id")
+      .withColumn("cos_sim", round(
+        graft.expressions.Sketches.fdot(s, col("embedding"), col("aemb")) /
+          (col("norm") * col("anorm")), 6))
     val wr = Window.partitionBy(col("anchor_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
     reranked.withColumn("rank", row_number().over(wr))

@@ -1469,6 +1469,36 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q77 codes are staged once as tinyint parquet; second session reuses the stage") {
+    // The 8×-smaller-scan claim is a storage artifact, not a per-run
+    // recompute: the codes parquet is written once per input identity
+    // and every q77 run — including one from a FRESH session — reads
+    // it (the q74/q76 idempotency contract).
+    val first = SparkEntry.queries("q77_ann_int8_rerank")(spark, sf)
+    val rows1 = first.collect().map(_.toSeq).toSeq
+    val stageDir = new java.io.File(
+      graft.queries.PipelineQueries.stageRoot)
+    val idx = stageDir.listFiles().filter(_.getName.startsWith("int8codes_"))
+    assert(idx.nonEmpty, "no staged int8 codes found")
+    val codes = new java.io.File(idx.head, "codes")
+    val m1 = codes.lastModified()
+    // The staged artifact really is int8: parquet schema carries the
+    // codes as array<tinyint>, not the bigint compute type.
+    val sch = spark.read.parquet(codes.toString).schema
+    val q8 = sch("q8").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+    assert(q8.elementType ==
+      org.apache.spark.sql.types.ByteType, s"codes not tinyint: $q8")
+    // A second, fresh session must REUSE the stage (same mtime), scan
+    // it in the plan, and produce identical rows.
+    val s2 = spark.newSession()
+    val second = SparkEntry.queries("q77_ann_int8_rerank")(s2, sf)
+    assert(second.collect().map(_.toSeq).toSeq == rows1)
+    assert(codes.lastModified() == m1, "second session rewrote the stage")
+    assert(second.queryExecution.executedPlan.toString.contains("int8codes_"),
+      "q77 plan does not scan the staged codes")
+  }
+
   test("q79 flags exactly the shared/repeated 16-token spans, cross- and within-doc") {
     import spark.implicits._
     val run = (1 to 16).map(i => s"p$i").mkString(" ") // the copied span
