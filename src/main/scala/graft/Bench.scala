@@ -246,7 +246,9 @@ object Bench {
           "q36_contamination,q38_ngram_jaccard,q48_stream_near_dup," +
           "q51_semantic_dedup,q53_corpus_recipe,q56_bigram_lm," +
           "q65b_dedup_agreement_star,q72_stream_funnel_join," +
-          "near_scale_receipts"))
+          "q75_stream_funnel_outer,q76_incremental_dedup," +
+          "q77_ann_int8_rerank,q79_substring_dedup," +
+          "q79b_substring_dedup_2ph,near_scale_receipts"))
       .split(",").map(_.trim).filter(SparkEntry.queries.contains).toSeq
     val isolated = isolatedNames.map { n =>
       val s = SparkSession.builder()
