@@ -254,6 +254,17 @@ object PipelineOracles {
        |WHERE jaccard >= 0.8 AND (doc_a % 10 = 0 OR doc_b % 10 = 0)
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q76b: the growing-index replay must equal the FULL recompute
+    * restricted to pairs touching either arrival batch (doc_id % 10
+    * in (0, 1)) — within-batch pairs via the self-band, cross-batch
+    * and corpus pairs via the appended segments.
+    */
+  private val q76bGrowingSql: String =
+    s"""WITH $q15PairCtes
+       |SELECT doc_a, doc_b, jaccard FROM v
+       |WHERE jaccard >= 0.8 AND (doc_a % 10 <= 1 OR doc_b % 10 <= 1)
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** q17's integer-exact quality twin: every ratio is a half-up
     * integer division ((2a·10^4 + b) // 2b) widened to double at the
     * end — no round(DOUBLE) anywhere, so the 4th-decimal boundary
@@ -313,6 +324,7 @@ object PipelineOracles {
 
     "q15_lsh_near_dups" -> q15PairsSql,
     "q76_incremental_dedup" -> q76IncrementalSql,
+    "q76b_growing_index_dedup" -> q76bGrowingSql,
     "q79_substring_dedup" -> q79SubstringSql,
     // q79b shares q79's oracle verbatim — the two-phase plan must be
     // row-identical to the window baseline.

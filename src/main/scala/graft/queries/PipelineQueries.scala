@@ -1903,26 +1903,47 @@ object PipelineQueries {
     * hash).
     */
   def q76IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
-    val k = 16; val bands = 4; val shingleN = 3; val threshold = 0.8
-    val rows = k / bands
-    val base = Tables.documents(s, dir)
+    val base = lshDocWords(s, dir)
+    val corpusBands = stagedCorpusBands(s, dir,
+      lshBandsOf(s, base.filter(col("id") % 10 =!= 0)))
+    val arrBands = lshBandsOf(s, base.filter(col("id") % 10 === 0))
+    lshProbeVerify(s, base, arrBands, corpusBands)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Shared q76/q76b operating point (q15's family). */
+  private val Q76K = 16; private val Q76Bands = 4
+  private val Q76ShingleN = 3; private val Q76Threshold = 0.8
+
+  /** The (id, words) base frame q76/q76b sketch and verify against. */
+  private def lshDocWords(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
       .select(col("doc_id").cast("long").as("id"),
         TF.words(col("text")).as("w"))
-      .filter(size(col("w")) >= shingleN)
-    def bandsOf(df: DataFrame): DataFrame =
-      df.withColumn("sig", graft.expressions.Sketches
-          .minhashSigFromWords(s, col("w"), shingleN, k))
-        .select(col("id"),
-          posexplode(transform(sequence(lit(0), lit(bands - 1)),
-            b => md5(concat_ws("|",
-              transform(slice(col("sig"), b * lit(rows) + lit(1), lit(rows)),
-                v => v.cast("string")))))))
-        .withColumnRenamed("pos", "band")
-        .withColumnRenamed("col", "band_hash")
-    val corpusBands = stagedCorpusBands(s, dir,
-      bandsOf(base.filter(col("id") % 10 =!= 0)))
-    val arrBands = bandsOf(base.filter(col("id") % 10 === 0))
-    val cross = arrBands.as("n").join(corpusBands.as("c"),
+      .filter(size(col("w")) >= Q76ShingleN)
+
+  /** (id, band, band_hash) band rows over the q15 MinHash family. */
+  private def lshBandsOf(s: SparkSession, df: DataFrame): DataFrame = {
+    val rows = Q76K / Q76Bands
+    df.withColumn("sig", graft.expressions.Sketches
+        .minhashSigFromWords(s, col("w"), Q76ShingleN, Q76K))
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(Q76Bands - 1)),
+          b => md5(concat_ws("|",
+            transform(slice(col("sig"), b * lit(rows) + lit(1), lit(rows)),
+              v => v.cast("string")))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+  }
+
+  /** One arrival batch against one index: (band, band_hash) equi-join
+    * for arrival×index candidates, salted self-band for
+    * arrival×arrival, exact shingle-Jaccard verify on candidates only.
+    * Unordered — callers union/order.
+    */
+  private def lshProbeVerify(s: SparkSession, base: DataFrame,
+      arrBands: DataFrame, indexBands: DataFrame): DataFrame = {
+    val cross = arrBands.as("n").join(indexBands.as("c"),
         col("n.band") === col("c.band") &&
           col("n.band_hash") === col("c.band_hash"))
       .select(least(col("n.id"), col("c.id")).as("doc_a"),
@@ -1936,9 +1957,48 @@ object PipelineQueries {
     val shB = base.select(col("id").as("doc_b"), col("w").as("w_b"))
     cand.join(shA, "doc_a").join(shB, "doc_b")
       .withColumn("jaccard", round(graft.expressions.Sketches
-        .shingleJaccard(s, col("w_a"), col("w_b"), shingleN), 4))
-      .filter(col("jaccard") >= threshold)
+        .shingleJaccard(s, col("w_a"), col("w_b"), Q76ShingleN), 4))
+      .filter(col("jaccard") >= Q76Threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** GROWING-INDEX incremental dedup (q76b) — the production sequel to
+    * q76's single-batch probe: arrival batches land in sequence and
+    * each batch's bands are APPENDED INTO the index, so batch N probes
+    * the corpus AND every batch < N. The index is a directory of
+    * write-once SEGMENTS (`seg_base`, `seg_b0`, `seg_b1`, …), each
+    * committed with the shared rename-then-marker protocol and never
+    * rewritten — append-only growth, the LSM-like shape an index at
+    * 100 TB actually takes (rewriting the corpus index per batch would
+    * be O(corpus·batches)). Batch replay is deterministic (batch b =
+    * doc_id % 10 == b, b ∈ {0, 1}; corpus = the rest), so a re-run
+    * probes each batch against exactly the segments that existed at
+    * its horizon, and the DuckDB oracle is q15's pair family
+    * restricted to pairs touching EITHER arrival batch: within-batch
+    * pairs come from the self-band, earlier-batch pairs from the
+    * appended segments — a segment that failed to append, or one
+    * probed out of order, drops cross-batch pairs and fails the hash.
+    * Per-batch cost stays O(arrivals + candidates): segments are read
+    * as parquet, never re-sketched.
+    */
+  def q76bGrowingIndexDedup(s: SparkSession, dir: String): DataFrame = {
+    val base = lshDocWords(s, dir)
+    val root = s"$stageRoot/lshgrow_${stageTag(s, dir, "documents.parquet", "lshgrow16x4v1")}"
+    val baseSeg = writeOnceStage(s, s"$root/seg_base", "bands",
+      lshBandsOf(s, base.filter(col("id") % 10 >= 2)))
+    val batches = Seq(0, 1)
+    val (results, _) = batches.foldLeft(
+        (Seq.empty[DataFrame], Seq(baseSeg))) {
+      case ((acc, indexSegs), b) =>
+        val arrBands = lshBandsOf(s, base.filter(col("id") % 10 === b))
+        val index = indexSegs.reduce(_.unionByName(_))
+        val found = lshProbeVerify(s, base, arrBands, index)
+        // Append THIS batch's bands as the next segment — write-once,
+        // so a replayed run reuses the existing segment untouched.
+        val seg = writeOnceStage(s, s"$root/seg_b$b", "bands", arrBands)
+        (acc :+ found, indexSegs :+ seg)
+    }
+    results.reduce(_.unionByName(_))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

@@ -1447,6 +1447,44 @@ class PipelineSpec extends AnyFunSuite {
       "probe plan does not scan the staged index")
   }
 
+  test("q76b growing index: two sequential batches, append-only segments, pairs = restricted q15") {
+    import org.apache.spark.sql.functions.col
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))
+    val full = SparkEntry.queries("q15_lsh_near_dups")(spark, sf)
+      .filter(col("doc_a") % 10 <= 1 || col("doc_b") % 10 <= 1)
+      .collect().map(key).toSet
+    val inc = SparkEntry.queries("q76b_growing_index_dedup")(spark, sf)
+      .collect().map(key).toSet
+    assert(inc == full,
+      s"growing-index ${inc.size} pairs vs full-restricted ${full.size}")
+    // Append-only: the index root holds exactly the base segment plus
+    // one segment per batch, each marker-committed; a second call
+    // reuses every segment untouched (no rewrite, no new segments).
+    val stageRoot = new java.io.File(
+      graft.queries.PipelineQueries.stageRoot)
+    val idx = stageRoot.listFiles().filter(_.getName.startsWith("lshgrow_"))
+    assert(idx.nonEmpty, "no growing index root found")
+    val segs = idx.head.listFiles().filter(_.getName.startsWith("seg_"))
+      .sortBy(_.getName)
+    assert(segs.map(_.getName).toSeq == Seq("seg_b0", "seg_b1", "seg_base"),
+      s"unexpected segments: ${segs.map(_.getName).toSeq}")
+    segs.foreach { sd =>
+      assert(new java.io.File(sd, "_staged").exists(),
+        s"${sd.getName} missing its marker")
+    }
+    val mtimes = segs.map(sd => new java.io.File(sd, "bands").lastModified())
+    val again = SparkEntry.queries("q76b_growing_index_dedup")(spark, sf)
+    assert(again.collect().map(key).toSet == full)
+    val after = idx.head.listFiles().filter(_.getName.startsWith("seg_"))
+      .sortBy(_.getName)
+    assert(after.length == 3, "replay created extra segments")
+    assert(after.map(sd =>
+      new java.io.File(sd, "bands").lastModified()).toSeq == mtimes.toSeq,
+      "replay rewrote a segment")
+  }
+
   test("q77 int8 rerank recovers the exact top-3; quantized cosine tracks exact") {
     val got = SparkEntry.queries("q77_ann_int8_rerank")(spark, sf).collect()
     assert(got.length == 9) // 3 anchors × top-3
