@@ -135,9 +135,16 @@ object RandomChains {
       lineage: Map[String, String],
       txHashes: Set[String],
       nBlockRows: Int,
-      nEdges: Int)
+      nEdges: Int,
+      lastTsNanos: Long = 0L)
 
-  def chain(seed: Long): Generated = {
+  /** `maxDayGap > 0` spaces consecutive blocks by a random 0..maxDayGap
+    * DAYS (default 0 keeps the original 1-second cadence and draws
+    * nothing from the RNG, so existing seeds generate byte-identical
+    * chains) — the knob the pruned-lookback recovery property uses to
+    * make parent rows land outside a small block_date lookback window.
+    */
+  def chain(seed: Long, maxDayGap: Int = 0): Generated = {
     val rnd = new scala.util.Random(seed)
     val nBlocks = 6 + rnd.nextInt(10)
     val scheduled = scala.collection.mutable.Map[Int, Vector[(String, String)]]()
@@ -148,6 +155,8 @@ object RandomChains {
     var rc = 0
     var nEdges = 0
     var nBlockRows = 0
+    var dayOff = 0L
+    var lastTs = 0L
     def schedule(from: Int, tx: String): String = {
       val rid = s"R$rc"; rc += 1
       val tgt = from + 1 + rnd.nextInt(2)
@@ -186,7 +195,11 @@ object RandomChains {
         F.outcome(rid, s"B$i", F.svOk, produced, Seq.empty,
           F.actionReceipt(rid, "app.near", "bob.near", "app.near", F.transfer))
       }
-      val ts = (1700000000000000000L + i * 1000000000L).toString
+      if (maxDayGap > 0) dayOff += rnd.nextInt(maxDayGap + 1)
+      val tsNanos = 1700000000000000000L +
+        dayOff * 86400L * 1000000000L + i * 1000000000L
+      lastTs = tsNanos
+      val ts = tsNanos.toString
       val prev = if (i == 0) "G" else s"B${i - 1}"
       out += F.block(i, s"B$i", prev, ts,
         Seq(F.shard(0, Some(F.chunk(s"C$i", 0, txs, receipts)), outcomes, Seq.empty)))
@@ -200,6 +213,7 @@ object RandomChains {
         nBlockRows += 1
       }
     }
-    Generated(out.toSeq, lineage.toMap, txHashes.toSet, nBlockRows, nEdges)
+    Generated(out.toSeq, lineage.toMap, txHashes.toSet, nBlockRows, nEdges,
+      lastTs)
   }
 }

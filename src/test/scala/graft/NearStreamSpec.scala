@@ -578,6 +578,80 @@ class NearStreamSpec extends AnyFunSuite {
       "expected the metered unpruned-rescan path to have engaged")
   }
 
+  test("pruned-lookback recovery property: random day gaps × lookback ∈ {0,1,2}") {
+    // The hand fixture above pins the gating; this pins the INVARIANT:
+    // whatever the lookback and however many days separate a receipt
+    // from its parent, the park → carried-residue → automatic unpruned
+    // rescan path must converge to exact ground-truth lineage. Random
+    // chains with 0–3-day gaps between consecutive blocks, random
+    // batch splits, and a randomized recoveryLookbackDays ∈ {0,1,2}
+    // that the day gaps routinely exceed.
+    import SparkTestSession.spark.implicits._
+    def norm(js: Seq[String]) =
+      graft.near.Ingest.blocksFromJson(spark, js).toDF()
+    var rescanRuns = 0
+    Seq(11L, 23L, 57L).foreach { seed =>
+      val g = RandomChains.chain(seed, maxDayGap = 3)
+      assume(g.txHashes.nonEmpty)
+      val rnd = new scala.util.Random(seed * 17)
+      val lookback = rnd.nextInt(3)
+      val batches = g.blocks.foldLeft(Vector(Vector.empty[String])) {
+        (acc, b) =>
+          if (acc.last.nonEmpty && rnd.nextBoolean()) acc :+ Vector(b)
+          else acc.init :+ (acc.last :+ b)
+      }
+      val wh = Files.createTempDirectory(
+        s"graft_lookback_prop_$seed").toString + "/wh"
+      val before = graft.near.Metrics.lineageFullRescans.get
+      batches.foreach { bs =>
+        Stream.processBatch(spark, norm(bs), wh,
+          maxRetries = Int.MaxValue, recoveryLookbackDays = lookback)
+        // Randomly evict the announced-receipt mapping (the
+        // reference's LRU-eviction / process-restart analogue) — with
+        // the ahead-state intact every receipt resolves from it and
+        // the warehouse lookback path is never exercised.
+        if (rnd.nextBoolean()) {
+          val v = graft.near.BatchCommit.currentVersion(spark, wh)
+          val aheadPath = new org.apache.hadoop.fs.Path(
+            graft.near.BatchCommit.statePath(wh, v, Stream.LineageAheadDir))
+          aheadPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(aheadPath, true)
+        }
+      }
+      // Two trailing receipt-less ticks: residue parked by the FINAL
+      // data batch still needs a subsequent batch to trigger its
+      // rescan (retries >= 1 gate), exactly like a live stream.
+      val F = Fixtures
+      (0 until 2).foreach { k =>
+        val ts = (g.lastTsNanos + (k + 1) * 3600L * 1000000000L).toString
+        val b = F.block(9000 + k, s"B900$k", s"B900${k - 1}", ts,
+          Seq(F.shard(0, Some(F.chunk(s"C900$k", 0, Seq.empty, Seq.empty)),
+            Seq.empty, Seq.empty)))
+        Stream.processBatch(spark, norm(Seq(b)), wh,
+          maxRetries = Int.MaxValue, recoveryLookbackDays = lookback)
+      }
+      val got = Warehouse.table(spark, wh, "receipts").collect()
+        .map(r => r.getAs[String]("receipt_id") ->
+          r.getAs[String]("originated_from_transaction_hash")).toMap
+      assert(got == g.lineage, s"seed=$seed lookback=$lookback lineage: " +
+        s"missing=${g.lineage.keySet -- got.keySet} " +
+        s"extra=${got.keySet -- g.lineage.keySet}")
+      val gotTx = Warehouse.table(spark, wh, "transactions").collect()
+        .map(_.getAs[String]("transaction_hash"))
+      assert(gotTx.length == gotTx.distinct.length,
+        s"seed=$seed dup tx rows")
+      assert(gotTx.toSet == g.txHashes, s"seed=$seed tx set")
+      assert(Warehouse.table(spark, wh, "blocks").count() ==
+        g.nBlockRows + 2L, s"seed=$seed block rows")
+      if (graft.near.Metrics.lineageFullRescans.get > before) rescanRuns += 1
+    }
+    // The property is only meaningful if the fuzz actually drove the
+    // unpruned-rescan path somewhere — all-tame chains would pass
+    // vacuously.
+    assert(rescanRuns > 0,
+      "no run engaged the unpruned rescan; fixture too tame")
+  }
+
   test("block_date partitioning is the UTC day regardless of session timezone") {
     import spark.implicits._
     // 2023-11-14T23:30Z in nanos: still Nov 14 UTC, but Nov 15 in
