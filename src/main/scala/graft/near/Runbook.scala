@@ -191,20 +191,32 @@ object Runbook {
     if (nsLedger.isEmpty || already.isEmpty) return
     val repaired = Warehouse.tableOpt(spark, warehouseDir,
       Stream.ReindexBackfilledTable)
-    val pendingHashes = {
-      val p = nsLedger.get.select(col("block_hash"))
+    val pendingRows = {
+      val p = nsLedger.get.select(col("block_hash"),
+        col("skipped_account_changes"), col("skipped_access_keys"))
       repaired match {
         case Some(r) => p.join(r.select(col("block_hash").as("rbh")),
           p("block_hash") === col("rbh"), "left_anti")
         case None => p
       }
     }
+    // Gate each satellite's recompute on ITS ledger flag: the API
+    // allows asymmetric non-strict runs (enableAccountChanges=true,
+    // enableAccessKeys=false), and account_changes has no identity
+    // anti-join — recomputing a satellite that was NOT skipped would
+    // append its rows a second time.
+    def pendingFor(flag: String): DataFrame = already.join(
+      broadcast(pendingRows.filter(col(flag))
+        .select(col("block_hash").as("nsbh")).distinct()),
+      already("blockHash") === col("nsbh"), "left_semi")
+    val nsAc = pendingFor("skipped_account_changes")
+    val nsAk = pendingFor("skipped_access_keys")
     val ns = already.join(
-      broadcast(pendingHashes.select(col("block_hash").as("nsbh")).distinct()),
+      broadcast(pendingRows.select(col("block_hash").as("nsbh")).distinct()),
       already("blockHash") === col("nsbh"), "left_semi")
     if (ns.isEmpty) return
-    val ac = Transforms.accountChanges(ns)
-    val ak0 = Transforms.accessKeysRegistry(Transforms.accessKeyEvents(ns))
+    val ac = Transforms.accountChanges(nsAc)
+    val ak0 = Transforms.accessKeysRegistry(Transforms.accessKeyEvents(nsAk))
     val ak = Warehouse.tableOpt(spark, warehouseDir, "access_keys") match {
       case Some(w) => ak0.join(
         broadcast(w.select(col("public_key").as("w_pk"),

@@ -1731,7 +1731,15 @@ object PipelineQueries {
 
   /** q73b stage 1: per-partition bounded-state candidate tokens —
     * split out so the spec can drive it alone (emission bound, recall
-    * under repartitioning).
+    * under repartitioning). Emission is the local top-`LOCALK` UNION
+    * every survivor whose residual count exceeds `N_p / CAP` (N_p =
+    * tokens seen by the partition): the Misra-Gries residual bound
+    * (residual ≥ true − N_p/CAP) makes the floor a GUARANTEE — any
+    * token with partition share > 2/CAP is emitted no matter how many
+    * partition-concentrated tokens locally outrank it, so a globally
+    * heavy token cannot be silently dropped by the top-K cut (at most
+    * CAP floor entries exist, their residuals summing ≤ N_p, so the
+    * emission stays bounded at LOCALK + CAP rows per partition).
     */
   private[graft] def q73bCandidates(s: SparkSession,
       tok: DataFrame): DataFrame = {
@@ -1739,7 +1747,9 @@ object PipelineQueries {
     val cap = Q73bCap; val localK = Q73bLocalK
     tok.as[String].mapPartitions { it =>
       val m = new java.util.HashMap[String, Long]()
+      var np = 0L
       it.foreach { t =>
+        np += 1
         m.merge(t, 1L, (a, b) => a + b)
         if (m.size >= 2 * cap) {
           val counts = new Array[Long](m.size)
@@ -1757,9 +1767,12 @@ object PipelineQueries {
         }
       }
       import scala.jdk.CollectionConverters._
-      m.entrySet().asScala.toSeq
-        .sortBy(e => (-e.getValue, e.getKey))
-        .take(localK).map(_.getKey).iterator
+      val entries = m.entrySet().asScala.toSeq
+      val floor = np / cap
+      val topK = entries.sortBy(e => (-e.getValue, e.getKey))
+        .take(localK).map(_.getKey)
+      val guaranteed = entries.filter(_.getValue > floor).map(_.getKey)
+      (topK ++ guaranteed).distinct.iterator
     }.toDF("tok").distinct()
   }
 

@@ -224,6 +224,41 @@ class NearRunbookSpec extends AnyFunSuite {
     assert(akAfter1.nonEmpty, "backfill wrote no access-key deltas")
   }
 
+  test("runbook: asymmetric non-strict flags backfill only the skipped satellite") {
+    // processBatch allows per-satellite non-strict runs
+    // (enableAccountChanges=true, enableAccessKeys=false); the ledger
+    // records WHICH satellite each block skipped, and the backfill
+    // must recompute only that one — account_changes has no identity
+    // anti-join, so recomputing the never-skipped satellite would
+    // append its rows a second time.
+    val root = Files.createTempDirectory("graft_runbook_asym").toString
+    val input = s"$root/input"; val wh = s"$root/wh"
+    val chain = writeChainFiles(input)
+    chain.grouped(64).foreach { batch =>
+      Stream.processBatch(spark, Ingest.blocksFromJson(spark, batch).toDF(),
+        wh, enableAccessKeys = false)
+    }
+    val acBefore = rowSet(Warehouse.table(spark, wh, "account_changes"))
+    assert(acBefore.nonEmpty, "fixture wrote no account_changes")
+    assert(Warehouse.tableOpt(spark, wh, "access_keys").isEmpty)
+    Runbook.cli(spark, Array("re-index-range", "--input", input,
+      "--warehouse", wh, "--from", "0", "--to", "1000000"))
+    assert(rowSet(Warehouse.table(spark, wh, "account_changes")) == acBefore,
+      "backfill recomputed the satellite that was never skipped")
+    // The genuinely skipped satellite is backfilled to the healthy
+    // reference (compacted view — fold boundaries differ).
+    val whRef = s"$root/wh_ref"
+    chain.grouped(64).foreach { batch =>
+      Stream.processBatch(spark, Ingest.blocksFromJson(spark, batch).toDF(),
+        whRef)
+    }
+    assert(rowSet(Warehouse.accessKeysCurrent(
+        Warehouse.table(spark, wh, "access_keys")))
+      == rowSet(Warehouse.accessKeysCurrent(
+        Warehouse.table(spark, whRef, "access_keys"))),
+      "backfilled access-keys view diverged from the healthy run")
+  }
+
   test("runbook: malformed invocations fail loudly with usage") {
     Seq(
       Array("frobnicate"),

@@ -2065,8 +2065,27 @@ class PipelineSpec extends AnyFunSuite {
       assert((top20 -- cands).isEmpty,
         s"candidates missed exact-top-20 tokens: ${top20 -- cands}")
       val nParts = t.rdd.getNumPartitions
-      assert(cands.size <= graft.queries.PipelineQueries.Q73bLocalK * nParts)
+      // top-LOCALK plus at most CAP frequency-floor survivors (tokens
+      // above N_p/CAP residual — the Misra-Gries recall guarantee).
+      assert(cands.size <= (graft.queries.PipelineQueries.Q73bLocalK +
+        graft.queries.PipelineQueries.Q73bCap) * nParts)
     }
+  }
+
+  test("q73b floor emission: a heavy token outranked by LOCALK concentrated tokens still emits") {
+    // The Misra-Gries share>1/CAP survival guarantee applies to the
+    // counter map, not a top-LOCALK emission cut: a globally-heavy
+    // token locally outranked by 100 partition-concentrated tokens
+    // would be silently dropped by top-64 alone. The frequency-floor
+    // emission (> N_p/CAP) must carry it regardless of rank.
+    import spark.implicits._
+    val rows = (0 until 100).flatMap(i => Seq.fill(1000)(s"conc$i")) ++
+      Seq.fill(500)("hot") // rank 101 locally; share 500/100500 ≫ 1/4096
+    val tok = rows.toDF("tok").repartition(1)
+    val cands = graft.queries.PipelineQueries.q73bCandidates(spark, tok)
+      .collect().map(_.getString(0)).toSet
+    assert(cands.contains("hot"),
+      "floor emission dropped a token above the N_p/CAP guarantee")
   }
 
   test("q73b plan: no full-vocabulary aggregate — token groupBys are candidate-gated") {
