@@ -132,6 +132,8 @@ object SparkEntry {
     "q79_substring_dedup"     -> (PipelineQueries.q79SubstringDedup _),
     "q79b_substring_dedup_2ph" ->
       (PipelineQueries.q79bSubstringDedup2Phase _),
+    "q79c_substring_scrub"    ->
+      (PipelineQueries.q79cSubstringScrub _),
     "q73b_heavy_hitters_sketch" ->
       (PipelineQueries.q73bHeavyHittersSketch _),
     "q71b_quantile_sketch_only" ->

@@ -244,6 +244,38 @@ object PipelineOracles {
        |  CAST((n_dup_spans * 20000 + n_spans) // (2 * n_spans) AS DOUBLE) / 10000.0 AS dup_ratio
        |FROM r ORDER BY doc_id""".stripMargin
 
+  /** q79c: the scrub replayed relationally — same span hashes, cnt>=2
+    * dictionary, duplicated starts exploded to covered (doc, position)
+    * rows, anti-join against positioned tokens, ordered string_agg
+    * rebuild. Docs losing every token keep a row with ''.
+    */
+  private val q79cScrubSql: String =
+    s"""WITH d AS (SELECT doc_id, w FROM ($docsWithWords) d0),
+       |g AS (
+       |  SELECT doc_id, u.start AS start, u.gh AS gh FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(w) - 14),
+       |      i -> {'start': i,
+       |            'gh': CAST('0x' || substr(md5(array_to_string(w[i:i+15], ' ')), 1, 15) AS BIGINT)})) AS u
+       |    FROM d WHERE len(w) >= 16) t),
+       |c AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+       |ds AS (SELECT g.doc_id, g.start FROM g JOIN c USING (gh)),
+       |cov AS (SELECT DISTINCT doc_id, start + o AS p
+       |        FROM ds, LATERAL (SELECT unnest(range(0, 16)) AS o) r2),
+       |tok AS (
+       |  SELECT doc_id, u.p AS p, u.tok AS tok FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
+       |      i -> {'p': i, 'tok': w[i]})) AS u
+       |    FROM d) t),
+       |kept AS (SELECT t.doc_id, t.p, t.tok FROM tok t
+       |         ANTI JOIN cov ON t.doc_id = cov.doc_id AND t.p = cov.p),
+       |r AS (SELECT doc_id, count(*) AS kept,
+       |        string_agg(tok, ' ' ORDER BY p) AS cleaned
+       |      FROM kept GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(r.kept, 0) AS BIGINT) AS n_tokens_kept,
+       |  coalesce(r.cleaned, '') AS cleaned_text
+       |FROM d LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** q76: the incremental path must equal the FULL recompute restricted
     * to pairs touching an arrival (doc_id % 10 = 0) — the staged-index
     * correctness contract.
@@ -329,6 +361,7 @@ object PipelineOracles {
     // q79b shares q79's oracle verbatim — the two-phase plan must be
     // row-identical to the window baseline.
     "q79b_substring_dedup_2ph" -> q79SubstringSql,
+    "q79c_substring_scrub" -> q79cScrubSql,
 
     // q54: the q15 pipeline at a second (k, bands, n, threshold)
     // operating point — same CTE generator, different knobs; proves

@@ -1897,6 +1897,64 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** DUPLICATED-SPAN SCRUB (q79c) — the ACTION the q79/q79b report
+    * motivates: Lee et al. (arXiv 2107.06499) don't just count
+    * duplicated spans, they CUT them from the training corpus. Every
+    * token covered by any duplicated 16-token span — in EVERY
+    * occurrence, both documents of a cross-doc pair and both copies
+    * of a within-doc repeat — is removed, and each document is
+    * rebuilt from its surviving tokens in order.
+    *
+    * Scale shape: q79b's two-phase skeleton (positioned gram stream →
+    * partial-agg cnt≥2 dictionary, checkpointed for the same
+    * AQE-skew-split stage break → equi-join back), then the cut is
+    * ROW-BASED, never per-doc quadratic: duplicated starts explode to
+    * (doc, position) covered rows (≤ 16 rows per duplicated span
+    * occurrence), one distinct, one anti-join against the positioned
+    * token stream, and one per-doc ordered rebuild
+    * (sort_array(collect_list(struct(p, tok)))) — an expression over
+    * doc-sized groups, the same per-doc bound every tokenizing entry
+    * already carries. A per-doc `exists(starts, …)` filter would be
+    * O(tokens · dup-spans) on boilerplate-heavy pages; the covered-row
+    * shape is O(dup-span occurrences · 16) total.
+    */
+  def q79cSubstringScrub(s: SparkSession, dir: String): DataFrame =
+    substringScrub(Tables.documents(s, dir))
+
+  /** q79c's core over any (doc_id, text) frame — split out for the
+    * planted-fixture spec.
+    */
+  private[graft] def substringScrub(docs: DataFrame): DataFrame = {
+    val L = 16
+    val toks = docs.select(col("doc_id"), TF.words(col("text")).as("w"))
+    val grams = toks.filter(size(col("w")) >= L)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(w) - ${L - 1}), " +
+          s"i -> array_join(slice(w, i, $L), ' '))")))
+      .select(col("doc_id"), (col("pos") + 1).as("start"),
+        TF.hash60(col("col")).as("g"))
+    val dupDict = substringDupDict(grams).select(col("g"))
+      .localCheckpoint(true) // the q79b stage break, same rationale
+    val covered = grams.join(dupDict, Seq("g"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + lit(L - 1))).as("p"))
+      .distinct()
+    val tokRows = toks.select(col("doc_id"), posexplode(col("w")))
+      .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("tok"))
+    val rebuilt = tokRows.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("p"), col("tok")))),
+          x => x.getField("tok")), " ").as("cleaned"))
+    toks.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("kept"), lit(0L)).as("n_tokens_kept"),
+        coalesce(col("cleaned"), lit("")).as("cleaned_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** INCREMENTAL LSH dedup (q76) — the arrival-batch pattern a 100 TB
     * pipeline actually runs: when 10% new documents land, DON'T re-LSH
     * the whole corpus. The corpus's banded index (doc → 4 band hashes

@@ -1641,6 +1641,40 @@ class PipelineSpec extends AnyFunSuite {
       s"AQE did not skew-split the hot span join:\n${plan.take(2000)}")
   }
 
+  test("q79c scrubs every token covered by a duplicated span, rebuilds in order") {
+    import spark.implicits._
+    val run = (1 to 16).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, ((1 to 4).map(i => s"u$i") :+ run) ++ (1 to 10).map(i => s"v$i")),
+      (2L, ((1 to 9).map(i => s"x$i") :+ run) ++ (1 to 5).map(i => s"y$i")),
+      (3L, (1 to 20).map(i => s"z$i")),
+      // the run twice in one doc: BOTH copies are cut
+      (4L, (Seq(run) ++ (1 to 8).map(i => s"q$i")) :+ run),
+      // exactly the run and nothing else: scrubbed to empty
+      (5L, Seq(run))
+    ).map { case (id, parts) => (id, parts.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val got = graft.queries.PipelineQueries.substringScrub(docs)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_tokens_kept"),
+          r.getAs[String]("cleaned_text"))).toMap
+    // doc1: run at positions 5-20 covered; u's and v's survive in order
+    assert(got(1L) == (30L, 14L,
+      ((1 to 4).map(i => s"u$i") ++ (1 to 10).map(i => s"v$i"))
+        .mkString(" ")), s"doc1: ${got(1L)}")
+    assert(got(2L) == (30L, 14L,
+      ((1 to 9).map(i => s"x$i") ++ (1 to 5).map(i => s"y$i"))
+        .mkString(" ")), s"doc2: ${got(2L)}")
+    // doc3: untouched
+    assert(got(3L) == (20L, 20L, (1 to 20).map(i => s"z$i").mkString(" ")))
+    // doc4: both run copies cut, the middle survives
+    assert(got(4L) == (40L, 8L, (1 to 8).map(i => s"q$i").mkString(" ")),
+      s"doc4: ${got(4L)}")
+    // doc5: everything cut — row kept with empty text
+    assert(got(5L) == (16L, 0L, ""), s"doc5: ${got(5L)}")
+  }
+
   test("q64 yield ledger sums to the corpus and agrees with q53's verdicts") {
     val led = SparkEntry.queries("q64_recipe_yield")(spark, sf).collect()
     val rec = SparkEntry.queries("q53_corpus_recipe")(spark, sf).collect()
