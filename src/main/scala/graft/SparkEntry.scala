@@ -124,6 +124,8 @@ object SparkEntry {
     "q73_heavy_hitters"       -> (PipelineQueries.q73HeavyHitters _),
     "q75_stream_funnel_outer" -> ((s: SparkSession, dir: String) =>
       StreamingJobs.streamFunnelJoinOuter(s, dir)),
+    "q75b_stream_funnel_full" -> ((s: SparkSession, dir: String) =>
+      StreamingJobs.streamFunnelJoinFullOuter(s, dir)),
     "q76_incremental_dedup"   -> (PipelineQueries.q76IncrementalDedup _),
     "q76b_growing_index_dedup" ->
       (PipelineQueries.q76bGrowingIndexDedup _),

@@ -1323,6 +1323,48 @@ object PipelineOracles {
         |ORDER BY user_id, t_view_us, t_buy_us, view_id, purchase_id"""
         .stripMargin,
 
+    // q75b: the FULL OUTER funnel — q75's three arms plus the
+    // attribution-less purchase: a buy with no in-gap preceding view
+    // and b.t strictly behind the global watermark (the buy-side
+    // eviction point: a future view has event time >= wm and a
+    // matching buy must be strictly later). In-horizon buys are
+    // withheld on both sides of the compare, like views.
+    "q75b_stream_funnel_full" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t
+        |           FROM events),
+        |v AS (SELECT event_id, user_id, t FROM e WHERE event_type = 'view'),
+        |b AS (SELECT event_id, user_id, t FROM e
+        |      WHERE event_type = 'purchase'),
+        |wm AS (SELECT least((SELECT max(t) // 1000 FROM v),
+        |                    (SELECT max(t) // 1000 FROM b)) * 1000
+        |         - 3600000000 AS w),
+        |m AS (SELECT v.user_id, v.t AS t_view_us, b.t AS t_buy_us,
+        |        v.event_id AS view_id, b.event_id AS purchase_id,
+        |        b.t - v.t AS gap_us
+        |      FROM v JOIN b ON v.user_id = b.user_id
+        |        AND b.t > v.t AND b.t - v.t <= 600000000),
+        |u AS (SELECT v.user_id, v.t AS t_view_us,
+        |        CAST(-1 AS BIGINT) AS t_buy_us, v.event_id AS view_id,
+        |        CAST(-1 AS BIGINT) AS purchase_id,
+        |        CAST(-1 AS BIGINT) AS gap_us
+        |      FROM v, wm
+        |      WHERE v.t + 600000000 < wm.w
+        |        AND NOT EXISTS (SELECT 1 FROM b
+        |          WHERE b.user_id = v.user_id AND b.t > v.t
+        |            AND b.t - v.t <= 600000000)),
+        |u2 AS (SELECT b.user_id, CAST(-1 AS BIGINT) AS t_view_us,
+        |        b.t AS t_buy_us, CAST(-1 AS BIGINT) AS view_id,
+        |        b.event_id AS purchase_id, CAST(-1 AS BIGINT) AS gap_us
+        |      FROM b, wm
+        |      WHERE b.t < wm.w
+        |        AND NOT EXISTS (SELECT 1 FROM v
+        |          WHERE v.user_id = b.user_id AND b.t > v.t
+        |            AND b.t - v.t <= 600000000))
+        |SELECT * FROM m UNION ALL SELECT * FROM u UNION ALL
+        |SELECT * FROM u2
+        |ORDER BY user_id, t_view_us, t_buy_us, view_id, purchase_id"""
+        .stripMargin,
+
     // q72: the stream-stream interval join's batch twin — the plain
     // inequality join restricted to the (view, purchase) type pair;
     // on the single-batch fixture drain the streaming join emits

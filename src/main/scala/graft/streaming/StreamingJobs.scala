@@ -479,6 +479,61 @@ object StreamingJobs {
     }
   }
 
+  /** q75's FULL OUTER sibling (q75b) — the last stream-stream join
+    * mode: q75's matches and abandoned-view sentinels PLUS the
+    * attribution-less purchase, a buy with no in-gap preceding view
+    * emitted as a sentinel row (−1 view columns) once the watermark
+    * proves no view can still match it. The buy-side eviction point
+    * falls straight out of the interval condition `buy_ts > view_ts`:
+    * any future view arrives with event time ≥ the global watermark,
+    * and a matching buy must be STRICTLY later — so a buy older than
+    * the watermark is provably unmatchable and its state row is
+    * evicted (the view side keeps q75's `view_ts + gap < wm` point).
+    * State stays bounded by the trailing horizon on both sides,
+    * exactly as in q75; the oracle reproduces both eviction cuts from
+    * the engine's own watermark arithmetic (ms-floored min across
+    * sides − 1 h), withholding in-horizon rows on both sides of the
+    * compare.
+    */
+  def streamFunnelJoinFullOuter(s: SparkSession, dir: String,
+      gapUs: Long = 600000000L): DataFrame = {
+    val joined = funnelJoinFullOuterStream(s, eventsStream(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("t")), gapUs)
+    drain(s, joined, "funneljoinf_", outputMode = "append") { t =>
+      t.orderBy(col("user_id"), col("t_view_us"), col("t_buy_us"),
+        col("view_id"), col("purchase_id"))
+    }
+  }
+
+  /** Core of [[streamFunnelJoinFullOuter]] — split out for the
+    * two-sided abandonment-emission spec.
+    */
+  private[graft] def funnelJoinFullOuterStream(s: SparkSession,
+      events: DataFrame, gapUs: Long): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("t").as("t_view_us"), timestamp_micros(col("t")).as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val buys = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("buy_user_id"),
+        col("t").as("t_buy_us"), timestamp_micros(col("t")).as("buy_ts"))
+      .withWatermark("buy_ts", "1 hour")
+    views.join(buys,
+        col("user_id") === col("buy_user_id") &&
+          col("buy_ts") > col("view_ts") &&
+          col("buy_ts") <= col("view_ts") +
+            expr(s"INTERVAL $gapUs MICROSECOND"),
+        "full_outer")
+      .select(coalesce(col("user_id"), col("buy_user_id")).as("user_id"),
+        coalesce(col("t_view_us"), lit(-1L)).as("t_view_us"),
+        coalesce(col("t_buy_us"), lit(-1L)).as("t_buy_us"),
+        coalesce(col("view_id"), lit(-1L)).as("view_id"),
+        coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+        coalesce(col("t_buy_us") - col("t_view_us"), lit(-1L)).as("gap_us"))
+  }
+
   /** Core of [[streamFunnelJoinOuter]] — split out for the
     * multi-batch abandonment-emission spec.
     */

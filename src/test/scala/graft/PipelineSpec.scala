@@ -1418,6 +1418,48 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q75b full outer funnel: both sides emit sentinels on their own eviction points") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val t0 = 1700000000000000L // µs
+    val H = 3600000000L // 1 h in µs (the watermark delay)
+    val ms = MemoryStream[(Long, Long, String, Long)]
+    val joined = graft.streaming.StreamingJobs.funnelJoinFullOuterStream(
+      spark, ms.toDF().toDF("event_id", "user_id", "event_type", "t"),
+      gapUs = 600000000L)
+    val name = "q75b_crossbatch_test"
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    def rows() = spark.table(name).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("view_id"),
+        r.getAs[Long]("purchase_id"), r.getAs[Long]("gap_us"))).toSet
+    try {
+      // view for 10 (will match), view for 12 (will abandon), buy for
+      // 11 with NO view (the full-outer side this entry exists for).
+      ms.addData((1L, 10L, "view", t0), (5L, 12L, "view", t0),
+        (8L, 11L, "purchase", t0 + 100000000L))
+      q.processAllAvailable()
+      assert(rows().isEmpty, "nothing can emit before a match or eviction")
+      ms.addData((2L, 10L, "purchase", t0 + 300000000L)) // in-gap match
+      q.processAllAvailable()
+      assert(rows() == Set((10L, 1L, 2L, 300000000L)),
+        "the in-gap match must emit immediately; no sentinels yet")
+      // Far-future events on BOTH sides: watermark moves past both
+      // eviction points — user 12's view (view_ts + gap < wm) AND
+      // user 11's buy (buy_ts < wm) emit exactly one sentinel row
+      // each; the far-future rows themselves are in-horizon, withheld.
+      ms.addData((6L, 99L, "view", t0 + 3 * H),
+        (7L, 98L, "purchase", t0 + 3 * H))
+      q.processAllAvailable()
+      assert(rows() == Set((10L, 1L, 2L, 300000000L),
+        (12L, 5L, -1L, -1L), (11L, -1L, 8L, -1L)),
+        s"expected match + one sentinel per side, got ${rows()}")
+    } finally {
+      q.stop(); spark.catalog.dropTempView(name)
+    }
+  }
+
   test("q76 incremental dedup equals full q15 restricted to arrival pairs; index staged once") {
     import org.apache.spark.sql.functions.col
     def key(r: org.apache.spark.sql.Row) =
