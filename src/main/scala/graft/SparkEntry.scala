@@ -129,6 +129,8 @@ object SparkEntry {
     "q76_incremental_dedup"   -> (PipelineQueries.q76IncrementalDedup _),
     "q76b_growing_index_dedup" ->
       (PipelineQueries.q76bGrowingIndexDedup _),
+    "q25b_ann_ivf_append"     ->
+      (PipelineQueries.q25bAnnIvfAppend _),
     "q77_ann_int8_rerank"     -> (PipelineQueries.q77AnnInt8Rerank _),
     "q78_selective_probe"     -> (Analytics.q78SelectiveProbe _),
     "q79_substring_dedup"     -> (PipelineQueries.q79SubstringDedup _),

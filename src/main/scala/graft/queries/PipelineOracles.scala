@@ -77,7 +77,7 @@ object PipelineOracles {
     * agreement assumption.
     */
   private def ivfCtes(nCells: Int, iters: Int,
-      sampleSize: Int = 512): String = {
+      sampleSize: Int = 512, trainWhere: String = ""): String = {
     val hashOrd = "md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id"
     val init =
       s"""qe AS (SELECT vec_id, embedding,
@@ -85,7 +85,7 @@ object PipelineOracles {
          |        sqrt(${vdot("embedding", "embedding")}) AS norm
          |      FROM embeddings),
          |smp AS (SELECT row_number() OVER (ORDER BY $hashOrd) - 1 AS sidx, xq
-         |       FROM (SELECT vec_id, xq FROM qe
+         |       FROM (SELECT vec_id, xq FROM qe $trainWhere
          |             ORDER BY $hashOrd LIMIT $sampleSize)),
          |c0 AS (SELECT sidx AS cell, xq AS cx FROM smp WHERE sidx < $nCells)""".stripMargin
     val rounds = (1 to iters).map { r =>
@@ -562,6 +562,26 @@ object PipelineOracles {
          |s AS (SELECT anchor_id, b.vec_id AS vec_id,
          |        round(${vdot("b.embedding", "aemb")} / (b.norm * anorm), 6) AS cos_sim
          |      FROM b JOIN a USING (bucket) WHERE b.vec_id <> anchor_id)
+         |SELECT anchor_id, vec_id, cos_sim, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY anchor_id
+         |    ORDER BY cos_sim DESC, vec_id) AS rank FROM s) r
+         |WHERE rank <= 3 ORDER BY anchor_id, rank""".stripMargin,
+
+    // q25b: q25's probe/top-k SQL with the quantizer TRAINED ONLY on
+    // the standing corpus (vec_id % 10 <> 0) — the frozen-centroid
+    // contract; asg still assigns every vector (base + appended
+    // arrival segment on the engine side).
+    "q25b_ann_ivf_append" ->
+      s"""WITH ${ivfCtes(16, 2, 512, "WHERE vec_id % 10 <> 0")},
+         |probe AS (SELECT anchor_id, aemb, anorm, cell FROM (
+         |    SELECT qe.vec_id AS anchor_id, qe.embedding AS aemb,
+         |      qe.norm AS anorm, c.cell,
+         |      row_number() OVER (PARTITION BY qe.vec_id
+         |        ORDER BY ${sqDist("qe.xq", "c.cx")}, c.cell) AS rn
+         |    FROM qe, c2 c WHERE qe.vec_id IN (0, 1, 2)) t WHERE rn <= 2),
+         |s AS (SELECT anchor_id, asg.vec_id AS vec_id,
+         |        round(${vdot("asg.embedding", "aemb")} / (asg.norm * anorm), 6) AS cos_sim
+         |      FROM asg JOIN probe USING (cell) WHERE asg.vec_id <> anchor_id)
          |SELECT anchor_id, vec_id, cos_sim, rank FROM (
          |  SELECT *, row_number() OVER (PARTITION BY anchor_id
          |    ORDER BY cos_sim DESC, vec_id) AS rank FROM s) r

@@ -1897,6 +1897,68 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** IVF index MAINTENANCE (q25b) — the train-then-add pattern every
+    * production ANN system runs (FAISS's `train()` once, `add()` per
+    * batch), the ANN sibling of q76b's growing LSH index. The coarse
+    * quantizer is TRAINED ONLY on the standing corpus (vec_id % 10
+    * ≠ 0; the deterministic micro-integer k-means on the hash-ordered
+    * 512-sample) and then FROZEN; the corpus's inverted file
+    * (vec_id, cell) is a write-once staged segment; an arrival batch
+    * (vec_id % 10 = 0) is assigned by the frozen centroids MAP-ONLY —
+    * 16 literal integer dot products per vector, no retrain, no
+    * corpus scan — and appended as its own segment (the q76b marker
+    * protocol; at 100 TB re-clustering the corpus per arrival batch
+    * would be O(corpus·batches)). Queries rank their nProbe cells
+    * with the same frozen centroids and probe the UNION of segments,
+    * fetching candidate vectors by vec_id join. The oracle replays
+    * the corpus-restricted training (same sample order, Lloyd rounds,
+    * truncating division) and assigns every vector with the frozen
+    * centroids — a retrained quantizer, a stale segment, or a drifted
+    * assignment all fail the hash. Centroid drift is the documented
+    * trade (FAISS's too): arrivals land in cells whose centroid never
+    * saw them; recall restores on the next re-train.
+    */
+  def q25bAnnIvfAppend(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nCells = 16; val nProbe = 2; val k = 3
+    val anchorIds = Seq(0L, 1L, 2L)
+    val emb = Tables.embeddings(s, dir)
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val arrivals = emb.filter(col("vec_id") % 10 === 0)
+    val cents = graft.functions.Similarity
+      .kmeansCentroidsMicro(corpus, nCells).sortBy(_._1).map(_._2)
+    def rankOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      graft.expressions.Sketches.ivfCellRank(s, c, cents)
+    def assign(df: DataFrame): DataFrame = df.select(col("vec_id"),
+      rankOf(col("embedding"))(0).getField("cell").as("cell"))
+    val root = s"$stageRoot/ivfseg_${stageTag(s, dir, "embeddings.parquet", "ivf16f1")}"
+    val invFile = writeOnceStage(s, s"$root/seg_base", "cells",
+        assign(corpus))
+      .unionByName(writeOnceStage(s, s"$root/seg_arr0", "cells",
+        assign(arrivals)))
+    val dot = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
+      graft.expressions.Sketches.fdot(s, x, y)
+    val anchors = emb.filter(col("vec_id").isin(anchorIds: _*))
+      .select(col("vec_id").as("anchor_id"),
+        col("embedding").as("anchor_emb"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("anchor_norm"),
+        explode(slice(transform(rankOf(col("embedding")),
+          x => x.getField("cell")), 1, nProbe)).as("cell"))
+    val vecs = emb.select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
+    val cands = invFile.join(broadcast(anchors), Seq("cell"))
+      .filter(col("vec_id") =!= col("anchor_id"))
+      .join(vecs, Seq("vec_id"))
+      .withColumn("cos_sim", round(dot(col("embedding"), col("anchor_emb")) /
+        (col("norm") * col("anchor_norm")), 6))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col("vec_id"), col("cos_sim"), col("rank"))
+      .orderBy(col("anchor_id"), col("rank"))
+  }
+
   /** DUPLICATED-SPAN SCRUB (q79c) — the ACTION the q79/q79b report
     * motivates: Lee et al. (arXiv 2107.06499) don't just count
     * duplicated spans, they CUT them from the training corpus. Every

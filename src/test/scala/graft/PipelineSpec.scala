@@ -1527,6 +1527,35 @@ class PipelineSpec extends AnyFunSuite {
       "replay rewrote a segment")
   }
 
+  test("q25b frozen-centroid IVF: write-once segments, fresh session probes the staged file") {
+    val first = SparkEntry.queries("q25b_ann_ivf_append")(spark, sf)
+    val rows1 = first.collect().map(_.toSeq).toSeq
+    assert(rows1.length == 9) // 3 anchors × top-3
+    val stageDir = new java.io.File(
+      graft.queries.PipelineQueries.stageRoot)
+    val idx = stageDir.listFiles().filter(_.getName.startsWith("ivfseg_"))
+    assert(idx.nonEmpty, "no staged IVF segments found")
+    val segs = idx.head.listFiles().filter(_.getName.startsWith("seg_"))
+      .sortBy(_.getName)
+    assert(segs.map(_.getName).toSeq == Seq("seg_arr0", "seg_base"),
+      s"unexpected segments: ${segs.map(_.getName).toSeq}")
+    segs.foreach { sd =>
+      assert(new java.io.File(sd, "_staged").exists(),
+        s"${sd.getName} missing its marker")
+    }
+    val mtimes = segs.map(sd => new java.io.File(sd, "cells").lastModified())
+    // A fresh session must reproduce the result from the SAME frozen
+    // quantizer and the SAME segments (no rewrite, no retrain drift).
+    val s2 = spark.newSession()
+    val second = SparkEntry.queries("q25b_ann_ivf_append")(s2, sf)
+    assert(second.collect().map(_.toSeq).toSeq == rows1)
+    assert(segs.map(sd =>
+      new java.io.File(sd, "cells").lastModified()).toSeq == mtimes.toSeq,
+      "second session rewrote a segment")
+    assert(second.queryExecution.executedPlan.toString.contains("ivfseg_"),
+      "q25b plan does not scan the staged inverted file")
+  }
+
   test("q77 int8 rerank recovers the exact top-3; quantized cosine tracks exact") {
     val got = SparkEntry.queries("q77_ann_int8_rerank")(spark, sf).collect()
     assert(got.length == 9) // 3 anchors × top-3
