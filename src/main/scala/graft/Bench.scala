@@ -246,9 +246,11 @@ object Bench {
           "q36_contamination,q38_ngram_jaccard,q48_stream_near_dup," +
           "q51_semantic_dedup,q53_corpus_recipe,q56_bigram_lm," +
           "q65b_dedup_agreement_star,q72_stream_funnel_join," +
-          "q75_stream_funnel_outer,q76_incremental_dedup," +
+          "q75_stream_funnel_outer,q75b_stream_funnel_full," +
+          "q76_incremental_dedup,q76b_growing_index_dedup," +
           "q77_ann_int8_rerank,q79_substring_dedup," +
-          "q79b_substring_dedup_2ph,near_scale_receipts"))
+          "q79b_substring_dedup_2ph,q79c_substring_scrub," +
+          "q25b_ann_ivf_append,near_scale_receipts"))
       .split(",").map(_.trim).filter(SparkEntry.queries.contains).toSeq
     val isolated = isolatedNames.map { n =>
       val s = SparkSession.builder()
