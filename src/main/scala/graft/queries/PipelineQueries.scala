@@ -1098,14 +1098,16 @@ object PipelineQueries {
     * throw and let the next call rebuild).
     */
   private[graft] def writeOnceStage(s: SparkSession, stage: String,
-      dataDir: String, build: => DataFrame): DataFrame = {
+      dataDir: String, build: => DataFrame,
+      partitionBy: Seq[String] = Nil): DataFrame = {
     val dst = new org.apache.hadoop.fs.Path(s"$stage/$dataDir")
     val fs = dst.getFileSystem(s.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(s"$stage/_staged")
     if (!fs.exists(marker)) {
       val tmp = new org.apache.hadoop.fs.Path(
         s"$stage/.tmp_${dataDir}_${java.util.UUID.randomUUID}")
-      build.write.mode("overwrite").parquet(tmp.toString)
+      build.write.mode("overwrite").partitionBy(partitionBy: _*)
+        .parquet(tmp.toString)
       if (!fs.rename(tmp, dst)) {
         fs.delete(tmp, true)
         if (!fs.exists(dst)) sys.error(
@@ -1931,11 +1933,15 @@ object PipelineQueries {
       graft.expressions.Sketches.ivfCellRank(s, c, cents)
     def assign(df: DataFrame): DataFrame = df.select(col("vec_id"),
       rankOf(col("embedding"))(0).getField("cell").as("cell"))
-    val root = s"$stageRoot/ivfseg_${stageTag(s, dir, "embeddings.parquet", "ivf16f1")}"
+    // Segments are DIRECTORY-PARTITIONED by cell: the probe join on
+    // the partition column (broadcast anchors) lets dynamic partition
+    // pruning cut the scan to the probed cells' files — at 100 TB the
+    // inverted file's whole point is reading nProbe/nCells of it.
+    val root = s"$stageRoot/ivfseg_${stageTag(s, dir, "embeddings.parquet", "ivf16p1")}"
     val invFile = writeOnceStage(s, s"$root/seg_base", "cells",
-        assign(corpus))
+        assign(corpus), partitionBy = Seq("cell"))
       .unionByName(writeOnceStage(s, s"$root/seg_arr0", "cells",
-        assign(arrivals)))
+        assign(arrivals), partitionBy = Seq("cell")))
     val dot = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
       graft.expressions.Sketches.fdot(s, x, y)
     val anchors = emb.filter(col("vec_id").isin(anchorIds: _*))

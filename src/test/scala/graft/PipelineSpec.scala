@@ -1552,8 +1552,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(segs.map(sd =>
       new java.io.File(sd, "cells").lastModified()).toSeq == mtimes.toSeq,
       "second session rewrote a segment")
-    assert(second.queryExecution.executedPlan.toString.contains("ivfseg_"),
+    val plan2 = second.queryExecution.executedPlan.toString
+    assert(plan2.contains("ivfseg_"),
       "q25b plan does not scan the staged inverted file")
+    // The segments are directory-partitioned by cell and the probe
+    // join key is the partition column: dynamic partition pruning
+    // must cut the scan to the probed cells' files (the nProbe/nCells
+    // read fraction that makes an inverted file an index at 100 TB).
+    assert(plan2.toLowerCase.contains("dynamicpruning"),
+      "probe scan not dynamically partition-pruned")
   }
 
   test("q77 int8 rerank recovers the exact top-3; quantized cosine tracks exact") {
