@@ -134,6 +134,8 @@ object SparkEntry {
     "q77_ann_int8_rerank"     -> (PipelineQueries.q77AnnInt8Rerank _),
     "q78_selective_probe"     -> (Analytics.q78SelectiveProbe _),
     "q79_substring_dedup"     -> (PipelineQueries.q79SubstringDedup _),
+    "q80_stream_corpus_probe" -> ((s: SparkSession, dir: String) =>
+      StreamingJobs.streamCorpusProbe(s, dir)),
     "q79b_substring_dedup_2ph" ->
       (PipelineQueries.q79bSubstringDedup2Phase _),
     "q79c_substring_scrub"    ->

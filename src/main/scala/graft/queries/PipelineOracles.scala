@@ -357,6 +357,14 @@ object PipelineOracles {
     "q15_lsh_near_dups" -> q15PairsSql,
     "q76_incremental_dedup" -> q76IncrementalSql,
     "q76b_growing_index_dedup" -> q76bGrowingSql,
+    // q80: the ingest-gate stream-static probe — q15 pairs with
+    // exactly one arrival endpoint (arrival x corpus only; the
+    // within-arrival family is q76's self-band, not probed here).
+    "q80_stream_corpus_probe" ->
+      s"""WITH $q15PairCtes
+         |SELECT doc_a, doc_b, jaccard FROM v
+         |WHERE jaccard >= 0.8 AND ((doc_a % 10 = 0) <> (doc_b % 10 = 0))
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q79_substring_dedup" -> q79SubstringSql,
     // q79b shares q79's oracle verbatim — the two-phase plan must be
     // row-identical to the window baseline.

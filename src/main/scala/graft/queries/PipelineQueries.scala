@@ -2051,26 +2051,31 @@ object PipelineQueries {
   }
 
   /** Shared q76/q76b operating point (q15's family). */
-  private val Q76K = 16; private val Q76Bands = 4
-  private val Q76ShingleN = 3; private val Q76Threshold = 0.8
+  private[graft] val Q76K = 16; private[graft] val Q76Bands = 4
+  private[graft] val Q76ShingleN = 3; private[graft] val Q76Threshold = 0.8
 
   /** The (id, words) base frame q76/q76b sketch and verify against. */
-  private def lshDocWords(s: SparkSession, dir: String): DataFrame =
+  private[graft] def lshDocWords(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id").cast("long").as("id"),
         TF.words(col("text")).as("w"))
       .filter(size(col("w")) >= Q76ShingleN)
 
-  /** (id, band, band_hash) band rows over the q15 MinHash family. */
-  private def lshBandsOf(s: SparkSession, df: DataFrame): DataFrame = {
+  /** (id, band, band_hash) band rows over the q15 MinHash family.
+    * `carry` keeps extra columns through the explode (q80's streaming
+    * probe carries the words so the exact verify needs no stream-side
+    * self-join — that would be a stateful stream-stream join).
+    */
+  private[graft] def lshBandsOf(s: SparkSession, df: DataFrame,
+      carry: Seq[String] = Nil): DataFrame = {
     val rows = Q76K / Q76Bands
     df.withColumn("sig", graft.expressions.Sketches
         .minhashSigFromWords(s, col("w"), Q76ShingleN, Q76K))
-      .select(col("id"),
+      .select((col("id") +: carry.map(col)) :+
         posexplode(transform(sequence(lit(0), lit(Q76Bands - 1)),
           b => md5(concat_ws("|",
             transform(slice(col("sig"), b * lit(rows) + lit(1), lit(rows)),
-              v => v.cast("string")))))))
+              v => v.cast("string")))))): _*)
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
   }
@@ -2145,7 +2150,7 @@ object PipelineQueries {
     * identity (write-then-rename-then-marker, the stagedDisposition
     * protocol), read by every arrival batch.
     */
-  private def stagedCorpusBands(s: SparkSession, dir: String,
+  private[graft] def stagedCorpusBands(s: SparkSession, dir: String,
       build: => DataFrame): DataFrame =
     writeOnceStage(s,
       s"$stageRoot/lshindex_${stageTag(s, dir, "documents.parquet", "lsh16x4v1")}",

@@ -392,6 +392,76 @@ object StreamingJobs {
     drain(s, agg, "qyield_")(_.orderBy(col("source"), col("disposition")))
   }
 
+  /** STREAM-STATIC JOIN (q80) — the one Structured Streaming join
+    * mode this module didn't exercise, in its production role: the
+    * INGEST GATE. Arriving documents (doc_id % 10 == 0, the q76
+    * arrival convention) are banded on the fly — map-only MinHash
+    * over the q15 family, a pure row expression on the stream — and
+    * probed against the STATIC staged corpus band index (q76's
+    * write-once artifact, read back as an ordinary parquet relation)
+    * with a stream-static equi-join on (band, band_hash); candidates
+    * exact-verify (shingle Jaccard ≥ 0.8) against the static corpus
+    * words, also stream-static. Stream-static joins are STATELESS:
+    * no watermark requirement and no join state store — each
+    * micro-batch joins against the static relation (at scale: the
+    * staged index re-read per trigger, or broadcast when it fits).
+    * The only state in the job is the pair dedup — a pair can hit on
+    * up to 4 bands — keyed by (doc_a, doc_b) with the arrival's
+    * synthesized event time (doc_id seconds, the q35b/q63b
+    * convention) and a 1 h watermark, so dedup state evicts at the
+    * horizon instead of growing with the stream. Oracle = the q15
+    * pair family restricted to arrival×corpus pairs (exactly one
+    * endpoint % 10 == 0): a stale index, a dropped band hit, or a
+    * double-emitted pair all fail the hash.
+    */
+  def streamCorpusProbe(s: SparkSession, dir: String): DataFrame = {
+    val arrDocs = docsStream(s, dir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    drain(s, corpusProbeStream(s, arrDocs, dir), "corpusprobe_",
+        outputMode = "append") { t =>
+      t.orderBy(col("doc_a"), col("doc_b"))
+    }
+  }
+
+  /** Core of [[streamCorpusProbe]] over any streaming (doc_id, text)
+    * arrival frame — split out for the multi-batch spec (which also
+    * pins that the ONLY state operator is the pair dedup: the
+    * stream-static join itself is stateless).
+    */
+  private[graft] def corpusProbeStream(s: SparkSession,
+      arrivalDocs: DataFrame, dir: String): DataFrame = {
+    import graft.queries.PipelineQueries
+    val shingleN = PipelineQueries.Q76ShingleN
+    val arr = arrivalDocs
+      .select(col("doc_id").as("id"),
+        graft.functions.TextFunctions.words(col("text")).as("w"))
+      .filter(col("id") % 10 === 0 && size(col("w")) >= shingleN)
+    val arrBands = PipelineQueries.lshBandsOf(s, arr, carry = Seq("w"))
+    val idx = PipelineQueries.stagedCorpusBands(s, dir,
+      PipelineQueries.lshBandsOf(s,
+        PipelineQueries.lshDocWords(s, dir).filter(col("id") % 10 =!= 0)))
+    val corpusWords = PipelineQueries.lshDocWords(s, dir)
+      .filter(col("id") % 10 =!= 0)
+      .select(col("id").as("corpus_id"), col("w").as("w_b"))
+    arrBands.as("n")
+      .join(idx.as("c"),
+        col("n.band") === col("c.band") &&
+          col("n.band_hash") === col("c.band_hash"))
+      .select(col("n.id").as("arr_id"), col("c.id").as("corpus_id"),
+        col("n.w").as("w_a"))
+      .join(corpusWords, Seq("corpus_id"))
+      .withColumn("jaccard", round(graft.expressions.Sketches
+        .shingleJaccard(s, col("w_a"), col("w_b"), shingleN), 4))
+      .filter(col("jaccard") >= PipelineQueries.Q76Threshold)
+      .select(least(col("arr_id"), col("corpus_id")).as("doc_a"),
+        greatest(col("arr_id"), col("corpus_id")).as("doc_b"),
+        col("jaccard"),
+        timestamp_seconds(col("arr_id")).as("arr_ts"))
+      .withWatermark("arr_ts", "1 hour")
+      .dropDuplicates("doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** STREAM-STREAM INTERVAL JOIN — the watermarked two-stream join
     * (§ Structured Streaming's flagship stateful operator, previously
     * unexercised here): each view event joined to the same user's

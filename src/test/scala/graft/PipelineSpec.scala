@@ -1460,6 +1460,50 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q80 stream-static probe: arrivals in batches match the restricted q15; join is stateless") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // Ground truth: q15 pairs with exactly one arrival endpoint.
+    val want = SparkEntry.queries("q15_lsh_near_dups")(spark, sf)
+      .filter((col("doc_a") % 10 === 0) =!= (col("doc_b") % 10 === 0))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    // Arrival docs fed through a MemoryStream in TWO batches — each
+    // micro-batch probes the same static staged index.
+    val arrivals = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").cast("long"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val (b1, b2) = arrivals.partition(_._1 % 20 == 0)
+    val ms = MemoryStream[(Long, String)]
+    val probe = graft.streaming.StreamingJobs.corpusProbeStream(spark,
+      ms.toDF().toDF("doc_id", "text"), sf)
+    val name = "q80_crossbatch_test"
+    val q = probe.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      ms.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+      ms.addData(b2.toSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table(name).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[Double]("jaccard"))).toSet
+      assert(got == want,
+        s"missing=${want -- got} extra=${got -- want}")
+      // The stream-static join keeps NO join state: the only state
+      // operator in the query is the pair dedup.
+      val ops = q.lastProgress.stateOperators
+      assert(ops.length == 1 && ops.head.operatorName.contains("dedupe"),
+        s"unexpected state operators: ${ops.map(_.operatorName).toSeq}")
+    } finally {
+      q.stop(); spark.catalog.dropTempView(name)
+    }
+  }
+
   test("q76 incremental dedup equals full q15 restricted to arrival pairs; index staged once") {
     import org.apache.spark.sql.functions.col
     def key(r: org.apache.spark.sql.Row) =
