@@ -323,6 +323,63 @@ object Similarity {
     cents.zipWithIndex.map(_.swap)
   }
 
+  /** Product-quantization codebooks: the SAME deterministic
+    * sample-trained micro-integer k-means as [[kmeansCentroidsMicro]]
+    * (identical sample — the `sampleSize` vectors first in
+    * md5("ivf:"||vec_id) order — identical strict-< tiebreak,
+    * truncating integer means, emptied-cell carry), run INDEPENDENTLY
+    * on each of `m` contiguous `dsub`-dim subspaces of the
+    * micro-quantized embedding. One corpus pass collects the sample
+    * once; the m Lloyd loops are driver work over 512 × dsub longs.
+    * Returns codebooks(j)(cell) = the dsub-dim micro centroid — every
+    * value exact long arithmetic, so the DuckDB oracle replays all m
+    * codebooks bit-for-bit with the ivfCtes machinery per subspace.
+    */
+  private[graft] def pqCodebooksMicro(embeddings: DataFrame, m: Int = 8,
+      dsub: Int = 8, k: Int = 16, iters: Int = 2,
+      sampleSize: Int = 512): Array[Array[Array[Long]]] = {
+    val s = embeddings.sparkSession
+    val sample: Array[Array[Long]] = embeddings
+      .select(col("vec_id"),
+        graft.expressions.Sketches.microQuantize(s, col("embedding")).as("xq"))
+      .orderBy(md5(concat(lit("ivf:"), col("vec_id").cast("string"))),
+        col("vec_id"))
+      .limit(sampleSize)
+      .select(col("xq")).collect()
+      .map(_.getSeq[Double](0).map(_.toLong).toArray)
+    Array.tabulate(m) { j =>
+      val sub = sample.map(_.slice(j * dsub, j * dsub + dsub))
+      var cents = sub.take(k).map(_.clone())
+      var it = 0
+      while (it < iters && cents.nonEmpty) {
+        val kk = cents.length
+        val sums = Array.ofDim[Long](kk, dsub)
+        val counts = new Array[Long](kk)
+        sub.foreach { x =>
+          var best = 0
+          var bestD = Long.MaxValue
+          var c = 0
+          while (c < kk) {
+            val cv = cents(c)
+            var d = 0L
+            var i = 0
+            while (i < dsub) { val t = x(i) - cv(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = c } // strict <: tie keeps lower
+            c += 1
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < dsub) { sums(best)(i) += x(i); i += 1 }
+        }
+        cents = Array.tabulate(kk)(c =>
+          if (counts(c) == 0) cents(c)
+          else Array.tabulate(dsub)(i => sums(c)(i) / counts(c)))
+        it += 1
+      }
+      cents
+    }
+  }
+
   /** Distance ranking per row: sorted (exact squared micro-distance,
     * cell) array from the native [[graft.expressions.Sketches.IvfCellRank]]
     * expression — one map-only projection, centroids inlined as

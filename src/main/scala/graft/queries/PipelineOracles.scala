@@ -58,6 +58,61 @@ object PipelineOracles {
   private def sqDist(x: String, c: String): String =
     s"list_sum(list_transform(range(1, 65), i -> ($x[i]-$c[i])*($x[i]-$c[i])))"
 
+  /** [[sqDist]] over the first `n` components (PQ subspace slices). */
+  private def sqDistN(x: String, c: String, n: Int): String =
+    s"list_sum(list_transform(range(1, ${n + 1}), i -> ($x[i]-$c[i])*($x[i]-$c[i])))"
+
+  /** The PQ codebook family as unrolled CTEs — the DuckDB twin of
+    * `Similarity.pqCodebooksMicro` + per-vector code assignment: the
+    * SAME qe/smp as ivfCtes (same micro quantization, same
+    * hash-ordered 512-sample), then per subspace j an independent
+    * k-means chain over the slice xq[j·dsub+1 : (j+1)·dsub] (init =
+    * first k sample slices, `iters` Lloyd rounds with exact integer
+    * distances, strict-< ties to the lower cell, truncating `//`
+    * means, emptied-cell carry) ending in `p{j}c{iters}` (the
+    * codebook) and `code{j}` (each vector's nearest cell in that
+    * subspace).
+    */
+  private def pqCtes(m: Int = 8, dsub: Int = 8, k: Int = 16,
+      iters: Int = 2, sampleSize: Int = 512): String = {
+    val hashOrd = "md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id"
+    val init =
+      s"""qe AS (SELECT vec_id, embedding,
+         |        list_transform(embedding, v -> round(CAST(v AS DOUBLE) * 1000000, 0)) AS xq,
+         |        sqrt(${vdot("embedding", "embedding")}) AS norm
+         |      FROM embeddings),
+         |smp AS (SELECT row_number() OVER (ORDER BY $hashOrd) - 1 AS sidx, xq
+         |       FROM (SELECT vec_id, xq FROM qe
+         |             ORDER BY $hashOrd LIMIT $sampleSize))""".stripMargin
+    val subs = (0 until m).map { j =>
+      val a = j * dsub + 1; val b = (j + 1) * dsub
+      val initJ =
+        s"""p${j}c0 AS (SELECT sidx AS cell, xq[$a:$b] AS cx
+           |       FROM smp WHERE sidx < $k)""".stripMargin
+      val rounds = (1 to iters).map { r =>
+        s"""p${j}a$r AS (SELECT sidx, sxq, cell FROM (
+           |    SELECT smp.sidx, smp.xq[$a:$b] AS sxq, c.cell,
+           |      row_number() OVER (PARTITION BY smp.sidx
+           |        ORDER BY ${sqDistN(s"smp.xq[$a:$b]", "c.cx", dsub)}, c.cell) AS rn
+           |    FROM smp, p${j}c${r - 1} c) t WHERE rn = 1),
+           |p${j}m$r AS (SELECT cell, pos, CAST(sum(sxq[pos]) AS BIGINT) AS s, count(*) AS n
+           |       FROM p${j}a$r CROSS JOIN range(1, ${dsub + 1}) t(pos) GROUP BY cell, pos),
+           |p${j}c$r AS (SELECT c.cell, coalesce(mm.cx, c.cx) AS cx
+           |       FROM p${j}c${r - 1} c LEFT JOIN (
+           |         SELECT cell, list(CAST(s // n AS DOUBLE) ORDER BY pos) AS cx
+           |         FROM p${j}m$r GROUP BY cell) mm USING (cell))""".stripMargin
+      }
+      val codeJ =
+        s"""code$j AS (SELECT vec_id, cell FROM (
+           |    SELECT qe.vec_id, c.cell,
+           |      row_number() OVER (PARTITION BY qe.vec_id
+           |        ORDER BY ${sqDistN(s"qe.xq[$a:$b]", "c.cx", dsub)}, c.cell) AS rn
+           |    FROM qe, p${j}c$iters c) t WHERE rn = 1)""".stripMargin
+      (Seq(initJ) ++ rounds :+ codeJ).mkString(",\n")
+    }
+    (Seq(init) ++ subs).mkString(",\n")
+  }
+
   /** The deterministic sample-trained micro-integer k-means coarse
     * quantizer as an unrolled CTE chain — the DuckDB twin of
     * `Similarity.kmeansCentroidsMicro` + final assignment. Produces:
@@ -573,6 +628,77 @@ object PipelineOracles {
          |SELECT anchor_id, vec_id, cos_sim, rank FROM (
          |  SELECT *, row_number() OVER (PARTITION BY anchor_id
          |    ORDER BY cos_sim DESC, vec_id) AS rank FROM s) r
+         |WHERE rank <= 3 ORDER BY anchor_id, rank""".stripMargin,
+
+    // q81: the PQ/ADC twin — 8 subspace codebooks replayed with the
+    // pqCtes machinery, per-vector codes, anchor-side table dots, the
+    // reconstructed-norm cosine, top-8 by PQ score, exact re-rank.
+    "q81_ann_pq" ->
+      s"""WITH ${pqCtes()},
+         |anch AS (SELECT vec_id AS anchor_id, xq AS axq,
+         |         embedding AS aemb, norm AS anorm
+         |         FROM qe WHERE vec_id IN (0, 1, 2)),
+         |sc AS (
+         |      SELECT a.anchor_id, k.vec_id,
+         |        list_sum(list_transform(range(1, 9), i -> a.axq[1 + i - 1] * c.cx[i])) AS sd,
+         |        list_sum(list_transform(range(1, 9), i -> c.cx[i] * c.cx[i])) AS nr
+         |      FROM code0 k JOIN p0c2 c USING (cell), anch a
+         |UNION ALL
+         |      SELECT a.anchor_id, k.vec_id,
+         |        list_sum(list_transform(range(1, 9), i -> a.axq[9 + i - 1] * c.cx[i])) AS sd,
+         |        list_sum(list_transform(range(1, 9), i -> c.cx[i] * c.cx[i])) AS nr
+         |      FROM code1 k JOIN p1c2 c USING (cell), anch a
+         |UNION ALL
+         |      SELECT a.anchor_id, k.vec_id,
+         |        list_sum(list_transform(range(1, 9), i -> a.axq[17 + i - 1] * c.cx[i])) AS sd,
+         |        list_sum(list_transform(range(1, 9), i -> c.cx[i] * c.cx[i])) AS nr
+         |      FROM code2 k JOIN p2c2 c USING (cell), anch a
+         |UNION ALL
+         |      SELECT a.anchor_id, k.vec_id,
+         |        list_sum(list_transform(range(1, 9), i -> a.axq[25 + i - 1] * c.cx[i])) AS sd,
+         |        list_sum(list_transform(range(1, 9), i -> c.cx[i] * c.cx[i])) AS nr
+         |      FROM code3 k JOIN p3c2 c USING (cell), anch a
+         |UNION ALL
+         |      SELECT a.anchor_id, k.vec_id,
+         |        list_sum(list_transform(range(1, 9), i -> a.axq[33 + i - 1] * c.cx[i])) AS sd,
+         |        list_sum(list_transform(range(1, 9), i -> c.cx[i] * c.cx[i])) AS nr
+         |      FROM code4 k JOIN p4c2 c USING (cell), anch a
+         |UNION ALL
+         |      SELECT a.anchor_id, k.vec_id,
+         |        list_sum(list_transform(range(1, 9), i -> a.axq[41 + i - 1] * c.cx[i])) AS sd,
+         |        list_sum(list_transform(range(1, 9), i -> c.cx[i] * c.cx[i])) AS nr
+         |      FROM code5 k JOIN p5c2 c USING (cell), anch a
+         |UNION ALL
+         |      SELECT a.anchor_id, k.vec_id,
+         |        list_sum(list_transform(range(1, 9), i -> a.axq[49 + i - 1] * c.cx[i])) AS sd,
+         |        list_sum(list_transform(range(1, 9), i -> c.cx[i] * c.cx[i])) AS nr
+         |      FROM code6 k JOIN p6c2 c USING (cell), anch a
+         |UNION ALL
+         |      SELECT a.anchor_id, k.vec_id,
+         |        list_sum(list_transform(range(1, 9), i -> a.axq[57 + i - 1] * c.cx[i])) AS sd,
+         |        list_sum(list_transform(range(1, 9), i -> c.cx[i] * c.cx[i])) AS nr
+         |      FROM code7 k JOIN p7c2 c USING (cell), anch a),
+         |tot AS (SELECT anchor_id, vec_id, CAST(sum(sd) AS BIGINT) AS sdot,
+         |          CAST(sum(nr) AS BIGINT) AS nrec
+         |        FROM sc WHERE vec_id <> anchor_id GROUP BY anchor_id, vec_id),
+         |an2 AS (SELECT anchor_id,
+         |          list_sum(list_transform(range(1, 65), i -> axq[i] * axq[i])) AS anorm2
+         |        FROM anch),
+         |pqs AS (SELECT t.anchor_id, t.vec_id,
+         |          round(CAST(t.sdot AS DOUBLE) /
+         |            (sqrt(CAST(an2.anorm2 AS DOUBLE)) * sqrt(CAST(t.nrec AS DOUBLE))), 6) AS cos_pq
+         |        FROM tot t JOIN an2 USING (anchor_id)),
+         |top AS (SELECT anchor_id, vec_id, cos_pq FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY anchor_id
+         |          ORDER BY cos_pq DESC, vec_id) AS qrank FROM pqs) t
+         |        WHERE qrank <= 8),
+         |rr AS (SELECT top.anchor_id, top.vec_id, top.cos_pq,
+         |        round(${vdot("qe.embedding", "a.aemb")} / (qe.norm * a.anorm), 6) AS cos_sim
+         |      FROM top JOIN qe ON top.vec_id = qe.vec_id
+         |        JOIN anch a ON top.anchor_id = a.anchor_id)
+         |SELECT anchor_id, rank, vec_id, cos_pq, cos_sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY anchor_id
+         |    ORDER BY cos_sim DESC, vec_id) AS rank FROM rr) r
          |WHERE rank <= 3 ORDER BY anchor_id, rank""".stripMargin,
 
     // q25b: q25's probe/top-k SQL with the quantizer TRAINED ONLY on

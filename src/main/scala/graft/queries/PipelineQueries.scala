@@ -1899,6 +1899,113 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** PRODUCT-QUANTIZED ANN (q81) — the deep end of the compression
+    * axis (q29/q77's int8 is 8× smaller; PQ is 64×): the 64-dim
+    * embedding is split into 8 contiguous 8-dim subspaces, each with
+    * its own 16-centroid codebook (the SAME deterministic
+    * micro-integer k-means as IVF, per subspace, same 512-vector
+    * hash-ordered sample — [[graft.functions.Similarity.pqCodebooksMicro]]),
+    * and every vector is stored as 8 one-byte codes — the staged
+    * `array<tinyint>` parquet is the 64×-smaller scan artifact (the
+    * q77 staging convention). Scoring is ADC (asymmetric distance
+    * computation, Jégou et al. 2011, "Product Quantization for
+    * Nearest Neighbor Search"): each anchor precomputes an 8×16
+    * lookup table of exact micro-integer dot products between its
+    * subvectors and every codebook centroid (driver work — 3 anchors
+    * × 128 8-dim dots), and a candidate's approximate dot is 8 table
+    * lookups summed, a map-only projection over the codes scan. The
+    * approximate cosine divides by the RECONSTRUCTED norm
+    * (√Σ_j ‖centroid_{j,code_j}‖² — also table lookups); everything
+    * stays exact long arithmetic until the final division, so the
+    * DuckDB oracle replays all 8 codebooks, every code, and every
+    * score bit-for-bit. Top-M=8 per anchor by PQ cosine, then q77's
+    * exact fp32 re-rank touches 3·M rows. Quantization error is
+    * visible per hit (cos_pq vs cos_sim columns).
+    */
+  def q81AnnPq(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val m = 8; val dsub = 8; val topM = 8; val k = 3
+    val anchorIds = Seq(0L, 1L, 2L)
+    val emb = Tables.embeddings(s, dir)
+    val books = graft.functions.Similarity.pqCodebooksMicro(emb)
+    // Staged codes: 8 tinyint codes per vector, write-once per input
+    // identity. Code j = argmin cell of the j-th subspace codebook
+    // over the j-th embedding slice (exact integer distance, lower
+    // cell on ties — the IvfCellRank contract, map-only).
+    def codeCol(j: Int): org.apache.spark.sql.Column = graft.expressions.Sketches
+      .ivfCellRank(s, slice(col("embedding"), j * dsub + 1, dsub), books(j))
+      .getItem(0).getField("cell")
+    val codesBuild = emb.select(col("vec_id"),
+      array((0 until m).map(j => codeCol(j).cast("tinyint")): _*).as("pq"))
+    val codes = writeOnceStage(s,
+      s"$stageRoot/pqcodes_${stageTag(s, dir, "embeddings.parquet", "pq8x16v1")}",
+      "codes", codesBuild)
+    // Anchor ADC tables from the same micro quantization the codes
+    // used (collected through the SAME expression, so the integers
+    // match the oracle's xq exactly). Bounded driver work: 3 anchors.
+    val anchorMicro = emb.filter(col("vec_id").isin(anchorIds: _*))
+      .select(col("vec_id"),
+        graft.expressions.Sketches.microQuantize(s, col("embedding")).as("xq"))
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Double](1).map(_.toLong).toArray).toMap
+    val cmag: Seq[Seq[Long]] = books.toIndexedSeq.map(
+      _.toIndexedSeq.map(c => c.map(v => v * v).sum))
+    val anchorRows = anchorIds.map { aid =>
+      val aq = anchorMicro(aid)
+      val tbl: Seq[Seq[Long]] = (0 until m).map { j =>
+        books(j).toIndexedSeq.map { cent =>
+          var d = 0L; var i = 0
+          while (i < dsub) { d += aq(j * dsub + i) * cent(i); i += 1 }
+          d
+        }
+      }
+      val anorm2 = aq.map(v => v * v).sum
+      (aid, tbl, anorm2)
+    }
+    val anch = anchorRows.toDF("anchor_id", "tbl", "anorm2")
+    val cmagCol = typedLit(cmag)
+    val scored = codes.crossJoin(broadcast(anch))
+      .filter(col("vec_id") =!= col("anchor_id"))
+      .withColumn("cmag", cmagCol)
+      .withColumn("sdot", expr(
+        "aggregate(sequence(0, 7), cast(0 as bigint), (acc, j) -> " +
+          "acc + element_at(element_at(tbl, j + 1), " +
+          "cast(element_at(pq, j + 1) as int) + 1))"))
+      .withColumn("nrec", expr(
+        "aggregate(sequence(0, 7), cast(0 as bigint), (acc, j) -> " +
+          "acc + element_at(element_at(cmag, j + 1), " +
+          "cast(element_at(pq, j + 1) as int) + 1))"))
+      .withColumn("cos_pq", round(col("sdot").cast("double") /
+        (sqrt(col("anorm2").cast("double")) * sqrt(col("nrec").cast("double"))), 6))
+    val wq = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cos_pq").desc, col("vec_id"))
+    val top = scored.withColumn("qrank", row_number().over(wq))
+      .filter(col("qrank") <= topM)
+      .select(col("anchor_id"), col("vec_id"), col("cos_pq"))
+    // fp32 re-rank of the 3·M survivors (the q77 shape).
+    val dotF = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
+      graft.expressions.Sketches.fdot(s, x, y)
+    val anchEmb = emb.filter(col("vec_id").isin(anchorIds: _*))
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("aemb"),
+        sqrt(dotF(col("embedding"), col("embedding"))).as("anorm"))
+    val reranked = emb
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dotF(col("embedding"), col("embedding"))).as("norm"))
+      .join(broadcast(top), "vec_id")
+      .join(broadcast(anchEmb), "anchor_id")
+      .withColumn("cos_sim", round(dotF(col("embedding"), col("aemb")) /
+        (col("norm") * col("anorm")), 6))
+    val wr = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    reranked.withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col("rank"), col("vec_id"),
+        col("cos_pq"), col("cos_sim"))
+      .orderBy(col("anchor_id"), col("rank"))
+  }
+
   /** IVF index MAINTENANCE (q25b) — the train-then-add pattern every
     * production ANN system runs (FAISS's `train()` once, `add()` per
     * batch), the ANN sibling of q76b's growing LSH index. The coarse

@@ -1607,6 +1607,40 @@ class PipelineSpec extends AnyFunSuite {
       "probe scan not dynamically partition-pruned")
   }
 
+  test("q81 PQ codes staged as 8 tinyints; fresh session reproduces the ADC report") {
+    val first = SparkEntry.queries("q81_ann_pq")(spark, sf)
+    val rows1 = first.collect().map(_.toSeq).toSeq
+    assert(rows1.length == 9) // 3 anchors × top-3
+    val stageDir = new java.io.File(
+      graft.queries.PipelineQueries.stageRoot)
+    val idx = stageDir.listFiles().filter(_.getName.startsWith("pqcodes_"))
+    assert(idx.nonEmpty, "no staged PQ codes found")
+    val codes = new java.io.File(idx.head, "codes")
+    val m1 = codes.lastModified()
+    // The 64×-compression artifact really is 8 one-byte codes.
+    val sch = spark.read.parquet(codes.toString).schema
+    val pq = sch("pq").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+    assert(pq.elementType == org.apache.spark.sql.types.ByteType,
+      s"codes not tinyint: $pq")
+    val row0 = spark.read.parquet(codes.toString)
+      .selectExpr("size(pq)").head().getInt(0)
+    assert(row0 == 8, s"expected 8 subspace codes, got $row0")
+    // Fresh session: codebooks retrain deterministically (same
+    // hash-ordered sample, same integer Lloyd rounds), the stage is
+    // reused untouched, and the report is identical.
+    val s2 = spark.newSession()
+    val second = SparkEntry.queries("q81_ann_pq")(s2, sf)
+    assert(second.collect().map(_.toSeq).toSeq == rows1)
+    assert(codes.lastModified() == m1, "second session rewrote the codes")
+    // PQ is lossier than int8 but must still track the exact cosine.
+    first.collect().foreach { r =>
+      assert(math.abs(r.getAs[Double]("cos_pq") -
+        r.getAs[Double]("cos_sim")) < 0.2,
+        s"PQ cosine wildly off on ${r.getAs[Long]("vec_id")}: $r")
+    }
+  }
+
   test("q77 int8 rerank recovers the exact top-3; quantized cosine tracks exact") {
     val got = SparkEntry.queries("q77_ann_int8_rerank")(spark, sf).collect()
     assert(got.length == 9) // 3 anchors × top-3
