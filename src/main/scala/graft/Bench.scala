@@ -250,7 +250,8 @@ object Bench {
           "q76_incremental_dedup,q76b_growing_index_dedup," +
           "q77_ann_int8_rerank,q79_substring_dedup," +
           "q79b_substring_dedup_2ph,q79c_substring_scrub," +
-          "q25b_ann_ivf_append,near_scale_receipts"))
+          "q25b_ann_ivf_append,q80_stream_corpus_probe," +
+          "q81_ann_pq,near_scale_receipts"))
       .split(",").map(_.trim).filter(SparkEntry.queries.contains).toSeq
     val isolated = isolatedNames.map { n =>
       val s = SparkSession.builder()
