@@ -1899,6 +1899,29 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Quantizer staging: codebooks train ONCE per input identity (the
+    * training sample is a corpus pass — real money at 100 TB) and are
+    * stored as a tiny (subspace, cell, centroid) parquet under the
+    * write-once protocol; every later run collects the ≤ m·k rows
+    * back instead of re-sampling the corpus. Makes "frozen centroids"
+    * literal: a re-run reads the artifact, it does not re-derive it.
+    */
+  private def stagedCodebooks(s: SparkSession, stage: String,
+      train: => Array[Array[Array[Long]]]): Array[Array[Array[Long]]] = {
+    import s.implicits._
+    val df = writeOnceStage(s, stage, "books", {
+      train.zipWithIndex.flatMap { case (cells, j) =>
+        cells.zipWithIndex.map { case (cx, c) => (j, c, cx.toSeq) }
+      }.toSeq.toDF("j", "cell", "cx")
+    })
+    val rows = df.collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    Array.tabulate(m) { j =>
+      rows.filter(_.getInt(0) == j).sortBy(_.getInt(1))
+        .map(_.getSeq[Long](2).toArray)
+    }
+  }
+
   /** PRODUCT-QUANTIZED ANN (q81) — the deep end of the compression
     * axis (q29/q77's int8 is 8× smaller; PQ is 64×): the 64-dim
     * embedding is split into 8 contiguous 8-dim subspaces, each with
@@ -1928,7 +1951,9 @@ object PipelineQueries {
     val m = 8; val dsub = 8; val topM = 8; val k = 3
     val anchorIds = Seq(0L, 1L, 2L)
     val emb = Tables.embeddings(s, dir)
-    val books = graft.functions.Similarity.pqCodebooksMicro(emb)
+    val books = stagedCodebooks(s,
+      s"$stageRoot/pqbooks_${stageTag(s, dir, "embeddings.parquet", "pqbooks8x16v1")}",
+      graft.functions.Similarity.pqCodebooksMicro(emb))
     // Staged codes: 8 tinyint codes per vector, write-once per input
     // identity. Code j = argmin cell of the j-th subspace codebook
     // over the j-th embedding slice (exact integer distance, lower
@@ -2034,8 +2059,12 @@ object PipelineQueries {
     val emb = Tables.embeddings(s, dir)
     val corpus = emb.filter(col("vec_id") % 10 =!= 0)
     val arrivals = emb.filter(col("vec_id") % 10 === 0)
-    val cents = graft.functions.Similarity
-      .kmeansCentroidsMicro(corpus, nCells).sortBy(_._1).map(_._2)
+    // The frozen quantizer is itself a staged artifact — "frozen"
+    // means read back, not deterministically re-derived per run.
+    val cents = stagedCodebooks(s,
+      s"$stageRoot/ivfcent_${stageTag(s, dir, "embeddings.parquet", "ivfcent16f1")}",
+      Array(graft.functions.Similarity
+        .kmeansCentroidsMicro(corpus, nCells).sortBy(_._1).map(_._2)))(0)
     def rankOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       graft.expressions.Sketches.ivfCellRank(s, c, cents)
     def assign(df: DataFrame): DataFrame = df.select(col("vec_id"),
