@@ -204,17 +204,23 @@ object Runbook {
     // allows asymmetric non-strict runs (enableAccountChanges=true,
     // enableAccessKeys=false), and account_changes has no identity
     // anti-join — recomputing a satellite that was NOT skipped would
-    // append its rows a second time.
-    def pendingFor(flag: String): DataFrame = already.join(
-      broadcast(pendingRows.filter(col(flag))
-        .select(col("block_hash").as("nsbh")).distinct()),
-      already("blockHash") === col("nsbh"), "left_semi")
-    val nsAc = pendingFor("skipped_account_changes")
-    val nsAk = pendingFor("skipped_access_keys")
-    val ns = already.join(
-      broadcast(pendingRows.select(col("block_hash").as("nsbh")).distinct()),
-      already("blockHash") === col("nsbh"), "left_semi")
+    // append its rows a second time. One broadcast join does all the
+    // gating: collapse the ledger to one flag-row per block (bool_or
+    // across ledger rows, same semantics as the old per-flag
+    // filter+distinct), tag each already-present block with its
+    // flags, and derive the per-satellite frames, the emptiness
+    // guard, AND the repaired-marker rows as filters/projections of
+    // that single joined frame.
+    val flags = pendingRows.groupBy(col("block_hash"))
+      .agg(max(col("skipped_account_changes")).as("ns_ac"),
+        max(col("skipped_access_keys")).as("ns_ak"))
+    val ns = already.join(broadcast(flags),
+      already("blockHash") === flags("block_hash"))
     if (ns.isEmpty) return
+    val nsAc = ns.filter(col("ns_ac"))
+      .drop("block_hash", "ns_ac", "ns_ak")
+    val nsAk = ns.filter(col("ns_ak"))
+      .drop("block_hash", "ns_ac", "ns_ak")
     val ac = Transforms.accountChanges(nsAc)
     val ak0 = Transforms.accessKeysRegistry(Transforms.accessKeyEvents(nsAk))
     val ak = Warehouse.tableOpt(spark, warehouseDir, "access_keys") match {
