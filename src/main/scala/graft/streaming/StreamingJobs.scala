@@ -406,10 +406,13 @@ object StreamingJobs {
     * micro-batch joins against the static relation (at scale: the
     * staged index re-read per trigger, or broadcast when it fits).
     * The only state in the job is the pair dedup — a pair can hit on
-    * up to 4 bands — keyed by (doc_a, doc_b) with the arrival's
-    * synthesized event time (doc_id seconds, the q35b/q63b
-    * convention) and a 1 h watermark, so dedup state evicts at the
-    * horizon instead of growing with the stream. Oracle = the q15
+    * up to 4 bands — keyed by (doc_a, doc_b, arr_ts), where arr_ts is
+    * the arrival's synthesized event time (doc_id + 1 seconds, the
+    * q35b/q63b convention) and is functionally determined by the pair
+    * (exactly one endpoint is the arrival). The event-time column
+    * MUST be in the dedup subset: Spark evicts streaming-dedup state
+    * at the watermark only when it is, so with it the 1 h watermark
+    * bounds state by the trailing horizon instead of stream length. Oracle = the q15
     * pair family restricted to arrival×corpus pairs (exactly one
     * endpoint % 10 == 0): a stale index, a dropped band hit, or a
     * double-emitted pair all fail the hash.
@@ -456,9 +459,15 @@ object StreamingJobs {
       .select(least(col("arr_id"), col("corpus_id")).as("doc_a"),
         greatest(col("arr_id"), col("corpus_id")).as("doc_b"),
         col("jaccard"),
-        timestamp_seconds(col("arr_id")).as("arr_ts"))
+        timestamp_seconds(col("arr_id") + 1).as("arr_ts"))
       .withWatermark("arr_ts", "1 hour")
-      .dropDuplicates("doc_a", "doc_b")
+      // arr_ts IS one of the dedup keys: Spark only applies
+      // watermark-based state eviction to streaming dedup when the
+      // event-time column is in the dedup subset, and arr_ts is
+      // functionally determined by (doc_a, doc_b) — exactly one
+      // endpoint is the arrival (% 10 == 0) — so the key is
+      // semantically unchanged while state now evicts at the horizon.
+      .dropDuplicates("doc_a", "doc_b", "arr_ts")
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
