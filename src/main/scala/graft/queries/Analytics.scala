@@ -272,58 +272,26 @@ object Analytics {
     * corpus or a different dir in the same session can never be served
     * a stale mirror.
     */
-  private def ensureBucketedMirror(s: SparkSession, dir: String): String =
-    Analytics.synchronized {
-      val hconf = s.sparkContext.hadoopConfiguration
-      val src = new org.apache.hadoop.fs.Path(s"$dir/lineitem.parquet")
-      val fs = src.getFileSystem(hconf)
-      val st = fs.getFileStatus(src)
-      val suf = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$dir|${st.getLen}|${st.getModificationTime}|v2"
-          .getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(8)
-      def ensure(name: String, df: => DataFrame, key: String): Unit =
-        if (!s.catalog.tableExists(name)) {
-          val loc = new org.apache.hadoop.fs.Path(
-            s"${PipelineQueries.stageRoot}/bucketed/$name")
-          val lfs = loc.getFileSystem(hconf)
-          val marker = new org.apache.hadoop.fs.Path(loc, "_GRAFT_STAGED")
-          if (!lfs.exists(marker)) {
-            // Build under a UUID temp table + dir and RENAME into
-            // place (the stagedDisposition protocol): saveAsTable is
-            // how Spark writes bucket-id file names, but writing it
-            // directly into `loc` would let two JVMs in the no-marker
-            // branch interleave files mid-write and then pin the
-            // corrupt mix via the marker — Analytics.synchronized only
-            // guards one JVM. With temp dirs the final location only
-            // ever holds exactly one writer's complete output.
-            val uuid = java.util.UUID.randomUUID.toString.replace("-", "")
-            val tmpName = s"${name}_tmp_$uuid"
-            val tmpLoc = new org.apache.hadoop.fs.Path(
-              s"${PipelineQueries.stageRoot}/bucketed/.tmp_${name}_$uuid")
-            df.write.bucketBy(16, key).mode("overwrite")
-              .option("path", tmpLoc.toString).format("parquet")
-              .saveAsTable(tmpName)
-            s.sql(s"DROP TABLE $tmpName") // external: data stays put
-            if (lfs.exists(loc)) lfs.delete(loc, true) // torn, no marker
-            if (!lfs.rename(tmpLoc, loc)) {
-              lfs.delete(tmpLoc, true)
-              // Lost the publish race (winner's dir present, atomic →
-              // complete) vs transient rename failure (nothing there —
-              // a marker now would poison the stage; rebuild instead).
-              if (!lfs.exists(loc)) sys.error(
-                s"bucketed mirror rename failed with no winner: $loc")
-            }
-            lfs.create(marker, true).close()
-          }
-          // Attach the completed stage to THIS session's catalog —
-          // bucket metadata lives in the DDL, bucket-id file naming is
-          // already on disk; zero data touched.
-          s.sql(s"CREATE TABLE $name (${df.schema.toDDL}) USING PARQUET " +
-            s"CLUSTERED BY ($key) INTO 16 BUCKETS LOCATION '$loc'")
-        }
-      ensure(s"graft_orders_b_$suf", Tables.orders(s, dir), "o_orderkey")
-      ensure(s"graft_lineitem_b_$suf", Tables.lineitem(s, dir), "l_orderkey")
-      suf
-    }
+  private def ensureBucketedMirror(s: SparkSession, dir: String): String = {
+    val hconf = s.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(s"$dir/lineitem.parquet")
+    val fs = src.getFileSystem(hconf)
+    val st = fs.getFileStatus(src)
+    val suf = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|${st.getLen}|${st.getModificationTime}|v2"
+        .getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    // Build + publish + attach via the shared bucketed write-once
+    // protocol (PipelineQueries.writeOnceBucketedStage): UUID temp
+    // table + dir, marker RE-CHECKED before the delete/rename so a
+    // racing JVM can never delete a live marker-committed stage,
+    // rename into place, marker after data, CLUSTERED BY re-attach.
+    def ensure(name: String, df: => DataFrame, key: String): Unit =
+      PipelineQueries.writeOnceBucketedStage(s,
+        s"${PipelineQueries.stageRoot}/bucketed/$name", name, 16,
+        Seq(key), df)
+    ensure(s"graft_orders_b_$suf", Tables.orders(s, dir), "o_orderkey")
+    ensure(s"graft_lineitem_b_$suf", Tables.lineitem(s, dir), "l_orderkey")
+    suf
+  }
 }

@@ -74,27 +74,35 @@ object PipelineOracles {
     * subspace).
     */
   private def pqCtes(m: Int = 8, dsub: Int = 8, k: Int = 16,
-      iters: Int = 2, sampleSize: Int = 512): String = {
+      iters: Int = 2, sampleSize: Int = 512,
+      withQe: Boolean = true): String = {
     val hashOrd = "md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id"
-    val init =
+    // The sample CTE is named psmp (not smp) so these CTEs compose
+    // with ivfCtes in one WITH block (q82's IVFADC oracle needs both
+    // quantizer families); withQe=false skips the shared `qe` CTE for
+    // the same reason. PQ training samples the FULL corpus (q81's
+    // contract), unlike ivfCtes' trainWhere-restricted smp.
+    val qeCte =
       s"""qe AS (SELECT vec_id, embedding,
          |        list_transform(embedding, v -> round(CAST(v AS DOUBLE) * 1000000, 0)) AS xq,
          |        sqrt(${vdot("embedding", "embedding")}) AS norm
          |      FROM embeddings),
-         |smp AS (SELECT row_number() OVER (ORDER BY $hashOrd) - 1 AS sidx, xq
+         |""".stripMargin
+    val init =
+      s"""${if (withQe) qeCte else ""}psmp AS (SELECT row_number() OVER (ORDER BY $hashOrd) - 1 AS sidx, xq
          |       FROM (SELECT vec_id, xq FROM qe
          |             ORDER BY $hashOrd LIMIT $sampleSize))""".stripMargin
     val subs = (0 until m).map { j =>
       val a = j * dsub + 1; val b = (j + 1) * dsub
       val initJ =
         s"""p${j}c0 AS (SELECT sidx AS cell, xq[$a:$b] AS cx
-           |       FROM smp WHERE sidx < $k)""".stripMargin
+           |       FROM psmp WHERE sidx < $k)""".stripMargin
       val rounds = (1 to iters).map { r =>
         s"""p${j}a$r AS (SELECT sidx, sxq, cell FROM (
-           |    SELECT smp.sidx, smp.xq[$a:$b] AS sxq, c.cell,
-           |      row_number() OVER (PARTITION BY smp.sidx
-           |        ORDER BY ${sqDistN(s"smp.xq[$a:$b]", "c.cx", dsub)}, c.cell) AS rn
-           |    FROM smp, p${j}c${r - 1} c) t WHERE rn = 1),
+           |    SELECT psmp.sidx, psmp.xq[$a:$b] AS sxq, c.cell,
+           |      row_number() OVER (PARTITION BY psmp.sidx
+           |        ORDER BY ${sqDistN(s"psmp.xq[$a:$b]", "c.cx", dsub)}, c.cell) AS rn
+           |    FROM psmp, p${j}c${r - 1} c) t WHERE rn = 1),
            |p${j}m$r AS (SELECT cell, pos, CAST(sum(sxq[pos]) AS BIGINT) AS s, count(*) AS n
            |       FROM p${j}a$r CROSS JOIN range(1, ${dsub + 1}) t(pos) GROUP BY cell, pos),
            |p${j}c$r AS (SELECT c.cell, coalesce(mm.cx, c.cx) AS cx
@@ -111,6 +119,33 @@ object PipelineOracles {
       (Seq(initJ) ++ rounds :+ codeJ).mkString(",\n")
     }
     (Seq(init) ++ subs).mkString(",\n")
+  }
+
+  /** ADC scoring as CTEs over [[pqCtes]]'s outputs plus an `anch`
+    * CTE (anchor_id, axq [, …]) the caller defines: `sc` — one row
+    * per (anchor, vec, subspace) with the exact integer table dot
+    * `sd` and reconstructed-norm term `nr` (the codebook-centroid
+    * joins ARE the lookup tables); `tot` — the per-(anchor, vec)
+    * BIGINT sums; `an2` — the anchor's exact squared norm. Shared by
+    * q81 (flat PQ) and q82 (IVFADC).
+    */
+  private def adcScoreCtes(m: Int = 8, dsub: Int = 8,
+      iters: Int = 2): String = {
+    val unions = (0 until m).map { j =>
+      val off = j * dsub + 1
+      s"""      SELECT a.anchor_id, k.vec_id,
+         |        list_sum(list_transform(range(1, ${dsub + 1}), i -> a.axq[$off + i - 1] * c.cx[i])) AS sd,
+         |        list_sum(list_transform(range(1, ${dsub + 1}), i -> c.cx[i] * c.cx[i])) AS nr
+         |      FROM code$j k JOIN p${j}c$iters c USING (cell), anch a""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""sc AS (
+       |$unions),
+       |tot AS (SELECT anchor_id, vec_id, CAST(sum(sd) AS BIGINT) AS sdot,
+       |          CAST(sum(nr) AS BIGINT) AS nrec
+       |        FROM sc WHERE vec_id <> anchor_id GROUP BY anchor_id, vec_id),
+       |an2 AS (SELECT anchor_id,
+       |          list_sum(list_transform(range(1, ${m * dsub + 1}), i -> axq[i] * axq[i])) AS anorm2
+       |        FROM anch)""".stripMargin
   }
 
   /** The deterministic sample-trained micro-integer k-means coarse
@@ -132,36 +167,44 @@ object PipelineOracles {
     * agreement assumption.
     */
   private def ivfCtes(nCells: Int, iters: Int,
-      sampleSize: Int = 512, trainWhere: String = ""): String = {
+      sampleSize: Int = 512, trainWhere: String = "",
+      prefix: String = "", withQe: Boolean = true): String = {
+    // `prefix` renames every CTE except the shared `qe` so two
+    // quantizer chains compose in one WITH block (q25c replays the
+    // stale corpus-trained AND the retrained quantizer side by side);
+    // withQe=false skips `qe` for the second chain.
+    val p = prefix
     val hashOrd = "md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id"
-    val init =
+    val qeCte =
       s"""qe AS (SELECT vec_id, embedding,
          |        list_transform(embedding, v -> round(CAST(v AS DOUBLE) * 1000000, 0)) AS xq,
          |        sqrt(${vdot("embedding", "embedding")}) AS norm
          |      FROM embeddings),
-         |smp AS (SELECT row_number() OVER (ORDER BY $hashOrd) - 1 AS sidx, xq
+         |""".stripMargin
+    val init =
+      s"""${if (withQe) qeCte else ""}${p}smp AS (SELECT row_number() OVER (ORDER BY $hashOrd) - 1 AS sidx, xq
          |       FROM (SELECT vec_id, xq FROM qe $trainWhere
          |             ORDER BY $hashOrd LIMIT $sampleSize)),
-         |c0 AS (SELECT sidx AS cell, xq AS cx FROM smp WHERE sidx < $nCells)""".stripMargin
+         |${p}c0 AS (SELECT sidx AS cell, xq AS cx FROM ${p}smp WHERE sidx < $nCells)""".stripMargin
     val rounds = (1 to iters).map { r =>
-      s"""a$r AS (SELECT sidx, xq, cell FROM (
-         |    SELECT smp.sidx, smp.xq, c.cell,
-         |      row_number() OVER (PARTITION BY smp.sidx
-         |        ORDER BY ${sqDist("smp.xq", "c.cx")}, c.cell) AS rn
-         |    FROM smp, c${r - 1} c) t WHERE rn = 1),
-         |m$r AS (SELECT cell, pos, CAST(sum(xq[pos]) AS BIGINT) AS s, count(*) AS n
-         |       FROM a$r CROSS JOIN range(1, 65) t(pos) GROUP BY cell, pos),
-         |c$r AS (SELECT c.cell, coalesce(mm.cx, c.cx) AS cx
-         |       FROM c${r - 1} c LEFT JOIN (
+      s"""${p}a$r AS (SELECT sidx, xq, cell FROM (
+         |    SELECT ${p}smp.sidx, ${p}smp.xq, c.cell,
+         |      row_number() OVER (PARTITION BY ${p}smp.sidx
+         |        ORDER BY ${sqDist(s"${p}smp.xq", "c.cx")}, c.cell) AS rn
+         |    FROM ${p}smp, ${p}c${r - 1} c) t WHERE rn = 1),
+         |${p}m$r AS (SELECT cell, pos, CAST(sum(xq[pos]) AS BIGINT) AS s, count(*) AS n
+         |       FROM ${p}a$r CROSS JOIN range(1, 65) t(pos) GROUP BY cell, pos),
+         |${p}c$r AS (SELECT c.cell, coalesce(mm.cx, c.cx) AS cx
+         |       FROM ${p}c${r - 1} c LEFT JOIN (
          |         SELECT cell, list(CAST(s // n AS DOUBLE) ORDER BY pos) AS cx
-         |         FROM m$r GROUP BY cell) mm USING (cell))""".stripMargin
+         |         FROM ${p}m$r GROUP BY cell) mm USING (cell))""".stripMargin
     }
     val fin =
-      s"""asg AS (SELECT vec_id, embedding, norm, cell FROM (
+      s"""${p}asg AS (SELECT vec_id, embedding, norm, cell FROM (
          |    SELECT qe.vec_id, qe.embedding, qe.norm, c.cell,
          |      row_number() OVER (PARTITION BY qe.vec_id
          |        ORDER BY ${sqDist("qe.xq", "c.cx")}, c.cell) AS rn
-         |    FROM qe, c$iters c) t WHERE rn = 1)""".stripMargin
+         |    FROM qe, ${p}c$iters c) t WHERE rn = 1)""".stripMargin
     (Seq(init) ++ rounds :+ fin).mkString(",\n")
   }
 
@@ -638,52 +681,7 @@ object PipelineOracles {
          |anch AS (SELECT vec_id AS anchor_id, xq AS axq,
          |         embedding AS aemb, norm AS anorm
          |         FROM qe WHERE vec_id IN (0, 1, 2)),
-         |sc AS (
-         |      SELECT a.anchor_id, k.vec_id,
-         |        list_sum(list_transform(range(1, 9), i -> a.axq[1 + i - 1] * c.cx[i])) AS sd,
-         |        list_sum(list_transform(range(1, 9), i -> c.cx[i] * c.cx[i])) AS nr
-         |      FROM code0 k JOIN p0c2 c USING (cell), anch a
-         |UNION ALL
-         |      SELECT a.anchor_id, k.vec_id,
-         |        list_sum(list_transform(range(1, 9), i -> a.axq[9 + i - 1] * c.cx[i])) AS sd,
-         |        list_sum(list_transform(range(1, 9), i -> c.cx[i] * c.cx[i])) AS nr
-         |      FROM code1 k JOIN p1c2 c USING (cell), anch a
-         |UNION ALL
-         |      SELECT a.anchor_id, k.vec_id,
-         |        list_sum(list_transform(range(1, 9), i -> a.axq[17 + i - 1] * c.cx[i])) AS sd,
-         |        list_sum(list_transform(range(1, 9), i -> c.cx[i] * c.cx[i])) AS nr
-         |      FROM code2 k JOIN p2c2 c USING (cell), anch a
-         |UNION ALL
-         |      SELECT a.anchor_id, k.vec_id,
-         |        list_sum(list_transform(range(1, 9), i -> a.axq[25 + i - 1] * c.cx[i])) AS sd,
-         |        list_sum(list_transform(range(1, 9), i -> c.cx[i] * c.cx[i])) AS nr
-         |      FROM code3 k JOIN p3c2 c USING (cell), anch a
-         |UNION ALL
-         |      SELECT a.anchor_id, k.vec_id,
-         |        list_sum(list_transform(range(1, 9), i -> a.axq[33 + i - 1] * c.cx[i])) AS sd,
-         |        list_sum(list_transform(range(1, 9), i -> c.cx[i] * c.cx[i])) AS nr
-         |      FROM code4 k JOIN p4c2 c USING (cell), anch a
-         |UNION ALL
-         |      SELECT a.anchor_id, k.vec_id,
-         |        list_sum(list_transform(range(1, 9), i -> a.axq[41 + i - 1] * c.cx[i])) AS sd,
-         |        list_sum(list_transform(range(1, 9), i -> c.cx[i] * c.cx[i])) AS nr
-         |      FROM code5 k JOIN p5c2 c USING (cell), anch a
-         |UNION ALL
-         |      SELECT a.anchor_id, k.vec_id,
-         |        list_sum(list_transform(range(1, 9), i -> a.axq[49 + i - 1] * c.cx[i])) AS sd,
-         |        list_sum(list_transform(range(1, 9), i -> c.cx[i] * c.cx[i])) AS nr
-         |      FROM code6 k JOIN p6c2 c USING (cell), anch a
-         |UNION ALL
-         |      SELECT a.anchor_id, k.vec_id,
-         |        list_sum(list_transform(range(1, 9), i -> a.axq[57 + i - 1] * c.cx[i])) AS sd,
-         |        list_sum(list_transform(range(1, 9), i -> c.cx[i] * c.cx[i])) AS nr
-         |      FROM code7 k JOIN p7c2 c USING (cell), anch a),
-         |tot AS (SELECT anchor_id, vec_id, CAST(sum(sd) AS BIGINT) AS sdot,
-         |          CAST(sum(nr) AS BIGINT) AS nrec
-         |        FROM sc WHERE vec_id <> anchor_id GROUP BY anchor_id, vec_id),
-         |an2 AS (SELECT anchor_id,
-         |          list_sum(list_transform(range(1, 65), i -> axq[i] * axq[i])) AS anorm2
-         |        FROM anch),
+         |${adcScoreCtes()},
          |pqs AS (SELECT t.anchor_id, t.vec_id,
          |          round(CAST(t.sdot AS DOUBLE) /
          |            (sqrt(CAST(an2.anorm2 AS DOUBLE)) * sqrt(CAST(t.nrec AS DOUBLE))), 6) AS cos_pq
@@ -699,6 +697,95 @@ object PipelineOracles {
          |SELECT anchor_id, rank, vec_id, cos_pq, cos_sim FROM (
          |  SELECT *, row_number() OVER (PARTITION BY anchor_id
          |    ORDER BY cos_sim DESC, vec_id) AS rank FROM rr) r
+         |WHERE rank <= 3 ORDER BY anchor_id, rank""".stripMargin,
+
+    // q25c: IVF re-train + compact — BOTH quantizer generations
+    // replayed in one WITH block (stale corpus-trained chain under
+    // default names, retrained full-table chain under prefix "r"),
+    // exact top-3 per anchor, and the q55 recall arithmetic applied
+    // to each generation's probe.
+    "q25c_ann_ivf_retrain" ->
+      s"""WITH ${ivfCtes(16, 2, 512, "WHERE vec_id % 10 <> 0")},
+         |${ivfCtes(16, 2, 512, "", prefix = "r", withQe = false)},
+         |anch AS (SELECT vec_id AS anchor_id, embedding AS aemb,
+         |           norm AS anorm, xq AS axq
+         |         FROM qe WHERE vec_id IN (0, 1, 2)),
+         |ex AS (SELECT anchor_id, vec_id FROM (
+         |    SELECT anchor_id, s.vec_id,
+         |      row_number() OVER (PARTITION BY anchor_id
+         |        ORDER BY cos_sim DESC, s.vec_id) AS rank
+         |    FROM (SELECT anchor_id, qe.vec_id AS vec_id,
+         |            round(${vdot("qe.embedding", "aemb")} / (qe.norm * anorm), 6) AS cos_sim
+         |          FROM qe, anch WHERE qe.vec_id <> anchor_id) s) r
+         |  WHERE rank <= 3),
+         |probeb AS (SELECT anchor_id, aemb, anorm, cell FROM (
+         |    SELECT a.anchor_id, a.aemb, a.anorm, c.cell,
+         |      row_number() OVER (PARTITION BY a.anchor_id
+         |        ORDER BY ${sqDist("a.axq", "c.cx")}, c.cell) AS rn
+         |    FROM anch a, c2 c) t WHERE rn <= 2),
+         |annb AS (SELECT anchor_id, vec_id FROM (
+         |    SELECT anchor_id, s.vec_id,
+         |      row_number() OVER (PARTITION BY anchor_id
+         |        ORDER BY cos_sim DESC, s.vec_id) AS rank
+         |    FROM (SELECT anchor_id, asg.vec_id AS vec_id,
+         |            round(${vdot("asg.embedding", "aemb")} / (asg.norm * anorm), 6) AS cos_sim
+         |          FROM asg JOIN probeb USING (cell)
+         |          WHERE asg.vec_id <> anchor_id) s) r
+         |  WHERE rank <= 3),
+         |probea AS (SELECT anchor_id, aemb, anorm, cell FROM (
+         |    SELECT a.anchor_id, a.aemb, a.anorm, c.cell,
+         |      row_number() OVER (PARTITION BY a.anchor_id
+         |        ORDER BY ${sqDist("a.axq", "c.cx")}, c.cell) AS rn
+         |    FROM anch a, rc2 c) t WHERE rn <= 2),
+         |anna AS (SELECT anchor_id, vec_id FROM (
+         |    SELECT anchor_id, s.vec_id,
+         |      row_number() OVER (PARTITION BY anchor_id
+         |        ORDER BY cos_sim DESC, s.vec_id) AS rank
+         |    FROM (SELECT anchor_id, rasg.vec_id AS vec_id,
+         |            round(${vdot("rasg.embedding", "aemb")} / (rasg.norm * anorm), 6) AS cos_sim
+         |          FROM rasg JOIN probea USING (cell)
+         |          WHERE rasg.vec_id <> anchor_id) s) r
+         |  WHERE rank <= 3),
+         |h AS (SELECT ex.anchor_id,
+         |        CAST(count(*) AS BIGINT) AS n_exact,
+         |        CAST(count(annb.vec_id) AS BIGINT) AS n_hits_before,
+         |        CAST(count(anna.vec_id) AS BIGINT) AS n_hits_after
+         |      FROM ex LEFT JOIN annb USING (anchor_id, vec_id)
+         |              LEFT JOIN anna USING (anchor_id, vec_id)
+         |      GROUP BY ex.anchor_id)
+         |SELECT anchor_id, n_exact, n_hits_before, n_hits_after,
+         |  CAST((n_hits_before * 20000 + n_exact) // (2 * n_exact) AS DOUBLE) / 10000.0 AS recall_before,
+         |  CAST((n_hits_after * 20000 + n_exact) // (2 * n_exact) AS DOUBLE) / 10000.0 AS recall_after
+         |FROM h ORDER BY anchor_id""".stripMargin,
+
+    // q82: IVFADC — the corpus-trained coarse quantizer (ivfCtes,
+    // q25b's) picks each anchor's 2 probe cells and assigns every
+    // vector (asg), the PQ chain (pqCtes, q81's) re-derives all 8
+    // codebooks and codes, and the ADC scores are ranked WITHIN the
+    // probed cells only. Both quantizers replayed bit-for-bit in one
+    // WITH block.
+    "q82_ann_ivfpq" ->
+      s"""WITH ${ivfCtes(16, 2, 512, "WHERE vec_id % 10 <> 0")},
+         |${pqCtes(withQe = false)},
+         |anch AS (SELECT vec_id AS anchor_id, xq AS axq
+         |         FROM qe WHERE vec_id IN (0, 1, 2)),
+         |probe AS (SELECT anchor_id, cell FROM (
+         |    SELECT qe.vec_id AS anchor_id, c.cell,
+         |      row_number() OVER (PARTITION BY qe.vec_id
+         |        ORDER BY ${sqDist("qe.xq", "c.cx")}, c.cell) AS rn
+         |    FROM qe, c2 c WHERE qe.vec_id IN (0, 1, 2)) t WHERE rn <= 2),
+         |cand AS (SELECT p.anchor_id, asg.vec_id
+         |         FROM asg JOIN probe p USING (cell)
+         |         WHERE asg.vec_id <> p.anchor_id),
+         |${adcScoreCtes()},
+         |pqs AS (SELECT t.anchor_id, t.vec_id,
+         |          round(CAST(t.sdot AS DOUBLE) /
+         |            (sqrt(CAST(an2.anorm2 AS DOUBLE)) * sqrt(CAST(t.nrec AS DOUBLE))), 6) AS cos_pq
+         |        FROM tot t JOIN an2 USING (anchor_id)
+         |          JOIN cand USING (anchor_id, vec_id))
+         |SELECT anchor_id, rank, vec_id, cos_pq FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY anchor_id
+         |    ORDER BY cos_pq DESC, vec_id) AS rank FROM pqs) r
          |WHERE rank <= 3 ORDER BY anchor_id, rank""".stripMargin,
 
     // q25b: q25's probe/top-k SQL with the quantizer TRAINED ONLY on

@@ -1118,6 +1118,73 @@ object PipelineQueries {
     s.read.parquet(dst.toString)
   }
 
+  /** BUCKETED write-once stage — the same marker-after-data protocol
+    * as [[writeOnceStage]], but the data is written via
+    * `bucketBy(...).saveAsTable` (Spark's bucket-id file naming) and
+    * readers attach the completed location to their session catalog as
+    * an EXTERNAL `CLUSTERED BY` table — q74's mechanics
+    * ([[Analytics]] bucketed mirrors), shared here so INDEX artifacts
+    * (the q76/q76b/q80 band segments) are co-located on their probe
+    * key: a scan of the attached table reports
+    * `HashPartitioning(bucketCols, buckets)`, which satisfies the
+    * probe join's required distribution, so the index side joins with
+    * ZERO Exchange and only the arrival side shuffles — per-batch
+    * probe cost stays O(arrivals + candidates), never a re-shuffle of
+    * the corpus index. Bucket count is the fixture's 16 (the q74
+    * convention); at 100 TB it is sized to cluster width.
+    *
+    * Cross-JVM publish: after building under a temp table/dir, the
+    * marker is RE-CHECKED immediately before touching the final
+    * location — a second JVM that raced past the first check must not
+    * delete a stage another JVM has already marker-committed (readers
+    * may be scanning it); it discards its temp build and attaches the
+    * winner's stage instead. A failed rename distinguishes
+    * lost-the-race (dst present, atomic → complete) from transient FS
+    * failure (dst absent → throw; a marker now would poison the
+    * stage).
+    */
+  private[graft] def writeOnceBucketedStage(s: SparkSession, stage: String,
+      tableName: String, buckets: Int, bucketCols: Seq[String],
+      build: => DataFrame): DataFrame = this.synchronized {
+    if (!s.catalog.tableExists(tableName)) {
+      val loc = new org.apache.hadoop.fs.Path(stage)
+      val lfs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val marker = new org.apache.hadoop.fs.Path(loc, "_GRAFT_STAGED")
+      val df = build
+      if (!lfs.exists(marker)) {
+        val uuid = java.util.UUID.randomUUID.toString.replace("-", "")
+        val tmpName = s"${tableName}_tmp_$uuid"
+        val tmpLoc = new org.apache.hadoop.fs.Path(loc.getParent,
+          s".tmp_${loc.getName}_$uuid")
+        df.write.bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+          .mode("overwrite").option("path", tmpLoc.toString)
+          .format("parquet").saveAsTable(tmpName)
+        s.sql(s"DROP TABLE $tmpName") // external: data stays put
+        if (lfs.exists(marker)) {
+          // Another JVM published while this one was building: its
+          // stage is live (marker-committed, possibly being read) —
+          // discard this build and attach the winner's below.
+          lfs.delete(tmpLoc, true)
+        } else {
+          if (lfs.exists(loc)) lfs.delete(loc, true) // torn, no marker
+          if (!lfs.rename(tmpLoc, loc)) {
+            lfs.delete(tmpLoc, true)
+            if (!lfs.exists(loc)) sys.error(
+              s"bucketed stage rename failed with no winner: $loc")
+          }
+          lfs.create(marker, true).close()
+        }
+      }
+      // Attach the completed stage to THIS session's catalog — bucket
+      // metadata lives in the DDL, bucket-id file naming is already on
+      // disk; zero data touched.
+      s.sql(s"CREATE TABLE $tableName (${df.schema.toDDL}) USING PARQUET " +
+        s"CLUSTERED BY (${bucketCols.mkString(", ")}) INTO $buckets " +
+        s"BUCKETS LOCATION '$stage'")
+    }
+    s.table(tableName)
+  }
+
   /** The staged q53 disposition table for `dir` — written once (all
     * four verdict columns, a real stage keeps the full schema), marker
     * committed AFTER the data so a torn write is retried, then read
@@ -2004,6 +2071,12 @@ object PipelineQueries {
           "cast(element_at(pq, j + 1) as int) + 1))"))
       .withColumn("cos_pq", round(col("sdot").cast("double") /
         (sqrt(col("anorm2").cast("double")) * sqrt(col("nrec").cast("double"))), 6))
+    // Scale-safety of this rank-filter (and the whole q19/q25/q25b/
+    // q77/q81 family) rides on InferWindowGroupLimit: the literal
+    // `row_number().over(...) <= k` pattern compiles to a PARTIAL
+    // WindowGroupLimit before the shuffle, so each map task emits
+    // only its local top-k per anchor. Don't filter on a derived
+    // column — that breaks the rewrite (plan-spec-pinned).
     val wq = Window.partitionBy(col("anchor_id"))
       .orderBy(col("cos_pq").desc, col("vec_id"))
     val top = scored.withColumn("qrank", row_number().over(wq))
@@ -2078,8 +2151,23 @@ object PipelineQueries {
         assign(corpus), partitionBy = Seq("cell"))
       .unionByName(writeOnceStage(s, s"$root/seg_arr0", "cells",
         assign(arrivals), partitionBy = Seq("cell")))
+    ivfProbeTopK(s, emb, cents, invFile, anchorIds, nProbe, k)
+  }
+
+  /** The IVF probe shared by q25b/q25c: anchors rank their `nProbe`
+    * nearest cells with the given (frozen) centroids, candidates come
+    * from the inverted-file segments via the broadcast cell join
+    * (dynamic partition pruning on the cell-partitioned scan), exact
+    * cosine ranks top-k per anchor.
+    */
+  private def ivfProbeTopK(s: SparkSession, emb: DataFrame,
+      cents: Array[Array[Long]], invFile: DataFrame,
+      anchorIds: Seq[Long], nProbe: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val dot = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
       graft.expressions.Sketches.fdot(s, x, y)
+    def rankOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      graft.expressions.Sketches.ivfCellRank(s, c, cents)
     val anchors = emb.filter(col("vec_id").isin(anchorIds: _*))
       .select(col("vec_id").as("anchor_id"),
         col("embedding").as("anchor_emb"),
@@ -2098,6 +2186,186 @@ object PipelineQueries {
     cands.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("anchor_id"), col("vec_id"), col("cos_sim"), col("rank"))
+      .orderBy(col("anchor_id"), col("rank"))
+  }
+
+  /** IVF RE-TRAIN + COMPACT (q25c) — the maintenance sibling q25b's
+    * scaladoc promises ("recall restores on the next re-train"): the
+    * coarse quantizer is RETRAINED on corpus + arrivals (the same
+    * deterministic micro-integer k-means, now over the full table's
+    * hash-ordered sample), staged under a NEW generation tag, and the
+    * old generation's segments are rewritten as ONE compacted segment
+    * assigned by the new centroids — the FAISS re-train/re-add cycle,
+    * LSM-style: the old generation (q25b's stage keys) is left
+    * byte-untouched (write-once — readers mid-flight keep a
+    * consistent index), the new generation lives under a bumped salt,
+    * and cutover is just "read gen2". The report is the q55 recall
+    * harness run against BOTH generations: recall@3 vs exact
+    * brute-force per anchor, before (stale frozen centroids + two
+    * appended segments) and after (retrained centroids + compacted
+    * segment) — the number an index operator reads to decide the
+    * re-train paid for itself. Oracle: two full quantizer replays in
+    * one WITH block — the corpus-trained chain AND the retrained
+    * chain (prefix-renamed CTEs) — plus the exact top-3; a drifted
+    * retrain, a segment assigned by the wrong generation, or a
+    * stale-read compaction all fail the hash.
+    */
+  def q25cAnnIvfRetrain(s: SparkSession, dir: String): DataFrame = {
+    val nCells = 16; val nProbe = 2; val k = 3
+    val anchorIds = Seq(0L, 1L, 2L)
+    val emb = Tables.embeddings(s, dir)
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val arrivals = emb.filter(col("vec_id") % 10 === 0)
+    // OLD generation — q25b's exact stage keys, attached read-only.
+    val centsOld = stagedCodebooks(s,
+      s"$stageRoot/ivfcent_${stageTag(s, dir, "embeddings.parquet", "ivfcent16f1")}",
+      Array(graft.functions.Similarity
+        .kmeansCentroidsMicro(corpus, nCells).sortBy(_._1).map(_._2)))(0)
+    def rankOld(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      graft.expressions.Sketches.ivfCellRank(s, c, centsOld)
+    val rootOld = s"$stageRoot/ivfseg_${stageTag(s, dir, "embeddings.parquet", "ivf16p1")}"
+    def assignOld(df: DataFrame): DataFrame = df.select(col("vec_id"),
+      rankOld(col("embedding"))(0).getField("cell").as("cell"))
+    val invOld = writeOnceStage(s, s"$rootOld/seg_base", "cells",
+        assignOld(corpus), partitionBy = Seq("cell"))
+      .unionByName(writeOnceStage(s, s"$rootOld/seg_arr0", "cells",
+        assignOld(arrivals), partitionBy = Seq("cell")))
+    // NEW generation — retrained on corpus + arrivals, one compacted
+    // segment, both under bumped salts (the old keys stay untouched).
+    val centsNew = stagedCodebooks(s,
+      s"$stageRoot/ivfcent2_${stageTag(s, dir, "embeddings.parquet", "ivfcent16r1")}",
+      Array(graft.functions.Similarity
+        .kmeansCentroidsMicro(emb, nCells).sortBy(_._1).map(_._2)))(0)
+    def rankNew(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      graft.expressions.Sketches.ivfCellRank(s, c, centsNew)
+    val rootNew = s"$stageRoot/ivfseg2_${stageTag(s, dir, "embeddings.parquet", "ivf16p2r1")}"
+    val invNew = writeOnceStage(s, s"$rootNew/gen1", "cells",
+      emb.select(col("vec_id"),
+        rankNew(col("embedding"))(0).getField("cell").as("cell")),
+      partitionBy = Seq("cell"))
+    // The q55 harness against both generations.
+    val exact = graft.functions.Similarity.bruteTopK(emb, anchorIds, k = k)
+      .select(col("anchor_id"), col("vec_id"))
+      .localCheckpoint(true) // three tiny consumers, one materialization
+    val annB = ivfProbeTopK(s, emb, centsOld, invOld, anchorIds, nProbe, k)
+      .select(col("anchor_id"), col("vec_id"))
+    val annA = ivfProbeTopK(s, emb, centsNew, invNew, anchorIds, nProbe, k)
+      .select(col("anchor_id"), col("vec_id"))
+    def hitsOf(ann: DataFrame, nm: String): DataFrame =
+      exact.join(ann, Seq("anchor_id", "vec_id"), "left_semi")
+        .groupBy(col("anchor_id")).agg(count(lit(1)).as(nm))
+    exact.groupBy(col("anchor_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hitsOf(annB, "hb"), Seq("anchor_id"), "left")
+      .join(hitsOf(annA, "ha"), Seq("anchor_id"), "left")
+      .select(col("anchor_id"), col("n_exact"),
+        coalesce(col("hb"), lit(0L)).as("n_hits_before"),
+        coalesce(col("ha"), lit(0L)).as("n_hits_after"))
+      .withColumn("recall_before", rdiv4(col("n_hits_before"), col("n_exact")))
+      .withColumn("recall_after", rdiv4(col("n_hits_after"), col("n_exact")))
+      .orderBy(col("anchor_id"))
+  }
+
+  /** IVFADC (q82) — the COMPOSITION of the two staged ANN axes, i.e.
+    * production ANN at 100 TB (Jégou et al. 2011's IVFADC; FAISS's
+    * `IndexIVFPQ` with `by_residual=false`): q25b contributes the
+    * frozen corpus-trained coarse quantizer and cell-partitioned
+    * write-once segments (read nProbe/nCells of the index via dynamic
+    * partition pruning), q81 contributes the 64×-compressed PQ codes
+    * and map-only ADC scoring — so a query touches nProbe/nCells of
+    * an index that is itself 64× smaller than the raw vectors, and
+    * never the embedding table at all. The staged segments here store
+    * (vec_id, 8 tinyint codes, cell): the SAME frozen artifacts as
+    * the parents — q25b's staged centroids pick the cell, q81's
+    * staged codebooks encode the codes (raw-vector PQ, not residual —
+    * the FAISS `by_residual=false` operating point, which is what
+    * lets the codebooks be shared with the un-partitioned q81 index).
+    * Scoring is exact long arithmetic until the final division, so
+    * the DuckDB oracle replays BOTH quantizers — the corpus-trained
+    * coarse k-means AND all 8 subspace codebooks — and every ADC
+    * score bit-for-bit; top-3 per anchor by PQ cosine within the
+    * probed cells. Segment layout mirrors q25b (base corpus + one
+    * arrival append), so index maintenance carries over unchanged.
+    */
+  def q82AnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val m = 8; val dsub = 8; val nCells = 16; val nProbe = 2; val k = 3
+    val anchorIds = Seq(0L, 1L, 2L)
+    val emb = Tables.embeddings(s, dir)
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val arrivals = emb.filter(col("vec_id") % 10 === 0)
+    // The SAME staged frozen artifacts as q25b/q81 — shared stage
+    // keys, so this entry attaches their write-once outputs instead
+    // of training anything of its own.
+    val cents = stagedCodebooks(s,
+      s"$stageRoot/ivfcent_${stageTag(s, dir, "embeddings.parquet", "ivfcent16f1")}",
+      Array(graft.functions.Similarity
+        .kmeansCentroidsMicro(corpus, nCells).sortBy(_._1).map(_._2)))(0)
+    val books = stagedCodebooks(s,
+      s"$stageRoot/pqbooks_${stageTag(s, dir, "embeddings.parquet", "pqbooks8x16v1")}",
+      graft.functions.Similarity.pqCodebooksMicro(emb))
+    def rankOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      graft.expressions.Sketches.ivfCellRank(s, c, cents)
+    def codeCol(j: Int): org.apache.spark.sql.Column = graft.expressions.Sketches
+      .ivfCellRank(s, slice(col("embedding"), j * dsub + 1, dsub), books(j))
+      .getItem(0).getField("cell")
+    def encode(df: DataFrame): DataFrame = df.select(col("vec_id"),
+      array((0 until m).map(j => codeCol(j).cast("tinyint")): _*).as("pq"),
+      rankOf(col("embedding"))(0).getField("cell").as("cell"))
+    val root = s"$stageRoot/ivfpq_${stageTag(s, dir, "embeddings.parquet", "ivfpq16x8x16v1")}"
+    val invCodes = writeOnceStage(s, s"$root/seg_base", "cells",
+        encode(corpus), partitionBy = Seq("cell"))
+      .unionByName(writeOnceStage(s, s"$root/seg_arr0", "cells",
+        encode(arrivals), partitionBy = Seq("cell")))
+    // Anchor side: q81's ADC lookup tables + q25b's probed cells, one
+    // broadcast frame of nProbe rows per anchor. Bounded driver work.
+    val anchorMicro = emb.filter(col("vec_id").isin(anchorIds: _*))
+      .select(col("vec_id"),
+        graft.expressions.Sketches.microQuantize(s, col("embedding")).as("xq"))
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Double](1).map(_.toLong).toArray).toMap
+    val cmag: Seq[Seq[Long]] = books.toIndexedSeq.map(
+      _.toIndexedSeq.map(c => c.map(v => v * v).sum))
+    val anchorRows = anchorIds.map { aid =>
+      val aq = anchorMicro(aid)
+      val tbl: Seq[Seq[Long]] = (0 until m).map { j =>
+        books(j).toIndexedSeq.map { cent =>
+          var d = 0L; var i = 0
+          while (i < dsub) { d += aq(j * dsub + i) * cent(i); i += 1 }
+          d
+        }
+      }
+      val anorm2 = aq.map(v => v * v).sum
+      (aid, tbl, anorm2)
+    }
+    val anch = anchorRows.toDF("anchor_id", "tbl", "anorm2")
+    val probes = emb.filter(col("vec_id").isin(anchorIds: _*))
+      .select(col("vec_id").as("anchor_id"),
+        explode(slice(transform(rankOf(col("embedding")),
+          x => x.getField("cell")), 1, nProbe)).as("cell"))
+      .join(anch, "anchor_id")
+    val cmagCol = typedLit(cmag)
+    // Map-only ADC over the cell-pruned code scan: 8 table lookups
+    // per candidate, exact longs until the final cosine division.
+    val scored = invCodes.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("anchor_id"))
+      .withColumn("cmag", cmagCol)
+      .withColumn("sdot", expr(
+        "aggregate(sequence(0, 7), cast(0 as bigint), (acc, j) -> " +
+          "acc + element_at(element_at(tbl, j + 1), " +
+          "cast(element_at(pq, j + 1) as int) + 1))"))
+      .withColumn("nrec", expr(
+        "aggregate(sequence(0, 7), cast(0 as bigint), (acc, j) -> " +
+          "acc + element_at(element_at(cmag, j + 1), " +
+          "cast(element_at(pq, j + 1) as int) + 1))"))
+      .withColumn("cos_pq", round(col("sdot").cast("double") /
+        (sqrt(col("anorm2").cast("double")) * sqrt(col("nrec").cast("double"))), 6))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cos_pq").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col("rank"), col("vec_id"), col("cos_pq"))
       .orderBy(col("anchor_id"), col("rank"))
   }
 
@@ -2178,11 +2446,11 @@ object PipelineQueries {
     * hash).
     */
   def q76IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
-    val base = lshDocWords(s, dir)
+    val base = stagedDocWords(s, dir)
     val corpusBands = stagedCorpusBands(s, dir,
       lshBandsOf(s, base.filter(col("id") % 10 =!= 0)))
     val arrBands = lshBandsOf(s, base.filter(col("id") % 10 === 0))
-    lshProbeVerify(s, base, arrBands, corpusBands)
+    lshProbeVerify(s, base, arrBands, Seq(corpusBands))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -2196,6 +2464,21 @@ object PipelineQueries {
       .select(col("doc_id").cast("long").as("id"),
         TF.words(col("text")).as("w"))
       .filter(size(col("w")) >= Q76ShingleN)
+
+  /** [[lshDocWords]] as a BUCKETED write-once mirror on `id` — the
+    * candidate word-fetch side of the probe verify. Without it every
+    * arrival batch re-tokenized the corpus AND re-shuffled it twice
+    * (once per candidate endpoint join) — the other half of the r16
+    * index-co-location finding. Bucketed on the fetch key, the
+    * corpus-sized side of both endpoint joins is exchange-free and
+    * only the candidate-pair frame shuffles.
+    */
+  private[graft] def stagedDocWords(s: SparkSession, dir: String): DataFrame = {
+    val tag = stageTag(s, dir, "documents.parquet", "lshwords16v1")
+    writeOnceBucketedStage(s, s"$stageRoot/lshwords_$tag",
+      s"graft_lshwords_$tag", LshIndexBuckets, Seq("id"),
+      lshDocWords(s, dir))
+  }
 
   /** (id, band, band_hash) band rows over the q15 MinHash family.
     * `carry` keeps extra columns through the explode (q80's streaming
@@ -2216,18 +2499,29 @@ object PipelineQueries {
       .withColumnRenamed("col", "band_hash")
   }
 
-  /** One arrival batch against one index: (band, band_hash) equi-join
-    * for arrival×index candidates, salted self-band for
+  /** One arrival batch against the index segments: (band, band_hash)
+    * equi-join for arrival×index candidates, salted self-band for
     * arrival×arrival, exact shingle-Jaccard verify on candidates only.
     * Unordered — callers union/order.
+    *
+    * The index side is PROBED PER SEGMENT, not unioned first: each
+    * segment is a bucketed stage ([[writeOnceBucketedStage]]) whose
+    * scan is already hash-partitioned on the join key, so the
+    * per-segment join needs ZERO Exchange on the index side (a Union
+    * would erase that partitioning and re-shuffle the whole index
+    * every batch — the r16 scale finding); only the arrival bands
+    * shuffle, once per segment, and arrivals are the small side by
+    * construction. Pinned by the q76 co-location plan spec.
     */
   private def lshProbeVerify(s: SparkSession, base: DataFrame,
-      arrBands: DataFrame, indexBands: DataFrame): DataFrame = {
-    val cross = arrBands.as("n").join(indexBands.as("c"),
-        col("n.band") === col("c.band") &&
-          col("n.band_hash") === col("c.band_hash"))
-      .select(least(col("n.id"), col("c.id")).as("doc_a"),
-        greatest(col("n.id"), col("c.id")).as("doc_b"))
+      arrBands: DataFrame, indexSegs: Seq[DataFrame]): DataFrame = {
+    val cross = indexSegs.map { indexBands =>
+      arrBands.as("n").join(indexBands.as("c"),
+          col("n.band") === col("c.band") &&
+            col("n.band_hash") === col("c.band_hash"))
+        .select(least(col("n.id"), col("c.id")).as("doc_a"),
+          greatest(col("n.id"), col("c.id")).as("doc_b"))
+    }.reduce(_.unionByName(_))
     val within = Similarity.bucketCandidatePairs(
         arrBands.select(col("id").as("vec_id"), col("band"),
           col("band_hash").as("bucket")), maxBucket = 4096)
@@ -2262,35 +2556,48 @@ object PipelineQueries {
     * as parquet, never re-sketched.
     */
   def q76bGrowingIndexDedup(s: SparkSession, dir: String): DataFrame = {
-    val base = lshDocWords(s, dir)
-    val root = s"$stageRoot/lshgrow_${stageTag(s, dir, "documents.parquet", "lshgrow16x4v1")}"
-    val baseSeg = writeOnceStage(s, s"$root/seg_base", "bands",
+    val base = stagedDocWords(s, dir)
+    val tag = stageTag(s, dir, "documents.parquet", "lshgrow16x4v2")
+    val root = s"$stageRoot/lshgrow_$tag"
+    def seg(name: String, build: => DataFrame): DataFrame =
+      writeOnceBucketedStage(s, s"$root/$name", s"graft_lshgrow_${tag}_$name",
+        LshIndexBuckets, Seq("band", "band_hash"), build)
+    val baseSeg = seg("seg_base",
       lshBandsOf(s, base.filter(col("id") % 10 >= 2)))
     val batches = Seq(0, 1)
     val (results, _) = batches.foldLeft(
         (Seq.empty[DataFrame], Seq(baseSeg))) {
       case ((acc, indexSegs), b) =>
         val arrBands = lshBandsOf(s, base.filter(col("id") % 10 === b))
-        val index = indexSegs.reduce(_.unionByName(_))
-        val found = lshProbeVerify(s, base, arrBands, index)
+        // Probed per segment (never unioned first): each bucketed
+        // segment joins exchange-free on the index side.
+        val found = lshProbeVerify(s, base, arrBands, indexSegs)
         // Append THIS batch's bands as the next segment — write-once,
         // so a replayed run reuses the existing segment untouched.
-        val seg = writeOnceStage(s, s"$root/seg_b$b", "bands", arrBands)
-        (acc :+ found, indexSegs :+ seg)
+        (acc :+ found, indexSegs :+ seg(s"seg_b$b", arrBands))
     }
     results.reduce(_.unionByName(_))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** The staged corpus band index for q76 — written once per input
-    * identity (write-then-rename-then-marker, the stagedDisposition
-    * protocol), read by every arrival batch.
+  /** Bucket count for the staged LSH/ANN index artifacts — the
+    * fixture's 16 (q74's convention); at 100 TB sized to cluster
+    * width so each bucket is one task's worth of index.
+    */
+  private[graft] val LshIndexBuckets = 16
+
+  /** The staged corpus band index for q76/q80 — written once per input
+    * identity as a BUCKETED stage on the probe key (band, band_hash)
+    * ([[writeOnceBucketedStage]]: rename-then-marker protocol +
+    * CLUSTERED BY catalog attach), read by every arrival batch with
+    * zero Exchange on this side of the probe join.
     */
   private[graft] def stagedCorpusBands(s: SparkSession, dir: String,
-      build: => DataFrame): DataFrame =
-    writeOnceStage(s,
-      s"$stageRoot/lshindex_${stageTag(s, dir, "documents.parquet", "lsh16x4v1")}",
-      "bands", build)
+      build: => DataFrame): DataFrame = {
+    val tag = stageTag(s, dir, "documents.parquet", "lsh16x4v2")
+    writeOnceBucketedStage(s, s"$stageRoot/lshindex_$tag",
+      s"graft_lshidx_$tag", LshIndexBuckets, Seq("band", "band_hash"), build)
+  }
 
   /** SEMANTIC dedup (SemDeDup): coarse-cluster the embedding corpus,
     * dedup within clusters on exact cosine, keep the min-id

@@ -442,8 +442,8 @@ object StreamingJobs {
     val arrBands = PipelineQueries.lshBandsOf(s, arr, carry = Seq("w"))
     val idx = PipelineQueries.stagedCorpusBands(s, dir,
       PipelineQueries.lshBandsOf(s,
-        PipelineQueries.lshDocWords(s, dir).filter(col("id") % 10 =!= 0)))
-    val corpusWords = PipelineQueries.lshDocWords(s, dir)
+        PipelineQueries.stagedDocWords(s, dir).filter(col("id") % 10 =!= 0)))
+    val corpusWords = PipelineQueries.stagedDocWords(s, dir)
       .filter(col("id") % 10 =!= 0)
       .select(col("id").as("corpus_id"), col("w").as("w_b"))
     arrBands.as("n")

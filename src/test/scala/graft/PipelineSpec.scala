@@ -1516,21 +1516,61 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(key).toSet
     assert(inc == full,
       s"incremental ${inc.size} pairs vs full-restricted ${full.size}")
-    // Write-once: the staged index dir must not be rewritten by a
-    // second call (same mtime), and the probe plan must scan the STAGE
-    // path, not re-derive corpus bands from documents.
-    val stageRoot = new java.io.File(
-      graft.queries.PipelineQueries.stageRoot)
-    val idx = stageRoot.listFiles().filter(_.getName.startsWith("lshindex_"))
-    assert(idx.nonEmpty, "no staged lsh index found")
-    val bands = new java.io.File(idx.head, "bands")
-    val m1 = bands.lastModified()
+    // Write-once: the staged bucketed index must not be rewritten by a
+    // second call (same dir mtime), and the probe plan must scan the
+    // STAGE path, not re-derive corpus bands from documents.
+    val tag = graft.queries.PipelineQueries.stageTag(spark, sf,
+      "documents.parquet", "lsh16x4v2")
+    val idxDir = new java.io.File(
+      graft.queries.PipelineQueries.stageRoot, s"lshindex_$tag")
+    assert(new java.io.File(idxDir, "_GRAFT_STAGED").exists(),
+      "staged lsh index missing its marker")
+    val m1 = idxDir.lastModified()
     val df2 = SparkEntry.queries("q76_incremental_dedup")(spark, sf)
     assert(df2.count() == inc.size)
-    assert(bands.lastModified() == m1, "second call rewrote the index")
+    assert(idxDir.lastModified() == m1, "second call rewrote the index")
     val plan = df2.queryExecution.executedPlan.toString
     assert(plan.contains("lshindex_"),
       "probe plan does not scan the staged index")
+  }
+
+  test("q76 probe co-location: bucketed index side feeds the join with zero Exchange") {
+    import org.apache.spark.sql.functions.col
+    import graft.queries.PipelineQueries
+    val base = PipelineQueries.lshDocWords(spark, sf)
+    val idx = PipelineQueries.stagedCorpusBands(spark, sf,
+      PipelineQueries.lshBandsOf(spark, base.filter(col("id") % 10 =!= 0)))
+    val arr = PipelineQueries.lshBandsOf(spark,
+      base.filter(col("id") % 10 === 0))
+    val bare = arr.as("n").hint("merge").join(idx.as("c"),
+      col("n.band") === col("c.band") &&
+        col("n.band_hash") === col("c.band_hash"))
+    val plan = bare.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan.take(2000))
+    // Exactly ONE pre-join exchange — the derived arrival side. The
+    // SMJ requires BOTH sides clustered on (band, band_hash); the
+    // index side contributes no Exchange because the CLUSTERED BY
+    // scan already reports HashPartitioning(band, band_hash, 16). A
+    // second exchange would mean the corpus index re-shuffles per
+    // arrival batch — the r16 scale finding this stage exists to fix.
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"expected only the arrival-side exchange, found $exchanges:\n" +
+        plan.take(3000))
+    // The candidate WORD-FETCH side shares the mechanics: doc-words
+    // staged bucketed on the fetch key (id), so the corpus-sized side
+    // of the endpoint join contributes no Exchange either — only the
+    // candidate-pair frame shuffles.
+    val words = PipelineQueries.stagedDocWords(spark, sf)
+    val fetch = arr.select(col("id").as("doc_a"), col("band"))
+      .hint("merge")
+      .join(words.select(col("id").as("doc_a"), col("w")), "doc_a")
+    val fplan = fetch.queryExecution.executedPlan.toString
+    assert(fplan.contains("SortMergeJoin"), fplan.take(2000))
+    val fex = "Exchange hashpartitioning".r.findAllIn(fplan).size
+    assert(fex == 1,
+      s"expected only the candidate-side exchange, found $fex:\n" +
+        fplan.take(3000))
   }
 
   test("q76b growing index: two sequential batches, append-only segments, pairs = restricted q15") {
@@ -1546,28 +1586,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(inc == full,
       s"growing-index ${inc.size} pairs vs full-restricted ${full.size}")
     // Append-only: the index root holds exactly the base segment plus
-    // one segment per batch, each marker-committed; a second call
-    // reuses every segment untouched (no rewrite, no new segments).
-    val stageRoot = new java.io.File(
-      graft.queries.PipelineQueries.stageRoot)
-    val idx = stageRoot.listFiles().filter(_.getName.startsWith("lshgrow_"))
-    assert(idx.nonEmpty, "no growing index root found")
-    val segs = idx.head.listFiles().filter(_.getName.startsWith("seg_"))
+    // one segment per batch, each a marker-committed bucketed stage; a
+    // second call reuses every segment untouched (no rewrite, no new
+    // segments).
+    val tag = graft.queries.PipelineQueries.stageTag(spark, sf,
+      "documents.parquet", "lshgrow16x4v2")
+    val root = new java.io.File(
+      graft.queries.PipelineQueries.stageRoot, s"lshgrow_$tag")
+    val segs = root.listFiles().filter(_.getName.startsWith("seg_"))
       .sortBy(_.getName)
     assert(segs.map(_.getName).toSeq == Seq("seg_b0", "seg_b1", "seg_base"),
       s"unexpected segments: ${segs.map(_.getName).toSeq}")
     segs.foreach { sd =>
-      assert(new java.io.File(sd, "_staged").exists(),
+      assert(new java.io.File(sd, "_GRAFT_STAGED").exists(),
         s"${sd.getName} missing its marker")
     }
-    val mtimes = segs.map(sd => new java.io.File(sd, "bands").lastModified())
+    val mtimes = segs.map(_.lastModified())
     val again = SparkEntry.queries("q76b_growing_index_dedup")(spark, sf)
     assert(again.collect().map(key).toSet == full)
-    val after = idx.head.listFiles().filter(_.getName.startsWith("seg_"))
+    val after = root.listFiles().filter(_.getName.startsWith("seg_"))
       .sortBy(_.getName)
     assert(after.length == 3, "replay created extra segments")
-    assert(after.map(sd =>
-      new java.io.File(sd, "bands").lastModified()).toSeq == mtimes.toSeq,
+    assert(after.map(_.lastModified()).toSeq == mtimes.toSeq,
       "replay rewrote a segment")
   }
 
@@ -1605,6 +1645,89 @@ class PipelineSpec extends AnyFunSuite {
     // read fraction that makes an inverted file an index at 100 TB).
     assert(plan2.toLowerCase.contains("dynamicpruning"),
       "probe scan not dynamically partition-pruned")
+  }
+
+  test("ANN rank filters compile to a partial WindowGroupLimit before the exchange") {
+    // The load-bearing scale fact for the whole rank-filter family
+    // (q19/q25/q25b/q77/q81): on Spark 4.x, InferWindowGroupLimit
+    // rewrites `row_number().over(partitionBy(anchor)) <= k` into a
+    // WindowGroupLimit pair — a PARTIAL group-limit BEFORE the shuffle
+    // (each map task emits only its local top-k per anchor) and a
+    // Final one after — so the few-partition window never sees
+    // corpus-sized input. A refactor that breaks the pattern (e.g.
+    // filtering on a column derived from the rank) silently reverts
+    // to a full per-anchor sort of the corpus; this spec pins the
+    // rewrite on the two staged-ANN flagships.
+    for (name <- Seq("q81_ann_pq", "q77_ann_int8_rerank")) {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert("WindowGroupLimit.*Partial".r.findFirstIn(plan).nonEmpty,
+        s"$name lost its partial WindowGroupLimit:\n${plan.take(4000)}")
+      assert("WindowGroupLimit.*Final".r.findFirstIn(plan).nonEmpty,
+        s"$name lost its final WindowGroupLimit:\n${plan.take(4000)}")
+    }
+  }
+
+  test("q82 IVFADC: cell-partitioned PQ-code segments, probe scan dynamically pruned") {
+    val first = SparkEntry.queries("q82_ann_ivfpq")(spark, sf)
+    val rows1 = first.collect().map(_.toSeq).toSeq
+    assert(rows1.length == 9) // 3 anchors × top-3
+    val plan = first.queryExecution.executedPlan.toString
+    assert(plan.contains("ivfpq_"),
+      "q82 plan does not scan the staged IVFPQ segments")
+    // The probe must read nProbe/nCells of the code files, not all of
+    // them — the partition-pruning contract IVFADC inherits from q25b.
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      "PQ-code probe scan not dynamically partition-pruned")
+    // Both segment stages committed with markers; replay reuses them.
+    val tag = graft.queries.PipelineQueries.stageTag(spark, sf,
+      "embeddings.parquet", "ivfpq16x8x16v1")
+    val root = new java.io.File(
+      graft.queries.PipelineQueries.stageRoot, s"ivfpq_$tag")
+    val segs = root.listFiles().filter(_.getName.startsWith("seg_"))
+      .sortBy(_.getName)
+    assert(segs.map(_.getName).toSeq == Seq("seg_arr0", "seg_base"),
+      s"unexpected segments: ${segs.map(_.getName).toSeq}")
+    val mtimes = segs.map(_.lastModified()).toSeq
+    val again = SparkEntry.queries("q82_ann_ivfpq")(spark, sf)
+    assert(again.collect().map(_.toSeq).toSeq == rows1)
+    assert(segs.map(_.lastModified()).toSeq == mtimes,
+      "replay rewrote an IVFPQ segment")
+  }
+
+  test("q25c IVF retrain: compacted new generation, old generation untouched") {
+    val r1 = SparkEntry.queries("q25c_ann_ivf_retrain")(spark, sf)
+    val rows1 = r1.collect()
+    assert(rows1.length == 3)
+    rows1.foreach { r =>
+      assert(r.getAs[Long]("n_exact") == 3L)
+      val rb = r.getAs[Double]("recall_before")
+      val ra = r.getAs[Double]("recall_after")
+      assert(rb >= 0.0 && rb <= 1.0, s"recall_before $rb out of range")
+      assert(ra >= 0.0 && ra <= 1.0, s"recall_after $ra out of range")
+    }
+    val stageDir = new java.io.File(
+      graft.queries.PipelineQueries.stageRoot)
+    val tagOld = graft.queries.PipelineQueries.stageTag(spark, sf,
+      "embeddings.parquet", "ivf16p1")
+    val tagNew = graft.queries.PipelineQueries.stageTag(spark, sf,
+      "embeddings.parquet", "ivf16p2r1")
+    val oldSegs = new java.io.File(stageDir, s"ivfseg_$tagOld")
+      .listFiles().filter(_.getName.startsWith("seg_")).sortBy(_.getName)
+    assert(oldSegs.map(_.getName).toSeq == Seq("seg_arr0", "seg_base"),
+      "old generation segments missing")
+    val gen1 = new java.io.File(
+      new java.io.File(stageDir, s"ivfseg2_$tagNew"), "gen1")
+    assert(new java.io.File(gen1, "_staged").exists(),
+      "compacted generation missing its marker")
+    val mOld = oldSegs.map(_.lastModified()).toSeq
+    val mNew = gen1.lastModified()
+    val r2 = SparkEntry.queries("q25c_ann_ivf_retrain")(spark, sf).collect()
+    assert(r2.map(_.toSeq).toSeq == rows1.map(_.toSeq).toSeq)
+    assert(oldSegs.map(_.lastModified()).toSeq == mOld,
+      "retrain touched the old generation")
+    assert(gen1.lastModified() == mNew,
+      "replay rewrote the compacted generation")
   }
 
   test("q81 PQ codes staged as 8 tinyints; fresh session reproduces the ADC report") {
@@ -2420,6 +2543,82 @@ class PipelineSpec extends AnyFunSuite {
       s"k-means must give one cell per planted cluster, got $kmOcc")
   }
 
+  test("writeOnceStage under real concurrency: one winner, loser reads winner's data") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.hookfs.impl", "graft.HookFs")
+    val root = s"/tmp/graft_wos_race_${java.util.UUID.randomUUID()}"
+    val stage = s"hookfs:$root/stage1"
+    HookFs.interceptSuffix = "/data"
+    HookFs.barrier = new java.util.concurrent.CyclicBarrier(2)
+    try {
+      // Two threads race the SAME stage key; the hook FS holds each
+      // one at its final tmp→dst rename until both arrive, so both
+      // fully build their tmp dirs and the renames genuinely race.
+      // Each thread's build carries its own tag: after the race BOTH
+      // calls must observe the single winner's tag (the loser's
+      // rename fails on the existing dst, it discards its tmp and
+      // reads the winner's data — the lost-race branch).
+      val calls = Seq("writer_a", "writer_b").map { tag =>
+        Future(graft.queries.PipelineQueries.writeOnceStage(spark,
+          stage, "data", Seq(tag).toDF("tag")).collect()
+          .map(_.getString(0)).toSeq)
+      }
+      val results = calls.map(Await.result(_, 120.seconds))
+      val tags = results.flatten.toSet
+      assert(results.forall(_.length == 1))
+      assert(tags.size == 1, s"both writers' data visible: $tags")
+      assert(new java.io.File(s"$root/stage1/_staged").exists())
+      // No torn leftovers: exactly the data dir + marker in the stage.
+      val left = new java.io.File(s"$root/stage1").listFiles().map(_.getName)
+      assert(left.toSet == Set("data", "_staged"),
+        s"stage holds leftovers: ${left.toSeq}")
+      // A later call reuses the winner's stage untouched.
+      val again = graft.queries.PipelineQueries.writeOnceStage(spark,
+        stage, "data", Seq("writer_c").toDF("tag")).collect()
+        .map(_.getString(0)).toSeq
+      assert(again == tags.toSeq)
+    } finally {
+      HookFs.barrier = null
+      HookFs.interceptSuffix = ""
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
+  test("writeOnceStage no-winner rename failure throws instead of poisoning the stage") {
+    import spark.implicits._
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.hookfs.impl", "graft.HookFs")
+    val root = s"/tmp/graft_wos_fail_${java.util.UUID.randomUUID()}"
+    val stage = s"hookfs:$root/stage1"
+    HookFs.interceptSuffix = "/data"
+    HookFs.failNext.set(true)
+    try {
+      // Transient rename failure with NO winner present: committing
+      // the marker would poison the stage forever (every later read
+      // served an empty dir), so the call must throw and leave no
+      // marker behind.
+      val e = intercept[RuntimeException] {
+        graft.queries.PipelineQueries.writeOnceStage(spark,
+          stage, "data", Seq("w").toDF("tag"))
+      }
+      assert(e.getMessage.contains("no winner"), e.getMessage)
+      assert(!new java.io.File(s"$root/stage1/_staged").exists(),
+        "failed publish committed a marker — stage poisoned")
+      // The next call rebuilds cleanly once the fault clears.
+      val ok = graft.queries.PipelineQueries.writeOnceStage(spark,
+        stage, "data", Seq("w").toDF("tag")).collect()
+      assert(ok.map(_.getString(0)).toSeq == Seq("w"))
+    } finally {
+      HookFs.interceptSuffix = ""
+      HookFs.failNext.set(false)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
   test("native roundAway matches Spark round() on the micro-quantize path") {
     import spark.implicits._
     // The native IVF expressions quantize with roundAway; the oracle
@@ -2438,4 +2637,36 @@ class PipelineSpec extends AnyFunSuite {
       .collect()
     assert(bad.isEmpty, bad.take(5).mkString(", "))
   }
+}
+
+/** Test-only FileSystem ("hookfs" scheme, local-disk backed) that
+  * intercepts renames whose DESTINATION ends with a configured suffix
+  * — the lever the writeOnceStage concurrency specs use to hold two
+  * writers at the publish point (barrier) or inject a transient
+  * rename failure (failNext). Only the stage-level tmp→dst rename
+  * matches the suffix; the parquet committer's internal renames pass
+  * straight through.
+  */
+class HookFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "hookfs"
+  override def getUri: java.net.URI = java.net.URI.create("hookfs:///")
+  override def rename(src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean = {
+    if (HookFs.matches(dst)) {
+      val b = HookFs.barrier
+      if (b != null)
+        try b.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        catch { case _: Exception => () }
+      if (HookFs.failNext.getAndSet(false)) return false
+    }
+    super.rename(src, dst)
+  }
+}
+
+object HookFs {
+  @volatile var interceptSuffix: String = ""
+  @volatile var barrier: java.util.concurrent.CyclicBarrier = null
+  val failNext = new java.util.concurrent.atomic.AtomicBoolean(false)
+  def matches(p: org.apache.hadoop.fs.Path): Boolean =
+    interceptSuffix.nonEmpty && p.toString.endsWith(interceptSuffix)
 }
