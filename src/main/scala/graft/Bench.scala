@@ -96,6 +96,25 @@ object Bench {
       case Seq() => None
       case ns    => Some(ns.max)
     }
+    // Ambient-drift CALIBRATION PROBE: a fixed-cost, input-independent,
+    // CPU-bound query — a codegen'd hash-mix aggregate over a constant
+    // range — timed FIRST (pre: in the sweep session, right after
+    // warmup) and LAST (post: in its own fresh session after the
+    // isolated loop). Its plan and data never change round-over-round,
+    // so calib_rN / calib_rM estimates the box's ambient speed ratio
+    // between rounds; per-query comparisons should divide by that
+    // ratio before reading anything as a regression (r16 carried a
+    // uniform ~15% environment drift that was indistinguishable from
+    // plan changes without this). README § Bench documents the
+    // normalization.
+    def calibOn(s: SparkSession): Double = {
+      def run(): Unit = s.range(0, 256L << 20, 1, cpus.toInt)
+        .selectExpr("sum(hash(id, id * 31 + 7)) AS h")
+        .write.mode("overwrite").format("noop").save()
+      run() // untimed: JIT + codegen cache
+      val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+    }
+    val calibPre = if (ingestOnly) 0.0 else calibOn(spark)
     val results = names.map { n =>
       val t0 = System.nanoTime()
       try withBenchConf(spark, n) {
@@ -251,7 +270,7 @@ object Bench {
           "q77_ann_int8_rerank,q79_substring_dedup," +
           "q79b_substring_dedup_2ph,q79c_substring_scrub," +
           "q25b_ann_ivf_append,q80_stream_corpus_probe," +
-          "q81_ann_pq,near_scale_receipts"))
+          "q81_ann_pq,q82_ann_ivfpq,near_scale_receipts"))
       .split(",").map(_.trim).filter(SparkEntry.queries.contains).toSeq
     val isolated = isolatedNames.map { n =>
       val s = SparkSession.builder()
@@ -273,6 +292,23 @@ object Bench {
         try execS() catch { case _: Throwable => () }
         n -> (System.nanoTime() - t0) / 1e9
       } finally {
+        s.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+      }
+    }
+
+    // The post-sweep calibration point, in a fresh session like the
+    // isolated entries (ambient drift WITHIN the run shows up as
+    // pre/post disagreement; drift BETWEEN rounds as calib_rN ratio).
+    val calibPost = if (ingestOnly) 0.0 else {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      try calibOn(s) finally {
         s.stop()
         SparkSession.clearActiveSession()
         SparkSession.clearDefaultSession()
@@ -349,7 +385,9 @@ object Bench {
     // size fits the 2000-char tail window whole (the parse failure was
     // the sbt "[info] " prefix, fixed via run/outputStrategy), so the
     // full contract shape ships rather than a trimmed one.
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"isolated":$iso,"ingest_blocks_per_sec":${fmt(bps)}$ingest2Field,"sf":"$sfDir"}"""
+    val calibField = if (ingestOnly) ""
+      else s""","calib":{"pre":${fmt(calibPre)},"post":${fmt(calibPost)}}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"isolated":$iso,"ingest_blocks_per_sec":${fmt(bps)}$ingest2Field$calibField,"sf":"$sfDir"}"""
     if (line.length > 1800) // keep the whole line inside the window
       System.err.println(s"[bench] headline ${line.length} chars — " +
         "approaching the driver's 2000-char tail window")
