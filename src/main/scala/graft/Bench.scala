@@ -108,7 +108,7 @@ object Bench {
     // plan changes without this). README § Bench documents the
     // normalization.
     def calibOn(s: SparkSession): Double = {
-      def run(): Unit = s.range(0, 256L << 20, 1, cpus.toInt)
+      def run(): Unit = s.range(0, 1024L << 20, 1, cpus.toInt)
         .selectExpr("sum(hash(id, id * 31 + 7)) AS h")
         .write.mode("overwrite").format("noop").save()
       run() // untimed: JIT + codegen cache
@@ -270,7 +270,8 @@ object Bench {
           "q77_ann_int8_rerank,q79_substring_dedup," +
           "q79b_substring_dedup_2ph,q79c_substring_scrub," +
           "q25b_ann_ivf_append,q80_stream_corpus_probe," +
-          "q81_ann_pq,q82_ann_ivfpq,near_scale_receipts"))
+          "q81_ann_pq,q82_ann_ivfpq,q83_stream_ann_gate," +
+          "near_scale_receipts"))
       .split(",").map(_.trim).filter(SparkEntry.queries.contains).toSeq
     val isolated = isolatedNames.map { n =>
       val s = SparkSession.builder()

@@ -134,6 +134,8 @@ object SparkEntry {
     "q81_ann_pq"              -> (PipelineQueries.q81AnnPq _),
     "q82_ann_ivfpq"           -> (PipelineQueries.q82AnnIvfPq _),
     "q25c_ann_ivf_retrain"    -> (PipelineQueries.q25cAnnIvfRetrain _),
+    "q83_stream_ann_gate"     -> ((s: SparkSession, dir: String) =>
+      StreamingJobs.streamAnnGate(s, dir)),
     "q77_ann_int8_rerank"     -> (PipelineQueries.q77AnnInt8Rerank _),
     "q78_selective_probe"     -> (Analytics.q78SelectiveProbe _),
     "q79_substring_dedup"     -> (PipelineQueries.q79SubstringDedup _),

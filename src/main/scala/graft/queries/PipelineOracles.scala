@@ -788,6 +788,32 @@ object PipelineOracles {
          |    ORDER BY cos_pq DESC, vec_id) AS rank FROM pqs) r
          |WHERE rank <= 3 ORDER BY anchor_id, rank""".stripMargin,
 
+    // q83: the streaming ANN ingest gate — every arrival is an
+    // anchor: coarse-probe its 2 cells (corpus-trained quantizer),
+    // ADC-score the corpus codes inside them, keep pairs at or above
+    // the gate threshold on the rounded PQ cosine.
+    "q83_stream_ann_gate" ->
+      s"""WITH ${ivfCtes(16, 2, 512, "WHERE vec_id % 10 <> 0")},
+         |${pqCtes(withQe = false)},
+         |anch AS (SELECT vec_id AS anchor_id, xq AS axq
+         |         FROM qe WHERE vec_id % 10 = 0),
+         |probe AS (SELECT anchor_id, cell FROM (
+         |    SELECT a.anchor_id, c.cell,
+         |      row_number() OVER (PARTITION BY a.anchor_id
+         |        ORDER BY ${sqDist("a.axq", "c.cx")}, c.cell) AS rn
+         |    FROM anch a, c2 c) t WHERE rn <= 2),
+         |cand AS (SELECT p.anchor_id, asg.vec_id
+         |         FROM asg JOIN probe p USING (cell)
+         |         WHERE asg.vec_id % 10 <> 0),
+         |${adcScoreCtes()},
+         |pqs AS (SELECT t.anchor_id, t.vec_id,
+         |          round(CAST(t.sdot AS DOUBLE) /
+         |            (sqrt(CAST(an2.anorm2 AS DOUBLE)) * sqrt(CAST(t.nrec AS DOUBLE))), 6) AS cos_pq
+         |        FROM tot t JOIN an2 USING (anchor_id)
+         |          JOIN cand USING (anchor_id, vec_id))
+         |SELECT anchor_id AS arr_id, vec_id, cos_pq FROM pqs
+         |WHERE cos_pq >= 0.35 ORDER BY arr_id, vec_id""".stripMargin,
+
     // q25b: q25's probe/top-k SQL with the quantizer TRAINED ONLY on
     // the standing corpus (vec_id % 10 <> 0) — the frozen-centroid
     // contract; asg still assigns every vector (base + appended

@@ -2265,6 +2265,42 @@ object PipelineQueries {
       .orderBy(col("anchor_id"))
   }
 
+  /** The staged IVFPQ index shared by q82 and the q83 streaming gate:
+    * (coarse centroids, PQ codebooks, corpus code segment, arrival
+    * code segment). The quantizers are q25b's/q81's exact stage keys
+    * (attached, never retrained here); the segments store
+    * (vec_id, 8 tinyint codes, cell), directory-partitioned by cell,
+    * under the write-once protocol.
+    */
+  private[graft] def ivfPqIndex(s: SparkSession, dir: String):
+      (Array[Array[Long]], Array[Array[Array[Long]]], DataFrame, DataFrame) = {
+    val m = 8; val dsub = 8; val nCells = 16
+    val emb = Tables.embeddings(s, dir)
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val arrivals = emb.filter(col("vec_id") % 10 === 0)
+    val cents = stagedCodebooks(s,
+      s"$stageRoot/ivfcent_${stageTag(s, dir, "embeddings.parquet", "ivfcent16f1")}",
+      Array(graft.functions.Similarity
+        .kmeansCentroidsMicro(corpus, nCells).sortBy(_._1).map(_._2)))(0)
+    val books = stagedCodebooks(s,
+      s"$stageRoot/pqbooks_${stageTag(s, dir, "embeddings.parquet", "pqbooks8x16v1")}",
+      graft.functions.Similarity.pqCodebooksMicro(emb))
+    def rankOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      graft.expressions.Sketches.ivfCellRank(s, c, cents)
+    def codeCol(j: Int): org.apache.spark.sql.Column = graft.expressions.Sketches
+      .ivfCellRank(s, slice(col("embedding"), j * dsub + 1, dsub), books(j))
+      .getItem(0).getField("cell")
+    def encode(df: DataFrame): DataFrame = df.select(col("vec_id"),
+      array((0 until m).map(j => codeCol(j).cast("tinyint")): _*).as("pq"),
+      rankOf(col("embedding"))(0).getField("cell").as("cell"))
+    val root = s"$stageRoot/ivfpq_${stageTag(s, dir, "embeddings.parquet", "ivfpq16x8x16v1")}"
+    val segBase = writeOnceStage(s, s"$root/seg_base", "cells",
+      encode(corpus), partitionBy = Seq("cell"))
+    val segArr = writeOnceStage(s, s"$root/seg_arr0", "cells",
+      encode(arrivals), partitionBy = Seq("cell"))
+    (cents, books, segBase, segArr)
+  }
+
   /** IVFADC (q82) — the COMPOSITION of the two staged ANN axes, i.e.
     * production ANN at 100 TB (Jégou et al. 2011's IVFADC; FAISS's
     * `IndexIVFPQ` with `by_residual=false`): q25b contributes the
@@ -2289,34 +2325,13 @@ object PipelineQueries {
   def q82AnnIvfPq(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
-    val m = 8; val dsub = 8; val nCells = 16; val nProbe = 2; val k = 3
+    val m = 8; val dsub = 8; val nProbe = 2; val k = 3
     val anchorIds = Seq(0L, 1L, 2L)
     val emb = Tables.embeddings(s, dir)
-    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
-    val arrivals = emb.filter(col("vec_id") % 10 === 0)
-    // The SAME staged frozen artifacts as q25b/q81 — shared stage
-    // keys, so this entry attaches their write-once outputs instead
-    // of training anything of its own.
-    val cents = stagedCodebooks(s,
-      s"$stageRoot/ivfcent_${stageTag(s, dir, "embeddings.parquet", "ivfcent16f1")}",
-      Array(graft.functions.Similarity
-        .kmeansCentroidsMicro(corpus, nCells).sortBy(_._1).map(_._2)))(0)
-    val books = stagedCodebooks(s,
-      s"$stageRoot/pqbooks_${stageTag(s, dir, "embeddings.parquet", "pqbooks8x16v1")}",
-      graft.functions.Similarity.pqCodebooksMicro(emb))
+    val (cents, books, segBase, segArr) = ivfPqIndex(s, dir)
     def rankOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       graft.expressions.Sketches.ivfCellRank(s, c, cents)
-    def codeCol(j: Int): org.apache.spark.sql.Column = graft.expressions.Sketches
-      .ivfCellRank(s, slice(col("embedding"), j * dsub + 1, dsub), books(j))
-      .getItem(0).getField("cell")
-    def encode(df: DataFrame): DataFrame = df.select(col("vec_id"),
-      array((0 until m).map(j => codeCol(j).cast("tinyint")): _*).as("pq"),
-      rankOf(col("embedding"))(0).getField("cell").as("cell"))
-    val root = s"$stageRoot/ivfpq_${stageTag(s, dir, "embeddings.parquet", "ivfpq16x8x16v1")}"
-    val invCodes = writeOnceStage(s, s"$root/seg_base", "cells",
-        encode(corpus), partitionBy = Seq("cell"))
-      .unionByName(writeOnceStage(s, s"$root/seg_arr0", "cells",
-        encode(arrivals), partitionBy = Seq("cell")))
+    val invCodes = segBase.unionByName(segArr)
     // Anchor side: q81's ADC lookup tables + q25b's probed cells, one
     // broadcast frame of nProbe rows per anchor. Bounded driver work.
     val anchorMicro = emb.filter(col("vec_id").isin(anchorIds: _*))

@@ -471,6 +471,103 @@ object StreamingJobs {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** embeddings as a file stream under the float32×64 footer contract
+    * (the [[graft.Tables.embeddings]] guard applied to the streaming
+    * read — an explicit schema alone would silently pass a re-typed
+    * file through).
+    */
+  private def vecsStream(s: SparkSession, dir: String): DataFrame = {
+    graft.DataContract.assertEmbeddingsContract(s,
+      s"$dir/embeddings.parquet")
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    s.readStream.schema(schema)
+      .option("basePath", dir).parquet(s"$dir/embeddings.parque[t]")
+  }
+
+  /** q83's gate threshold on the rounded PQ cosine (SemDeDup-ish
+    * operating point, relaxed to the fixture's score distribution so
+    * both SFs emit rows through the PQ distortion).
+    */
+  private[graft] val Q83Threshold = 0.35
+
+  /** STREAMING ANN INGEST GATE (q83) — the embedding-space twin of
+    * q80's LSH gate, and the live role of the q82 IVFADC index:
+    * arriving vectors are micro-quantized and coarse-assigned ON THE
+    * FLY (pure row expressions against the frozen centroids — the
+    * same literals q25b staged), probe their nProbe=2 cells of the
+    * STATIC corpus PQ-code segment (q82's write-once seg_base, read
+    * as an ordinary cell-partitioned parquet relation), and each
+    * candidate is ADC-scored map-only — 8 codebook lookups against
+    * the arrival's own subvectors, exact integer arithmetic until the
+    * final cosine division (the q81 discipline, so the DuckDB oracle
+    * replays every score bit-for-bit). Pairs with cos_pq ≥ 0.35 are
+    * flagged — "this arrival is semantically already in the corpus",
+    * SemDeDup at the ingest door. The job is FULLY STATELESS: the
+    * stream-static join keeps no state and a corpus vector lives in
+    * exactly one cell, so a pair can emit at most once — no dedup
+    * operator, no watermark (the spec pins zero state operators).
+    * Scale shape: per batch the compute is O(arrivals × probed-cell
+    * candidates); the static side is the 64×-compressed code
+    * artifact, never the embedding table (dynamic partition pruning
+    * does not apply across a stream boundary, so the static scan
+    * reads the code segment — the 64× compression and the map-only
+    * scoring are what keep that cheap; a deployment that needs file
+    * pruning too runs the q82 batch probe per micro-batch instead).
+    */
+  def streamAnnGate(s: SparkSession, dir: String): DataFrame = {
+    val arr = vecsStream(s, dir)
+      .select(col("vec_id"), col("embedding"))
+    drain(s, annGateStream(s, arr, dir), "anngate_",
+        outputMode = "append") { t =>
+      t.orderBy(col("arr_id"), col("vec_id"))
+    }
+  }
+
+  /** Core of [[streamAnnGate]] over any streaming (vec_id, embedding)
+    * frame — split out for the multi-batch spec (which pins that the
+    * query holds ZERO state operators).
+    */
+  private[graft] def annGateStream(s: SparkSession,
+      arrivalVecs: DataFrame, dir: String): DataFrame = {
+    import graft.queries.PipelineQueries
+    val (cents, books, segBase, _) = PipelineQueries.ivfPqIndex(s, dir)
+    val booksLit = typedLit(books.toIndexedSeq
+      .map(_.toIndexedSeq.map(_.toIndexedSeq)))
+    val cmagLit = typedLit(books.toIndexedSeq
+      .map(_.toIndexedSeq.map(c => c.map(v => v * v).sum)))
+    val arr = arrivalVecs.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("arr_id"),
+        graft.expressions.Sketches.microQuantize(s, col("embedding")).as("xq"),
+        explode(slice(transform(
+          graft.expressions.Sketches.ivfCellRank(s, col("embedding"), cents),
+          x => x.getField("cell")), 1, 2)).as("cell"))
+      // micro components are integer-valued doubles; every product and
+      // sum below stays < 2^53, so double arithmetic is exact and the
+      // BIGINT casts mirror the oracle's.
+      .withColumn("anorm2", expr(
+        "cast(aggregate(xq, cast(0 as double), (a, v) -> a + v * v) as bigint)"))
+    arr.join(segBase, Seq("cell")) // stream-static: stateless
+      .withColumn("books", booksLit)
+      .withColumn("cmag", cmagLit)
+      .withColumn("sdot", expr(
+        "cast(aggregate(sequence(0, 7), cast(0 as double), (acc, j) -> " +
+          "acc + aggregate(sequence(0, 7), cast(0 as double), (a2, i) -> " +
+          "a2 + element_at(xq, j * 8 + i + 1) * " +
+          "element_at(element_at(element_at(books, j + 1), " +
+          "cast(element_at(pq, j + 1) as int) + 1), i + 1))) as bigint)"))
+      .withColumn("nrec", expr(
+        "aggregate(sequence(0, 7), cast(0 as bigint), (acc, j) -> " +
+          "acc + element_at(element_at(cmag, j + 1), " +
+          "cast(element_at(pq, j + 1) as int) + 1))"))
+      .withColumn("cos_pq", round(col("sdot").cast("double") /
+        (sqrt(col("anorm2").cast("double")) * sqrt(col("nrec").cast("double"))), 6))
+      .filter(col("cos_pq") >= Q83Threshold)
+      .select(col("arr_id"), col("vec_id"), col("cos_pq"))
+  }
+
   /** STREAM-STREAM INTERVAL JOIN — the watermarked two-stream join
     * (§ Structured Streaming's flagship stateful operator, previously
     * unexercised here): each view event joined to the same user's

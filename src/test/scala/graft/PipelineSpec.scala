@@ -1504,6 +1504,49 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q83 ANN gate: batched arrivals equal the one-batch drain; zero state operators") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // Ground truth: the entry itself (file-stream drain — a single
+    // AvailableNow batch). The gate is STATELESS, so any batch split
+    // of the arrivals must reproduce it exactly.
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("arr_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cos_pq"))
+    val want = SparkEntry.queries("q83_stream_ann_gate")(spark, sf)
+      .collect().map(key).toSet
+    assert(want.nonEmpty, "fixture yields no gate hits — threshold dead")
+    val arrivals = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val (b1, b2) = arrivals.partition(_._1 % 20 == 0)
+    val ms = MemoryStream[(Long, Array[Float])]
+    val gate = graft.streaming.StreamingJobs.annGateStream(spark,
+      ms.toDF().toDF("vec_id", "embedding"), sf)
+    val name = "q83_crossbatch_test"
+    val q = gate.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      ms.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+      ms.addData(b2.toSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table(name).collect().map(key).toSet
+      assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+      // FULLY stateless: no dedup, no watermark, no join state — the
+      // structural claim that makes the gate free of stream-length
+      // state growth.
+      assert(q.lastProgress.stateOperators.isEmpty,
+        s"unexpected state operators: ${
+          q.lastProgress.stateOperators.map(_.operatorName).toSeq}")
+    } finally {
+      q.stop(); spark.catalog.dropTempView(name)
+    }
+  }
+
   test("q76 incremental dedup equals full q15 restricted to arrival pairs; index staged once") {
     import org.apache.spark.sql.functions.col
     def key(r: org.apache.spark.sql.Row) =
