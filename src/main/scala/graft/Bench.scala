@@ -267,6 +267,7 @@ object Bench {
           "q65b_dedup_agreement_star,q72_stream_funnel_join," +
           "q75_stream_funnel_outer,q75b_stream_funnel_full," +
           "q76_incremental_dedup,q76b_growing_index_dedup," +
+          "q76c_compacted_index_dedup," +
           "q77_ann_int8_rerank,q79_substring_dedup," +
           "q79b_substring_dedup_2ph,q79c_substring_scrub," +
           "q25b_ann_ivf_append,q80_stream_corpus_probe," +

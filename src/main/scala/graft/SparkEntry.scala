@@ -129,6 +129,8 @@ object SparkEntry {
     "q76_incremental_dedup"   -> (PipelineQueries.q76IncrementalDedup _),
     "q76b_growing_index_dedup" ->
       (PipelineQueries.q76bGrowingIndexDedup _),
+    "q76c_compacted_index_dedup" ->
+      (PipelineQueries.q76cCompactedIndexDedup _),
     "q25b_ann_ivf_append"     ->
       (PipelineQueries.q25bAnnIvfAppend _),
     "q81_ann_pq"              -> (PipelineQueries.q81AnnPq _),

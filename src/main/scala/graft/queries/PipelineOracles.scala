@@ -455,6 +455,10 @@ object PipelineOracles {
     "q15_lsh_near_dups" -> q15PairsSql,
     "q76_incremental_dedup" -> q76IncrementalSql,
     "q76b_growing_index_dedup" -> q76bGrowingSql,
+    // q76c shares q76b's oracle verbatim — compaction must reproduce
+    // the incremental pair set row-identically (the q79/q79b
+    // convention).
+    "q76c_compacted_index_dedup" -> q76bGrowingSql,
     // q80: the ingest-gate stream-static probe — q15 pairs with
     // exactly one arrival endpoint (arrival x corpus only; the
     // within-arrival family is q76's self-band, not probed here).

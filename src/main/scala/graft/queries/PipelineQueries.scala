@@ -2534,6 +2534,10 @@ object PipelineQueries {
       arrBands.as("n").join(indexBands.as("c"),
           col("n.band") === col("c.band") &&
             col("n.band_hash") === col("c.band_hash"))
+        // The self-guard matters only when the index CONTAINS the
+        // arrivals (q76c's compacted generation); a no-op for the
+        // disjoint q76/q76b splits.
+        .filter(col("n.id") =!= col("c.id"))
         .select(least(col("n.id"), col("c.id")).as("doc_a"),
           greatest(col("n.id"), col("c.id")).as("doc_b"))
     }.reduce(_.unionByName(_))
@@ -2572,12 +2576,7 @@ object PipelineQueries {
     */
   def q76bGrowingIndexDedup(s: SparkSession, dir: String): DataFrame = {
     val base = stagedDocWords(s, dir)
-    val tag = stageTag(s, dir, "documents.parquet", "lshgrow16x4v2")
-    val root = s"$stageRoot/lshgrow_$tag"
-    def seg(name: String, build: => DataFrame): DataFrame =
-      writeOnceBucketedStage(s, s"$root/$name", s"graft_lshgrow_${tag}_$name",
-        LshIndexBuckets, Seq("band", "band_hash"), build)
-    val baseSeg = seg("seg_base",
+    val baseSeg = lshGrowSeg(s, dir, "seg_base",
       lshBandsOf(s, base.filter(col("id") % 10 >= 2)))
     val batches = Seq(0, 1)
     val (results, _) = batches.foldLeft(
@@ -2589,9 +2588,57 @@ object PipelineQueries {
         val found = lshProbeVerify(s, base, arrBands, indexSegs)
         // Append THIS batch's bands as the next segment — write-once,
         // so a replayed run reuses the existing segment untouched.
-        (acc :+ found, indexSegs :+ seg(s"seg_b$b", arrBands))
+        (acc :+ found, indexSegs :+ lshGrowSeg(s, dir, s"seg_b$b", arrBands))
     }
     results.reduce(_.unionByName(_))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** One generation-0 growing-index segment (q76b's exact stage keys),
+    * shared with q76c's compaction.
+    */
+  private def lshGrowSeg(s: SparkSession, dir: String, name: String,
+      build: => DataFrame): DataFrame = {
+    val tag = stageTag(s, dir, "documents.parquet", "lshgrow16x4v2")
+    writeOnceBucketedStage(s, s"$stageRoot/lshgrow_$tag/$name",
+      s"graft_lshgrow_${tag}_$name", LshIndexBuckets,
+      Seq("band", "band_hash"), build)
+  }
+
+  /** LSH index COMPACTION (q76c) — the maintenance sibling of the
+    * growing index, the LSM compaction step q76b's LSM-like shape
+    * implies (and the LSH twin of q25c's IVF re-train/compact): the
+    * generation-0 segments (`seg_base` + one per batch) are rewritten
+    * as ONE compacted bucketed segment under a bumped salt — read
+    * from the existing segments, never re-sketched — and gen-0 stays
+    * byte-untouched (write-once; readers mid-flight keep a consistent
+    * index, cutover is "read gen-1"). Why compact: a segment per
+    * batch means a probe join per segment, so probe cost grows with
+    * BATCH COUNT; after compaction one bucketed join covers the whole
+    * horizon. Correctness contract: probing ALL arrivals against the
+    * compacted index (self-pairs guarded) must reproduce q76b's
+    * incremental pair set exactly — the oracle is q76b's SQL verbatim
+    * (the q79/q79b convention), so a compaction that dropped or
+    * duplicated a band row fails the hash.
+    */
+  def q76cCompactedIndexDedup(s: SparkSession, dir: String): DataFrame = {
+    val base = stagedDocWords(s, dir)
+    // Generation 0: q76b's exact stage keys (attached, or built if
+    // this entry runs first — identical bytes either way).
+    val segs = Seq(
+      lshGrowSeg(s, dir, "seg_base",
+        lshBandsOf(s, base.filter(col("id") % 10 >= 2))),
+      lshGrowSeg(s, dir, "seg_b0",
+        lshBandsOf(s, base.filter(col("id") % 10 === 0))),
+      lshGrowSeg(s, dir, "seg_b1",
+        lshBandsOf(s, base.filter(col("id") % 10 === 1))))
+    val tag2 = stageTag(s, dir, "documents.parquet", "lshgrow16x4v2gen1")
+    val compacted = writeOnceBucketedStage(s,
+      s"$stageRoot/lshcompact_$tag2", s"graft_lshcompact_$tag2",
+      LshIndexBuckets, Seq("band", "band_hash"),
+      segs.reduce(_.unionByName(_)))
+    val arrBands = lshBandsOf(s, base.filter(col("id") % 10 <= 1))
+    lshProbeVerify(s, base, arrBands, Seq(compacted))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

@@ -1654,6 +1654,40 @@ class PipelineSpec extends AnyFunSuite {
       "replay rewrote a segment")
   }
 
+  test("q76c compaction: one-generation probe equals q76b, gen-0 untouched") {
+    import org.apache.spark.sql.functions.col
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))
+    val grown = SparkEntry.queries("q76b_growing_index_dedup")(spark, sf)
+      .collect().map(key).toSet
+    val tag = graft.queries.PipelineQueries.stageTag(spark, sf,
+      "documents.parquet", "lshgrow16x4v2")
+    val gen0 = new java.io.File(
+      graft.queries.PipelineQueries.stageRoot, s"lshgrow_$tag")
+      .listFiles().filter(_.getName.startsWith("seg_")).sortBy(_.getName)
+    val m0 = gen0.map(_.lastModified()).toSeq
+    val compacted = SparkEntry.queries("q76c_compacted_index_dedup")(spark, sf)
+      .collect().map(key).toSet
+    assert(compacted == grown,
+      s"missing=${grown -- compacted} extra=${compacted -- grown}")
+    // Compaction is a NEW generation: gen-0 segments byte-untouched,
+    // the compacted segment marker-committed under its own salt, and
+    // a replay reuses it (write-once).
+    assert(gen0.map(_.lastModified()).toSeq == m0,
+      "compaction touched a generation-0 segment")
+    val tag2 = graft.queries.PipelineQueries.stageTag(spark, sf,
+      "documents.parquet", "lshgrow16x4v2gen1")
+    val cdir = new java.io.File(
+      graft.queries.PipelineQueries.stageRoot, s"lshcompact_$tag2")
+    assert(new java.io.File(cdir, "_GRAFT_STAGED").exists(),
+      "compacted generation missing its marker")
+    val mc = cdir.lastModified()
+    assert(SparkEntry.queries("q76c_compacted_index_dedup")(spark, sf)
+      .collect().map(key).toSet == grown)
+    assert(cdir.lastModified() == mc, "replay rewrote the compacted index")
+  }
+
   test("q25b frozen-centroid IVF: write-once segments, fresh session probes the staged file") {
     val first = SparkEntry.queries("q25b_ann_ivf_append")(spark, sf)
     val rows1 = first.collect().map(_.toSeq).toSeq
