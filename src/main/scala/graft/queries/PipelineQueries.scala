@@ -2529,7 +2529,8 @@ object PipelineQueries {
     * construction. Pinned by the q76 co-location plan spec.
     */
   private def lshProbeVerify(s: SparkSession, base: DataFrame,
-      arrBands: DataFrame, indexSegs: Seq[DataFrame]): DataFrame = {
+      arrBands: DataFrame, indexSegs: Seq[DataFrame],
+      selfIndexed: Boolean = false): DataFrame = {
     val cross = indexSegs.map { indexBands =>
       arrBands.as("n").join(indexBands.as("c"),
           col("n.band") === col("c.band") &&
@@ -2541,11 +2542,17 @@ object PipelineQueries {
         .select(least(col("n.id"), col("c.id")).as("doc_a"),
           greatest(col("n.id"), col("c.id")).as("doc_b"))
     }.reduce(_.unionByName(_))
-    val within = Similarity.bucketCandidatePairs(
-        arrBands.select(col("id").as("vec_id"), col("band"),
-          col("band_hash").as("bucket")), maxBucket = 4096)
-      .select(col("vec_id_a").as("doc_a"), col("vec_id_b").as("doc_b"))
-    val cand = cross.unionByName(within).distinct()
+    // When the index already CONTAINS the arrivals (selfIndexed —
+    // q76c's compacted generation), the cross probe surfaces every
+    // within-arrival pair too, so the salted self-band would only
+    // re-derive candidates the distinct is about to drop.
+    val cand = (if (selfIndexed) cross else {
+      val within = Similarity.bucketCandidatePairs(
+          arrBands.select(col("id").as("vec_id"), col("band"),
+            col("band_hash").as("bucket")), maxBucket = 4096)
+        .select(col("vec_id_a").as("doc_a"), col("vec_id_b").as("doc_b"))
+      cross.unionByName(within)
+    }).distinct()
     val shA = base.select(col("id").as("doc_a"), col("w").as("w_a"))
     val shB = base.select(col("id").as("doc_b"), col("w").as("w_b"))
     cand.join(shA, "doc_a").join(shB, "doc_b")
@@ -2638,7 +2645,7 @@ object PipelineQueries {
       LshIndexBuckets, Seq("band", "band_hash"),
       segs.reduce(_.unionByName(_)))
     val arrBands = lshBandsOf(s, base.filter(col("id") % 10 <= 1))
-    lshProbeVerify(s, base, arrBands, Seq(compacted))
+    lshProbeVerify(s, base, arrBands, Seq(compacted), selfIndexed = true)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
