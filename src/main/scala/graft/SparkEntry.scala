@@ -156,6 +156,12 @@ object SparkEntry {
     "q58_audio_meta"          -> (Multimodal.q58AudioMeta _),
     "q59_video_frames"        -> (Multimodal.q59VideoFrames _),
     "q60_stratified_quota"    -> (PipelineQueries.q60StratifiedQuota _),
+    "q84_dsir_weights"        -> (PipelineQueries.q84DsirWeights _),
+    "q85_epoch_shard_shuffle" -> ((s: SparkSession, dir: String) =>
+      PipelineQueries.q85EpochShardShuffle(s, dir)),
+    "q86_hard_negatives"      -> (PipelineQueries.q86HardNegatives _),
+    "q87_stream_dsir_gate"    -> ((s: SparkSession, dir: String) =>
+      StreamingJobs.streamDsirGate(s, dir)),
   ) ++ graft.queries.NearQueries.queries
 
   def oracleSql: Map[String, String] = Map(

@@ -2014,6 +2014,124 @@ object PipelineOracles {
     // recompute SQL — the gate proves write → read → aggregate equals
     // recompute → aggregate, i.e. the staging contract holds.
     "q64b_recipe_yield_staged" -> q64YieldSql,
+
+    // q84: DSIR hashed-bigram importance weights — bucket histograms
+    // (target = src1-3 vs raw), add-1 smoothing over D=64, per-bucket
+    // micro log10-ratio (q56's one-log-of-exact-integer-ratio
+    // convention), per-doc exact integer sum.
+    "q84_dsir_weights" ->
+      s"""WITH g0 AS (SELECT doc_id,
+         |    source IN ('src1', 'src2', 'src3') AS is_target,
+         |    list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS gs
+         |  FROM (SELECT doc_id, source, string_split(trim(text), ' ') AS w
+         |        FROM documents) d0
+         |  WHERE len(w) >= 2),
+         |g AS (SELECT doc_id, is_target,
+         |        CAST('0x' || substr(md5('dsir:' || unnest(gs)), 1, 8)
+         |          AS BIGINT) % 64 AS b
+         |      FROM g0),
+         |raw AS (SELECT b, count(*) AS cr,
+         |          sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct
+         |        FROM g GROUP BY b),
+         |tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM raw),
+         |lr AS (SELECT b,
+         |         CAST(round(log10(CAST((ct + 1) * (tr + 64) AS DOUBLE) /
+         |           CAST((cr + 1) * (tt + 64) AS DOUBLE)) * 1e6)
+         |           AS BIGINT) AS lr_micro
+         |       FROM raw, tot)
+         |SELECT doc_id, is_target, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(lr_micro) AS BIGINT) AS w_micro,
+         |  CAST(sum(lr_micro) AS DOUBLE) / 1000000.0 AS logweight
+         |FROM g JOIN lr USING (b)
+         |GROUP BY doc_id, is_target ORDER BY doc_id""".stripMargin,
+
+    // q85: deterministic epoch-shard shuffle — the permutation key is
+    // md5('shuf:'||epoch||':'||doc_id); shard = key's 32-bit prefix
+    // mod 8; position = dense rank within (epoch, shard) by full key.
+    "q85_epoch_shard_shuffle" ->
+      """WITH e AS (SELECT CAST(unnest(range(2)) AS INTEGER) AS epoch),
+        |k AS (SELECT doc_id, epoch,
+        |        md5('shuf:' || CAST(epoch AS VARCHAR) || ':'
+        |            || CAST(doc_id AS VARCHAR)) AS skey
+        |      FROM documents, e),
+        |s AS (SELECT *,
+        |        CAST(CAST('0x' || substr(skey, 1, 8) AS BIGINT) % 8
+        |          AS INTEGER) AS shard
+        |      FROM k)
+        |SELECT epoch, shard,
+        |  CAST(row_number() OVER (PARTITION BY epoch, shard
+        |    ORDER BY skey, doc_id) AS INTEGER) AS pos,
+        |  doc_id
+        |FROM s ORDER BY epoch, shard, pos""".stripMargin,
+
+    // q87: streaming DSIR gate — model replayed from the STANDING
+    // corpus only (doc_id % 10 <> 0) over the FULL 0..63 bucket
+    // domain, arrivals (doc_id % 10 = 0) scored and gated at
+    // w_micro >= 0.
+    "q87_stream_dsir_gate" ->
+      s"""WITH w0 AS (SELECT doc_id,
+         |    source IN ('src1', 'src2', 'src3') AS is_target,
+         |    string_split(trim(text), ' ') AS w FROM documents),
+         |c0 AS (SELECT is_target,
+         |    list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS gs
+         |  FROM w0 WHERE doc_id % 10 <> 0 AND len(w) >= 2),
+         |cg AS (SELECT is_target,
+         |        CAST('0x' || substr(md5('dsir:' || unnest(gs)), 1, 8)
+         |          AS BIGINT) % 64 AS b
+         |      FROM c0),
+         |cnt AS (SELECT b, count(*) AS cr,
+         |          sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct
+         |        FROM cg GROUP BY b),
+         |dom AS (SELECT CAST(unnest(range(64)) AS BIGINT) AS b),
+         |raw AS (SELECT dom.b, coalesce(cr, 0) AS cr, coalesce(ct, 0) AS ct
+         |        FROM dom LEFT JOIN cnt ON dom.b = cnt.b),
+         |tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM raw),
+         |lr AS (SELECT b,
+         |         CAST(round(log10(CAST((ct + 1) * (tr + 64) AS DOUBLE) /
+         |           CAST((cr + 1) * (tt + 64) AS DOUBLE)) * 1e6)
+         |           AS BIGINT) AS lr_micro
+         |       FROM raw, tot),
+         |a0 AS (SELECT doc_id,
+         |    list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS gs
+         |  FROM w0 WHERE doc_id % 10 = 0 AND len(w) >= 2),
+         |ag AS (SELECT doc_id,
+         |        CAST('0x' || substr(md5('dsir:' || unnest(gs)), 1, 8)
+         |          AS BIGINT) % 64 AS b
+         |      FROM a0)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(lr_micro) AS BIGINT) AS w_micro,
+         |  (CAST(sum(lr_micro) AS BIGINT) >= 0) AS keep
+         |FROM ag JOIN lr USING (b)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q86: contrastive pair mining — per anchor, top-3 same-label
+    // (positives) and top-3 different-label (hard negatives) by exact
+    // cosine (q19's dot), plus the FaceNet semi-hard flag (negative
+    // below the anchor's max positive cos).
+    "q86_hard_negatives" -> {
+      def dot(x: String, y: String) =
+        s"list_sum(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+      s"""WITH a AS (SELECT vec_id AS anchor_id, label AS anchor_label,
+         |             embedding AS aemb
+         |           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+         |s AS (SELECT anchor_id, vec_id, label,
+         |        round(${dot("embedding", "aemb")} /
+         |          (sqrt(${dot("embedding", "embedding")}) *
+         |           sqrt(${dot("aemb", "aemb")})), 6) AS cos_sim,
+         |        CASE WHEN label = anchor_label THEN 'pos' ELSE 'neg'
+         |          END AS kind
+         |      FROM embeddings, a WHERE vec_id <> anchor_id),
+         |m AS (SELECT *, row_number() OVER (PARTITION BY anchor_id, kind
+         |        ORDER BY cos_sim DESC, vec_id) AS rank FROM s),
+         |mk AS (SELECT * FROM m WHERE rank <= 3),
+         |hp AS (SELECT anchor_id, max(cos_sim) AS max_pos FROM mk
+         |       WHERE kind = 'pos' GROUP BY anchor_id)
+         |SELECT anchor_id, kind, CAST(rank AS INTEGER) AS rank, vec_id,
+         |  label, cos_sim,
+         |  (kind = 'neg' AND cos_sim < max_pos) AS semi_hard
+         |FROM mk JOIN hp USING (anchor_id)
+         |ORDER BY anchor_id, kind, rank""".stripMargin
+    },
   )
 
   /** q64's recompute-path yield-ledger SQL — shared verbatim by q64

@@ -2946,4 +2946,199 @@ object PipelineQueries {
       .withColumn("recall", rdiv4(col("n_hits"), col("n_exact")))
       .orderBy(col("anchor_id"))
   }
+
+  /** q84 — DSIR importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * document by how target-like its HASHED n-gram profile is, without
+    * ever building a vocabulary-sized model. Bigrams hash into D=64
+    * buckets (md5-prefix, the repo's cross-engine hash); the "model"
+    * is one bucket histogram over the target slice (sources src1-3,
+    * the high-quality-reference proxy) and one over the raw corpus,
+    * add-1 smoothed; a document's log importance weight is the sum of
+    * its bigrams' bucket log-ratios log10(p_T[b]/p_R[b]). Integer
+    * micro-unit log-ratios per BUCKET (the q56 convention — one
+    * log10 of an exact-integer double ratio, rounded to 1e-6) keep
+    * the per-doc sum engine-exact for the DuckDB twin.
+    *
+    * Scale shape — the entire point of DSIR's hashed features: the
+    * model is O(D), not O(vocab). Hashing is map-only on the gram
+    * stream; BOTH distributions come out of ONE map-side-combined
+    * D-row aggregate (target counts ride along as a conditional sum —
+    * no second corpus pass); the totals row and the 64-row log-ratio
+    * table broadcast; scoring is a broadcast hash join onto the gram
+    * stream plus one doc-keyed partially-aggregated shuffle. Total:
+    * one corpus scan, one 64-row aggregate, one doc-sized shuffle —
+    * no vocab-sized intermediate anywhere, unlike q56's bigram LM
+    * (which this complements: q56 scores fluency, q84 scores
+    * target-domain affinity).
+    */
+  def q84DsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val D = 64
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        col("source").isin("src1", "src2", "src3").as("is_target"),
+        TF.words(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+    val grams = d.select(col("doc_id"), col("is_target"), explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+        .as("g"))
+      .withColumn("b",
+        conv(substring(md5(concat(lit("dsir:"), col("g"))), 1, 8), 16, 10)
+          .cast("long") % D)
+      .select(col("doc_id"), col("is_target"), col("b"))
+      // Feeds the model build AND the scoring join — materialize the
+      // explode once (the q56 shared-base rationale).
+      .localCheckpoint(true)
+    val raw = grams.groupBy(col("b")).agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"))
+    val tot = raw.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
+    val lr = raw.crossJoin(broadcast(tot))
+      .select(col("b"),
+        round(log10(((col("ct") + 1L) * (col("tr") + D)).cast("double") /
+          ((col("cr") + 1L) * (col("tt") + D)).cast("double")) * 1e6, 0)
+          .cast("long").as("lr_micro"))
+    grams.join(broadcast(lr), Seq("b"))
+      .groupBy(col("doc_id"), col("is_target"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("lr_micro")).as("w_micro"))
+      .withColumn("logweight", col("w_micro").cast("double") / 1000000.0)
+      .select(col("doc_id"), col("is_target"), col("n_grams"),
+        col("w_micro"), col("logweight"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The STAGED DSIR model for the streaming quality gate (q87): the
+    * full-domain 64-row bucket → micro log-ratio table, trained on the
+    * STANDING corpus only (doc_id % 10 != 0 — the gate scores
+    * arrivals, it never trains on them), under the shared write-once
+    * protocol. Full 0..63 domain (absent buckets keep their smoothed
+    * log-ratio) so the gate's map lookup can never miss a bucket an
+    * arrival hashes into. 64 rows — collected once and shipped to the
+    * stream as a map literal, the bounded-collect discipline of the
+    * q81/q83 codebooks.
+    */
+  private[graft] def dsirModel(s: SparkSession, dir: String): DataFrame =
+    writeOnceStage(s,
+      s"$stageRoot/dsirmodel_${stageTag(s, dir, "documents.parquet", "dsir-v1")}",
+      "model", {
+        val D = 64
+        val g = Tables.documents(s, dir)
+          .filter(col("doc_id") % 10 =!= 0)
+          .select(
+            col("source").isin("src1", "src2", "src3").as("is_target"),
+            TF.words(col("text")).as("w"))
+          .filter(size(col("w")) >= 2)
+          .select(col("is_target"), explode(expr(
+            "transform(sequence(1, size(w) - 1), " +
+              "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+            .as("g"))
+          .withColumn("b",
+            conv(substring(md5(concat(lit("dsir:"), col("g"))), 1, 8), 16, 10)
+              .cast("long") % D)
+        val counts = g.groupBy(col("b")).agg(
+          count(lit(1)).as("cr"),
+          sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"))
+        val dom = s.range(D).select(col("id").as("b"))
+          .join(counts, Seq("b"), "left")
+          .select(col("b"), coalesce(col("cr"), lit(0L)).as("cr"),
+            coalesce(col("ct"), lit(0L)).as("ct"))
+        val tot = dom.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
+        dom.crossJoin(broadcast(tot))
+          .select(col("b"),
+            round(log10(((col("ct") + 1L) * (col("tr") + D)).cast("double") /
+              ((col("cr") + 1L) * (col("tt") + D)).cast("double")) * 1e6, 0)
+              .cast("long").as("lr_micro"))
+      })
+
+  /** q85 — deterministic GLOBAL SHUFFLE + epoch sharding, the training
+    * -order step between a finished corpus and the trainer: every
+    * epoch needs a different but REPRODUCIBLE permutation of the
+    * corpus, laid out as N shard files each internally ordered. The
+    * permutation key is md5("shuf:"||epoch||":"||doc_id) — so order is
+    * a pure function of (epoch, doc_id), reshuffle-proof and identical
+    * on any cluster layout (the q33/q45 determinism discipline) — and
+    * the shard is the key's own 32-bit prefix mod N, so shard
+    * assignment is map-only and each epoch re-deals docs to different
+    * shards (cross-shard mixing between epochs, not just intra-shard
+    * reorder).
+    *
+    * Scale shape: NO global total-order sort anywhere — the classic
+    * trap here is orderBy(key) over the corpus (a range-partitioned
+    * full sort). Instead the window partitions by (epoch, shard): one
+    * hash shuffle on the shard key, then a per-shard local sort —
+    * exactly the sort the shard writer needs to lay the file out
+    * anyway, each shard ~corpus/N and N sized to trainer file size.
+    * Position is dense 1..|shard| per shard so a loader can seek.
+    */
+  def q85EpochShardShuffle(s: SparkSession, dir: String,
+      epochs: Int = 2, shards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ep = s.range(epochs).select(col("id").cast("int").as("epoch"))
+    val keyed = Tables.documents(s, dir).select(col("doc_id"))
+      .crossJoin(broadcast(ep))
+      .withColumn("skey", md5(concat(lit("shuf:"),
+        col("epoch").cast("string"), lit(":"),
+        col("doc_id").cast("string"))))
+      .withColumn("shard",
+        (conv(substring(col("skey"), 1, 8), 16, 10).cast("long") % shards)
+          .cast("int"))
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("skey"), col("doc_id"))
+    keyed.withColumn("pos", row_number().over(w))
+      .select(col("epoch"), col("shard"), col("pos"), col("doc_id"))
+      .orderBy(col("epoch"), col("shard"), col("pos"))
+  }
+
+  /** q86 — contrastive PAIR MINING for embedding-model training
+    * (SimCLR/E5/FaceNet lineage): for each anchor, the top-k most
+    * similar SAME-label vectors (positives) and top-k most similar
+    * DIFFERENT-label vectors (hard negatives) by exact cosine, plus
+    * the FaceNet semi-hard flag — a negative still farther than the
+    * anchor's hardest positive (cos below the max positive cos) is
+    * "semi-hard": informative gradient, unlikely to be label noise;
+    * a negative CLOSER than every positive is flagged hard=not-semi
+    * (curriculum and noise-audit candidates).
+    *
+    * Scale shape: q19's exact-mining discipline — anchors broadcast
+    * (mining batches are small by construction), similarity is the
+    * codegen'd fdot fold, and BOTH per-(anchor,kind) top-k rank
+    * filters compile to partial WindowGroupLimits before the exchange
+    * (the spec-pinned q81 family pattern), so map tasks emit ≤ 2k rows
+    * per anchor, never the corpus. The per-anchor max-positive
+    * threshold joins back as a broadcast of |anchors| rows. At real
+    * scale the corpus side swaps for q82's IVFADC candidates with the
+    * same mining tail.
+    */
+  def q86HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val anchorIds = Seq(0L, 1L, 2L); val k = 3
+    def fdot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.expressions.Sketches.fdot(s, a, b)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        sqrt(graft.expressions.Sketches.fdot(s, col("embedding"),
+          col("embedding"))).as("norm"))
+    val anchors = e.filter(col("vec_id").isin(anchorIds: _*))
+      .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"),
+        col("embedding").as("aemb"), col("norm").as("anorm"))
+    val scored = e.crossJoin(broadcast(anchors))
+      .filter(col("vec_id") =!= col("anchor_id"))
+      .withColumn("cos_sim", round(fdot(col("embedding"), col("aemb")) /
+        (col("norm") * col("anorm")), 6))
+      .withColumn("kind", when(col("label") === col("anchor_label"),
+        lit("pos")).otherwise(lit("neg")))
+    val w = Window.partitionBy(col("anchor_id"), col("kind"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val mined = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    val hardestPos = mined.filter(col("kind") === "pos")
+      .groupBy(col("anchor_id")).agg(max(col("cos_sim")).as("max_pos"))
+    mined.join(broadcast(hardestPos), Seq("anchor_id"))
+      .withColumn("semi_hard",
+        col("kind") === "neg" && col("cos_sim") < col("max_pos"))
+      .select(col("anchor_id"), col("kind"), col("rank"), col("vec_id"),
+        col("label"), col("cos_sim"), col("semi_hard"))
+      .orderBy(col("anchor_id"), col("kind"), col("rank"))
+  }
 }

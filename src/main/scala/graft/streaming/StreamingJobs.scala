@@ -568,6 +568,53 @@ object StreamingJobs {
       .select(col("arr_id"), col("vec_id"), col("cos_pq"))
   }
 
+  /** q87 — STREAMING DSIR QUALITY GATE: the ingest-door filter of the
+    * quality axis, completing the gate family (q80 gates near-dups,
+    * q83 gates semantic dups, q87 gates target-domain affinity).
+    * Arriving documents (doc_id % 10 == 0) are scored against the
+    * STAGED DSIR model ([[graft.queries.PipelineQueries.dsirModel]] —
+    * trained once on the standing corpus, 64 rows, write-once) and
+    * kept iff their summed bucket log-ratio is ≥ 0 (more target-like
+    * than raw). FULLY stateless AND shuffle-free: the model ships as
+    * a 64-entry map literal, the bigram→bucket hash and the per-doc
+    * sum are higher-order array expressions WITHIN the arrival row —
+    * no explode, no streaming aggregation, no state store; per-batch
+    * cost is O(arrival tokens) flat map work, the best possible shape
+    * at any scale.
+    */
+  def streamDsirGate(s: SparkSession, dir: String): DataFrame = {
+    val arr = docsStream(s, dir).select(col("doc_id"), col("text"))
+    drain(s, dsirGateStream(s, arr, dir), "dsirgate_",
+        outputMode = "append") { t =>
+      t.orderBy(col("doc_id"))
+    }
+  }
+
+  /** Core of [[streamDsirGate]] over any streaming (doc_id, text)
+    * frame — split out for the multi-batch spec (which pins that the
+    * query holds ZERO state operators).
+    */
+  private[graft] def dsirGateStream(s: SparkSession,
+      arrivalDocs: DataFrame, dir: String): DataFrame = {
+    val model = graft.queries.PipelineQueries.dsirModel(s, dir)
+      .collect()
+      .map(r => r.getAs[Long]("b") -> r.getAs[Long]("lr_micro")).toMap
+    require(model.size == 64, s"DSIR model domain hole: ${model.size}")
+    arrivalDocs.filter(col("doc_id") % 10 === 0)
+      .withColumn("w", split(trim(col("text")), " "))
+      .filter(size(col("w")) >= 2)
+      .withColumn("lrm", typedLit(model))
+      .withColumn("bs", expr(
+        "transform(sequence(1, size(w) - 1), i -> " +
+          "cast(conv(substring(md5(concat('dsir:', element_at(w, i), " +
+          "' ', element_at(w, i + 1))), 1, 8), 16, 10) as bigint) % 64)"))
+      .select(col("doc_id"),
+        size(col("bs")).cast("long").as("n_grams"),
+        expr("aggregate(bs, cast(0 as bigint), " +
+          "(a, b) -> a + element_at(lrm, b))").as("w_micro"))
+      .withColumn("keep", col("w_micro") >= 0L)
+  }
+
   /** STREAM-STREAM INTERVAL JOIN — the watermarked two-stream join
     * (§ Structured Streaming's flagship stateful operator, previously
     * unexercised here): each view event joined to the same user's

@@ -2714,6 +2714,126 @@ class PipelineSpec extends AnyFunSuite {
       .collect()
     assert(bad.isEmpty, bad.take(5).mkString(", "))
   }
+
+  test("q84 DSIR: O(D) model broadcasts; target docs score higher on average") {
+    val df = SparkEntry.queries("q84_dsir_weights")(spark, sf)
+    // The scoring join's build side is the 64-row log-ratio table —
+    // it must broadcast (DSIR's whole point: the model is O(D), no
+    // vocab-sized join anywhere). A SortMergeJoin here means the gram
+    // stream got shuffled on the bucket key — corpus-sized, wrong.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q84 scoring join is not broadcast:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      "q84 plan shuffles the gram stream on a join key")
+    val rows = df.collect()
+    // Importance weights must actually separate the target slice:
+    // mean log-weight of target docs strictly above non-target (the
+    // target's own grams dominate its smoothed histogram).
+    def mean(t: Boolean) = {
+      val ws = rows.filter(_.getAs[Boolean]("is_target") == t)
+        .map(_.getAs[Double]("logweight"))
+      ws.sum / ws.length
+    }
+    assert(mean(true) > mean(false),
+      s"DSIR failed to separate: target=${mean(true)} raw=${mean(false)}")
+  }
+
+  test("q85 epoch shuffle: dense per-shard positions, epochs permute differently") {
+    val rows = SparkEntry.queries("q85_epoch_shard_shuffle")(spark, sf)
+      .collect()
+    val nDocs = rows.map(_.getAs[Long]("doc_id")).distinct.length
+    assert(rows.length == 2 * nDocs) // every doc appears once per epoch
+    // Positions are dense 1..|shard| within every (epoch, shard) —
+    // the seekable-loader contract.
+    rows.groupBy(r => (r.getAs[Int]("epoch"), r.getAs[Int]("shard")))
+      .foreach { case ((e, sh), rs) =>
+        val pos = rs.map(_.getAs[Int]("pos")).sorted
+        assert(pos.sameElements(1 to rs.length),
+          s"epoch=$e shard=$sh positions not dense: ${pos.take(5).toSeq}")
+      }
+    // Epochs must re-deal: some doc lands in a different shard in
+    // epoch 1 (cross-shard mixing, not just intra-shard reorder).
+    val byEpoch = rows.groupBy(_.getAs[Int]("epoch"))
+      .map { case (e, rs) =>
+        e -> rs.map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("shard")).toMap
+      }
+    val moved = byEpoch(0).count { case (d, sh) => byEpoch(1)(d) != sh }
+    assert(moved > 0, "epoch 1 kept every doc in its epoch-0 shard")
+  }
+
+  test("q86 mining: 3 pos + 3 neg per anchor, labels honest, semi-hard only negs") {
+    val rows = SparkEntry.queries("q86_hard_negatives")(spark, sf).collect()
+    assert(rows.length == 18) // 3 anchors × (3 pos + 3 neg)
+    val anchorLabel = Tables.embeddings(spark, sf)
+      .filter(col("vec_id").isin(0L, 1L, 2L))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label"))
+      .toMap
+    rows.foreach { r =>
+      val al = anchorLabel(r.getAs[Long]("anchor_id"))
+      val same = r.getAs[Int]("label") == al
+      assert(same == (r.getAs[String]("kind") == "pos"),
+        s"kind/label mismatch: $r (anchor label $al)")
+      if (r.getAs[Boolean]("semi_hard"))
+        assert(r.getAs[String]("kind") == "neg",
+          s"semi_hard set on a positive: $r")
+    }
+    rows.groupBy(r => (r.getAs[Long]("anchor_id"), r.getAs[String]("kind")))
+      .foreach { case (_, rs) =>
+        assert(rs.map(_.getAs[Int]("rank")).sorted.sameElements(1 to 3))
+      }
+    // The mining ranks ride the same InferWindowGroupLimit rewrite the
+    // q81 family pins — assert it holds here too (map tasks emit ≤ k
+    // rows per (anchor, kind), never the corpus).
+    val plan = SparkEntry.queries("q86_hard_negatives")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("WindowGroupLimit.*Partial".r.findFirstIn(plan).nonEmpty,
+      s"q86 lost its partial WindowGroupLimit:\n${plan.take(3000)}")
+  }
+
+  test("q87 DSIR gate: batch splits reproduce the drain; zero state operators") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_grams"),
+        r.getAs[Long]("w_micro"), r.getAs[Boolean]("keep"))
+    val want = SparkEntry.queries("q87_stream_dsir_gate")(spark, sf)
+      .collect().map(key).toSet
+    assert(want.nonEmpty)
+    // The gate must actually gate: the fixture's arrivals straddle the
+    // w_micro >= 0 threshold (otherwise keep is a constant column and
+    // the entry proves nothing).
+    assert(want.exists(_._4) && want.exists(!_._4),
+      "arrivals do not straddle the keep threshold")
+    val arrivals = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (b1, b2) = arrivals.partition(_._1 % 20 == 0)
+    val ms = MemoryStream[(Long, String)]
+    val gate = graft.streaming.StreamingJobs.dsirGateStream(spark,
+      ms.toDF().toDF("doc_id", "text"), sf)
+    val name = "q87_crossbatch_test"
+    val q = gate.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      ms.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+      ms.addData(b2.toSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table(name).collect().map(key).toSet
+      assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+      // Stateless AND shuffle-free: scoring is per-row array algebra
+      // against the broadcast model literal — no state store exists to
+      // grow with the stream.
+      assert(q.lastProgress.stateOperators.isEmpty,
+        s"unexpected state operators: ${
+          q.lastProgress.stateOperators.map(_.operatorName).toSeq}")
+    } finally {
+      q.stop(); spark.catalog.dropTempView(name)
+    }
+  }
 }
 
 /** Test-only FileSystem ("hookfs" scheme, local-disk backed) that
