@@ -271,7 +271,8 @@ object Bench {
           "q77_ann_int8_rerank,q79_substring_dedup," +
           "q79b_substring_dedup_2ph,q79c_substring_scrub," +
           "q25b_ann_ivf_append,q80_stream_corpus_probe," +
-          "q81_ann_pq,q82_ann_ivfpq,q83_stream_ann_gate," +
+          "q81_ann_pq,q82_ann_ivfpq,q82b_ann_ivfpq_residual," +
+          "q83_stream_ann_gate," +
           "near_scale_receipts"))
       .split(",").map(_.trim).filter(SparkEntry.queries.contains).toSeq
     val isolated = isolatedNames.map { n =>

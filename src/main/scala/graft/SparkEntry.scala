@@ -156,6 +156,7 @@ object SparkEntry {
     "q58_audio_meta"          -> (Multimodal.q58AudioMeta _),
     "q59_video_frames"        -> (Multimodal.q59VideoFrames _),
     "q60_stratified_quota"    -> (PipelineQueries.q60StratifiedQuota _),
+    "q82b_ann_ivfpq_residual" -> (PipelineQueries.q82bAnnIvfPqResidual _),
     "q84_dsir_weights"        -> (PipelineQueries.q84DsirWeights _),
     "q85_epoch_shard_shuffle" -> ((s: SparkSession, dir: String) =>
       PipelineQueries.q85EpochShardShuffle(s, dir)),

@@ -426,7 +426,8 @@ object Sketches {
     * integer adds on both sides). Centroids arrive as a 2-D literal of
     * integer-valued doubles (micro units).
     */
-  case class IvfCellRank(child: Expression, cents: Array[Array[Long]])
+  case class IvfCellRank(child: Expression, cents: Array[Array[Long]],
+      preScaled: Boolean = false)
       extends UnaryExpression with CodegenFallback {
     override def checkInputDataTypes(): TypeCheckResult =
       requireNumArray(child, "graft_ivf_rank")
@@ -442,7 +443,11 @@ object Sketches {
       while (i < dims) {
         if (arr.isNullAt(i)) throw new IllegalArgumentException(
           "graft_ivf_rank: null embedding component")
-        xq(i) = roundAway(get(arr, i) * 1e6).toLong
+        // preScaled: the input is ALREADY in exact micro units (e.g. a
+        // coarse-quantizer residual, an integer difference of two
+        // micro vectors) — quantizing again would scale it 1e6×.
+        xq(i) = if (preScaled) roundAway(get(arr, i)).toLong
+                else roundAway(get(arr, i) * 1e6).toLong
         i += 1
       }
       val k = cents.length
@@ -524,6 +529,10 @@ object Sketches {
     reg.createOrReplaceTempFunction("graft_ivf_rank",
       exprs => IvfCellRank(exprs(0),
         litCentroids(exprs(1), "graft_ivf_rank")), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_ivf_rank_raw",
+      exprs => IvfCellRank(exprs(0),
+        litCentroids(exprs(1), "graft_ivf_rank_raw"),
+        preScaled = true), "scala_udf")
   }
 
   /** Centroids arrive as a plan-time 2-D literal (array<array<double>>
@@ -552,6 +561,18 @@ object Sketches {
       cents: Array[Array[Long]]): Column = {
     register(spark)
     call_function("graft_ivf_rank", emb,
+      org.apache.spark.sql.functions.typedLit(
+        cents.map(_.toSeq.map(_.toDouble)).toSeq))
+  }
+
+  /** [[ivfCellRank]] over an input ALREADY in micro units (residuals,
+    * integer differences of micro vectors) — skips the ×1e6
+    * quantization, everything else identical.
+    */
+  def ivfCellRankRaw(spark: SparkSession, microVec: Column,
+      cents: Array[Array[Long]]): Column = {
+    register(spark)
+    call_function("graft_ivf_rank_raw", microVec,
       org.apache.spark.sql.functions.typedLit(
         cents.map(_.toSeq.map(_.toDouble)).toSeq))
   }

@@ -337,9 +337,17 @@ object Similarity {
     */
   private[graft] def pqCodebooksMicro(embeddings: DataFrame, m: Int = 8,
       dsub: Int = 8, k: Int = 16, iters: Int = 2,
-      sampleSize: Int = 512): Array[Array[Array[Long]]] = {
+      sampleSize: Int = 512): Array[Array[Array[Long]]] =
+    pqLloyd(pqTrainSample(embeddings, sampleSize), m, dsub, k, iters)
+
+  /** The deterministic PQ training sample: the `sampleSize` vectors
+    * first in md5('ivf:'||vec_id) order, micro-quantized — shared by
+    * raw-vector PQ (q81) and residual PQ (q82b).
+    */
+  private def pqTrainSample(embeddings: DataFrame,
+      sampleSize: Int): Array[Array[Long]] = {
     val s = embeddings.sparkSession
-    val sample: Array[Array[Long]] = embeddings
+    embeddings
       .select(col("vec_id"),
         graft.expressions.Sketches.microQuantize(s, col("embedding")).as("xq"))
       .orderBy(md5(concat(lit("ivf:"), col("vec_id").cast("string"))),
@@ -347,6 +355,45 @@ object Similarity {
       .limit(sampleSize)
       .select(col("xq")).collect()
       .map(_.getSeq[Double](0).map(_.toLong).toArray)
+  }
+
+  /** RESIDUAL PQ codebooks (FAISS `by_residual=true`): the same
+    * deterministic per-subspace Lloyd chain as [[pqCodebooksMicro]],
+    * but trained on COARSE-QUANTIZER RESIDUALS — each sampled vector
+    * is first assigned to its nearest coarse centroid (exact integer
+    * distance, strict-< tie to the lower cell — identical to the
+    * engine's `IvfCellRank` and the oracle's `asg`), and the codebook
+    * input is xq − centroid. Residuals are much lower-energy than raw
+    * vectors, so 8 bits/subspace buys visibly less quantization error
+    * — the reason residual encoding is the FAISS default.
+    */
+  private[graft] def pqResidualCodebooksMicro(embeddings: DataFrame,
+      cents: Array[Array[Long]], m: Int = 8, dsub: Int = 8, k: Int = 16,
+      iters: Int = 2, sampleSize: Int = 512): Array[Array[Array[Long]]] = {
+    val res = pqTrainSample(embeddings, sampleSize).map { xq =>
+      var best = 0; var bestD = Long.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        val cv = cents(c)
+        val n = math.min(xq.length, cv.length)
+        var d = 0L; var i = 0
+        while (i < n) { val t = xq(i) - cv(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      Array.tabulate(xq.length)(i => xq(i) - cents(best)(i))
+    }
+    pqLloyd(res, m, dsub, k, iters)
+  }
+
+  /** Per-subspace deterministic micro-integer Lloyd chain over an
+    * in-memory sample (init = first k sample slices, exact integer
+    * distances, strict-< ties to the lower cell, truncating integer
+    * means, emptied-cell carry) — the replayable k-means core shared
+    * by the raw and residual PQ trainers.
+    */
+  private def pqLloyd(sample: Array[Array[Long]], m: Int,
+      dsub: Int, k: Int, iters: Int): Array[Array[Array[Long]]] = {
     Array.tabulate(m) { j =>
       val sub = sample.map(_.slice(j * dsub, j * dsub + dsub))
       var cents = sub.take(k).map(_.clone())

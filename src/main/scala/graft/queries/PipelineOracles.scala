@@ -75,7 +75,10 @@ object PipelineOracles {
     */
   private def pqCtes(m: Int = 8, dsub: Int = 8, k: Int = 16,
       iters: Int = 2, sampleSize: Int = 512,
-      withQe: Boolean = true): String = {
+      withQe: Boolean = true, srcCte: String = "qe",
+      srcCol: String = "xq"): String = {
+    // srcCte/srcCol retarget the training input (q82b trains the SAME
+    // chain on the residual CTE `re(vec_id, rq)` instead of qe.xq).
     val hashOrd = "md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id"
     // The sample CTE is named psmp (not smp) so these CTEs compose
     // with ivfCtes in one WITH block (q82's IVFADC oracle needs both
@@ -90,7 +93,7 @@ object PipelineOracles {
          |""".stripMargin
     val init =
       s"""${if (withQe) qeCte else ""}psmp AS (SELECT row_number() OVER (ORDER BY $hashOrd) - 1 AS sidx, xq
-         |       FROM (SELECT vec_id, xq FROM qe
+         |       FROM (SELECT vec_id, $srcCol AS xq FROM $srcCte
          |             ORDER BY $hashOrd LIMIT $sampleSize))""".stripMargin
     val subs = (0 until m).map { j =>
       val a = j * dsub + 1; val b = (j + 1) * dsub
@@ -112,10 +115,10 @@ object PipelineOracles {
       }
       val codeJ =
         s"""code$j AS (SELECT vec_id, cell FROM (
-           |    SELECT qe.vec_id, c.cell,
-           |      row_number() OVER (PARTITION BY qe.vec_id
-           |        ORDER BY ${sqDistN(s"qe.xq[$a:$b]", "c.cx", dsub)}, c.cell) AS rn
-           |    FROM qe, p${j}c$iters c) t WHERE rn = 1)""".stripMargin
+           |    SELECT src.vec_id, c.cell,
+           |      row_number() OVER (PARTITION BY src.vec_id
+           |        ORDER BY ${sqDistN(s"src.$srcCol[$a:$b]", "c.cx", dsub)}, c.cell) AS rn
+           |    FROM $srcCte src, p${j}c$iters c) t WHERE rn = 1)""".stripMargin
       (Seq(initJ) ++ rounds :+ codeJ).mkString(",\n")
     }
     (Seq(init) ++ subs).mkString(",\n")
@@ -137,6 +140,35 @@ object PipelineOracles {
          |        list_sum(list_transform(range(1, ${dsub + 1}), i -> a.axq[$off + i - 1] * c.cx[i])) AS sd,
          |        list_sum(list_transform(range(1, ${dsub + 1}), i -> c.cx[i] * c.cx[i])) AS nr
          |      FROM code$j k JOIN p${j}c$iters c USING (cell), anch a""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""sc AS (
+       |$unions),
+       |tot AS (SELECT anchor_id, vec_id, CAST(sum(sd) AS BIGINT) AS sdot,
+       |          CAST(sum(nr) AS BIGINT) AS nrec
+       |        FROM sc WHERE vec_id <> anchor_id GROUP BY anchor_id, vec_id),
+       |an2 AS (SELECT anchor_id,
+       |          list_sum(list_transform(range(1, ${m * dsub + 1}), i -> axq[i] * axq[i])) AS anorm2
+       |        FROM anch)""".stripMargin
+  }
+
+  /** ADC scoring with RESIDUAL reconstruction (q82b) — like
+    * [[adcScoreCtes]] but each candidate's subspace reconstruction is
+    * coarse-centroid-slice + residual codeword (cc.cx[off+i-1] +
+    * c.cx[i]), so both the table dot and the reconstructed norm fold
+    * the candidate's own cell in. Joins `asg` (the candidate's coarse
+    * cell) and `c{iters}` (the coarse centroids) per subspace; all
+    * arithmetic stays exact-integer-in-DOUBLE.
+    */
+  private def adcResidualScoreCtes(m: Int = 8, dsub: Int = 8,
+      iters: Int = 2): String = {
+    val unions = (0 until m).map { j =>
+      val off = j * dsub + 1
+      s"""      SELECT a.anchor_id, k.vec_id,
+         |        list_sum(list_transform(range(1, ${dsub + 1}), i -> a.axq[$off + i - 1] * (cc.cx[$off + i - 1] + c.cx[i]))) AS sd,
+         |        list_sum(list_transform(range(1, ${dsub + 1}), i -> (cc.cx[$off + i - 1] + c.cx[i]) * (cc.cx[$off + i - 1] + c.cx[i]))) AS nr
+         |      FROM code$j k JOIN p${j}c$iters c USING (cell)
+         |        JOIN asg ag ON k.vec_id = ag.vec_id
+         |        JOIN c$iters cc ON ag.cell = cc.cell, anch a""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""sc AS (
        |$unions),
@@ -782,6 +814,38 @@ object PipelineOracles {
          |         FROM asg JOIN probe p USING (cell)
          |         WHERE asg.vec_id <> p.anchor_id),
          |${adcScoreCtes()},
+         |pqs AS (SELECT t.anchor_id, t.vec_id,
+         |          round(CAST(t.sdot AS DOUBLE) /
+         |            (sqrt(CAST(an2.anorm2 AS DOUBLE)) * sqrt(CAST(t.nrec AS DOUBLE))), 6) AS cos_pq
+         |        FROM tot t JOIN an2 USING (anchor_id)
+         |          JOIN cand USING (anchor_id, vec_id))
+         |SELECT anchor_id, rank, vec_id, cos_pq FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY anchor_id
+         |    ORDER BY cos_pq DESC, vec_id) AS rank FROM pqs) r
+         |WHERE rank <= 3 ORDER BY anchor_id, rank""".stripMargin,
+
+    // q82b: IVFADC with RESIDUAL encoding (FAISS by_residual=true) —
+    // same coarse chain and probe as q82, but the PQ chain trains on
+    // the residual CTE `re` (xq − assigned coarse centroid) and ADC
+    // reconstructs centroid + residual codeword per subspace.
+    "q82b_ann_ivfpq_residual" ->
+      s"""WITH ${ivfCtes(16, 2, 512, "WHERE vec_id % 10 <> 0")},
+         |re AS (SELECT qe.vec_id,
+         |         list_transform(range(1, 65), i -> qe.xq[i] - cc.cx[i]) AS rq
+         |       FROM qe JOIN asg USING (vec_id)
+         |         JOIN c2 cc ON asg.cell = cc.cell),
+         |${pqCtes(withQe = false, srcCte = "re", srcCol = "rq")},
+         |anch AS (SELECT vec_id AS anchor_id, xq AS axq
+         |         FROM qe WHERE vec_id IN (0, 1, 2)),
+         |probe AS (SELECT anchor_id, cell FROM (
+         |    SELECT qe.vec_id AS anchor_id, c.cell,
+         |      row_number() OVER (PARTITION BY qe.vec_id
+         |        ORDER BY ${sqDist("qe.xq", "c.cx")}, c.cell) AS rn
+         |    FROM qe, c2 c WHERE qe.vec_id IN (0, 1, 2)) t WHERE rn <= 2),
+         |cand AS (SELECT p.anchor_id, asg.vec_id
+         |         FROM asg JOIN probe p USING (cell)
+         |         WHERE asg.vec_id <> p.anchor_id),
+         |${adcResidualScoreCtes()},
          |pqs AS (SELECT t.anchor_id, t.vec_id,
          |          round(CAST(t.sdot AS DOUBLE) /
          |            (sqrt(CAST(an2.anorm2 AS DOUBLE)) * sqrt(CAST(t.nrec AS DOUBLE))), 6) AS cos_pq

@@ -2384,6 +2384,163 @@ object PipelineQueries {
       .orderBy(col("anchor_id"), col("rank"))
   }
 
+  /** The RESIDUAL-ENCODED IVFPQ index (q82b's artifacts) — FAISS
+    * `IndexIVFPQ` at its DEFAULT `by_residual=true` operating point:
+    * the SAME frozen coarse-quantizer stage as q82 (shared bytes on
+    * disk), but the PQ codebooks train on coarse RESIDUALS
+    * (xq − centroid[cell], [[graft.functions.Similarity.pqResidualCodebooksMicro]])
+    * and each vector's 8 codes quantize ITS OWN residual. Residuals
+    * carry far less energy than raw vectors — the codebook spends its
+    * 8 bits/subspace on the delta around the vector's cell instead of
+    * re-describing the cell itself — which is why residual encoding
+    * is the FAISS default. The price (and the reason q82 keeps the
+    * `by_residual=false` twin): codes are only decodable WITH the
+    * cell, so ADC tables become per-(anchor, probed cell) instead of
+    * per-anchor — still bounded driver work (nProbe·m·16 entries per
+    * anchor) since scoring only ever happens inside probed cells.
+    * Residual quantization is map-only (`zip_with` integer
+    * subtraction + the raw-domain cell rank — exact micro integers
+    * end to end); segments mirror q82's layout (cell-partitioned,
+    * base + one arrival append, write-once), so maintenance carries
+    * over unchanged.
+    */
+  private[graft] def ivfPqResidualIndex(s: SparkSession, dir: String):
+      (Array[Array[Long]], Array[Array[Array[Long]]], DataFrame, DataFrame) = {
+    val m = 8; val dsub = 8; val nCells = 16
+    val emb = Tables.embeddings(s, dir)
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val arrivals = emb.filter(col("vec_id") % 10 === 0)
+    val cents = stagedCodebooks(s,
+      s"$stageRoot/ivfcent_${stageTag(s, dir, "embeddings.parquet", "ivfcent16f1")}",
+      Array(graft.functions.Similarity
+        .kmeansCentroidsMicro(corpus, nCells).sortBy(_._1).map(_._2)))(0)
+    val rbooks = stagedCodebooks(s,
+      s"$stageRoot/pqrbooks_${stageTag(s, dir, "embeddings.parquet", "pqrbooks8x16v1")}",
+      graft.functions.Similarity.pqResidualCodebooksMicro(emb, cents))
+    val centsLit = typedLit(cents.toIndexedSeq
+      .map(_.toIndexedSeq.map(_.toDouble)))
+    def rankOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      graft.expressions.Sketches.ivfCellRank(s, c, cents)
+    def encode(df: DataFrame): DataFrame = {
+      val withRes = df.select(col("vec_id"),
+          rankOf(col("embedding"))(0).getField("cell").as("cell"),
+          graft.expressions.Sketches.microQuantize(s, col("embedding"))
+            .as("xq"))
+        .withColumn("rq", zip_with(col("xq"),
+          element_at(centsLit, col("cell") + 1), (x, c) => x - c))
+      withRes.select(col("vec_id"),
+        array((0 until m).map(j => graft.expressions.Sketches
+          .ivfCellRankRaw(s, slice(col("rq"), j * dsub + 1, dsub), rbooks(j))
+          .getItem(0).getField("cell").cast("tinyint")): _*).as("pq"),
+        col("cell"))
+    }
+    val root = s"$stageRoot/ivfpqr_${stageTag(s, dir, "embeddings.parquet", "ivfpqr16x8x16v1")}"
+    val segBase = writeOnceStage(s, s"$root/seg_base", "cells",
+      encode(corpus), partitionBy = Seq("cell"))
+    val segArr = writeOnceStage(s, s"$root/seg_arr0", "cells",
+      encode(arrivals), partitionBy = Seq("cell"))
+    (cents, rbooks, segBase, segArr)
+  }
+
+  /** q82b — IVFADC with RESIDUAL encoding, the FAISS-default twin of
+    * q82: same probe shape (cell-partitioned segment scan, dynamic
+    * partition pruning to nProbe/nCells, map-only ADC lookups, exact
+    * longs until the final cosine division), but candidates
+    * reconstruct as centroid + residual-codeword. The ADC tables fold
+    * the reconstruction in: per (anchor, probed cell, subspace,
+    * codeword), `tbl` holds ⟨a_j, c_cell,j + r̂_jk⟩ and `nrm` holds
+    * |c_cell,j + r̂_jk|² — so the per-candidate work is STILL 8+8
+    * lookups, identical to q82's hot path; the anchor frame is
+    * nProbe rows per anchor instead of 1 (it already was for the
+    * probe join). The oracle replays the coarse k-means, the
+    * RESIDUAL computation, all 8 residual codebooks, and every
+    * reconstructed ADC score bit-for-bit.
+    */
+  def q82bAnnIvfPqResidual(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val m = 8; val dsub = 8; val nProbe = 2; val k = 3
+    val anchorIds = Seq(0L, 1L, 2L)
+    val emb = Tables.embeddings(s, dir)
+    val (cents, rbooks, segBase, segArr) = ivfPqResidualIndex(s, dir)
+    val invCodes = segBase.unionByName(segArr)
+    val anchorMicro = emb.filter(col("vec_id").isin(anchorIds: _*))
+      .select(col("vec_id"),
+        graft.expressions.Sketches.microQuantize(s, col("embedding")).as("xq"))
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Double](1).map(_.toLong).toArray).toMap
+    // Probed cells per anchor, driver-side with the EXACT IvfCellRank
+    // semantics: exact integer distances, stable sort (ties keep the
+    // lower cell).
+    def probedCells(aq: Array[Long]): Seq[Int] = {
+      val ds = cents.map { cv =>
+        var d = 0L; var i = 0
+        while (i < cv.length) { val t = aq(i) - cv(i); d += t * t; i += 1 }
+        d
+      }
+      Array.range(0, cents.length).sortBy(ds(_)).take(nProbe).toSeq
+    }
+    val anchorRows = for {
+      aid <- anchorIds
+      aq = anchorMicro(aid)
+      cell <- probedCells(aq)
+    } yield {
+      val tbl: Seq[Seq[Long]] = (0 until m).map { j =>
+        rbooks(j).toIndexedSeq.map { rv =>
+          var d = 0L; var i = 0
+          while (i < dsub) {
+            d += aq(j * dsub + i) * (cents(cell)(j * dsub + i) + rv(i))
+            i += 1
+          }
+          d
+        }
+      }
+      val nrm: Seq[Seq[Long]] = (0 until m).map { j =>
+        rbooks(j).toIndexedSeq.map { rv =>
+          var d = 0L; var i = 0
+          while (i < dsub) {
+            val rc = cents(cell)(j * dsub + i) + rv(i); d += rc * rc; i += 1
+          }
+          d
+        }
+      }
+      val anorm2 = aq.map(v => v * v).sum
+      (aid, cell, tbl, nrm, anorm2)
+    }
+    val anch = anchorRows.toDF("anchor_id", "cell", "tbl", "nrm", "anorm2")
+    // The probe frame derives from the embeddings SCAN (q82's shape) —
+    // a driver-local relation here would not trigger dynamic partition
+    // pruning on the segment scan. The (anchor_id, cell) join attaches
+    // the driver-built reconstruction tables; it preserves all nProbe
+    // rows per anchor because probedCells replicates IvfCellRank's
+    // exact arithmetic (the oracle gate would catch any divergence).
+    val probes = emb.filter(col("vec_id").isin(anchorIds: _*))
+      .select(col("vec_id").as("anchor_id"),
+        explode(slice(transform(
+          graft.expressions.Sketches.ivfCellRank(s, col("embedding"), cents),
+          x => x.getField("cell")), 1, nProbe)).as("cell"))
+      .join(anch, Seq("anchor_id", "cell"))
+    val scored = invCodes.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("anchor_id"))
+      .withColumn("sdot", expr(
+        "aggregate(sequence(0, 7), cast(0 as bigint), (acc, j) -> " +
+          "acc + element_at(element_at(tbl, j + 1), " +
+          "cast(element_at(pq, j + 1) as int) + 1))"))
+      .withColumn("nrec", expr(
+        "aggregate(sequence(0, 7), cast(0 as bigint), (acc, j) -> " +
+          "acc + element_at(element_at(nrm, j + 1), " +
+          "cast(element_at(pq, j + 1) as int) + 1))"))
+      .withColumn("cos_pq", round(col("sdot").cast("double") /
+        (sqrt(col("anorm2").cast("double")) * sqrt(col("nrec").cast("double"))), 6))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cos_pq").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col("rank"), col("vec_id"), col("cos_pq"))
+      .orderBy(col("anchor_id"), col("rank"))
+  }
+
   /** DUPLICATED-SPAN SCRUB (q79c) — the ACTION the q79/q79b report
     * motivates: Lee et al. (arXiv 2107.06499) don't just count
     * duplicated spans, they CUT them from the training corpus. Every

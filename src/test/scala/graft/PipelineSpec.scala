@@ -1772,6 +1772,35 @@ class PipelineSpec extends AnyFunSuite {
       "replay rewrote an IVFPQ segment")
   }
 
+  test("q82b residual IVFADC: same probe contract, residual codes are their own stage") {
+    val first = SparkEntry.queries("q82b_ann_ivfpq_residual")(spark, sf)
+    val rows1 = first.collect().map(_.toSeq).toSeq
+    assert(rows1.length == 9) // 3 anchors × top-3
+    val plan = first.queryExecution.executedPlan.toString
+    assert(plan.contains("ivfpqr_"),
+      "q82b plan does not scan the staged residual-code segments")
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      "residual-code probe scan not dynamically partition-pruned")
+    assert("WindowGroupLimit.*Partial".r.findFirstIn(plan).nonEmpty,
+      s"q82b lost its partial WindowGroupLimit:\n${plan.take(3000)}")
+    // Residual codes must be a DIFFERENT artifact from q82's raw-PQ
+    // codes (same vectors, different codebooks) — and replay must
+    // reuse both segments untouched.
+    val tag = graft.queries.PipelineQueries.stageTag(spark, sf,
+      "embeddings.parquet", "ivfpqr16x8x16v1")
+    val root = new java.io.File(
+      graft.queries.PipelineQueries.stageRoot, s"ivfpqr_$tag")
+    val segs = root.listFiles().filter(_.getName.startsWith("seg_"))
+      .sortBy(_.getName)
+    assert(segs.map(_.getName).toSeq == Seq("seg_arr0", "seg_base"),
+      s"unexpected segments: ${segs.map(_.getName).toSeq}")
+    val mtimes = segs.map(_.lastModified()).toSeq
+    val again = SparkEntry.queries("q82b_ann_ivfpq_residual")(spark, sf)
+    assert(again.collect().map(_.toSeq).toSeq == rows1)
+    assert(segs.map(_.lastModified()).toSeq == mtimes,
+      "replay rewrote a residual segment")
+  }
+
   test("q25c IVF retrain: compacted new generation, old generation untouched") {
     val r1 = SparkEntry.queries("q25c_ann_ivf_retrain")(spark, sf)
     val rows1 = r1.collect()
