@@ -55,6 +55,29 @@ object PipelineOracles {
     * DOUBLE lists — every add is an exact integer op, so the
     * sequential list_sum equals the engine's long accumulation.
     */
+  /** Force DuckDB to MATERIALIZE the named CTEs (`name AS (` →
+    * `name AS MATERIALIZED (`). The unrolled quantizer chains
+    * reference their shared roots many times and DuckDB v1.0 INLINES
+    * every CTE reference — so a twin that composes two PQ chains
+    * re-derives the whole coarse chain per subspace per chain:
+    * measured 165 s (and an allocator OOM under the driver's
+    * sequential compare) → 2.7 s on q55c, byte-identical rows. Only
+    * the evaluation strategy changes, never results.
+    */
+  private def materialized(sql: String, names: Seq[String]): String =
+    names.foldLeft(sql) { (acc, n) =>
+      acc.replaceAll(
+        s"(?<![A-Za-z0-9_])${java.util.regex.Pattern.quote(n)} AS \\(",
+        s"$n AS MATERIALIZED (")
+    }
+
+  /** The multi-referenced CTE roots of a composed PQ/IVF replay under
+    * prefix `pfx` (empty = the raw chain).
+    */
+  private def pqMatNames(pfx: String): Seq[String] =
+    Seq(s"${pfx}psmp") ++
+      (0 until 8).flatMap(j => Seq(s"${pfx}p${j}c2", s"${pfx}code$j"))
+
   private def sqDist(x: String, c: String): String =
     s"list_sum(list_transform(range(1, 65), i -> ($x[i]-$c[i])*($x[i]-$c[i])))"
 
@@ -76,9 +99,12 @@ object PipelineOracles {
   private def pqCtes(m: Int = 8, dsub: Int = 8, k: Int = 16,
       iters: Int = 2, sampleSize: Int = 512,
       withQe: Boolean = true, srcCte: String = "qe",
-      srcCol: String = "xq"): String = {
+      srcCol: String = "xq", pfx: String = ""): String = {
     // srcCte/srcCol retarget the training input (q82b trains the SAME
-    // chain on the residual CTE `re(vec_id, rq)` instead of qe.xq).
+    // chain on the residual CTE `re(vec_id, rq)` instead of qe.xq);
+    // pfx renames every CTE so two PQ chains compose in one WITH
+    // block (q55c replays the raw AND residual codebooks side by
+    // side — the ivfCtes prefix convention).
     val hashOrd = "md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id"
     // The sample CTE is named psmp (not smp) so these CTEs compose
     // with ivfCtes in one WITH block (q82's IVFADC oracle needs both
@@ -92,33 +118,33 @@ object PipelineOracles {
          |      FROM embeddings),
          |""".stripMargin
     val init =
-      s"""${if (withQe) qeCte else ""}psmp AS (SELECT row_number() OVER (ORDER BY $hashOrd) - 1 AS sidx, xq
+      s"""${if (withQe) qeCte else ""}${pfx}psmp AS (SELECT row_number() OVER (ORDER BY $hashOrd) - 1 AS sidx, xq
          |       FROM (SELECT vec_id, $srcCol AS xq FROM $srcCte
          |             ORDER BY $hashOrd LIMIT $sampleSize))""".stripMargin
     val subs = (0 until m).map { j =>
       val a = j * dsub + 1; val b = (j + 1) * dsub
       val initJ =
-        s"""p${j}c0 AS (SELECT sidx AS cell, xq[$a:$b] AS cx
-           |       FROM psmp WHERE sidx < $k)""".stripMargin
+        s"""${pfx}p${j}c0 AS (SELECT sidx AS cell, xq[$a:$b] AS cx
+           |       FROM ${pfx}psmp WHERE sidx < $k)""".stripMargin
       val rounds = (1 to iters).map { r =>
-        s"""p${j}a$r AS (SELECT sidx, sxq, cell FROM (
-           |    SELECT psmp.sidx, psmp.xq[$a:$b] AS sxq, c.cell,
-           |      row_number() OVER (PARTITION BY psmp.sidx
-           |        ORDER BY ${sqDistN(s"psmp.xq[$a:$b]", "c.cx", dsub)}, c.cell) AS rn
-           |    FROM psmp, p${j}c${r - 1} c) t WHERE rn = 1),
-           |p${j}m$r AS (SELECT cell, pos, CAST(sum(sxq[pos]) AS BIGINT) AS s, count(*) AS n
-           |       FROM p${j}a$r CROSS JOIN range(1, ${dsub + 1}) t(pos) GROUP BY cell, pos),
-           |p${j}c$r AS (SELECT c.cell, coalesce(mm.cx, c.cx) AS cx
-           |       FROM p${j}c${r - 1} c LEFT JOIN (
+        s"""${pfx}p${j}a$r AS (SELECT sidx, sxq, cell FROM (
+           |    SELECT ${pfx}psmp.sidx, ${pfx}psmp.xq[$a:$b] AS sxq, c.cell,
+           |      row_number() OVER (PARTITION BY ${pfx}psmp.sidx
+           |        ORDER BY ${sqDistN(s"${pfx}psmp.xq[$a:$b]", "c.cx", dsub)}, c.cell) AS rn
+           |    FROM ${pfx}psmp, ${pfx}p${j}c${r - 1} c) t WHERE rn = 1),
+           |${pfx}p${j}m$r AS (SELECT cell, pos, CAST(sum(sxq[pos]) AS BIGINT) AS s, count(*) AS n
+           |       FROM ${pfx}p${j}a$r CROSS JOIN range(1, ${dsub + 1}) t(pos) GROUP BY cell, pos),
+           |${pfx}p${j}c$r AS (SELECT c.cell, coalesce(mm.cx, c.cx) AS cx
+           |       FROM ${pfx}p${j}c${r - 1} c LEFT JOIN (
            |         SELECT cell, list(CAST(s // n AS DOUBLE) ORDER BY pos) AS cx
-           |         FROM p${j}m$r GROUP BY cell) mm USING (cell))""".stripMargin
+           |         FROM ${pfx}p${j}m$r GROUP BY cell) mm USING (cell))""".stripMargin
       }
       val codeJ =
-        s"""code$j AS (SELECT vec_id, cell FROM (
+        s"""${pfx}code$j AS (SELECT vec_id, cell FROM (
            |    SELECT src.vec_id, c.cell,
            |      row_number() OVER (PARTITION BY src.vec_id
            |        ORDER BY ${sqDistN(s"src.$srcCol[$a:$b]", "c.cx", dsub)}, c.cell) AS rn
-           |    FROM $srcCte src, p${j}c$iters c) t WHERE rn = 1)""".stripMargin
+           |    FROM $srcCte src, ${pfx}p${j}c$iters c) t WHERE rn = 1)""".stripMargin
       (Seq(initJ) ++ rounds :+ codeJ).mkString(",\n")
     }
     (Seq(init) ++ subs).mkString(",\n")
@@ -133,20 +159,20 @@ object PipelineOracles {
     * q81 (flat PQ) and q82 (IVFADC).
     */
   private def adcScoreCtes(m: Int = 8, dsub: Int = 8,
-      iters: Int = 2): String = {
+      iters: Int = 2, pfx: String = ""): String = {
     val unions = (0 until m).map { j =>
       val off = j * dsub + 1
       s"""      SELECT a.anchor_id, k.vec_id,
          |        list_sum(list_transform(range(1, ${dsub + 1}), i -> a.axq[$off + i - 1] * c.cx[i])) AS sd,
          |        list_sum(list_transform(range(1, ${dsub + 1}), i -> c.cx[i] * c.cx[i])) AS nr
-         |      FROM code$j k JOIN p${j}c$iters c USING (cell), anch a""".stripMargin
+         |      FROM ${pfx}code$j k JOIN ${pfx}p${j}c$iters c USING (cell), anch a""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""sc AS (
+    s"""${pfx}sc AS (
        |$unions),
-       |tot AS (SELECT anchor_id, vec_id, CAST(sum(sd) AS BIGINT) AS sdot,
+       |${pfx}tot AS (SELECT anchor_id, vec_id, CAST(sum(sd) AS BIGINT) AS sdot,
        |          CAST(sum(nr) AS BIGINT) AS nrec
-       |        FROM sc WHERE vec_id <> anchor_id GROUP BY anchor_id, vec_id),
-       |an2 AS (SELECT anchor_id,
+       |        FROM ${pfx}sc WHERE vec_id <> anchor_id GROUP BY anchor_id, vec_id),
+       |${pfx}an2 AS (SELECT anchor_id,
        |          list_sum(list_transform(range(1, ${m * dsub + 1}), i -> axq[i] * axq[i])) AS anorm2
        |        FROM anch)""".stripMargin
   }
@@ -160,22 +186,22 @@ object PipelineOracles {
     * arithmetic stays exact-integer-in-DOUBLE.
     */
   private def adcResidualScoreCtes(m: Int = 8, dsub: Int = 8,
-      iters: Int = 2): String = {
+      iters: Int = 2, pfx: String = ""): String = {
     val unions = (0 until m).map { j =>
       val off = j * dsub + 1
       s"""      SELECT a.anchor_id, k.vec_id,
          |        list_sum(list_transform(range(1, ${dsub + 1}), i -> a.axq[$off + i - 1] * (cc.cx[$off + i - 1] + c.cx[i]))) AS sd,
          |        list_sum(list_transform(range(1, ${dsub + 1}), i -> (cc.cx[$off + i - 1] + c.cx[i]) * (cc.cx[$off + i - 1] + c.cx[i]))) AS nr
-         |      FROM code$j k JOIN p${j}c$iters c USING (cell)
+         |      FROM ${pfx}code$j k JOIN ${pfx}p${j}c$iters c USING (cell)
          |        JOIN asg ag ON k.vec_id = ag.vec_id
          |        JOIN c$iters cc ON ag.cell = cc.cell, anch a""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""sc AS (
+    s"""${pfx}sc AS (
        |$unions),
-       |tot AS (SELECT anchor_id, vec_id, CAST(sum(sd) AS BIGINT) AS sdot,
+       |${pfx}tot AS (SELECT anchor_id, vec_id, CAST(sum(sd) AS BIGINT) AS sdot,
        |          CAST(sum(nr) AS BIGINT) AS nrec
-       |        FROM sc WHERE vec_id <> anchor_id GROUP BY anchor_id, vec_id),
-       |an2 AS (SELECT anchor_id,
+       |        FROM ${pfx}sc WHERE vec_id <> anchor_id GROUP BY anchor_id, vec_id),
+       |${pfx}an2 AS (SELECT anchor_id,
        |          list_sum(list_transform(range(1, ${m * dsub + 1}), i -> axq[i] * axq[i])) AS anorm2
        |        FROM anch)""".stripMargin
   }
@@ -828,7 +854,7 @@ object PipelineOracles {
     // same coarse chain and probe as q82, but the PQ chain trains on
     // the residual CTE `re` (xq − assigned coarse centroid) and ADC
     // reconstructs centroid + residual codeword per subspace.
-    "q82b_ann_ivfpq_residual" ->
+    "q82b_ann_ivfpq_residual" -> materialized(
       s"""WITH ${ivfCtes(16, 2, 512, "WHERE vec_id % 10 <> 0")},
          |re AS (SELECT qe.vec_id,
          |         list_transform(range(1, 65), i -> qe.xq[i] - cc.cx[i]) AS rq
@@ -855,6 +881,79 @@ object PipelineOracles {
          |  SELECT *, row_number() OVER (PARTITION BY anchor_id
          |    ORDER BY cos_pq DESC, vec_id) AS rank FROM pqs) r
          |WHERE rank <= 3 ORDER BY anchor_id, rank""".stripMargin,
+      Seq("qe", "asg", "re", "cand", "anch") ++ pqMatNames("")),
+
+    // q55c: recall@3 of raw-PQ vs residual-PQ IVFADC against the
+    // exact brute top-3 — both PQ chains replay side by side (the
+    // residual chain under the "r" prefix), exact/ann/hit CTEs follow
+    // the q55 harness, recall is the exact half-up rdiv4 formula.
+    "q55c_pq_recall" -> materialized(
+      s"""WITH ${ivfCtes(16, 2, 512, "WHERE vec_id % 10 <> 0")},
+         |${pqCtes(withQe = false)},
+         |re AS (SELECT qe.vec_id,
+         |         list_transform(range(1, 65), i -> qe.xq[i] - cc.cx[i]) AS rq
+         |       FROM qe JOIN asg USING (vec_id)
+         |         JOIN c2 cc ON asg.cell = cc.cell),
+         |${pqCtes(withQe = false, srcCte = "re", srcCol = "rq", pfx = "r")},
+         |anch AS (SELECT vec_id AS anchor_id, xq AS axq
+         |         FROM qe WHERE vec_id IN (0, 1, 2)),
+         |probe AS (SELECT anchor_id, cell FROM (
+         |    SELECT qe.vec_id AS anchor_id, c.cell,
+         |      row_number() OVER (PARTITION BY qe.vec_id
+         |        ORDER BY ${sqDist("qe.xq", "c.cx")}, c.cell) AS rn
+         |    FROM qe, c2 c WHERE qe.vec_id IN (0, 1, 2)) t WHERE rn <= 2),
+         |cand AS (SELECT p.anchor_id, asg.vec_id
+         |         FROM asg JOIN probe p USING (cell)
+         |         WHERE asg.vec_id <> p.anchor_id),
+         |${adcScoreCtes()},
+         |${adcResidualScoreCtes(pfx = "r")},
+         |rawtop AS (SELECT anchor_id, vec_id FROM (
+         |    SELECT pp.anchor_id, pp.vec_id,
+         |      row_number() OVER (PARTITION BY pp.anchor_id
+         |        ORDER BY pp.cos_pq DESC, pp.vec_id) AS rank
+         |    FROM (SELECT t.anchor_id, t.vec_id,
+         |            round(CAST(t.sdot AS DOUBLE) /
+         |              (sqrt(CAST(an2.anorm2 AS DOUBLE)) * sqrt(CAST(t.nrec AS DOUBLE))), 6) AS cos_pq
+         |          FROM tot t JOIN an2 USING (anchor_id)
+         |            JOIN cand USING (anchor_id, vec_id)) pp) z
+         |  WHERE rank <= 3),
+         |restop AS (SELECT anchor_id, vec_id FROM (
+         |    SELECT pp.anchor_id, pp.vec_id,
+         |      row_number() OVER (PARTITION BY pp.anchor_id
+         |        ORDER BY pp.cos_pq DESC, pp.vec_id) AS rank
+         |    FROM (SELECT t.anchor_id, t.vec_id,
+         |            round(CAST(t.sdot AS DOUBLE) /
+         |              (sqrt(CAST(ran2.anorm2 AS DOUBLE)) * sqrt(CAST(t.nrec AS DOUBLE))), 6) AS cos_pq
+         |          FROM rtot t JOIN ran2 USING (anchor_id)
+         |            JOIN cand USING (anchor_id, vec_id)) pp) z
+         |  WHERE rank <= 3),
+         |anchx AS (SELECT vec_id AS anchor_id, embedding AS aemb, norm AS anorm
+         |          FROM qe WHERE vec_id IN (0, 1, 2)),
+         |ex AS (SELECT anchor_id, vec_id FROM (
+         |    SELECT anchor_id, s.vec_id,
+         |      row_number() OVER (PARTITION BY anchor_id
+         |        ORDER BY cos_sim DESC, s.vec_id) AS rank
+         |    FROM (SELECT anchor_id, qe.vec_id AS vec_id,
+         |            round(${vdot("qe.embedding", "aemb")} / (qe.norm * anorm), 6) AS cos_sim
+         |          FROM qe, anchx WHERE qe.vec_id <> anchor_id) s) r
+         |  WHERE rank <= 3),
+         |b AS (SELECT anchor_id, CAST(count(*) AS BIGINT) AS n_exact
+         |      FROM ex GROUP BY anchor_id),
+         |hr AS (SELECT anchor_id, CAST(count(*) AS BIGINT) AS hr
+         |       FROM ex JOIN rawtop USING (anchor_id, vec_id)
+         |       GROUP BY anchor_id),
+         |hres AS (SELECT anchor_id, CAST(count(*) AS BIGINT) AS hres
+         |         FROM ex JOIN restop USING (anchor_id, vec_id)
+         |         GROUP BY anchor_id)
+         |SELECT b.anchor_id, n_exact,
+         |  coalesce(hr, 0) AS hits_raw,
+         |  coalesce(hres, 0) AS hits_residual,
+         |  CAST((coalesce(hr, 0) * 20000 + n_exact) // (2 * n_exact) AS DOUBLE) / 10000.0 AS recall_raw,
+         |  CAST((coalesce(hres, 0) * 20000 + n_exact) // (2 * n_exact) AS DOUBLE) / 10000.0 AS recall_residual
+         |FROM b LEFT JOIN hr USING (anchor_id) LEFT JOIN hres USING (anchor_id)
+         |ORDER BY anchor_id""".stripMargin,
+      Seq("qe", "asg", "re", "cand", "anch") ++
+        pqMatNames("") ++ pqMatNames("r")),
 
     // q83: the streaming ANN ingest gate — every arrival is an
     // anchor: coarse-probe its 2 cells (corpus-trained quantizer),

@@ -3084,6 +3084,43 @@ object PipelineQueries {
       .orderBy(col("anchor_id"), col("rank"))
   }
 
+  /** q55c — recall@3 of the TWO IVFADC encodings against exact: raw-PQ
+    * (q82, `by_residual=false`) vs residual-PQ (q82b, the FAISS
+    * default), per anchor. The cost side of the two is IDENTICAL —
+    * same probe, same cell-pruned 8-byte-code scan, same 8+8 ADC
+    * lookups — so this report isolates the encoding choice's recall
+    * effect: the number a pipeline owner reads before picking the
+    * default (q25c's before/after discipline, applied to the encoding
+    * axis). Harness is q55's: exact top-3 from the brute baseline
+    * (bounded anchor broadcast), hits via left-semi joins of each
+    * approximate pair set; everything downstream of the two staged
+    * indexes is anchor-sized.
+    */
+  def q55cPqRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val anchors = Seq(0L, 1L, 2L)
+    val exact = Similarity.bruteTopK(emb, anchors, k = 3)
+      .select(col("anchor_id"), col("vec_id"))
+      // Three downstream consumers (count base + two hit semi-joins).
+      .localCheckpoint(true)
+    val raw = q82AnnIvfPq(s, dir).select(col("anchor_id"), col("vec_id"))
+    val res = q82bAnnIvfPqResidual(s, dir)
+      .select(col("anchor_id"), col("vec_id"))
+    def hits(ap: DataFrame, name: String) =
+      exact.join(ap, Seq("anchor_id", "vec_id"), "left_semi")
+        .groupBy(col("anchor_id")).agg(count(lit(1)).as(name))
+    exact.groupBy(col("anchor_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits(raw, "hr"), Seq("anchor_id"), "left")
+      .join(hits(res, "hres"), Seq("anchor_id"), "left")
+      .select(col("anchor_id"), col("n_exact"),
+        coalesce(col("hr"), lit(0L)).as("hits_raw"),
+        coalesce(col("hres"), lit(0L)).as("hits_residual"))
+      .withColumn("recall_raw", rdiv4(col("hits_raw"), col("n_exact")))
+      .withColumn("recall_residual",
+        rdiv4(col("hits_residual"), col("n_exact")))
+      .orderBy(col("anchor_id"))
+  }
+
   private def annRecall(s: SparkSession, dir: String, nProbe: Int): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val anchors = Seq(0L, 1L, 2L)

@@ -1801,6 +1801,32 @@ class PipelineSpec extends AnyFunSuite {
       "replay rewrote a residual segment")
   }
 
+  test("q55c: recall report well-formed, encodings actually differ") {
+    val rows = SparkEntry.queries("q55c_pq_recall")(spark, sf).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_exact")
+      assert(n == 3L)
+      for (c <- Seq("hits_raw", "hits_residual"))
+        assert(r.getAs[Long](c) >= 0L && r.getAs[Long](c) <= n)
+      for (c <- Seq("recall_raw", "recall_residual")) {
+        val v = r.getAs[Double](c)
+        assert(v >= 0.0 && v <= 1.0, s"$c=$v out of range")
+      }
+    }
+    // The two encodings must be a real comparison: q82 and q82b rank
+    // with DIFFERENT codebooks, so their top-3 pair sets should not be
+    // identical on the fixture (if they ever collapse to equal, the
+    // residual path is probably reading the raw codes).
+    val raw = SparkEntry.queries("q82_ann_ivfpq")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("anchor_id"),
+        r.getAs[Long]("vec_id"))).toSet
+    val res = SparkEntry.queries("q82b_ann_ivfpq_residual")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("anchor_id"),
+        r.getAs[Long]("vec_id"))).toSet
+    assert(raw != res, "raw-PQ and residual-PQ rankings are identical")
+  }
+
   test("q25c IVF retrain: compacted new generation, old generation untouched") {
     val r1 = SparkEntry.queries("q25c_ann_ivf_retrain")(spark, sf)
     val rows1 = r1.collect()
