@@ -883,6 +883,26 @@ object PipelineOracles {
          |WHERE rank <= 3 ORDER BY anchor_id, rank""".stripMargin,
       Seq("qe", "asg", "re", "cand", "anch") ++ pqMatNames("")),
 
+    // q88: per-cell IVF index balance — populations from the replayed
+    // coarse assignment split on the corpus/arrival rule, full 0..15
+    // cell domain, load factor via the exact rdiv4 formula.
+    "q88_ivf_cell_balance" ->
+      s"""WITH ${ivfCtes(16, 2, 512, "WHERE vec_id % 10 <> 0")},
+         |cnt AS (SELECT cell,
+         |    sum(CASE WHEN vec_id % 10 <> 0 THEN 1 ELSE 0 END) AS nc,
+         |    sum(CASE WHEN vec_id % 10 = 0 THEN 1 ELSE 0 END) AS na
+         |  FROM asg GROUP BY cell),
+         |dom AS (SELECT CAST(unnest(range(16)) AS INTEGER) AS cell),
+         |tot AS (SELECT sum(nc + na) AS n FROM cnt)
+         |SELECT dom.cell,
+         |  CAST(coalesce(nc, 0) AS BIGINT) AS n_corpus,
+         |  CAST(coalesce(na, 0) AS BIGINT) AS n_arrivals,
+         |  CAST(coalesce(nc, 0) + coalesce(na, 0) AS BIGINT) AS n_total,
+         |  CAST(((coalesce(nc, 0) + coalesce(na, 0)) * 16 * 20000 + n)
+         |    // (2 * n) AS DOUBLE) / 10000.0 AS load
+         |FROM dom LEFT JOIN cnt USING (cell), tot
+         |ORDER BY dom.cell""".stripMargin,
+
     // q55c: recall@3 of raw-PQ vs residual-PQ IVFADC against the
     // exact brute top-3 — both PQ chains replay side by side (the
     // residual chain under the "r" prefix), exact/ann/hit CTEs follow

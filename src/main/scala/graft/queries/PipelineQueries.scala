@@ -2154,6 +2154,55 @@ object PipelineQueries {
     ivfProbeTopK(s, emb, cents, invFile, anchorIds, nProbe, k)
   }
 
+  /** q88 — IVF index BALANCE report, the MONITOR verb of the index
+    * maintenance family (q25b add, q25c retrain, q82/q82b serve):
+    * per-cell corpus and arrival populations of the staged inverted
+    * file plus each cell's load factor (n_total·nCells/N; 1.0 =
+    * perfectly balanced). Cell imbalance is THE operational ANN
+    * metric — probe latency is proportional to the probed cells'
+    * populations, so a hot cell (load ≫ 1) serves slow queries and
+    * arrival drift concentrating in few cells is exactly the retrain
+    * trigger q25c documents; this report is what fires it. Reads ONLY
+    * the staged segments (never the embedding table) and aggregates
+    * to nCells rows — empty cells are reported explicitly via the
+    * full cell domain (an index with dead cells wastes its fanout).
+    */
+  def q88IvfCellBalance(s: SparkSession, dir: String): DataFrame = {
+    val nCells = 16
+    val emb = Tables.embeddings(s, dir)
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val cents = stagedCodebooks(s,
+      s"$stageRoot/ivfcent_${stageTag(s, dir, "embeddings.parquet", "ivfcent16f1")}",
+      Array(graft.functions.Similarity
+        .kmeansCentroidsMicro(corpus, nCells).sortBy(_._1).map(_._2)))(0)
+    def assign(df: DataFrame): DataFrame = df.select(col("vec_id"),
+      graft.expressions.Sketches.ivfCellRank(s, col("embedding"), cents)(0)
+        .getField("cell").as("cell"))
+    val root = s"$stageRoot/ivfseg_${stageTag(s, dir, "embeddings.parquet", "ivf16p1")}"
+    val base = writeOnceStage(s, s"$root/seg_base", "cells",
+      assign(corpus), partitionBy = Seq("cell"))
+    val arr = writeOnceStage(s, s"$root/seg_arr0", "cells",
+      assign(emb.filter(col("vec_id") % 10 === 0)), partitionBy = Seq("cell"))
+    val counts = base.withColumn("src", lit("c"))
+      .unionByName(arr.withColumn("src", lit("a")))
+      .groupBy(col("cell"))
+      .agg(sum(when(col("src") === "c", 1L).otherwise(0L)).as("nc"),
+        sum(when(col("src") === "a", 1L).otherwise(0L)).as("na"))
+    val tot = counts.agg(sum(col("nc") + col("na")).as("n"))
+    s.range(nCells).select(col("id").cast("int").as("cell"))
+      .join(counts, Seq("cell"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("cell"),
+        coalesce(col("nc"), lit(0L)).as("n_corpus"),
+        coalesce(col("na"), lit(0L)).as("n_arrivals"),
+        col("n"))
+      .withColumn("n_total", col("n_corpus") + col("n_arrivals"))
+      .withColumn("load", rdiv4(col("n_total") * nCells, col("n")))
+      .select(col("cell"), col("n_corpus"), col("n_arrivals"),
+        col("n_total"), col("load"))
+      .orderBy(col("cell"))
+  }
+
   /** The IVF probe shared by q25b/q25c: anchors rank their `nProbe`
     * nearest cells with the given (frozen) centroids, candidates come
     * from the inverted-file segments via the broadcast cell join

@@ -1827,6 +1827,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(raw != res, "raw-PQ and residual-PQ rankings are identical")
   }
 
+  test("q88 cell balance: full domain, populations conserve, segments-only scan") {
+    val df = SparkEntry.queries("q88_ivf_cell_balance")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 16)
+    assert(rows.map(_.getAs[Int]("cell")).toSeq == (0 until 16))
+    // Conservation: every vector is in exactly one cell — a report
+    // that loses or double-counts rows is lying about index health.
+    val nTotal = rows.map(_.getAs[Long]("n_total")).sum
+    assert(nTotal == Tables.embeddings(spark, sf).count(),
+      s"index population $nTotal != embedding table")
+    rows.foreach(r => assert(r.getAs[Double]("load") >= 0.0))
+    // The monitor must price like a monitor: it reads ONLY the staged
+    // segments (partition-column aggregation), never the fp32 table.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ivfseg_"),
+      "q88 does not read the staged segments")
+    assert(!plan.contains("embeddings.parquet"),
+      "q88 scans the embedding table instead of the index")
+  }
+
   test("q25c IVF retrain: compacted new generation, old generation untouched") {
     val r1 = SparkEntry.queries("q25c_ann_ivf_retrain")(spark, sf)
     val rows1 = r1.collect()
