@@ -1815,16 +1815,16 @@ class PipelineSpec extends AnyFunSuite {
       }
     }
     // The two encodings must be a real comparison: q82 and q82b rank
-    // with DIFFERENT codebooks, so their top-3 pair sets should not be
-    // identical on the fixture (if they ever collapse to equal, the
-    // residual path is probably reading the raw codes).
-    val raw = SparkEntry.queries("q82_ann_ivfpq")(spark, sf)
+    // with DIFFERENT codebooks, so their SCORES cannot all coincide.
+    // (Comparing pair SETS alone would be fixture-fragile: both probe
+    // the same cells, and two correlated approximations of the same
+    // cosine can legitimately agree on a small fixture's top-3.)
+    def scored(name: String) = SparkEntry.queries(name)(spark, sf)
       .collect().map(r => (r.getAs[Long]("anchor_id"),
-        r.getAs[Long]("vec_id"))).toSet
-    val res = SparkEntry.queries("q82b_ann_ivfpq_residual")(spark, sf)
-      .collect().map(r => (r.getAs[Long]("anchor_id"),
-        r.getAs[Long]("vec_id"))).toSet
-    assert(raw != res, "raw-PQ and residual-PQ rankings are identical")
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos_pq"))).toSet
+    assert(scored("q82_ann_ivfpq") != scored("q82b_ann_ivfpq_residual"),
+      "raw-PQ and residual-PQ scores are identical — residual path " +
+        "is probably reading the raw codes")
   }
 
   test("q88 cell balance: full domain, populations conserve, segments-only scan") {
