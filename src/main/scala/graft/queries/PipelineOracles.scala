@@ -66,9 +66,15 @@ object PipelineOracles {
     */
   private def materialized(sql: String, names: Seq[String]): String =
     names.foldLeft(sql) { (acc, n) =>
-      acc.replaceAll(
+      val out = acc.replaceAll(
         s"(?<![A-Za-z0-9_])${java.util.regex.Pattern.quote(n)} AS \\(",
         s"$n AS MATERIALIZED (")
+      // A silent no-op here would quietly revert the twin to the
+      // measured 165 s / allocator-OOM inlined evaluation — fail at
+      // class-init instead (every spec run trips it) if the name list
+      // drifts from the CTE generators.
+      require(out != acc, s"materialized(): CTE '$n' not found in SQL")
+      out
     }
 
   /** The multi-referenced CTE roots of a composed PQ/IVF replay under

@@ -2125,33 +2125,55 @@ object PipelineQueries {
     * trade (FAISS's too): arrivals land in cells whose centroid never
     * saw them; recall restores on the next re-train.
     */
+  /** THE frozen coarse quantizer every IVF-family entry shares
+    * (q25b add, q25c's gen-0, q82/q82b serve, q88 monitor):
+    * corpus-trained (vec_id % 10 != 0), 16 cells, staged under the
+    * single `ivfcent16f1` key. Centralized so a salt or parameter
+    * tweak can never fork the "shared frozen" artifact between the
+    * server and its monitor — each entry's oracle replays the SAME
+    * training, so a fork would be invisible to every per-entry gate.
+    */
+  private def stagedIvfCentroids(s: SparkSession,
+      dir: String): Array[Array[Long]] =
+    stagedCodebooks(s,
+      s"$stageRoot/ivfcent_${stageTag(s, dir, "embeddings.parquet", "ivfcent16f1")}",
+      Array(graft.functions.Similarity.kmeansCentroidsMicro(
+        Tables.embeddings(s, dir).filter(col("vec_id") % 10 =!= 0), 16)
+        .sortBy(_._1).map(_._2)))(0)
+
+  /** The shared gen-0 inverted-file segments (corpus base + one
+    * arrival append) under the single `ivf16p1` key. Segments are
+    * DIRECTORY-PARTITIONED by cell: the probe join on the partition
+    * column (broadcast anchors) lets dynamic partition pruning cut
+    * the scan to the probed cells' files — at 100 TB the inverted
+    * file's whole point is reading nProbe/nCells of it. Returned as
+    * (base, arrivals) so probes union them and the monitor labels
+    * them.
+    */
+  private def stagedIvfSegments(s: SparkSession, dir: String,
+      cents: Array[Array[Long]]): (DataFrame, DataFrame) = {
+    val emb = Tables.embeddings(s, dir)
+    def assign(df: DataFrame): DataFrame = df.select(col("vec_id"),
+      graft.expressions.Sketches.ivfCellRank(s, col("embedding"), cents)(0)
+        .getField("cell").as("cell"))
+    val root = s"$stageRoot/ivfseg_${stageTag(s, dir, "embeddings.parquet", "ivf16p1")}"
+    (writeOnceStage(s, s"$root/seg_base", "cells",
+        assign(emb.filter(col("vec_id") % 10 =!= 0)),
+        partitionBy = Seq("cell")),
+      writeOnceStage(s, s"$root/seg_arr0", "cells",
+        assign(emb.filter(col("vec_id") % 10 === 0)),
+        partitionBy = Seq("cell")))
+  }
+
   def q25bAnnIvfAppend(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val nCells = 16; val nProbe = 2; val k = 3
+    val nProbe = 2; val k = 3
     val anchorIds = Seq(0L, 1L, 2L)
     val emb = Tables.embeddings(s, dir)
-    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
-    val arrivals = emb.filter(col("vec_id") % 10 === 0)
     // The frozen quantizer is itself a staged artifact — "frozen"
     // means read back, not deterministically re-derived per run.
-    val cents = stagedCodebooks(s,
-      s"$stageRoot/ivfcent_${stageTag(s, dir, "embeddings.parquet", "ivfcent16f1")}",
-      Array(graft.functions.Similarity
-        .kmeansCentroidsMicro(corpus, nCells).sortBy(_._1).map(_._2)))(0)
-    def rankOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      graft.expressions.Sketches.ivfCellRank(s, c, cents)
-    def assign(df: DataFrame): DataFrame = df.select(col("vec_id"),
-      rankOf(col("embedding"))(0).getField("cell").as("cell"))
-    // Segments are DIRECTORY-PARTITIONED by cell: the probe join on
-    // the partition column (broadcast anchors) lets dynamic partition
-    // pruning cut the scan to the probed cells' files — at 100 TB the
-    // inverted file's whole point is reading nProbe/nCells of it.
-    val root = s"$stageRoot/ivfseg_${stageTag(s, dir, "embeddings.parquet", "ivf16p1")}"
-    val invFile = writeOnceStage(s, s"$root/seg_base", "cells",
-        assign(corpus), partitionBy = Seq("cell"))
-      .unionByName(writeOnceStage(s, s"$root/seg_arr0", "cells",
-        assign(arrivals), partitionBy = Seq("cell")))
-    ivfProbeTopK(s, emb, cents, invFile, anchorIds, nProbe, k)
+    val cents = stagedIvfCentroids(s, dir)
+    val (base, arr) = stagedIvfSegments(s, dir, cents)
+    ivfProbeTopK(s, emb, cents, base.unionByName(arr), anchorIds, nProbe, k)
   }
 
   /** q88 — IVF index BALANCE report, the MONITOR verb of the index
@@ -2169,20 +2191,7 @@ object PipelineQueries {
     */
   def q88IvfCellBalance(s: SparkSession, dir: String): DataFrame = {
     val nCells = 16
-    val emb = Tables.embeddings(s, dir)
-    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
-    val cents = stagedCodebooks(s,
-      s"$stageRoot/ivfcent_${stageTag(s, dir, "embeddings.parquet", "ivfcent16f1")}",
-      Array(graft.functions.Similarity
-        .kmeansCentroidsMicro(corpus, nCells).sortBy(_._1).map(_._2)))(0)
-    def assign(df: DataFrame): DataFrame = df.select(col("vec_id"),
-      graft.expressions.Sketches.ivfCellRank(s, col("embedding"), cents)(0)
-        .getField("cell").as("cell"))
-    val root = s"$stageRoot/ivfseg_${stageTag(s, dir, "embeddings.parquet", "ivf16p1")}"
-    val base = writeOnceStage(s, s"$root/seg_base", "cells",
-      assign(corpus), partitionBy = Seq("cell"))
-    val arr = writeOnceStage(s, s"$root/seg_arr0", "cells",
-      assign(emb.filter(col("vec_id") % 10 === 0)), partitionBy = Seq("cell"))
+    val (base, arr) = stagedIvfSegments(s, dir, stagedIvfCentroids(s, dir))
     val counts = base.withColumn("src", lit("c"))
       .unionByName(arr.withColumn("src", lit("a")))
       .groupBy(col("cell"))
@@ -2263,22 +2272,12 @@ object PipelineQueries {
     val nCells = 16; val nProbe = 2; val k = 3
     val anchorIds = Seq(0L, 1L, 2L)
     val emb = Tables.embeddings(s, dir)
-    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
-    val arrivals = emb.filter(col("vec_id") % 10 === 0)
     // OLD generation — q25b's exact stage keys, attached read-only.
-    val centsOld = stagedCodebooks(s,
-      s"$stageRoot/ivfcent_${stageTag(s, dir, "embeddings.parquet", "ivfcent16f1")}",
-      Array(graft.functions.Similarity
-        .kmeansCentroidsMicro(corpus, nCells).sortBy(_._1).map(_._2)))(0)
-    def rankOld(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      graft.expressions.Sketches.ivfCellRank(s, c, centsOld)
-    val rootOld = s"$stageRoot/ivfseg_${stageTag(s, dir, "embeddings.parquet", "ivf16p1")}"
-    def assignOld(df: DataFrame): DataFrame = df.select(col("vec_id"),
-      rankOld(col("embedding"))(0).getField("cell").as("cell"))
-    val invOld = writeOnceStage(s, s"$rootOld/seg_base", "cells",
-        assignOld(corpus), partitionBy = Seq("cell"))
-      .unionByName(writeOnceStage(s, s"$rootOld/seg_arr0", "cells",
-        assignOld(arrivals), partitionBy = Seq("cell")))
+    val centsOld = stagedIvfCentroids(s, dir)
+    val invOld = {
+      val (base, arr) = stagedIvfSegments(s, dir, centsOld)
+      base.unionByName(arr)
+    }
     // NEW generation — retrained on corpus + arrivals, one compacted
     // segment, both under bumped salts (the old keys stay untouched).
     val centsNew = stagedCodebooks(s,
@@ -2321,32 +2320,49 @@ object PipelineQueries {
     * (vec_id, 8 tinyint codes, cell), directory-partitioned by cell,
     * under the write-once protocol.
     */
-  private[graft] def ivfPqIndex(s: SparkSession, dir: String):
-      (Array[Array[Long]], Array[Array[Array[Long]]], DataFrame, DataFrame) = {
-    val m = 8; val dsub = 8; val nCells = 16
-    val emb = Tables.embeddings(s, dir)
-    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
-    val arrivals = emb.filter(col("vec_id") % 10 === 0)
-    val cents = stagedCodebooks(s,
-      s"$stageRoot/ivfcent_${stageTag(s, dir, "embeddings.parquet", "ivfcent16f1")}",
-      Array(graft.functions.Similarity
-        .kmeansCentroidsMicro(corpus, nCells).sortBy(_._1).map(_._2)))(0)
-    val books = stagedCodebooks(s,
-      s"$stageRoot/pqbooks_${stageTag(s, dir, "embeddings.parquet", "pqbooks8x16v1")}",
-      graft.functions.Similarity.pqCodebooksMicro(emb))
-    def rankOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      graft.expressions.Sketches.ivfCellRank(s, c, cents)
+  /** The encode step shared by the full index (q82) and the
+    * corpus-only variant (q83's gate never scans the arrival
+    * segment, so it must not pay to stage one).
+    */
+  private def ivfPqEncode(s: SparkSession, cents: Array[Array[Long]],
+      books: Array[Array[Array[Long]]])(df: DataFrame): DataFrame = {
+    val m = 8; val dsub = 8
     def codeCol(j: Int): org.apache.spark.sql.Column = graft.expressions.Sketches
       .ivfCellRank(s, slice(col("embedding"), j * dsub + 1, dsub), books(j))
       .getItem(0).getField("cell")
-    def encode(df: DataFrame): DataFrame = df.select(col("vec_id"),
+    df.select(col("vec_id"),
       array((0 until m).map(j => codeCol(j).cast("tinyint")): _*).as("pq"),
-      rankOf(col("embedding"))(0).getField("cell").as("cell"))
+      graft.expressions.Sketches.ivfCellRank(s, col("embedding"), cents)(0)
+        .getField("cell").as("cell"))
+  }
+
+  /** The corpus side of the IVFPQ index only — what a pure ingest
+    * gate (q83) needs: it probes the standing corpus codes and never
+    * reads an arrival segment, so staging one would be a
+    * corpus-fraction encode + write for an artifact with no reader.
+    */
+  private[graft] def ivfPqCorpusIndex(s: SparkSession, dir: String):
+      (Array[Array[Long]], Array[Array[Array[Long]]], DataFrame) = {
+    val emb = Tables.embeddings(s, dir)
+    val cents = stagedIvfCentroids(s, dir)
+    val books = stagedCodebooks(s,
+      s"$stageRoot/pqbooks_${stageTag(s, dir, "embeddings.parquet", "pqbooks8x16v1")}",
+      graft.functions.Similarity.pqCodebooksMicro(emb))
     val root = s"$stageRoot/ivfpq_${stageTag(s, dir, "embeddings.parquet", "ivfpq16x8x16v1")}"
     val segBase = writeOnceStage(s, s"$root/seg_base", "cells",
-      encode(corpus), partitionBy = Seq("cell"))
+      ivfPqEncode(s, cents, books)(emb.filter(col("vec_id") % 10 =!= 0)),
+      partitionBy = Seq("cell"))
+    (cents, books, segBase)
+  }
+
+  private[graft] def ivfPqIndex(s: SparkSession, dir: String):
+      (Array[Array[Long]], Array[Array[Array[Long]]], DataFrame, DataFrame) = {
+    val (cents, books, segBase) = ivfPqCorpusIndex(s, dir)
+    val root = s"$stageRoot/ivfpq_${stageTag(s, dir, "embeddings.parquet", "ivfpq16x8x16v1")}"
     val segArr = writeOnceStage(s, s"$root/seg_arr0", "cells",
-      encode(arrivals), partitionBy = Seq("cell"))
+      ivfPqEncode(s, cents, books)(
+        Tables.embeddings(s, dir).filter(col("vec_id") % 10 === 0)),
+      partitionBy = Seq("cell"))
     (cents, books, segBase, segArr)
   }
 
@@ -2455,14 +2471,11 @@ object PipelineQueries {
     */
   private[graft] def ivfPqResidualIndex(s: SparkSession, dir: String):
       (Array[Array[Long]], Array[Array[Array[Long]]], DataFrame, DataFrame) = {
-    val m = 8; val dsub = 8; val nCells = 16
+    val m = 8; val dsub = 8
     val emb = Tables.embeddings(s, dir)
     val corpus = emb.filter(col("vec_id") % 10 =!= 0)
     val arrivals = emb.filter(col("vec_id") % 10 === 0)
-    val cents = stagedCodebooks(s,
-      s"$stageRoot/ivfcent_${stageTag(s, dir, "embeddings.parquet", "ivfcent16f1")}",
-      Array(graft.functions.Similarity
-        .kmeansCentroidsMicro(corpus, nCells).sortBy(_._1).map(_._2)))(0)
+    val cents = stagedIvfCentroids(s, dir)
     val rbooks = stagedCodebooks(s,
       s"$stageRoot/pqrbooks_${stageTag(s, dir, "embeddings.parquet", "pqrbooks8x16v1")}",
       graft.functions.Similarity.pqResidualCodebooksMicro(emb, cents))

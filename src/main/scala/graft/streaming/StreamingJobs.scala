@@ -407,8 +407,9 @@ object StreamingJobs {
     * staged index re-read per trigger, or broadcast when it fits).
     * The only state in the job is the pair dedup — a pair can hit on
     * up to 4 bands — keyed by (doc_a, doc_b, arr_ts), where arr_ts is
-    * the arrival's synthesized event time (doc_id + 1 seconds, the
-    * q35b/q63b convention) and is functionally determined by the pair
+    * the arrival's synthesized event time (doc_id + 1 seconds — q63b's
+    * offset convention; q35b synthesizes WITHOUT the +1)
+    * and is functionally determined by the pair
     * (exactly one endpoint is the arrival). The event-time column
     * MUST be in the dedup subset: Spark evicts streaming-dedup state
     * at the watermark only when it is, so with it the 1 h watermark
@@ -533,7 +534,9 @@ object StreamingJobs {
   private[graft] def annGateStream(s: SparkSession,
       arrivalVecs: DataFrame, dir: String): DataFrame = {
     import graft.queries.PipelineQueries
-    val (cents, books, segBase, _) = PipelineQueries.ivfPqIndex(s, dir)
+    // Corpus side only: the gate never scans an arrival segment, so it
+    // must not pay to encode and stage one (a corpus-fraction write).
+    val (cents, books, segBase) = PipelineQueries.ivfPqCorpusIndex(s, dir)
     val booksLit = typedLit(books.toIndexedSeq
       .map(_.toIndexedSeq.map(_.toIndexedSeq)))
     val cmagLit = typedLit(books.toIndexedSeq
