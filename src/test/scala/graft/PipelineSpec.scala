@@ -2740,6 +2740,50 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed stage: a winner publishing mid-build is attached, never deleted") {
+    // The r16-ADVICE race: JVM A checks the marker (absent), starts
+    // its slow bucketed build; JVM B publishes the stage meanwhile.
+    // Without the pre-delete marker RE-CHECK, A would delete B's LIVE
+    // published stage and rename its own build in. The publisher is
+    // JVM-synchronized so two threads can't reach the window — instead
+    // the hookfs marker-miss hook installs a complete winner stage
+    // right after A's first (missed) check, deterministically inside
+    // the window.
+    import spark.implicits._
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.hookfs.impl", "graft.HookFs")
+    val root = s"/tmp/graft_wobs_race_${java.util.UUID.randomUUID()}"
+    val uid = java.util.UUID.randomUUID().toString.replace("-", "")
+    // The "other JVM's" output: a real published bucketed stage.
+    graft.queries.PipelineQueries.writeOnceBucketedStage(spark,
+      s"$root/winner", s"graft_wobs_w_$uid", 4, Seq("k"),
+      Seq(("w", 1L)).toDF("tag", "k")).collect()
+    val loserLoc = new java.io.File(s"$root/loser")
+    HookFs.markerMissOnce.set { p =>
+      if (p.toString.contains("/loser/"))
+        org.apache.commons.io.FileUtils.copyDirectory(
+          new java.io.File(s"$root/winner"), loserLoc)
+    }
+    try {
+      val got = graft.queries.PipelineQueries.writeOnceBucketedStage(spark,
+        s"hookfs:$root/loser", s"graft_wobs_l_$uid", 4, Seq("k"),
+        Seq(("l", 1L)).toDF("tag", "k")).collect()
+        .map(_.getString(0)).toSeq
+      // The loser must ATTACH the winner's live stage — "l" here means
+      // it deleted a published stage out from under its readers.
+      assert(got == Seq("w"), s"raced publisher overwrote the winner: $got")
+      // Its own build was discarded; no torn temp dirs anywhere.
+      val leftovers = new java.io.File(root).listFiles()
+        .map(_.getName).filter(_.startsWith(".tmp_"))
+      assert(leftovers.isEmpty, s"temp leftovers: ${leftovers.toSeq}")
+    } finally {
+      HookFs.markerMissOnce.set(null)
+      spark.sql(s"DROP TABLE IF EXISTS graft_wobs_w_$uid")
+      spark.sql(s"DROP TABLE IF EXISTS graft_wobs_l_$uid")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
   test("writeOnceStage no-winner rename failure throws instead of poisoning the stage") {
     import spark.implicits._
     spark.sparkContext.hadoopConfiguration
@@ -2933,12 +2977,28 @@ class HookFs extends org.apache.hadoop.fs.RawLocalFileSystem {
     }
     super.rename(src, dst)
   }
+  // One-shot hook on a MISSED `_GRAFT_STAGED` existence check: fires
+  // AFTER the miss is computed (the caller still sees false), letting
+  // a test install a fully published winner stage between the
+  // bucketed publisher's pre-build check and its pre-delete re-check —
+  // the cross-JVM race window that can't be reached with two threads
+  // (the publisher is JVM-synchronized).
+  override def exists(p: org.apache.hadoop.fs.Path): Boolean = {
+    val r = super.exists(p)
+    if (!r && p.toString.endsWith("_GRAFT_STAGED")) {
+      val cb = HookFs.markerMissOnce.getAndSet(null)
+      if (cb != null) cb(p)
+    }
+    r
+  }
 }
 
 object HookFs {
   @volatile var interceptSuffix: String = ""
   @volatile var barrier: java.util.concurrent.CyclicBarrier = null
   val failNext = new java.util.concurrent.atomic.AtomicBoolean(false)
+  val markerMissOnce = new java.util.concurrent.atomic.AtomicReference[
+    org.apache.hadoop.fs.Path => Unit](null)
   def matches(p: org.apache.hadoop.fs.Path): Boolean =
     interceptSuffix.nonEmpty && p.toString.endsWith(interceptSuffix)
 }
