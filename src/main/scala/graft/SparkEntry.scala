@@ -159,6 +159,8 @@ object SparkEntry {
     "q82b_ann_ivfpq_residual" -> (PipelineQueries.q82bAnnIvfPqResidual _),
     "q55c_pq_recall"          -> (PipelineQueries.q55cPqRecall _),
     "q88_ivf_cell_balance"    -> (PipelineQueries.q88IvfCellBalance _),
+    "q89_incremental_source_stats" ->
+      (PipelineQueries.q89IncrementalSourceStats _),
     "q84_dsir_weights"        -> (PipelineQueries.q84DsirWeights _),
     "q85_epoch_shard_shuffle" -> ((s: SparkSession, dir: String) =>
       PipelineQueries.q85EpochShardShuffle(s, dir)),

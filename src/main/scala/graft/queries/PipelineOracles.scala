@@ -889,6 +889,15 @@ object PipelineOracles {
          |WHERE rank <= 3 ORDER BY anchor_id, rank""".stripMargin,
       Seq("qe", "asg", "re", "cand", "anch") ++ pqMatNames("")),
 
+    // q89: the incremental refresh must equal the FULL recompute —
+    // the oracle never sees the staged base, it re-derives everything,
+    // so a drifted merge law or stale stage fails the hash.
+    "q89_incremental_source_stats" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
     // q88: per-cell IVF index balance — populations from the replayed
     // coarse assignment split on the corpus/arrival rule, full 0..15
     // cell domain, load factor via the exact rdiv4 formula.

@@ -3146,6 +3146,42 @@ object PipelineQueries {
       .orderBy(col("anchor_id"), col("rank"))
   }
 
+  /** q89 — INCREMENTAL AGGREGATE MAINTENANCE, the staged-refresh
+    * discipline applied to an aggregate instead of an index (q25b and
+    * q76b maintain indexes; this maintains the corpus-stats table
+    * every pipeline dashboard reads): per-source doc/token/char
+    * counts are ADDITIVE sufficient statistics, so the standing
+    * corpus's stats are a write-once staged artifact, an arrival
+    * batch aggregates alone, and the refresh is a groupBy-sum merge
+    * of (|sources| + |delta sources|) rows — refresh cost is
+    * O(delta) + O(groups), the corpus is NEVER re-scanned (the spec
+    * pins exactly one documents scan in the plan, the delta's). The
+    * oracle is the full recompute over corpus + arrivals: if the
+    * merge law or the staged base ever drifts, the hash fails. At
+    * 100 TB this is the difference between a per-batch stats refresh
+    * costing seconds and costing a corpus scan.
+    */
+  def q89IncrementalSourceStats(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    def statsOf(df: DataFrame): DataFrame = df
+      .select(col("source"), TF.words(col("text")).as("w"),
+        length(col("text")).cast("long").as("ch"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("w")).cast("long")).as("n_tokens"),
+        sum(col("ch")).as("n_chars"))
+    val base = writeOnceStage(s,
+      s"$stageRoot/srcstats_${stageTag(s, dir, "documents.parquet", "srcstats-v1")}",
+      "stats", statsOf(d.filter(col("doc_id") % 10 =!= 0)))
+    val delta = statsOf(d.filter(col("doc_id") % 10 === 0))
+    base.unionByName(delta)
+      .groupBy(col("source"))
+      .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"),
+        sum(col("n_chars")).cast("long").as("n_chars"))
+      .orderBy(col("source"))
+  }
+
   /** q55c — recall@3 of the TWO IVFADC encodings against exact: raw-PQ
     * (q82, `by_residual=false`) vs residual-PQ (q82b, the FAISS
     * default), per anchor. The cost side of the two is IDENTICAL —

@@ -2695,6 +2695,22 @@ class PipelineSpec extends AnyFunSuite {
       s"k-means must give one cell per planted cluster, got $kmOcc")
   }
 
+  test("q89 incremental refresh never re-scans the corpus") {
+    val df = SparkEntry.queries("q89_incremental_source_stats")(spark, sf)
+    // Plan read BEFORE execution: after collect, the adaptive plan
+    // string carries a "== Initial Plan ==" duplicate of every node
+    // and scan counts double.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("srcstats_"),
+      "q89 does not read the staged base stats")
+    // Exactly ONE scan of the documents table — the arrival delta's.
+    // Two means the staged base silently fell back to a recompute and
+    // the refresh costs a corpus scan again.
+    val scans = "documents\\.parque".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 documents scan (the delta), got $scans")
+    assert(df.collect().nonEmpty)
+  }
+
   test("writeOnceStage under real concurrency: one winner, loser reads winner's data") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
