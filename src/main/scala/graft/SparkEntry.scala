@@ -167,6 +167,9 @@ object SparkEntry {
     "q86_hard_negatives"      -> (PipelineQueries.q86HardNegatives _),
     "q87_stream_dsir_gate"    -> ((s: SparkSession, dir: String) =>
       StreamingJobs.streamDsirGate(s, dir)),
+    "q90_subword_tokenize"    -> (PipelineQueries.q90SubwordTokenize _),
+    "q90b_token_packing"      -> ((s: SparkSession, dir: String) =>
+      PipelineQueries.q90bTokenPacking(s, dir)),
   ) ++ graft.queries.NearQueries.queries
 
   def oracleSql: Map[String, String] = Map(

@@ -2327,10 +2327,100 @@ object PipelineOracles {
          |SELECT anchor_id, kind, CAST(rank AS INTEGER) AS rank, vec_id,
          |  label, cos_sim,
          |  (kind = 'neg' AND cos_sim < max_pos) AS semi_hard
-         |FROM mk JOIN hp USING (anchor_id)
+         |FROM mk LEFT JOIN hp USING (anchor_id)
          |ORDER BY anchor_id, kind, rank""".stripMargin
     },
+
+    // q90: subword tokenizer apply — the oracle re-trains the vocab
+    // from the raw table (hash-ordered 128-doc sample, 1..4-codepoint
+    // gram counts, (cnt, len, gram) rank) and replays the greedy
+    // longest-match per DISTINCT word as a recursive CTE (one step per
+    // emitted token; the four LEFT JOINs are the longest-first probes,
+    // COALESCE order = greedy order), then joins back to the
+    // positioned word stream. Engine drift in either half — training
+    // tiebreaks or the scan's advance rule — fails the hash.
+    "q90_subword_tokenize" ->
+      s"""WITH RECURSIVE $subwordTokCtes,
+         |fl0 AS (SELECT doc_id, wi, unnest(list_transform(ids,
+         |          (x, k) -> struct_pack(j := k, id := x, t := ts[k]))) AS u
+         |        FROM dw JOIN tokend USING (word)),
+         |flat AS (SELECT doc_id, wi, u.j AS j, u.id AS token_id,
+         |           u.t AS token FROM fl0)
+         |SELECT doc_id,
+         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wi, j)
+         |    AS BIGINT) AS pos,
+         |  token_id, token
+         |FROM flat ORDER BY doc_id, pos""".stripMargin,
+
+    // q90b: q41's packing formula fed with the q90 token counts —
+    // docs with no tokenizable words pack as n_tokens 0.
+    "q90b_token_packing" ->
+      s"""WITH RECURSIVE $subwordTokCtes,
+         |ntok AS (SELECT dw.doc_id, CAST(sum(len(ids)) AS BIGINT) AS nt
+         |         FROM dw JOIN tokend USING (word) GROUP BY dw.doc_id),
+         |sized AS (SELECT d.doc_id,
+         |    CAST(COALESCE(nt, 0) AS BIGINT) AS n_tokens,
+         |    CAST('0x' || substr(md5('pack:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+         |      AS BIGINT)
+         |      % (SELECT greatest(16, count(*) // 1000000) FROM documents)
+         |      AS pack_bucket
+         |  FROM documents d LEFT JOIN ntok ON ntok.doc_id = d.doc_id),
+         |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY pack_bucket
+         |        ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_end
+         |      FROM sized)
+         |SELECT doc_id, pack_bucket, n_tokens,
+         |  CAST((cum_end - n_tokens) // 512 AS BIGINT) AS bin_in_bucket,
+         |  CAST((cum_end - n_tokens) % 512 AS BIGINT) AS offset_in_bin
+         |FROM c ORDER BY doc_id""".stripMargin,
   )
+
+  /** q90's shared tokenizer recursion: vocab training (sample → gram
+    * counts → ranked top-256) + the per-distinct-word greedy
+    * longest-match replay. Mirrors
+    * [[PipelineQueries.subwordVocabBuild]] and
+    * [[graft.expressions.Subword.SubwordTokenize]] constant-for-
+    * constant (maxLen 4, V 256, sample 128, 'vocsamp:' salt).
+    */
+  private lazy val subwordTokCtes: String =
+    s"""samp AS (SELECT text FROM documents
+       |  ORDER BY md5('vocsamp:' || CAST(doc_id AS VARCHAR)), doc_id LIMIT 128),
+       |vsw AS (SELECT unnest(string_split(trim(text), ' ')) AS word FROM samp),
+       |vg1 AS (SELECT word, unnest(generate_series(1, least(len(word), 4))) AS L
+       |        FROM vsw WHERE len(word) >= 1),
+       |vg2 AS (SELECT word, L,
+       |          unnest(generate_series(1, len(word) - L + 1)) AS i FROM vg1),
+       |vcnt AS (SELECT substr(word, i, L) AS token, count(*) AS cnt
+       |         FROM vg2 GROUP BY 1),
+       |vocab AS (SELECT token, CAST(token_id AS BIGINT) AS token_id FROM (
+       |    SELECT token, row_number() OVER
+       |      (ORDER BY cnt DESC, len(token) DESC, token ASC) AS token_id
+       |    FROM vcnt)
+       |  WHERE token_id <= 256),
+       |dw0 AS (SELECT doc_id, unnest(list_transform(string_split(trim(text), ' '),
+       |          (x, i) -> struct_pack(wi := i, word := x))) AS u FROM documents),
+       |dw AS (SELECT doc_id, u.wi AS wi, u.word AS word FROM dw0
+       |       WHERE len(u.word) >= 1),
+       |uw AS (SELECT DISTINCT word FROM dw),
+       |tk AS (
+       |  SELECT word, 1 AS pos, CAST([] AS BIGINT[]) AS ids,
+       |    CAST([] AS VARCHAR[]) AS ts FROM uw
+       |  UNION ALL
+       |  SELECT tk.word,
+       |    tk.pos + CASE WHEN COALESCE(v4.token, v3.token, v2.token, v1.token)
+       |        IS NOT NULL
+       |      THEN len(COALESCE(v4.token, v3.token, v2.token, v1.token))
+       |      ELSE 1 END,
+       |    list_append(tk.ids, COALESCE(v4.token_id, v3.token_id,
+       |      v2.token_id, v1.token_id, 0)),
+       |    list_append(tk.ts, COALESCE(v4.token, v3.token, v2.token, v1.token,
+       |      substr(tk.word, tk.pos, 1)))
+       |  FROM tk
+       |  LEFT JOIN vocab v4 ON v4.token = substr(tk.word, tk.pos, 4)
+       |  LEFT JOIN vocab v3 ON v3.token = substr(tk.word, tk.pos, 3)
+       |  LEFT JOIN vocab v2 ON v2.token = substr(tk.word, tk.pos, 2)
+       |  LEFT JOIN vocab v1 ON v1.token = substr(tk.word, tk.pos, 1)
+       |  WHERE tk.pos <= len(tk.word)),
+       |tokend AS (SELECT word, ids, ts FROM tk WHERE pos > len(word))""".stripMargin
 
   /** q64's recompute-path yield-ledger SQL — shared verbatim by q64
     * and its materialized-stage twin q64b.

@@ -1150,35 +1150,46 @@ object PipelineQueries {
       val loc = new org.apache.hadoop.fs.Path(stage)
       val lfs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
       val marker = new org.apache.hadoop.fs.Path(loc, "_GRAFT_STAGED")
-      val df = build
-      if (!lfs.exists(marker)) {
-        val uuid = java.util.UUID.randomUUID.toString.replace("-", "")
-        val tmpName = s"${tableName}_tmp_$uuid"
-        val tmpLoc = new org.apache.hadoop.fs.Path(loc.getParent,
-          s".tmp_${loc.getName}_$uuid")
-        df.write.bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
-          .mode("overwrite").option("path", tmpLoc.toString)
-          .format("parquet").saveAsTable(tmpName)
-        s.sql(s"DROP TABLE $tmpName") // external: data stays put
-        if (lfs.exists(marker)) {
-          // Another JVM published while this one was building: its
-          // stage is live (marker-committed, possibly being read) —
-          // discard this build and attach the winner's below.
-          lfs.delete(tmpLoc, true)
-        } else {
-          if (lfs.exists(loc)) lfs.delete(loc, true) // torn, no marker
-          if (!lfs.rename(tmpLoc, loc)) {
-            lfs.delete(tmpLoc, true)
-            if (!lfs.exists(loc)) sys.error(
-              s"bucketed stage rename failed with no winner: $loc")
+      // Attach-only FAST PATH: when the stage is already published the
+      // CREATE TABLE schema comes from the staged parquet footers —
+      // `build` is never evaluated. Before this split a fresh session
+      // attaching an existing index paid full Catalyst analysis of the
+      // corpus sketch pipeline per artifact just to print a DDL string
+      // (the r17 q76 fresh-session overhead finding).
+      val ddl =
+        if (lfs.exists(marker)) s.read.parquet(stage).schema.toDDL
+        else {
+          val df = build
+          if (!lfs.exists(marker)) {
+            val uuid = java.util.UUID.randomUUID.toString.replace("-", "")
+            val tmpName = s"${tableName}_tmp_$uuid"
+            val tmpLoc = new org.apache.hadoop.fs.Path(loc.getParent,
+              s".tmp_${loc.getName}_$uuid")
+            df.write.bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+              .mode("overwrite").option("path", tmpLoc.toString)
+              .format("parquet").saveAsTable(tmpName)
+            s.sql(s"DROP TABLE $tmpName") // external: data stays put
+            if (lfs.exists(marker)) {
+              // Another JVM published while this one was building: its
+              // stage is live (marker-committed, possibly being read) —
+              // discard this build and attach the winner's below.
+              lfs.delete(tmpLoc, true)
+            } else {
+              if (lfs.exists(loc)) lfs.delete(loc, true) // torn, no marker
+              if (!lfs.rename(tmpLoc, loc)) {
+                lfs.delete(tmpLoc, true)
+                if (!lfs.exists(loc)) sys.error(
+                  s"bucketed stage rename failed with no winner: $loc")
+              }
+              lfs.create(marker, true).close()
+            }
           }
-          lfs.create(marker, true).close()
+          df.schema.toDDL
         }
-      }
       // Attach the completed stage to THIS session's catalog — bucket
       // metadata lives in the DDL, bucket-id file naming is already on
       // disk; zero data touched.
-      s.sql(s"CREATE TABLE $tableName (${df.schema.toDDL}) USING PARQUET " +
+      s.sql(s"CREATE TABLE $tableName ($ddl) USING PARQUET " +
         s"CLUSTERED BY (${bucketCols.mkString(", ")}) INTO $buckets " +
         s"BUCKETS LOCATION '$stage'")
     }
@@ -2197,16 +2208,20 @@ object PipelineQueries {
       .groupBy(col("cell"))
       .agg(sum(when(col("src") === "c", 1L).otherwise(0L)).as("nc"),
         sum(when(col("src") === "a", 1L).otherwise(0L)).as("na"))
-    val tot = counts.agg(sum(col("nc") + col("na")).as("n"))
+    // The index total is a window sum over the 16-row domain-joined
+    // frame — NOT a second aggregate over `counts`, which would scan
+    // the staged segments twice for a value the per-cell rows already
+    // carry (r17 advice). The unpartitioned window is over nCells
+    // rows, not data.
     s.range(nCells).select(col("id").cast("int").as("cell"))
       .join(counts, Seq("cell"), "left")
-      .crossJoin(broadcast(tot))
       .select(col("cell"),
         coalesce(col("nc"), lit(0L)).as("n_corpus"),
-        coalesce(col("na"), lit(0L)).as("n_arrivals"),
-        col("n"))
+        coalesce(col("na"), lit(0L)).as("n_arrivals"))
       .withColumn("n_total", col("n_corpus") + col("n_arrivals"))
-      .withColumn("load", rdiv4(col("n_total") * nCells, col("n")))
+      .withColumn("load", rdiv4(col("n_total") * nCells,
+        sum(col("n_total")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy())))
       .select(col("cell"), col("n_corpus"), col("n_arrivals"),
         col("n_total"), col("load"))
       .orderBy(col("cell"))
@@ -2366,6 +2381,30 @@ object PipelineQueries {
     (cents, books, segBase, segArr)
   }
 
+  /** The IVFADC 8-lookup fold shared by q82 / q82b / q83 (r17 verdict
+    * #4 — three oracle-gated twins hand-rolled the same expr string):
+    * sums, over the 8 subspaces, the `arrays` entry picked by the
+    * candidate's `pq` code — exact long arithmetic. `arrays` is a
+    * column of 8 lookup tables (16 longs each): the anchor's ADC dot
+    * tables (`tbl`), the raw codeword norms (`cmag`), or the
+    * residual-reconstructed norms (`nrm`).
+    */
+  private[graft] def adcLookupFold(arrays: String): org.apache.spark.sql.Column =
+    expr(
+      s"aggregate(sequence(0, 7), cast(0 as bigint), (acc, j) -> " +
+        s"acc + element_at(element_at($arrays, j + 1), " +
+        s"cast(element_at(pq, j + 1) as int) + 1))")
+
+  /** The shared ADC cosine tail: cos_pq = sdot / (|a| · |reconstructed
+    * candidate|), rounded once at the end — expects exact-long `sdot`,
+    * `nrec` and `anorm2` columns (the q81 discipline: the DuckDB
+    * oracles replay the integer arithmetic bit-for-bit and only the
+    * final division is floating).
+    */
+  private[graft] def adcCosine(df: DataFrame): DataFrame =
+    df.withColumn("cos_pq", round(col("sdot").cast("double") /
+      (sqrt(col("anorm2").cast("double")) * sqrt(col("nrec").cast("double"))), 6))
+
   /** IVFADC (q82) — the COMPOSITION of the two staged ANN axes, i.e.
     * production ANN at 100 TB (Jégou et al. 2011's IVFADC; FAISS's
     * `IndexIVFPQ` with `by_residual=false`): q25b contributes the
@@ -2428,19 +2467,11 @@ object PipelineQueries {
     val cmagCol = typedLit(cmag)
     // Map-only ADC over the cell-pruned code scan: 8 table lookups
     // per candidate, exact longs until the final cosine division.
-    val scored = invCodes.join(broadcast(probes), Seq("cell"))
+    val scored = adcCosine(invCodes.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("anchor_id"))
       .withColumn("cmag", cmagCol)
-      .withColumn("sdot", expr(
-        "aggregate(sequence(0, 7), cast(0 as bigint), (acc, j) -> " +
-          "acc + element_at(element_at(tbl, j + 1), " +
-          "cast(element_at(pq, j + 1) as int) + 1))"))
-      .withColumn("nrec", expr(
-        "aggregate(sequence(0, 7), cast(0 as bigint), (acc, j) -> " +
-          "acc + element_at(element_at(cmag, j + 1), " +
-          "cast(element_at(pq, j + 1) as int) + 1))"))
-      .withColumn("cos_pq", round(col("sdot").cast("double") /
-        (sqrt(col("anorm2").cast("double")) * sqrt(col("nrec").cast("double"))), 6))
+      .withColumn("sdot", adcLookupFold("tbl"))
+      .withColumn("nrec", adcLookupFold("cmag")))
     val w = Window.partitionBy(col("anchor_id"))
       .orderBy(col("cos_pq").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -2583,18 +2614,19 @@ object PipelineQueries {
           graft.expressions.Sketches.ivfCellRank(s, col("embedding"), cents),
           x => x.getField("cell")), 1, nProbe)).as("cell"))
       .join(anch, Seq("anchor_id", "cell"))
-    val scored = invCodes.join(broadcast(probes), Seq("cell"))
+    // If probedCells ever diverges from IvfCellRank (a future tie or
+    // rounding edit), the (anchor_id, cell) join above silently drops
+    // the diverged cells and the top-k comes back plausible-but-wrong,
+    // detectable only at the oracle gate — fail loudly at the query
+    // instead. Anchor-sized count (|anchors|·nProbe rows).
+    val nProbeRows = probes.count()
+    require(nProbeRows == anchorIds.size.toLong * nProbe,
+      s"q82b probe frame diverged from IvfCellRank: expected " +
+        s"${anchorIds.size * nProbe} (anchor, cell) rows, got $nProbeRows")
+    val scored = adcCosine(invCodes.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("anchor_id"))
-      .withColumn("sdot", expr(
-        "aggregate(sequence(0, 7), cast(0 as bigint), (acc, j) -> " +
-          "acc + element_at(element_at(tbl, j + 1), " +
-          "cast(element_at(pq, j + 1) as int) + 1))"))
-      .withColumn("nrec", expr(
-        "aggregate(sequence(0, 7), cast(0 as bigint), (acc, j) -> " +
-          "acc + element_at(element_at(nrm, j + 1), " +
-          "cast(element_at(pq, j + 1) as int) + 1))"))
-      .withColumn("cos_pq", round(col("sdot").cast("double") /
-        (sqrt(col("anorm2").cast("double")) * sqrt(col("nrec").cast("double"))), 6))
+      .withColumn("sdot", adcLookupFold("tbl"))
+      .withColumn("nrec", adcLookupFold("nrm")))
     val w = Window.partitionBy(col("anchor_id"))
       .orderBy(col("cos_pq").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -2939,8 +2971,12 @@ object PipelineQueries {
         .as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
       // Feeds the model build AND the scoring join — materialize the
-      // explode once (the q38 shared-base rationale).
-      .localCheckpoint(true)
+      // explode once (the q38 shared-base rationale). DISK_ONLY, not
+      // localCheckpoint: this frame is corpus-token-sized, and
+      // localCheckpoint blocks don't survive executor loss (routine at
+      // 100-TB fleet size — one lost block kills the job); a persisted
+      // block is replayable from lineage (r17 verdict #5).
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val bc = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
     val uc = bc.groupBy(col("w1")).agg(sum(col("cb")).as("cu"))
     val sm = bc.join(uc, "w1")
@@ -2983,7 +3019,9 @@ object PipelineQueries {
           "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"))
         .as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .localCheckpoint(true)
+      // Corpus-token-sized shared base: DISK_ONLY (replayable under
+      // executor loss), same rationale as q56.
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val bc = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
     val uc = bc.groupBy(col("w1")).agg(sum(col("cb")).as("cu"))
     val topk = bc.withColumn("rk", row_number().over(
@@ -3245,8 +3283,14 @@ object PipelineQueries {
     * ever building a vocabulary-sized model. Bigrams hash into D=64
     * buckets (md5-prefix, the repo's cross-engine hash); the "model"
     * is one bucket histogram over the target slice (sources src1-3,
-    * the high-quality-reference proxy) and one over the raw corpus,
-    * add-1 smoothed; a document's log importance weight is the sum of
+    * the high-quality-reference proxy) and one over the FULL pool —
+    * target slice included, i.e. the reference distribution here is
+    * the whole corpus the weights resample FROM, not Xie et al.'s
+    * disjoint raw corpus (their raw pool is a separate dataset; this
+    * pipeline selects from one pool, so p_R is that pool — weights
+    * compress toward 0 as the target share grows, which is the
+    * intended behavior for an in-pool affinity score). Add-1
+    * smoothed; a document's log importance weight is the sum of
     * its bigrams' bucket log-ratios log10(p_T[b]/p_R[b]). Integer
     * micro-unit log-ratios per BUCKET (the q56 convention — one
     * log10 of an exact-integer double ratio, rounded to 1e-6) keep
@@ -3280,8 +3324,10 @@ object PipelineQueries {
           .cast("long") % D)
       .select(col("doc_id"), col("is_target"), col("b"))
       // Feeds the model build AND the scoring join — materialize the
-      // explode once (the q56 shared-base rationale).
-      .localCheckpoint(true)
+      // explode once (the q56 shared-base rationale). DISK_ONLY, not
+      // localCheckpoint: corpus-token-sized, and a persisted block is
+      // replayable from lineage under executor loss (r17 verdict #5).
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val raw = grams.groupBy(col("b")).agg(
       count(lit(1)).as("cr"),
       sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"))
@@ -3402,12 +3448,20 @@ object PipelineQueries {
     * scale the corpus side swaps for q82's IVFADC candidates with the
     * same mining tail.
     */
-  def q86HardNegatives(s: SparkSession, dir: String): DataFrame = {
+  def q86HardNegatives(s: SparkSession, dir: String): DataFrame =
+    hardNegativesCore(s, Tables.embeddings(s, dir), Seq(0L, 1L, 2L), k = 3)
+
+  /** q86's core over any (vec_id, label, embedding) frame — split out
+    * for the no-positives spec (an anchor whose label has no other
+    * corpus member must still surface its negatives, with a null
+    * semi-hard flag — not silently vanish from the report).
+    */
+  private[graft] def hardNegativesCore(s: SparkSession, emb: DataFrame,
+      anchorIds: Seq[Long], k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val anchorIds = Seq(0L, 1L, 2L); val k = 3
     def fdot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       graft.expressions.Sketches.fdot(s, a, b)
-    val e = Tables.embeddings(s, dir)
+    val e = emb
       .select(col("vec_id"), col("label"), col("embedding"),
         sqrt(graft.expressions.Sketches.fdot(s, col("embedding"),
           col("embedding"))).as("norm"))
@@ -3426,11 +3480,137 @@ object PipelineQueries {
       .filter(col("rank") <= k)
     val hardestPos = mined.filter(col("kind") === "pos")
       .groupBy(col("anchor_id")).agg(max(col("cos_sim")).as("max_pos"))
-    mined.join(broadcast(hardestPos), Seq("anchor_id"))
+    // LEFT join (r17 advice): an anchor whose label has no other
+    // corpus member has no max_pos row — an inner join would silently
+    // drop ALL its rows (its hard negatives included) from the report.
+    // With the left join those rows survive and semi_hard is null
+    // ("no positive to compare against"), same three-valued logic in
+    // the DuckDB twin.
+    mined.join(broadcast(hardestPos), Seq("anchor_id"), "left")
       .withColumn("semi_hard",
         col("kind") === "neg" && col("cos_sim") < col("max_pos"))
       .select(col("anchor_id"), col("kind"), col("rank"), col("vec_id"),
         col("label"), col("cos_sim"), col("semi_hard"))
       .orderBy(col("anchor_id"), col("kind"), col("rank"))
+  }
+
+  /** Subword-tokenizer operating point (q90/q90b): vocab entries up to
+    * `SubwordMaxLen` code points, `SubwordVocabSize` entries,
+    * frequency-trained on a `SubwordSampleDocs`-doc hash-ordered
+    * sample. maxLen 4 keeps the DuckDB twin's longest-match to four
+    * probes per position AND forces real subword splits on this
+    * corpus ("table" → "tabl"+"e"); a production point raises both.
+    */
+  private[graft] val SubwordMaxLen = 4
+  private[graft] val SubwordVocabSize = 256
+  private[graft] val SubwordSampleDocs = 128
+
+  /** The tokenizer TRAINING half: character n-grams (1..maxLen code
+    * points, every start inside every word) of a bounded hash-ordered
+    * document sample, counted per occurrence; the vocab is the top-V
+    * by (count desc, length desc, gram asc) and token_id is the
+    * 1-based rank (0 is reserved for UNK). Deterministic end to end —
+    * the md5 sample order, the counts, and the total-order tiebreak
+    * are all engine-replayable, which is what lets the DuckDB oracle
+    * re-train the identical vocab from the raw table (an iterative
+    * merge-rank BPE trainer would not be expressible as one SQL
+    * statement; greedy longest-match over a frequency vocab is the
+    * WordPiece-inference shape and keeps both halves oracle-gated).
+    * Scale shape: the sample is bounded, so every aggregate here is
+    * sample-sized; the one global window ranks a few thousand distinct
+    * grams on one task — the q81 codebook-training discipline.
+    */
+  private[graft] def subwordVocabBuild(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val samp = Tables.documents(s, dir)
+      .orderBy(md5(concat(lit("vocsamp:"), col("doc_id").cast("string"))),
+        col("doc_id"))
+      .limit(SubwordSampleDocs)
+    val grams = samp
+      .select(explode(TF.words(col("text"))).as("word"))
+      .filter(length(col("word")) >= 1)
+      .select(explode(expr(
+        s"flatten(transform(sequence(1, least(char_length(word), $SubwordMaxLen)), " +
+          "L -> transform(sequence(1, char_length(word) - L + 1), " +
+          "i -> substring(word, i, L))))")).as("token"))
+    grams.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .withColumn("token_id", row_number().over(Window.orderBy(
+        col("cnt").desc, length(col("token")).desc, col("token"))))
+      .filter(col("token_id") <= SubwordVocabSize)
+      .select(col("token_id").cast("long").as("token_id"), col("token"))
+  }
+
+  /** The staged (token_id, token) vocab artifact — write-once under
+    * the shared protocol; retraining is a new salt (the q25c
+    * generation discipline), never an overwrite.
+    */
+  private[graft] def stagedSubwordVocab(s: SparkSession, dir: String): DataFrame =
+    writeOnceStage(s,
+      s"$stageRoot/subvocab_${stageTag(s, dir, "documents.parquet",
+        s"subvocab${SubwordMaxLen}x${SubwordVocabSize}v1")}",
+      "vocab", subwordVocabBuild(s, dir))
+
+  /** The staged vocab as an id-ordered list (index + 1 = token_id) —
+    * collected once, bounded at SubwordVocabSize rows, shipped to the
+    * apply expression as a literal (the q81/q83 codebook discipline).
+    */
+  private[graft] def subwordVocabList(s: SparkSession, dir: String): Seq[String] =
+    stagedSubwordVocab(s, dir).orderBy(col("token_id")).collect()
+      .map(_.getAs[String]("token")).toSeq
+
+  /** q90 — TOKENIZER APPLICATION, the missing production step between
+    * corpus assembly and q41's sequence packing (r17 verdict #6):
+    * every document becomes its subword token-id stream under the
+    * staged vocab. Apply is MAP-ONLY — one documents scan, the greedy
+    * longest-match runs per row inside
+    * [[graft.expressions.Subword.SubwordTokenize]] (vocab bound once
+    * per task as a hash map), one Generate for the per-token rows; the
+    * only exchange in the plan is the output ordering's range
+    * partition. The DuckDB oracle re-trains the vocab from the raw
+    * table AND replays the greedy scan per distinct word via a
+    * recursive CTE, so a drift in either half fails the hash.
+    */
+  def q90SubwordTokenize(s: SparkSession, dir: String): DataFrame = {
+    val vocab = subwordVocabList(s, dir)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(graft.expressions.Subword
+        .subwordTokenize(s, TF.words(col("text")), vocab)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col.token_id").as("token_id"), col("col.token").as("token"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  /** q90b — q41's sequence packer fed with REAL tokenizer ids: the
+    * per-doc token count is the subword stream's length (size of the
+    * apply expression's array — no explode needed for packing), and
+    * the packing mechanics are q41's verbatim (hash-bucketed packing
+    * streams, per-bucket running-token window, integer-exact
+    * bin/offset). A doc whose text tokenizes to nothing packs as
+    * n_tokens 0 at its bucket's current offset.
+    */
+  def q90bTokenPacking(s: SparkSession, dir: String,
+      binTokens: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = subwordVocabList(s, dir)
+    val buckets = packBuckets(rawDocsRowCount(s, dir))
+    val bucket = conv(substring(md5(concat(lit("pack:"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long") % buckets
+    val sized = Tables.documents(s, dir).select(col("doc_id"),
+      size(graft.expressions.Subword
+        .subwordTokenize(s, TF.words(col("text")), vocab))
+        .cast("long").as("n_tokens"),
+      bucket.as("pack_bucket"))
+    val w = Window.partitionBy(col("pack_bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sized
+      .withColumn("cum_end", sum(col("n_tokens")).over(w))
+      .withColumn("bin_in_bucket",
+        expr(s"(cum_end - n_tokens) div $binTokens"))
+      .withColumn("offset_in_bin",
+        (col("cum_end") - col("n_tokens")) % binTokens)
+      .select(col("doc_id"), col("pack_bucket"), col("n_tokens"),
+        col("bin_in_bucket"), col("offset_in_bin"))
+      .orderBy(col("doc_id"))
   }
 }

@@ -552,7 +552,11 @@ object StreamingJobs {
       // BIGINT casts mirror the oracle's.
       .withColumn("anorm2", expr(
         "cast(aggregate(xq, cast(0 as double), (a, v) -> a + v * v) as bigint)"))
-    arr.join(segBase, Seq("cell")) // stream-static: stateless
+    // sdot is the one block q82/q82b's shared fold can't cover: the
+    // arrival has no precomputed per-anchor ADC table (it IS the
+    // anchor), so the dot unrolls xq × codeword inline; nrec and the
+    // cosine tail are the shared PipelineQueries helpers.
+    PipelineQueries.adcCosine(arr.join(segBase, Seq("cell")) // stream-static: stateless
       .withColumn("books", booksLit)
       .withColumn("cmag", cmagLit)
       .withColumn("sdot", expr(
@@ -561,12 +565,7 @@ object StreamingJobs {
           "a2 + element_at(xq, j * 8 + i + 1) * " +
           "element_at(element_at(element_at(books, j + 1), " +
           "cast(element_at(pq, j + 1) as int) + 1), i + 1))) as bigint)"))
-      .withColumn("nrec", expr(
-        "aggregate(sequence(0, 7), cast(0 as bigint), (acc, j) -> " +
-          "acc + element_at(element_at(cmag, j + 1), " +
-          "cast(element_at(pq, j + 1) as int) + 1))"))
-      .withColumn("cos_pq", round(col("sdot").cast("double") /
-        (sqrt(col("anorm2").cast("double")) * sqrt(col("nrec").cast("double"))), 6))
+      .withColumn("nrec", PipelineQueries.adcLookupFold("cmag")))
       .filter(col("cos_pq") >= Q83Threshold)
       .select(col("arr_id"), col("vec_id"), col("cos_pq"))
   }

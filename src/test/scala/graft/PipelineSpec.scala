@@ -1845,6 +1845,16 @@ class PipelineSpec extends AnyFunSuite {
       "q88 does not read the staged segments")
     assert(!plan.contains("embeddings.parquet"),
       "q88 scans the embedding table instead of the index")
+    // …and it reads them ONCE: the total is a window sum over the
+    // 16-row per-cell frame, not a second aggregate over the segments
+    // (r17 advice — the monitor's cost doubled for a derivable value).
+    // Fresh plan: an EXECUTED AdaptiveSparkPlan prints Final + Initial
+    // sections and would double-count every scan node.
+    val freshPlan = SparkEntry.queries("q88_ivf_cell_balance")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val nScans = "Scan parquet".r.findAllIn(freshPlan).length
+    assert(nScans == 2,
+      s"q88 should scan exactly the two segment stages once each, got $nScans")
   }
 
   test("q25c IVF retrain: compacted new generation, old generation untouched") {
@@ -2924,6 +2934,85 @@ class PipelineSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert("WindowGroupLimit.*Partial".r.findFirstIn(plan).nonEmpty,
       s"q86 lost its partial WindowGroupLimit:\n${plan.take(3000)}")
+  }
+
+  test("q90 tokenizer: lossless coverage, ids honest against the staged vocab") {
+    val rows = SparkEntry.queries("q90_subword_tokenize")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // Lossless coverage: per doc, the concatenated token text equals
+    // the doc's words concatenated (greedy longest-match never skips
+    // or duplicates a character; UNK still carries its character).
+    val docs = Tables.documents(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").trim.split(" ").filter(_.nonEmpty).mkString)
+      .toMap
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, rs) =>
+      val joined = rs.sortBy(_.getAs[Long]("pos"))
+        .map(_.getAs[String]("token")).mkString
+      assert(joined == docs(id),
+        s"doc $id: token stream does not reassemble the text")
+    }
+    // Ids honest: token_id > 0 ↔ the token is the staged vocab entry
+    // at that rank; token_id 0 (UNK) is a single character NOT in the
+    // vocab.
+    val vocab = graft.queries.PipelineQueries.subwordVocabList(spark, sf)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("token_id"); val t = r.getAs[String]("token")
+      if (id > 0) assert(vocab(id.toInt - 1) == t, s"id/token drift: $r")
+      else {
+        assert(t.codePointCount(0, t.length) == 1, s"multi-char UNK: $r")
+        assert(!vocab.contains(t), s"UNK for an in-vocab token: $r")
+      }
+    }
+    // Greedy longest-match: no emitted token is extendable — the token
+    // plus its successor's first code point is never itself in vocab…
+    // that IS what the DuckDB oracle replays; here pin the cheap local
+    // invariant that every multi-char token is in-vocab (covered
+    // above) and that apply is MAP-ONLY: no hash exchange anywhere
+    // (the only exchange is the output ordering's range partition).
+    val plan = SparkEntry.queries("q90_subword_tokenize")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"q90 apply should be map-only:\n${plan.take(2000)}")
+  }
+
+  test("q90b packing: n_tokens equals the q90 stream; q41 mechanics intact") {
+    val pack = SparkEntry.queries("q90b_token_packing")(spark, sf).collect()
+    val tokCounts = SparkEntry.queries("q90_subword_tokenize")(spark, sf)
+      .groupBy(col("doc_id")).count().collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("count")).toMap
+    pack.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_tokens") == tokCounts.getOrElse(id, 0L),
+        s"doc $id: packed n_tokens disagrees with the q90 stream")
+      val off = r.getAs[Long]("offset_in_bin")
+      assert(off >= 0 && off < 512)
+      assert(r.getAs[Long]("bin_in_bucket") >= 0)
+    }
+    assert(pack.length == Tables.documents(spark, sf).count())
+  }
+
+  test("q86 mining: anchor with no positives keeps its negatives (null semi-hard)") {
+    import spark.implicits._
+    // Anchor 0's label is unique in the corpus — before the left-join
+    // fix (r17 advice) the inner join to the per-anchor max-positive
+    // dropped ALL its rows, hard negatives included, and the report
+    // silently omitted the anchor.
+    val emb = Seq(
+      (0L, 99, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, 1, Seq(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, 1, Seq(0.8f, 0.2f, 0.0f, 0.0f)),
+      (3L, 1, Seq(0.7f, 0.3f, 0.0f, 0.0f)),
+      (4L, 1, Seq(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val rows = graft.queries.PipelineQueries
+      .hardNegativesCore(spark, emb, Seq(0L), k = 3).collect()
+    assert(rows.length == 3, s"anchor with no positives lost rows: ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getAs[String]("kind") == "neg", s"phantom positive: $r")
+      assert(r.isNullAt(r.fieldIndex("semi_hard")),
+        s"semi_hard must be null when the anchor has no positives: $r")
+    }
   }
 
   test("q87 DSIR gate: batch splits reproduce the drain; zero state operators") {
