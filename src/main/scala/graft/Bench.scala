@@ -2,6 +2,27 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 object Bench {
+  // Streaming entries open one state-store instance PER STORE PER
+  // SHUFFLE PARTITION at query start — at 32 partitions q72's 4
+  // stores mean 128 RocksDB opens of pure fixed setup that measures
+  // the harness, not the operator (r14 verdict #6). State volume at
+  // sf0.1 is tiny, so bench those entries at 8 partitions: identical
+  // plan shape and results (every entry is oracle-gated at cpus=4 in
+  // Verify), 4× less fixed store setup. Restore the session default
+  // afterwards so batch entries are untouched. Shared with QBench so
+  // an isolated re-measure of a streaming entry prices the same
+  // partition policy as the sweep (r18: QBench previously ran
+  // streaming entries at 32 partitions, inflating them ~2-3× vs the
+  // Bench isolated loop and making bisection numbers incomparable).
+  private[graft] val isStreaming = (n: String) => n.contains("stream")
+  private[graft] def withBenchConf[T](s: SparkSession, n: String)(f: => T): T =
+    if (!isStreaming(n)) f
+    else {
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -69,22 +90,7 @@ object Bench {
     val names =
       if (ingestOnly) Seq.empty[String] else SparkEntry.queries.keys.toSeq.sorted
     val isNear = (n: String) => n.startsWith("near_")
-    // Streaming entries open one state-store instance PER STORE PER
-    // SHUFFLE PARTITION at query start — at 32 partitions q72's 4
-    // stores mean 128 RocksDB opens of pure fixed setup that measures
-    // the harness, not the operator (r14 verdict #6). State volume at
-    // sf0.1 is tiny, so bench those entries at 8 partitions: identical
-    // plan shape and results (every entry is oracle-gated at cpus=4 in
-    // Verify), 4× less fixed store setup. Restore the session default
-    // afterwards so batch entries are untouched.
-    val isStreaming = (n: String) => n.contains("stream")
-    def withBenchConf[T](s: SparkSession, n: String)(f: => T): T =
-      if (!isStreaming(n)) f
-      else {
-        val prev = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
-      }
+    import Bench.withBenchConf
     // Warmup pass: JVM/JIT + parquet footer caches; excluded from timing.
     names.foreach { n =>
       try withBenchConf(spark, n) {

@@ -27,10 +27,15 @@ object QBench {
       .config("spark.sql.streaming.stateStore.providerClass", stateProviderClass)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Same streaming partition policy as Bench's sweep and isolated
+    // loop (8 shuffle partitions for streaming entries) — a QBench
+    // number must be comparable to the BENCH_r*.json it bisects.
     def exec(): Double = {
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir)
-        .write.mode("overwrite").format("noop").save()
+      Bench.withBenchConf(spark, name) {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.mode("overwrite").format("noop").save()
+      }
       (System.nanoTime() - t0) / 1e9
     }
     exec() // warmup
