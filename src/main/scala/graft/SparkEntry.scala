@@ -170,6 +170,9 @@ object SparkEntry {
     "q90_subword_tokenize"    -> (PipelineQueries.q90SubwordTokenize _),
     "q90b_token_packing"      -> ((s: SparkSession, dir: String) =>
       PipelineQueries.q90bTokenPacking(s, dir)),
+    "q86b_hard_negatives_ann" -> (PipelineQueries.q86bHardNegativesAnn _),
+    "q91_stream_token_gate"   -> ((s: SparkSession, dir: String) =>
+      StreamingJobs.streamTokenGate(s, dir)),
   ) ++ graft.queries.NearQueries.queries
 
   def oracleSql: Map[String, String] = Map(

@@ -2331,6 +2331,58 @@ object PipelineOracles {
          |ORDER BY anchor_id, kind, rank""".stripMargin
     },
 
+    // q86b: q86's mining tail over the IVF index's candidates — the
+    // oracle replays the coarse quantizer (ivfCtes: sample-trained
+    // micro-integer k-means + per-vector assignment), probes each
+    // anchor's 2 nearest cells, exact-cosine scores the probed cells'
+    // populations, and runs q86's rank/semi-hard tail (LEFT join —
+    // an anchor can mine no positives inside its probed cells).
+    "q86b_hard_negatives_ann" ->
+      s"""WITH ${ivfCtes(16, 2, 512, "WHERE vec_id % 10 <> 0")},
+         |probe AS (SELECT anchor_id, anchor_label, aemb, anorm, cell FROM (
+         |    SELECT qe.vec_id AS anchor_id, e.label AS anchor_label,
+         |      qe.embedding AS aemb, qe.norm AS anorm, c.cell,
+         |      row_number() OVER (PARTITION BY qe.vec_id
+         |        ORDER BY ${sqDist("qe.xq", "c.cx")}, c.cell) AS rn
+         |    FROM qe JOIN embeddings e USING (vec_id), c2 c
+         |    WHERE qe.vec_id IN (0, 1, 2)) t WHERE rn <= 2),
+         |s AS (SELECT anchor_id, asg.vec_id, e.label,
+         |        round(${vdot("asg.embedding", "aemb")} / (asg.norm * anorm), 6)
+         |          AS cos_sim,
+         |        CASE WHEN e.label = anchor_label THEN 'pos' ELSE 'neg'
+         |          END AS kind
+         |      FROM asg JOIN probe USING (cell)
+         |        JOIN embeddings e ON e.vec_id = asg.vec_id
+         |      WHERE asg.vec_id <> anchor_id),
+         |m AS (SELECT *, row_number() OVER (PARTITION BY anchor_id, kind
+         |        ORDER BY cos_sim DESC, vec_id) AS rank FROM s),
+         |mk AS (SELECT * FROM m WHERE rank <= 3),
+         |hp AS (SELECT anchor_id, max(cos_sim) AS max_pos FROM mk
+         |       WHERE kind = 'pos' GROUP BY anchor_id)
+         |SELECT anchor_id, kind, CAST(rank AS INTEGER) AS rank, vec_id,
+         |  label, cos_sim,
+         |  (kind = 'neg' AND cos_sim < max_pos) AS semi_hard
+         |FROM mk LEFT JOIN hp USING (anchor_id)
+         |ORDER BY anchor_id, kind, rank""".stripMargin,
+
+    // q91: streaming tokenizer-fertility gate — per-arrival token
+    // accounting from the shared q90 recursion; a doc with no
+    // tokenizable words gates through at 0/0.
+    "q91_stream_token_gate" ->
+      s"""WITH RECURSIVE $subwordTokCtes,
+         |acc AS (SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS nw,
+         |          CAST(sum(len(ids)) AS BIGINT) AS nt,
+         |          CAST(sum(len(list_filter(ids, x -> x = 0))) AS BIGINT) AS nu
+         |        FROM dw JOIN tokend USING (word) GROUP BY dw.doc_id),
+         |arrv AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0)
+         |SELECT a.doc_id,
+         |  CAST(COALESCE(nw, 0) AS BIGINT) AS n_words,
+         |  CAST(COALESCE(nt, 0) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(nu, 0) AS BIGINT) AS n_unk,
+         |  (COALESCE(nt, 0) * 2 <= COALESCE(nw, 0) * 3) AS keep
+         |FROM arrv a LEFT JOIN acc USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
     // q90: subword tokenizer apply — the oracle re-trains the vocab
     // from the raw table (hash-ordered 128-doc sample, 1..4-codepoint
     // gram counts, (cnt, len, gram) rank) and replays the greedy

@@ -3474,24 +3474,75 @@ object PipelineQueries {
         (col("norm") * col("anorm")), 6))
       .withColumn("kind", when(col("label") === col("anchor_label"),
         lit("pos")).otherwise(lit("neg")))
+    miningTail(scored, k)
+  }
+
+  /** q86/q86b's shared mining tail over a scored candidate frame
+    * (anchor_id, vec_id, label, cos_sim, kind): per-(anchor, kind)
+    * top-k (rides the spec-pinned partial WindowGroupLimit), then the
+    * per-anchor max-positive LEFT-joined back for the semi-hard flag.
+    * LEFT (r17 advice): an anchor whose label has no other candidate
+    * has no max_pos row — an inner join would silently drop ALL its
+    * rows (its hard negatives included) from the report. With the
+    * left join those rows survive and semi_hard is null ("no positive
+    * to compare against"), same three-valued logic in the DuckDB twin.
+    */
+  private def miningTail(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("anchor_id"), col("kind"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
     val mined = scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
     val hardestPos = mined.filter(col("kind") === "pos")
       .groupBy(col("anchor_id")).agg(max(col("cos_sim")).as("max_pos"))
-    // LEFT join (r17 advice): an anchor whose label has no other
-    // corpus member has no max_pos row — an inner join would silently
-    // drop ALL its rows (its hard negatives included) from the report.
-    // With the left join those rows survive and semi_hard is null
-    // ("no positive to compare against"), same three-valued logic in
-    // the DuckDB twin.
     mined.join(broadcast(hardestPos), Seq("anchor_id"), "left")
       .withColumn("semi_hard",
         col("kind") === "neg" && col("cos_sim") < col("max_pos"))
       .select(col("anchor_id"), col("kind"), col("rank"), col("vec_id"),
         col("label"), col("cos_sim"), col("semi_hard"))
       .orderBy(col("anchor_id"), col("kind"), col("rank"))
+  }
+
+  /** q86b — q86's mining tail over the IVF INDEX's candidates instead
+    * of the brute cross join: the production composition q86's
+    * scaladoc promises ("at real scale the corpus side swaps for the
+    * staged index's candidates"). Candidates per anchor are the staged
+    * inverted-file segments restricted to the anchor's nProbe probed
+    * cells (broadcast cell join → dynamic partition pruning on the
+    * cell-partitioned scan — the q25b probe mechanics), exact-cosine
+    * scored and label-joined, then the shared rank-window + semi-hard
+    * tail. The trade the report surfaces honestly: a same-label vector
+    * outside the probed cells is invisible, so an anchor can mine
+    * fewer than k positives — or none (null semi-hard, the q86
+    * left-join contract). Mining cost per anchor drops from O(corpus)
+    * to O(probed-cell populations); at 100 TB that is the difference
+    * between mining being a corpus scan per batch and a cell read.
+    */
+  def q86bHardNegativesAnn(s: SparkSession, dir: String): DataFrame = {
+    val anchorIds = Seq(0L, 1L, 2L); val k = 3; val nProbe = 2
+    def fdot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.expressions.Sketches.fdot(s, a, b)
+    val emb = Tables.embeddings(s, dir)
+    val cents = stagedIvfCentroids(s, dir)
+    val (base, arr) = stagedIvfSegments(s, dir, cents)
+    val anchors = emb.filter(col("vec_id").isin(anchorIds: _*))
+      .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"),
+        col("embedding").as("aemb"),
+        sqrt(fdot(col("embedding"), col("embedding"))).as("anorm"),
+        explode(slice(transform(
+          graft.expressions.Sketches.ivfCellRank(s, col("embedding"), cents),
+          x => x.getField("cell")), 1, nProbe)).as("cell"))
+    val vecs = emb.select(col("vec_id"), col("label"), col("embedding"),
+      sqrt(fdot(col("embedding"), col("embedding"))).as("norm"))
+    val scored = base.unionByName(arr)
+      .join(broadcast(anchors), Seq("cell"))
+      .filter(col("vec_id") =!= col("anchor_id"))
+      .join(vecs, Seq("vec_id"))
+      .withColumn("cos_sim", round(fdot(col("embedding"), col("aemb")) /
+        (col("norm") * col("anorm")), 6))
+      .withColumn("kind", when(col("label") === col("anchor_label"),
+        lit("pos")).otherwise(lit("neg")))
+    miningTail(scored, k)
   }
 
   /** Subword-tokenizer operating point (q90/q90b): vocab entries up to

@@ -617,6 +617,50 @@ object StreamingJobs {
       .withColumn("keep", col("w_micro") >= 0L)
   }
 
+  /** q91 — STREAMING TOKENIZER-FERTILITY GATE: the tokenizer-axis
+    * member of the ingest-gate family (q80 gates near-dups, q83
+    * semantic dups, q87 target affinity, q91 tokenizability).
+    * Arrivals tokenize on the fly against the STAGED q90 vocab
+    * (bound once per task as the apply expression's hash map — zero
+    * joins, the q87 model-literal discipline) and the gate keeps a
+    * document iff its subword fertility n_tokens/n_words ≤ 1.5
+    * (integer-exact: 2·n_tokens ≤ 3·n_words). High fertility is the
+    * standard tokenizer-coverage signal: out-of-domain or noisy text
+    * explodes into fragments and UNKs, and a pipeline reads exactly
+    * this number before paying to train on a document. FULLY
+    * stateless AND shuffle-free: per-row expression work only, token
+    * accounting reads the expression's array (no explode), no state
+    * store (zero state operators, spec-pinned).
+    */
+  def streamTokenGate(s: SparkSession, dir: String): DataFrame = {
+    val arr = docsStream(s, dir).select(col("doc_id"), col("text"))
+    drain(s, tokenGateStream(s, arr, dir), "tokgate_",
+        outputMode = "append") { t =>
+      t.orderBy(col("doc_id"))
+    }
+  }
+
+  /** Core of [[streamTokenGate]] over any streaming (doc_id, text)
+    * frame — split out for the multi-batch spec (which pins ZERO
+    * state operators and a planted high-fertility rejection).
+    */
+  private[graft] def tokenGateStream(s: SparkSession,
+      arrivalDocs: DataFrame, dir: String): DataFrame = {
+    val vocab = graft.queries.PipelineQueries.subwordVocabList(s, dir)
+    arrivalDocs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        expr("filter(split(trim(text), ' '), x -> char_length(x) >= 1)")
+          .as("w"))
+      .withColumn("toks", graft.expressions.Subword
+        .subwordTokenize(s, col("w"), vocab))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        expr("cast(size(filter(toks, t -> t.token_id = 0)) as bigint)")
+          .as("n_unk"))
+      .withColumn("keep", col("n_tokens") * 2L <= col("n_words") * 3L)
+  }
+
   /** STREAM-STREAM INTERVAL JOIN — the watermarked two-stream join
     * (§ Structured Streaming's flagship stateful operator, previously
     * unexercised here): each view event joined to the same user's

