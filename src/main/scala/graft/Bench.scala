@@ -404,9 +404,12 @@ object Bench {
         .mkString("{", ",", "}")
     val isoKeys = isolated.map { case (k, _) => shortKey(k) }.toSet
     val alwaysKeep = (1 to 10).map(i => f"q$i%02d").toSet
-    val qShort = headline.map { case (k, v) =>
-      (if (k.startsWith("near_ingest")) k else shortKey(k)) -> v }
-      .filter { case (k, _) => !isoKeys.contains(k) || alwaysKeep.contains(k) }
+    // near_ingest_* seconds drop too: the same runs ship as the
+    // ingest_*_blocks_per_sec fields below.
+    val qShort = headline.map { case (k, v) => shortKey(k) -> v }
+      .filter { case (k, _) =>
+        (!isoKeys.contains(k) || alwaysKeep.contains(k)) &&
+          !k.startsWith("near") }
     val qs = jmap2(qShort :+ ("near_tables_total" -> nearMicro.map(_._2).sum))
     val iso = jmap2(isolated.map { case (k, v) => shortKey(k) -> v })
     val total = allResults.map(_._2).sum
