@@ -23,6 +23,66 @@ object Bench {
       try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
     }
 
+  /** The default isolated re-run list (fresh session per entry) —
+    * object-level so the headline-length spec prices the REAL shed
+    * set against the full registry.
+    */
+  private[graft] val DefaultIsolated: Seq[String] = Seq(
+    "q02_revenue_by_nation", "q24_embedding_dups", "q24b_embedding_dups_lsh",
+    "q25_ann_ivf", "q26_multimodal_features", "q27_winnow_fingerprint",
+    "q28_dup_clusters", "q29_quantize_int8", "q30_simhash_dups",
+    "q31_text_chunks", "q34_dedup_apply", "q35b_stream_dedup_windowed",
+    "q36_contamination", "q37b_stream_sessions_append", "q38_ngram_jaccard",
+    "q43_image_meta", "q45_source_mix", "q48_stream_near_dup",
+    "q51_semantic_dedup", "q53_corpus_recipe", "q56_bigram_lm",
+    "q65b_dedup_agreement_star", "q72_stream_funnel_join",
+    "q75_stream_funnel_outer", "q75b_stream_funnel_full",
+    "q76_incremental_dedup", "q76b_growing_index_dedup",
+    "q76c_compacted_index_dedup", "q77_ann_int8_rerank",
+    "q79_substring_dedup", "q79b_substring_dedup_2ph",
+    "q79c_substring_scrub", "q25b_ann_ivf_append",
+    "q80_stream_corpus_probe", "q81_ann_pq", "q82_ann_ivfpq",
+    "q82b_ann_ivfpq_residual", "q83_stream_ann_gate",
+    "near_scale_receipts")
+
+  /** The driver-contract headline line, assembled from the full-name
+    * sweep results, the near-micro total, and the isolated re-runs —
+    * factored out of main so the length spec can exercise the REAL
+    * assembly against the full registry (the r17 regression class:
+    * the line silently outgrew the driver's 2000-char tail window and
+    * BENCH_r17.json came back parsed:null). Sheds, all lossless
+    * against the full-precision detail lines printed above it:
+    * 2-decimal seconds; isolated-pinned entries keep only their
+    * isolated value (q01-q10 always ship in queries); near_ingest_*
+    * seconds ship only as the *_per_sec fields.
+    */
+  private[graft] def headlineJson(sweep: Seq[(String, Double)],
+      nearTablesTotal: Double, isolated: Seq[(String, Double)],
+      total: Double, ingestFields: Seq[(String, Double)],
+      calib: Option[(Double, Double)], sfDir: String): String = {
+    def fmt2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    def fmt3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def jmap2(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + fmt2(v) }
+        .mkString("{", ",", "}")
+    def shortKey(n: String): String = n.takeWhile(_ != '_')
+    val isoKeys = isolated.map { case (k, _) => shortKey(k) }.toSet
+    val alwaysKeep = (1 to 10).map(i => f"q$i%02d").toSet
+    val qShort = sweep.map { case (k, v) => shortKey(k) -> v }
+      .filter { case (k, _) =>
+        (!isoKeys.contains(k) || alwaysKeep.contains(k)) &&
+          !k.startsWith("near") }
+    val qs = jmap2(qShort :+ ("near_tables_total" -> nearTablesTotal))
+    val iso = jmap2(isolated.map { case (k, v) => shortKey(k) -> v })
+    val ing = ingestFields
+      .map { case (k, v) => s""","$k":${fmt2(v)}""" }.mkString
+    val cal = calib.map { case (p, q) =>
+      s""","calib":{"pre":${fmt3(p)},"post":${fmt3(q)}}""" }.getOrElse("")
+    s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs,"isolated":$iso$ing$cal,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -270,23 +330,7 @@ object Bench {
     SparkSession.clearDefaultSession()
     val isolatedNames = (if (ingestOnly) "" else
       sys.env.getOrElse("SPARK_GRAFT_ISOLATED",
-        "q02_revenue_by_nation,q24_embedding_dups,q24b_embedding_dups_lsh," +
-          "q25_ann_ivf,q26_multimodal_features,q27_winnow_fingerprint," +
-          "q28_dup_clusters,q29_quantize_int8,q30_simhash_dups," +
-          "q31_text_chunks,q34_dedup_apply,q35b_stream_dedup_windowed," +
-          "q36_contamination,q37b_stream_sessions_append,q38_ngram_jaccard," +
-          "q43_image_meta,q45_source_mix,q48_stream_near_dup," +
-          "q51_semantic_dedup,q53_corpus_recipe,q56_bigram_lm," +
-          "q65b_dedup_agreement_star,q72_stream_funnel_join," +
-          "q75_stream_funnel_outer,q75b_stream_funnel_full," +
-          "q76_incremental_dedup,q76b_growing_index_dedup," +
-          "q76c_compacted_index_dedup," +
-          "q77_ann_int8_rerank,q79_substring_dedup," +
-          "q79b_substring_dedup_2ph,q79c_substring_scrub," +
-          "q25b_ann_ivf_append,q80_stream_corpus_probe," +
-          "q81_ann_pq,q82_ann_ivfpq,q82b_ann_ivfpq_residual," +
-          "q83_stream_ann_gate," +
-          "near_scale_receipts"))
+        Bench.DefaultIsolated.mkString(",")))
       .split(",").map(_.trim).filter(SparkEntry.queries.contains).toSeq
     val isolated = isolatedNames.map { n =>
       val s = SparkSession.builder()
@@ -350,7 +394,6 @@ object Bench {
     def jmap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-    def shortKey(n: String): String = n.takeWhile(_ != '_')
     val (nearMicro, headline) = allResults.partition { case (k, _) =>
       isNear(k) && !k.startsWith("near_ingest") }
     Seq("hand" -> nearMicro.filterNot(_._1.startsWith("near_scale")),
@@ -386,45 +429,22 @@ object Bench {
     q63bTtl.foreach { case (pre, post) =>
       println(s"""{"detail":"q63b_ttl_eviction","pre_rows":$pre,"post_rows":$post}""")
     }
-    // HEADLINE DIET (r17 regression: the line outgrew the driver's
-    // 2000-char tail window — BENCH_r17.json came back parsed:null
-    // with q01-q10 and the total clipped off). Two sheds, both
-    // lossless because the full-precision full-name sweep printed on
-    // the detail line above keeps every number:
-    //  1. entries that also ship an isolated pin drop their sweep
-    //     value from the headline (the pin is the trustworthy
-    //     cross-round signal anyway) — EXCEPT q01-q10, which the
-    //     contract always carries;
-    //  2. the headline prints 2-decimal seconds (fmt2) — sub-10ms
-    //     digits are noise at sweep variance.
-    def fmt2(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    def jmap2(kvs: Seq[(String, Double)]): String =
-      kvs.map { case (k, v) => "\"" + k + "\":" + fmt2(v) }
-        .mkString("{", ",", "}")
-    val isoKeys = isolated.map { case (k, _) => shortKey(k) }.toSet
-    val alwaysKeep = (1 to 10).map(i => f"q$i%02d").toSet
-    // near_ingest_* seconds drop too: the same runs ship as the
-    // ingest_*_blocks_per_sec fields below.
-    val qShort = headline.map { case (k, v) => shortKey(k) -> v }
-      .filter { case (k, _) =>
-        (!isoKeys.contains(k) || alwaysKeep.contains(k)) &&
-          !k.startsWith("near") }
-    val qs = jmap2(qShort :+ ("near_tables_total" -> nearMicro.map(_._2).sum))
-    val iso = jmap2(isolated.map { case (k, v) => shortKey(k) -> v })
-    val total = allResults.map(_._2).sum
-    val bps = nBlocks / ingestSec
-    val ingest2Field =
-      if (run2)
-        s""","ingest_${nBlocks2}_blocks_per_sec":${fmt2(nBlocks2 / ingestSec2)}"""
-      else ""
     // The driver contract is ONE JSON line with metric/value/unit/
-    // queries/sf (the driver JSON-parses it out of the LAST 2000 chars
-    // of process output, so this line must stay comfortably under
-    // 2000 even as entries keep landing — hence the diet above).
-    val calibField = if (ingestOnly) ""
-      else s""","calib":{"pre":${fmt(calibPre)},"post":${fmt(calibPost)}}"""
-    val line = s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs,"isolated":$iso,"ingest_blocks_per_sec":${fmt2(bps)}$ingest2Field$calibField,"sf":"$sfDir"}"""
+    // queries/sf, JSON-parsed out of the LAST 2000 chars of process
+    // output — see Bench.headlineJson for the assembly and its sheds
+    // (the r17 regression: the line silently outgrew the window). The
+    // length spec (BenchSpec) prices the assembly against the full
+    // registry at worst-case widths, so entry growth fails a test
+    // instead of silently blinding the driver's bench gate.
+    val total = allResults.map(_._2).sum
+    val ingestFields =
+      Seq("ingest_blocks_per_sec" -> nBlocks / ingestSec) ++
+        (if (run2)
+          Seq(s"ingest_${nBlocks2}_blocks_per_sec" -> nBlocks2 / ingestSec2)
+        else Seq.empty)
+    val line = Bench.headlineJson(headline, nearMicro.map(_._2).sum,
+      isolated, total, ingestFields,
+      if (ingestOnly) None else Some((calibPre, calibPost)), sfDir)
     if (line.length > 1600) // keep headroom inside the 2000-char window
       System.err.println(s"[bench] headline ${line.length} chars — " +
         "approaching the driver's 2000-char tail window")
