@@ -234,7 +234,7 @@ class NearSpec extends AnyFunSuite {
     val before = sc.getPersistentRDDs.keySet
     val tables = Ingest.allTables(norm)
     assert(tables("transactions").count() > 0) // healthy before the loss
-    (sc.getPersistentRDDs.keySet -- before).foreach { id =>
+    sc.getPersistentRDDs.keySet.filterNot(before).foreach { id =>
       sc.getPersistentRDDs.get(id).foreach(_.unpersist(true))
     }
     val err = intercept[Throwable] {

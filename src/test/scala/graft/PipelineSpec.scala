@@ -1122,7 +1122,7 @@ class PipelineSpec extends AnyFunSuite {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       if cs >= 0.45
     } yield (a, b)
-    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    val parent = scala.collection.mutable.Map(ids.toSeq.map(i => i -> i): _*)
     def find(x: Long): Long =
       if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
     edges.foreach { case (a, b) =>
