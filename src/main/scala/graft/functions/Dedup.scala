@@ -171,9 +171,28 @@ object Dedup {
         .join(nbrMin, col("node") === col("u"), "left")
         .select(col("node"), col("lbl").as("prev"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      // POINTER JUMP (hash-min shortcutting): lbl(x) := min(lbl(x),
+      // prev_lbl(lbl(x))) — labels chase their own label's label, so
+      // a length-d chain converges in O(log d) rounds instead of
+      // O(d). Without this a component whose diameter exceeded
+      // maxIter came back SILENTLY under-merged (a 200-node duplicate
+      // chain is entirely plausible in boilerplate-heavy corpora at
+      // 100 TB); with it, 50 iterations cover diameters past 2^50.
+      // The jump reads the PREVIOUS round's checkpointed table (not
+      // `next` itself, which would plan the neighbor-min subtree
+      // twice per round): stale-by-one reads keep every intermediate
+      // label a real node id of the same component, so the fixpoint
+      // (= per-component min id) is unchanged — only the round count
+      // drops. One extra pair-sized join per round, same single-job
+      // materialize + convergence test.
+      val jumped = next
+        .join(labels.select(col("node").as("jn"), col("lbl").as("jl")),
+          next("lbl") === col("jn"), "left")
+        .select(next("node"), col("prev"),
+          least(next("lbl"), coalesce(col("jl"), next("lbl"))).as("lbl"))
         .localCheckpoint(eager = false)
-      changed = next.filter(col("lbl") =!= col("prev")).count() > 0
-      labels = next.select(col("node"), col("lbl"))
+      changed = jumped.filter(col("lbl") =!= col("prev")).count() > 0
+      labels = jumped.select(col("node"), col("lbl"))
       iter += 1
     }
     labels.select(col("node").as("vec_id"), col("lbl").as("cluster_id"))

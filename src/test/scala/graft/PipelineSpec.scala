@@ -2385,6 +2385,11 @@ class PipelineSpec extends AnyFunSuite {
       // a 40-node path declared in reverse (worst diameter, and the
       // min label enters from the far end)
       (39L to 1L by -1L).map(i => (i, i - 1)),
+      // a 120-node path: diameter 119 is PAST maxIter (50) — plain
+      // hash-min propagation stops early with silently non-minimal
+      // labels mid-path; the pointer jump converges in O(log d)
+      // rounds, so this case pins that the shortcut is actually live
+      (119L to 1L by -1L).map(i => (i, i - 1)),
       // star + triangle + isolated edge
       Seq((10L, 11L), (10L, 12L), (10L, 13L), (20L, 21L), (21L, 22L),
         (22L, 20L), (30L, 31L)),
@@ -3146,6 +3151,10 @@ class PipelineSpec extends AnyFunSuite {
     assert(plan.contains("ivfseg_"), "q86b does not read the staged index")
     assert(!plan.contains("CartesianProduct"),
       "q86b fell back to a corpus cross join")
+    // Mining must read nProbe/nCells of the segment files, not all of
+    // them — the partition-pruning contract inherited from q25b.
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      "q86b candidate scan not dynamically partition-pruned")
     assert(brute.nonEmpty) // brute tail still healthy alongside
   }
 }
