@@ -3560,7 +3560,13 @@ object PipelineQueries {
     * points, every start inside every word) of a bounded hash-ordered
     * document sample, counted per occurrence; the vocab is the top-V
     * by (count desc, length desc, gram asc) and token_id is the
-    * 1-based rank (0 is reserved for UNK). Deterministic end to end —
+    * 1-based rank (0 is reserved for UNK). The apply side is greedy
+    * longest-match — WordPiece inference (Wu et al. 2016,
+    * arXiv:1609.08144 §4; the same scan `tokenizers` ships for
+    * BERT-style vocabs); the frequency-ranked vocab stands in for
+    * BPE merge-rank training (Sennrich et al. 2015, arXiv:1508.07909),
+    * whose iterative greedy merges are not expressible as one SQL
+    * statement. Deterministic end to end —
     * the md5 sample order, the counts, and the total-order tiebreak
     * are all engine-replayable, which is what lets the DuckDB oracle
     * re-train the identical vocab from the raw table (an iterative
