@@ -173,6 +173,7 @@ object SparkEntry {
     "q86b_hard_negatives_ann" -> (PipelineQueries.q86bHardNegativesAnn _),
     "q91_stream_token_gate"   -> ((s: SparkSession, dir: String) =>
       StreamingJobs.streamTokenGate(s, dir)),
+    "q92_bm25_more_like_this" -> (PipelineQueries.q92Bm25MoreLikeThis _),
   ) ++ graft.queries.NearQueries.queries
 
   def oracleSql: Map[String, String] = Map(

@@ -2331,6 +2331,57 @@ object PipelineOracles {
          |ORDER BY anchor_id, kind, rank""".stripMargin
     },
 
+    // q92: BM25 more-like-this — query terms replay q32's exact
+    // top-3 TF-IDF ranking restricted to the anchors (its own ln
+    // micro-snap, named idf32 to keep it distinct from the BM25 idf);
+    // scoring replays the integer rearrangement of BM25(1.2, 0.75):
+    // num/den BIGINTs, half-up integer rounding per term, integer sum.
+    "q92_bm25_more_like_this" ->
+      s"""WITH t AS (SELECT doc_id, unnest(w) AS term FROM ($docsWithWords) d0),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM t GROUP BY doc_id, term),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+         |       FROM tf GROUP BY doc_id),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |          CAST(sum(dl) AS BIGINT) AS total FROM dl),
+         |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |        FROM tf GROUP BY term),
+         |idf AS (SELECT term,
+         |          CAST(round(ln((tot.n_docs - df + 0.5) / (df + 0.5) + 1.0)
+         |            * 1000000.0, 0) AS BIGINT) AS idf_micro
+         |        FROM dfq CROSS JOIN tot),
+         |nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |       FROM documents),
+         |sc AS (SELECT tf.doc_id, tf.term, tf.tf,
+         |         CAST(round(ln((nd.n_docs + 1.0) / (dfq.df + 1.0))
+         |           * 1000000.0, 0) AS BIGINT) AS idf32
+         |       FROM tf JOIN dfq USING (term) CROSS JOIN nd
+         |       WHERE tf.doc_id IN (0, 1, 2)),
+         |qt AS (SELECT doc_id AS query_id, term FROM (
+         |    SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY tf * idf32 DESC, term ASC) AS rn FROM sc) z
+         |  WHERE rn <= 3),
+         |cand AS (SELECT qt.query_id, tf.doc_id, tf.tf, idf.idf_micro,
+         |           dl.dl, tot.n_docs, tot.total
+         |         FROM tf JOIN qt USING (term) JOIN idf USING (term)
+         |           JOIN dl USING (doc_id) CROSS JOIN tot
+         |         WHERE tf.doc_id <> qt.query_id),
+         |ts AS (SELECT query_id, doc_id,
+         |         (2 * (idf_micro * 22 * tf * total) +
+         |          (10 * tf * total + 3 * total + 9 * dl * n_docs))
+         |         // (2 * (10 * tf * total + 3 * total + 9 * dl * n_docs))
+         |           AS term_micro
+         |       FROM cand),
+         |agg AS (SELECT query_id, doc_id,
+         |          CAST(count(*) AS BIGINT) AS n_terms_hit,
+         |          CAST(sum(term_micro) AS BIGINT) AS score_micro
+         |        FROM ts GROUP BY query_id, doc_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score_micro DESC, doc_id) AS rank FROM agg)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id,
+         |  n_terms_hit, score_micro
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     // q86b: q86's mining tail over the IVF index's candidates — the
     // oracle replays the coarse quantizer (ivfCtes: sample-trained
     // micro-integer k-means + per-vector assignment), probes each

@@ -2997,6 +2997,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(pack.length == Tables.documents(spark, sf).count())
   }
 
+  test("q92 BM25: ranks dense, scores positive+monotone, candidates df-pruned") {
+    val rows = SparkEntry.queries("q92_bm25_more_like_this")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getAs[Int]("rank"))
+      assert(byRank.map(_.getAs[Int]("rank")).sameElements(1 to rs.length))
+      // scores non-increasing with rank (the whole point of a ranking)
+      val scores = byRank.map(_.getAs[Long]("score_micro"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("score_micro") > 0L, s"non-positive BM25 score: $r")
+      val h = r.getAs[Long]("n_terms_hit")
+      assert(h >= 1L && h <= 3L, s"terms hit outside 1..3: $r")
+      assert(!Seq(0L, 1L, 2L).contains(r.getAs[Long]("doc_id")) ||
+        r.getAs[Long]("doc_id") != r.getAs[Long]("query_id"),
+        s"anchor retrieved itself: $r")
+    }
+    // Retrieval must walk the inverted index, not the corpus: the
+    // candidate join is the broadcast 9-row query-term frame, and the
+    // per-query top-k rides the partial WindowGroupLimit.
+    val plan = SparkEntry.queries("q92_bm25_more_like_this")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "q92 fell back to a corpus cross join")
+    assert("WindowGroupLimit.*Partial".r.findFirstIn(plan).nonEmpty,
+      s"q92 lost its partial WindowGroupLimit:\n${plan.take(3000)}")
+  }
+
   test("q86 mining: anchor with no positives keeps its negatives (null semi-hard)") {
     import spark.implicits._
     // Anchor 0's label is unique in the corpus — before the left-join
