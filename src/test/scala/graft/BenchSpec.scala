@@ -22,10 +22,9 @@ class BenchSpec extends AnyFunSuite {
       Seq("ingest_blocks_per_sec" -> 888.88,
         "ingest_1024_blocks_per_sec" -> 888.88),
       Some((8.888, 8.888)), "/root/testdata/sf0.1")
-    assert(line.length < 1800,
-      s"headline ${line.length} chars at worst-case widths — shed more " +
-        "(drop sweep values for newly isolated-pinned entries, or move " +
-        "to a sidecar) before the driver's bench gate goes blind again")
+    assert(line.length <= 1700,
+      s"headline ${line.length} chars at worst-case widths — the " +
+        "trim-to-fit backstop should have held the 1700 budget")
     // Contract shape: the keys the driver (and the judge) read must be
     // present, and q01-q10 must survive every shed.
     assert(line.startsWith("""{"metric":"total","value":"""))
