@@ -34,7 +34,8 @@ object Bench {
     "q31_text_chunks", "q34_dedup_apply", "q35b_stream_dedup_windowed",
     "q36_contamination", "q37b_stream_sessions_append", "q38_ngram_jaccard",
     "q43_image_meta", "q45_source_mix", "q48_stream_near_dup",
-    "q51_semantic_dedup", "q53_corpus_recipe", "q56_bigram_lm",
+    "q51_semantic_dedup", "q53_corpus_recipe", "q55c_pq_recall",
+    "q56_bigram_lm",
     "q65b_dedup_agreement_star", "q72_stream_funnel_join",
     "q75_stream_funnel_outer", "q75b_stream_funnel_full",
     "q76_incremental_dedup", "q76b_growing_index_dedup",
@@ -45,16 +46,20 @@ object Bench {
     "q82b_ann_ivfpq_residual", "q83_stream_ann_gate",
     "near_scale_receipts")
 
-  /** The driver-contract headline line, assembled from the full-name
-    * sweep results, the near-micro total, and the isolated re-runs —
-    * factored out of main so the length spec can exercise the REAL
-    * assembly against the full registry (the r17 regression class:
-    * the line silently outgrew the driver's 2000-char tail window and
-    * BENCH_r17.json came back parsed:null). Sheds, all lossless
-    * against the full-precision detail lines printed above it:
-    * 2-decimal seconds; isolated-pinned entries keep only their
-    * isolated value (q01-q10 always ship in queries); near_ingest_*
-    * seconds ship only as the *_per_sec fields.
+  /** The driver-contract headline line — factored out of main so the
+    * length spec can exercise the REAL assembly against the full
+    * registry (the r17 regression class: the line silently outgrew
+    * the driver's 2000-char tail window and BENCH_r17.json came back
+    * parsed:null). r19 made the shed DURABLE instead of incremental:
+    * the full per-query sweep lives in the [[detailJson]] sidecar
+    * file (every value, full names, 3-decimal precision) and the
+    * headline carries only what the driver contract and the
+    * round-over-round adjudication need — q01–q10 + the near total
+    * in `queries`, the isolated pins (the trustworthy fresh-session
+    * signal), ingest rates, and the calibration pair. At the full
+    * registry width this is <1 kB with no trimming, so entry growth
+    * can never blind the driver's bench gate again (the r18
+    * trim-to-fit backstop had ~20 entries of headroom left).
     */
   private[graft] def headlineJson(sweep: Seq[(String, Double)],
       nearTablesTotal: Double, isolated: Seq[(String, Double)],
@@ -68,39 +73,42 @@ object Bench {
       kvs.map { case (k, v) => "\"" + k + "\":" + fmt2(v) }
         .mkString("{", ",", "}")
     def shortKey(n: String): String = n.takeWhile(_ != '_')
-    val isoKeys = isolated.map { case (k, _) => shortKey(k) }.toSet
     val alwaysKeep = (1 to 10).map(i => f"q$i%02d").toSet
     val qShort = sweep.map { case (k, v) => shortKey(k) -> v }
-      .filter { case (k, _) =>
-        (!isoKeys.contains(k) || alwaysKeep.contains(k)) &&
-          !k.startsWith("near") }
+      .filter { case (k, _) => alwaysKeep.contains(k) }
     val iso = jmap2(isolated.map { case (k, v) => shortKey(k) -> v })
     val ing = ingestFields
       .map { case (k, v) => s""","$k":${fmt2(v)}""" }.mkString
     val cal = calib.map { case (p, q) =>
       s""","calib":{"pre":${fmt3(p)},"post":${fmt3(q)}}""" }.getOrElse("")
-    def assemble(kept: Seq[(String, Double)]): String = {
-      val dropped = qShort.size - kept.size
-      val dp = if (dropped > 0) s""","queries_dropped":$dropped""" else ""
-      val qs = jmap2(kept :+ ("near_tables_total" -> nearTablesTotal))
-      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs,"isolated":$iso$ing$cal$dp,"sf":"$sfDir"}"""
-    }
-    // TRIM-TO-FIT backstop: if the fixed sheds still leave the line
-    // past the budget (entries keep landing every round), drop sweep
-    // values from the END of the sorted key order (the newest, highest
-    // q-numbers first) until it fits — deterministic, never touches
-    // q01-q10, and NEVER silent: a queries_dropped field ships in the
-    // headline and every dropped value is still on the full-precision
-    // sweep detail line. Budget 1700 leaves 300 chars of window slack.
-    var kept = qShort
-    var line = assemble(kept)
-    while (line.length > 1700 &&
-        kept.lastIndexWhere(e => !alwaysKeep.contains(e._1)) >= 0) {
-      kept = kept.patch(
-        kept.lastIndexWhere(e => !alwaysKeep.contains(e._1)), Nil, 1)
-      line = assemble(kept)
-    }
-    line
+    val qs = jmap2(qShort :+ ("near_tables_total" -> nearTablesTotal))
+    s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs,"isolated":$iso$ing$cal,"detail_file":"$DetailFile","sf":"$sfDir"}"""
+  }
+
+  /** Sidecar file carrying EVERYTHING the headline sheds. */
+  private[graft] val DetailFile = "BENCH_detail.json"
+
+  /** The sidecar payload: full-name sweep + isolated + near micro
+    * groups + ingest + calib, all at 3-decimal precision — the
+    * durable home for per-query numbers now that the headline ships
+    * only the contract keys. One JSON object, written to
+    * [[DetailFile]] in the working directory (the repo root under
+    * the driver's sbt invocation, so it lands in the round commit).
+    */
+  private[graft] def detailJson(sweep: Seq[(String, Double)],
+      nearMicro: Seq[(String, Double)], isolated: Seq[(String, Double)],
+      total: Double, ingestFields: Seq[(String, Double)],
+      calib: Option[(Double, Double)], sfDir: String): String = {
+    def fmt3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def jmap(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + fmt3(v) }
+        .mkString("{", ",", "}")
+    val cal = calib.map { case (p, q) =>
+      s""","calib":{"pre":${fmt3(p)},"post":${fmt3(q)}}""" }.getOrElse("")
+    s"""{"total":${fmt3(total)},"sweep":${jmap(sweep)},"isolated":${
+      jmap(isolated)},"near_micro":${jmap(nearMicro)},"ingest":${
+      jmap(ingestFields)}$cal,"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -352,7 +360,19 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_ISOLATED",
         Bench.DefaultIsolated.mkString(",")))
       .split(",").map(_.trim).filter(SparkEntry.queries.contains).toSeq
-    val isolated = isolatedNames.map { n =>
+    // Compute entries run BEFORE the streaming drains: a drained
+    // streaming entry leaves JVM-level residue a fresh SparkSession
+    // does not clear (drain() already unloads the RocksDB providers,
+    // so what remains is heap/code-cache/allocator accumulation), and
+    // two rounds in a row a compute entry measured right after the
+    // drains regressed 2-3× on unchanged code (q75b r17, q38 r18 —
+    // both adjudicated back to fresh-JVM numbers). Stable partition:
+    // relative order within each class is unchanged, so cross-round
+    // comparisons inside a class stay like-for-like.
+    val isolatedOrdered =
+      isolatedNames.filterNot(Bench.isStreaming) ++
+        isolatedNames.filter(Bench.isStreaming)
+    val isolated = isolatedOrdered.map { n =>
       val s = SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
@@ -462,6 +482,18 @@ object Bench {
         (if (run2)
           Seq(s"ingest_${nBlocks2}_blocks_per_sec" -> nBlocks2 / ingestSec2)
         else Seq.empty)
+    // Durable per-query numbers: the sidecar file carries the full
+    // sweep/isolated/near/ingest maps the slim headline sheds (also
+    // still printed above as detail lines for the driver log).
+    val detail = Bench.detailJson(headline, nearMicro, isolated, total,
+      ingestFields, if (ingestOnly) None else Some((calibPre, calibPost)),
+      sfDir)
+    try {
+      val w = new java.io.PrintWriter(Bench.DetailFile, "UTF-8")
+      try w.println(detail) finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write ${Bench.DetailFile}: $e")
+    }
     val line = Bench.headlineJson(headline, nearMicro.map(_._2).sum,
       isolated, total, ingestFields,
       if (ingestOnly) None else Some((calibPre, calibPost)), sfDir)

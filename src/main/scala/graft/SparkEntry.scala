@@ -174,6 +174,7 @@ object SparkEntry {
     "q91_stream_token_gate"   -> ((s: SparkSession, dir: String) =>
       StreamingJobs.streamTokenGate(s, dir)),
     "q92_bm25_more_like_this" -> (PipelineQueries.q92Bm25MoreLikeThis _),
+    "q90c_bpe_tokenize"       -> (PipelineQueries.q90cBpeTokenize _),
   ) ++ graft.queries.NearQueries.queries
 
   def oracleSql: Map[String, String] = Map(

@@ -2475,7 +2475,140 @@ object PipelineOracles {
          |  CAST((cum_end - n_tokens) // 512 AS BIGINT) AS bin_in_bucket,
          |  CAST((cum_end - n_tokens) % 512 AS BIGINT) AS offset_in_bin
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    // q90c: BPE tokenizer apply — the oracle RE-TRAINS the merge-rank
+    // table (BpeMergeCount unrolled pair-count/argmax/merge stages
+    // over the sample's word-frequency dict) and replays the
+    // subword-nmt encode loop per distinct corpus word (recursive
+    // CTE: lowest-rank matching merge until none applies), then
+    // reassembles per-doc positions exactly like q90's oracle.
+    "q90c_bpe_tokenize" ->
+      s"""WITH RECURSIVE $bpeCtes,
+         |bfl0 AS (SELECT doc_id, wi, unnest(list_transform(ts,
+         |           (x, k) -> struct_pack(j := k, t := x))) AS u
+         |         FROM bdw JOIN btoks USING (word)),
+         |bflat AS (SELECT doc_id, wi, u.j AS j, u.t AS token FROM bfl0)
+         |SELECT doc_id,
+         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wi, j)
+         |    AS BIGINT) AS pos,
+         |  CAST(COALESCE(bmid.token_id, 0) AS BIGINT) AS token_id,
+         |  bflat.token AS token
+         |FROM bflat LEFT JOIN bmid ON bmid.token = bflat.token
+         |ORDER BY doc_id, pos""".stripMargin,
   )
+
+  /** q90c's shared BPE replay, mirroring
+    * [[PipelineQueries.bpeMergesBuild]] and
+    * [[graft.expressions.Subword.BpeTokenize]] decision-for-decision:
+    *
+    * TRAINING — `BpeMergeCount` UNROLLED stages (SQL cannot loop over
+    * a data-dependent trip count outside recursion, and each stage
+    * needs a GLOBAL aggregate over the working segmentation, which a
+    * recursive CTE cannot express — unrolling a fixed constant can):
+    * stage i re-tokenizes the segmentation strings, counts adjacent
+    * pairs weighted by word frequency, takes the argmax (count DESC,
+    * then p1/p2 in DuckDB's binary collation = UTF-8 byte order = the
+    * trainer's comparator), and merges it via string `replace` —
+    * whose left-to-right non-overlapping scan IS BPE's merge pass. A
+    * stage whose best count is < 2 leaves the segmentation unchanged
+    * and contributes no merge row (the trainer's monotone early-stop:
+    * merging never raises a later pair count above the current best).
+    *
+    * REPRESENTATION — a segmentation is a string with each symbol
+    * wrapped in U+0001 separators (`\\x01 s1 \\x01\\x01 s2 \\x01...`):
+    * the doubled interior separator keeps every symbol carrying its
+    * own delimiters, so `replace('\\x01 p1 \\x01\\x01 p2 \\x01' →
+    * '\\x01 p1p2 \\x01')` can never match across a symbol boundary
+    * and consecutive occurrences stay independently matchable. Words
+    * containing U+0001 are excluded from training and bypass the
+    * merge machinery in apply (emitted whole, token_id 0 — the
+    * expression's documented fallback); a word with two ADJACENT
+    * U+0001 chars is outside this oracle's representable domain (the
+    * engine handles it; the gate's corpus cannot contain one).
+    *
+    * APPLY — per distinct corpus word, a recursive CTE applies the
+    * LOWEST-rank merge whose wrapped pair occurs in the segmentation
+    * (all occurrences, left-to-right via the same `replace`) until no
+    * merge applies — subword-nmt's encode loop. token_id = lowest
+    * merge rank whose concatenation equals the token, else 0. The
+    * lowest-rank pick is a correlated min(rank) scalar + equi-join,
+    * NOT a LATERAL ... ORDER BY rank LIMIT 1: inside a recursive term
+    * DuckDB 1.0's lateral over this union-of-materialized-CTEs merge
+    * table silently saw only its first branches (observed: merges
+    * rank ≥3 never matched), while the scalar-subquery form scans the
+    * full table every iteration.
+    */
+  private lazy val bpeCtes: String = {
+    val K = PipelineQueries.BpeMergeCount
+    val S = PipelineQueries.SubwordSampleDocs
+    def charSeg(w: String): String =
+      s"chr(1) || array_to_string(list_transform(" +
+        s"generate_series(1, len($w)), g -> substr($w, g, 1)), " +
+        s"chr(1) || chr(1)) || chr(1)"
+    val header =
+      s"""bsamp AS (SELECT text FROM documents
+         |  ORDER BY md5('vocsamp:' || CAST(doc_id AS VARCHAR)), doc_id LIMIT $S),
+         |bw0 AS (SELECT unnest(string_split(trim(text), ' ')) AS word FROM bsamp),
+         |bwc AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM bw0
+         |        WHERE len(word) >= 1 AND strpos(word, chr(1)) = 0 GROUP BY 1),
+         |bs0 AS MATERIALIZED (SELECT word, freq, ${charSeg("word")} AS seg FROM bwc)""".stripMargin
+    val stages = (1 to K).map { i =>
+      val prev = s"bs${i - 1}"
+      s"""bt$i AS (SELECT freq, string_split(trim(seg, chr(1)),
+         |           chr(1) || chr(1)) AS toks FROM $prev),
+         |bx$i AS (SELECT freq, toks,
+         |           unnest(generate_series(1, len(toks) - 1)) AS g FROM bt$i),
+         |bp$i AS (SELECT toks[g] AS p1, toks[g + 1] AS p2, sum(freq) AS c
+         |         FROM bx$i GROUP BY 1, 2),
+         |bb$i AS MATERIALIZED (SELECT p1, p2 FROM bp$i WHERE c >= 2
+         |         ORDER BY c DESC, p1, p2 LIMIT 1),
+         |bs$i AS MATERIALIZED (SELECT word, freq, CASE WHEN EXISTS (SELECT 1 FROM bb$i)
+         |    THEN replace(seg,
+         |      chr(1) || (SELECT p1 FROM bb$i) || chr(1) || chr(1) ||
+         |        (SELECT p2 FROM bb$i) || chr(1),
+         |      chr(1) || (SELECT p1 FROM bb$i) || (SELECT p2 FROM bb$i) || chr(1))
+         |    ELSE seg END AS seg FROM $prev)""".stripMargin
+    }
+    val mergeRows = (1 to K)
+      .map(i => s"SELECT $i AS rank, p1, p2 FROM bb$i")
+      .mkString("\n  UNION ALL ")
+    val tail =
+      s"""bmerges AS MATERIALIZED (
+         |  $mergeRows),
+         |bdw0 AS (SELECT doc_id, unnest(list_transform(
+         |           string_split(trim(text), ' '),
+         |           (x, i) -> struct_pack(wi := i, word := x))) AS u
+         |         FROM documents),
+         |bdw AS MATERIALIZED (SELECT doc_id, u.wi AS wi, u.word AS word FROM bdw0
+         |        WHERE len(u.word) >= 1),
+         |bu AS (SELECT DISTINCT word FROM bdw WHERE strpos(word, chr(1)) = 0),
+         |ba0 AS (SELECT word, ${charSeg("word")} AS seg FROM bu),
+         |bap AS (
+         |  SELECT word, seg, 0 AS it FROM ba0
+         |  UNION ALL
+         |  SELECT x.word, replace(x.seg,
+         |      chr(1) || m.p1 || chr(1) || chr(1) || m.p2 || chr(1),
+         |      chr(1) || m.p1 || m.p2 || chr(1)), x.it + 1
+         |  FROM (SELECT bap.word AS word, bap.seg AS seg, bap.it AS it,
+         |          (SELECT min(m2.rank) FROM bmerges m2
+         |           WHERE strpos(bap.seg,
+         |             chr(1) || m2.p1 || chr(1) || chr(1) || m2.p2 || chr(1)) > 0)
+         |            AS mr
+         |        FROM bap) x
+         |  JOIN bmerges m ON m.rank = x.mr),
+         |baf AS (SELECT word, seg FROM (SELECT word, seg,
+         |    row_number() OVER (PARTITION BY word ORDER BY it DESC) AS rn
+         |  FROM bap) z WHERE rn = 1),
+         |btoks AS (
+         |  SELECT word, string_split(trim(seg, chr(1)), chr(1) || chr(1)) AS ts
+         |  FROM baf
+         |  UNION ALL
+         |  SELECT word, [word] AS ts FROM (SELECT DISTINCT word FROM bdw
+         |    WHERE strpos(word, chr(1)) > 0) zz),
+         |bmid AS (SELECT p1 || p2 AS token, CAST(min(rank) AS BIGINT) AS token_id
+         |         FROM bmerges GROUP BY 1)""".stripMargin
+    (Seq(header) ++ stages ++ Seq(tail)).mkString(",\n")
+  }
 
   /** q90's shared tokenizer recursion: vocab training (sample → gram
     * counts → ranked top-256) + the per-distinct-word greedy

@@ -382,11 +382,19 @@ object PipelineQueries {
     // reuse the exchanges). Same idf snap, same tiebreaks, so the
     // terms match q32's rows for these docs exactly (the oracle's qt
     // CTE replays this restricted form).
+    // idf32's doc count is q32's: countDistinct(doc_id) over the raw
+    // documents table, NOT totals.n_docs (docs with >=1 tf row) — a
+    // doc with null/untokenizable text produces no tf rows, so the
+    // two counts diverge and the top-3 query terms could differ from
+    // q32's ranking (and from the oracle's nd CTE, which counts the
+    // raw table).
+    val nDocsAll = Tables.documents(s, dir)
+      .agg(countDistinct(col("doc_id")).cast("long").as("n_docs_all"))
     val qterms = tf.filter(col("doc_id").isin(anchorIds: _*))
       .join(dfreq, Seq("term"))
-      .crossJoin(broadcast(totals.select(col("n_docs"))))
+      .crossJoin(broadcast(nDocsAll))
       .withColumn("idf32",
-        round(log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) * 1e6, 0)
+        round(log((col("n_docs_all") + lit(1.0)) / (col("df") + lit(1.0))) * 1e6, 0)
           .cast("long"))
       .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
         .orderBy((col("tf") * col("idf32")).desc, col("term").asc)))
@@ -461,10 +469,15 @@ object PipelineQueries {
     val bucket = splitBucket
     // Materialized once: three branches (train index, test explode,
     // test sizes) would each re-evaluate the expensive shingleSet over
-    // the full corpus otherwise — same rationale as q38's checkpoint.
+    // the full corpus otherwise — same rationale as q38's shared base.
+    // DISK_ONLY, not localCheckpoint: the shingle-array frame is
+    // corpus-token-sized, and localCheckpoint blocks don't survive
+    // executor loss (routine at 100-TB fleet size — one lost block
+    // kills the job); a persisted block is replayable from lineage
+    // (r17 verdict #5, same treatment as q56/q84's gram streams).
     val base = d.select(col("doc_id"), TF.shingleSet(col("text"), 5).as("sh"),
       bucket.as("bucket"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val trainSh = base.filter(col("bucket") < 90)
       .select(explode(col("sh")).as("s")).distinct()
     val testDocs = base.filter(col("bucket") >= 95)
@@ -520,7 +533,7 @@ object PipelineQueries {
     // The shingle-set table is materialized ONCE (shingleSet — regex
     // split + windowed distinct per doc — is the plan's most expensive
     // expression, and four branches need it: the inverted index, the
-    // size stats, and both verify sides; without the checkpoint each
+    // size stats, and both verify sides; without the persist each
     // branch re-evaluates it over the full corpus). At warehouse scale
     // this is the standard "write the shingle table first" step of a
     // set-similarity join.
@@ -535,11 +548,14 @@ object PipelineQueries {
     // precedent) — an engine-only hash (e.g. xxhash64) would make the
     // prune one-sidedly collision-sensitive. The verify stage is
     // exact on `sh` regardless.
+    // DISK_ONLY, not localCheckpoint: corpus-token-sized shared base —
+    // replayable under executor loss, unlike localCheckpoint blocks
+    // (r17 verdict #5, same treatment as q56/q84's gram streams).
     val sets = d.select(col("doc_id"), TF.shingleSet(col("text"), 4).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("shh",
         array_distinct(transform(col("sh"), sh => TF.hash60(sh))))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // Candidate generation, VernicaJoin-style: group the inverted
     // index by shingle hash and emit pairs inside each df-bounded
     // posting list — work ≤ sum(df²) per shingle, never a two-sided
@@ -3740,9 +3756,12 @@ object PipelineQueries {
     val bucket = conv(substring(md5(concat(lit("pack:"),
         col("doc_id").cast("string"))), 1, 8), 16, 10)
       .cast("long") % buckets
+    // coalesce: a null text makes TF.words (split of trim) null, so
+    // size(tokenize(null)) is null — the oracle's LEFT JOIN +
+    // COALESCE(nt, 0) packs such a doc as n_tokens 0, and so must we.
     val sized = Tables.documents(s, dir).select(col("doc_id"),
-      size(graft.expressions.Subword
-        .subwordTokenize(s, TF.words(col("text")), vocab))
+      coalesce(size(graft.expressions.Subword
+        .subwordTokenize(s, TF.words(col("text")), vocab)), lit(0))
         .cast("long").as("n_tokens"),
       bucket.as("pack_bucket"))
     val w = Window.partitionBy(col("pack_bucket")).orderBy(col("doc_id"))
@@ -3756,5 +3775,161 @@ object PipelineQueries {
       .select(col("doc_id"), col("pack_bucket"), col("n_tokens"),
         col("bin_in_bucket"), col("offset_in_bin"))
       .orderBy(col("doc_id"))
+  }
+
+  /** q90c's operating point: number of BPE merge iterations. Small by
+    * production standards (where it is the vocab-size knob, 30k-50k)
+    * but large enough that the sample's pair-count landscape exercises
+    * merge-of-merged-tokens chains; the DuckDB oracle unrolls exactly
+    * this many training stages.
+    */
+  private[graft] val BpeMergeCount = 32
+
+  /** TRUE BPE MERGE-RANK TRAINER (Sennrich, Haddow & Birch 2015,
+    * "Neural Machine Translation of Rare Words with Subword Units" —
+    * the algorithm q90's frequency-ranked vocab documented itself as a
+    * stand-in for): start from the code-point segmentation of the
+    * sample's word-frequency dictionary and repeat `BpeMergeCount`
+    * times — count all adjacent symbol pairs weighted by word
+    * frequency, take the most frequent pair (count desc, then pair
+    * lexicographic in UTF-8 BYTE order, matching DuckDB's binary
+    * collation so the oracle's replay picks the identical winner),
+    * merge all its occurrences (left-to-right, non-overlapping), and
+    * record the merge. Training stops early once the best pair's
+    * count drops below 2 (a count-1 merge is noise, and merging can
+    * never raise a later pair's count above the current best, so the
+    * stop is monotone — the oracle guards each unrolled stage with
+    * the same rule).
+    *
+    * DRIVER-SIDE LOOP, BOUNDED: the q51 Lloyd-rounds discipline. The
+    * word-frequency dict is collected once and is bounded by the
+    * SAMPLE size (`SubwordSampleDocs` docs — the same hash-ordered
+    * sample q90's vocab trains on), never the corpus; each merge
+    * iteration is an in-memory pass over that dict. At 100 TB the
+    * sample is still `SubwordSampleDocs` docs, so trainer cost is
+    * independent of corpus size; only the map-only APPLY scales with
+    * the data. Words containing U+0001 are excluded from training on
+    * both sides (the oracle's segment-separator — its one
+    * representational reservation, documented at the apply
+    * expression).
+    */
+  private[graft] def bpeMergesBuild(s: SparkSession, dir: String): DataFrame = {
+    val samp = Tables.documents(s, dir)
+      .orderBy(md5(concat(lit("vocsamp:"), col("doc_id").cast("string"))),
+        col("doc_id"))
+      .limit(SubwordSampleDocs)
+    val wc: Array[(String, Long)] = samp
+      .select(explode(TF.words(col("text"))).as("word"))
+      .filter(length(col("word")) >= 1 &&
+        !col("word").contains("\u0001"))
+      .groupBy(col("word")).agg(count(lit(1)).cast("long").as("freq"))
+      .collect()
+      .map(r => r.getAs[String]("word") -> r.getAs[Long]("freq"))
+    // UTF-8 byte order == code-point order == DuckDB binary collation.
+    // (Java String.compareTo is UTF-16 code-UNIT order, which disagrees
+    // above the BMP — never compare symbols with it here.)
+    def cpLt(a: String, b: String): Boolean = {
+      val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    def cpChars(w: String): Array[String] = {
+      val b = scala.collection.mutable.ArrayBuffer.empty[String]
+      var off = 0
+      while (off < w.length) {
+        val e = w.offsetByCodePoints(off, 1)
+        b += w.substring(off, e); off = e
+      }
+      b.toArray
+    }
+    var segs: Array[(Array[String], Long)] =
+      wc.map { case (w, f) => (cpChars(w), f) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var stopped = false
+    while (!stopped && merges.length < BpeMergeCount) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      segs.foreach { case (seg, f) =>
+        var i = 0
+        while (i < seg.length - 1) {
+          val k = (seg(i), seg(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      val best = counts.foldLeft(Option.empty[((String, String), Long)]) {
+        case (acc, (p, c)) => acc match {
+          case Some((bp, bc)) =>
+            if (c > bc || (c == bc && (cpLt(p._1, bp._1) ||
+              (p._1 == bp._1 && cpLt(p._2, bp._2))))) Some((p, c)) else acc
+          case None => Some((p, c))
+        }
+      }
+      best match {
+        case Some(((p1, p2), c)) if c >= 2 =>
+          merges += ((p1, p2))
+          segs = segs.map { case (seg, f) =>
+            val nb = scala.collection.mutable.ArrayBuffer.empty[String]
+            var j = 0
+            while (j < seg.length) {
+              if (j < seg.length - 1 && seg(j) == p1 && seg(j + 1) == p2) {
+                nb += p1 + p2; j += 2 // left-to-right, non-overlapping
+              } else { nb += seg(j); j += 1 }
+            }
+            (nb.toArray, f)
+          }
+        case _ => stopped = true
+      }
+    }
+    import s.implicits._
+    merges.toSeq.zipWithIndex
+      .map { case ((p1, p2), i) => ((i + 1).toLong, p1, p2) }
+      .toDF("rank", "p1", "p2")
+  }
+
+  /** The staged (rank, p1, p2) BPE merge-table artifact — write-once
+    * under the shared protocol (retraining = new salt, never an
+    * overwrite), same discipline as the q90 vocab.
+    */
+  private[graft] def stagedBpeMerges(s: SparkSession, dir: String): DataFrame =
+    writeOnceStage(s,
+      s"$stageRoot/bpemerges_${stageTag(s, dir, "documents.parquet",
+        s"bpemerges${BpeMergeCount}v1")}",
+      "merges", bpeMergesBuild(s, dir))
+
+  /** The staged merge table as a rank-ordered pair list — collected
+    * once, bounded at `BpeMergeCount` rows, shipped to the apply
+    * expression as literals.
+    */
+  private[graft] def bpeMergesList(s: SparkSession, dir: String): Seq[(String, String)] =
+    stagedBpeMerges(s, dir).orderBy(col("rank")).collect()
+      .map(r => r.getAs[String]("p1") -> r.getAs[String]("p2")).toSeq
+
+  /** q90c — BPE TOKENIZER APPLICATION under the merge-rank table: the
+    * production tokenizer semantics q90's WordPiece-style stand-in
+    * documented as its gap (r18 verdict #3). Apply is MAP-ONLY, same
+    * plan shape as q90 — one documents scan, the subword-nmt encode
+    * loop runs per row inside
+    * [[graft.expressions.Subword.BpeTokenize]] (merge ranks bound once
+    * per task as hash maps), one Generate; the only exchange is the
+    * output ordering's range partition. The DuckDB oracle RE-TRAINS
+    * the merge table from the raw table (`BpeMergeCount` unrolled
+    * pair-count/argmax/merge stages over the sample's word-frequency
+    * dict) AND replays the encode loop per distinct corpus word (a
+    * recursive CTE applying the lowest-rank matching merge until none
+    * applies), so drift in either half fails the hash.
+    */
+  def q90cBpeTokenize(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpeMergesList(s, dir)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(graft.expressions.Subword
+        .bpeTokenize(s, TF.words(col("text")), merges)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col.token_id").as("token_id"), col("col.token").as("token"))
+      .orderBy(col("doc_id"), col("pos"))
   }
 }

@@ -647,10 +647,14 @@ object StreamingJobs {
   private[graft] def tokenGateStream(s: SparkSession,
       arrivalDocs: DataFrame, dir: String): DataFrame = {
     val vocab = graft.queries.PipelineQueries.subwordVocabList(s, dir)
+    // coalesce(text, ''): a null text would make w (split of trim)
+    // null and every downstream size() null — the batch oracle's
+    // LEFT JOIN + COALESCE semantics score such a doc 0/0/keep=true,
+    // and '' filters to an empty word array which matches exactly.
     arrivalDocs.filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"),
-        expr("filter(split(trim(text), ' '), x -> char_length(x) >= 1)")
-          .as("w"))
+        expr("filter(split(trim(coalesce(text, '')), ' '), " +
+          "x -> char_length(x) >= 1)").as("w"))
       .withColumn("toks", graft.expressions.Subword
         .subwordTokenize(s, col("w"), vocab))
       .select(col("doc_id"),

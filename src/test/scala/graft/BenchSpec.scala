@@ -7,11 +7,14 @@ class BenchSpec extends AnyFunSuite {
   test("bench headline stays inside the driver's 2000-char tail window") {
     // The r17 regression class: entries kept landing, the headline
     // outgrew the driver's 2000-char tail window, and BENCH_r17.json
-    // came back parsed:null — the warning fired and nothing failed.
-    // This prices the REAL assembly (Bench.headlineJson: same sheds,
-    // same key derivation) against the FULL current registry at
-    // worst-case value widths (888.88 — wider than any observed
-    // entry), so adding entries without shedding fails here first.
+    // came back parsed:null. r19 made the shed durable — the full
+    // sweep lives in the BENCH_detail.json sidecar and the headline
+    // carries only q01-q10 + near total + isolated pins + ingest +
+    // calib. This prices the REAL assembly against the FULL current
+    // registry at worst-case value widths (888.88 — wider than any
+    // observed entry): the headline must stay under 1 kB so roughly
+    // ~75 more isolated pins fit before the 2000-char window is even
+    // approached, and the sidecar must carry every sweep key.
     val names = SparkEntry.queries.keys.toSeq.sorted
     val sweep = names.map(_ -> 888.88) ++ Seq(
       "near_ingest_512_blocks" -> 88.88, "near_ingest_1024_blocks" -> 88.88)
@@ -22,9 +25,9 @@ class BenchSpec extends AnyFunSuite {
       Seq("ingest_blocks_per_sec" -> 888.88,
         "ingest_1024_blocks_per_sec" -> 888.88),
       Some((8.888, 8.888)), "/root/testdata/sf0.1")
-    assert(line.length <= 1700,
+    assert(line.length <= 1000,
       s"headline ${line.length} chars at worst-case widths — the " +
-        "trim-to-fit backstop should have held the 1700 budget")
+        "sidecar shed should keep the headline under 1 kB")
     // Contract shape: the keys the driver (and the judge) read must be
     // present, and q01-q10 must survive every shed.
     assert(line.startsWith("""{"metric":"total","value":"""))
@@ -34,6 +37,42 @@ class BenchSpec extends AnyFunSuite {
     (1 to 10).foreach(i =>
       assert(line.contains(f""""q$i%02d":"""), f"headline lost q$i%02d"))
     assert(line.contains("\"near_tables_total\":"))
+    // The sidecar carries EVERYTHING the headline sheds: every sweep
+    // key (full names), every isolated pin, calib, ingest.
+    val detail = Bench.detailJson(sweep, Seq("near_blocks" -> 8.888),
+      isolated, 8888.88, Seq("ingest_blocks_per_sec" -> 888.88),
+      Some((8.888, 8.888)), "/root/testdata/sf0.1")
+    (names ++ Bench.DefaultIsolated.filter(SparkEntry.queries.contains))
+      .foreach(n => assert(detail.contains("\"" + n + "\":"),
+        s"sidecar lost $n"))
+    Seq("\"calib\":", "\"ingest\":", "\"sweep\":", "\"isolated\":",
+      "\"near_micro\":", "\"total\":").foreach(k =>
+      assert(detail.contains(k), s"sidecar lost key $k"))
+    // Both sides of the shed are valid JSON (spray the cheap way:
+    // character-level brace balance + no trailing comma artifacts are
+    // what the driver's json.loads would reject first).
+    assert(line.count(_ == '{') == line.count(_ == '}'))
+    assert(detail.count(_ == '{') == detail.count(_ == '}'))
+  }
+
+  test("isolated loop orders compute entries before streaming drains") {
+    // The r17/r18 mover class: a compute entry measured right after
+    // the streaming drains regressed 2-3× on unchanged code. The fix
+    // is structural — Bench partitions the isolated list compute-first
+    // — and this pins the policy's ingredients: the partition of
+    // DefaultIsolated must put every non-streaming entry ahead of
+    // every streaming one while preserving relative order.
+    val ordered = Bench.DefaultIsolated.filterNot(Bench.isStreaming) ++
+      Bench.DefaultIsolated.filter(Bench.isStreaming)
+    val firstStreaming = ordered.indexWhere(Bench.isStreaming)
+    assert(firstStreaming > 0)
+    assert(ordered.drop(firstStreaming).forall(Bench.isStreaming),
+      "a compute entry would run after a streaming drain")
+    // Relative order within each class is the original list's.
+    assert(ordered.filterNot(Bench.isStreaming) ==
+      Bench.DefaultIsolated.filterNot(Bench.isStreaming))
+    assert(ordered.filter(Bench.isStreaming) ==
+      Bench.DefaultIsolated.filter(Bench.isStreaming))
   }
 
   test("every DefaultIsolated entry names a real registry query") {

@@ -2407,6 +2407,29 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("pointer jump: a 4096-diameter path converges within 20 rounds") {
+    // The exact silent-under-merge scenario the pointer jump was added
+    // to kill (r18): plain hash-min propagation needs DIAMETER rounds,
+    // so a 4096-node path under maxIter=20 would return non-minimal
+    // labels for most of the chain; the jump (lbl := min(lbl,
+    // prev_lbl(lbl))) doubles the chased distance per round, so
+    // convergence is O(log d) ≈ 12 rounds here and 20 is ample — the
+    // assertion proves the shortcut is live, not just present in the
+    // code. Declared in reverse so the min label enters from the far
+    // end (worst case for min propagation).
+    import spark.implicits._
+    val n = 4096L
+    val edges = (n - 1 to 1L by -1L).map(i => (i, i - 1))
+      .toDF("doc_a", "doc_b")
+    val labels = graft.functions.Dedup
+      .dupClusters(edges, "doc_a", "doc_b", maxIter = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.length == n)
+    val bad = labels.filter(_._2 != 0L)
+    assert(bad.isEmpty,
+      s"${bad.length} nodes under-merged (sample: ${bad.take(5).toSeq})")
+  }
+
   test("q70 HLL estimate lands within the sketch's error band") {
     val rows = SparkEntry.queries("q70_hll_distinct")(spark, sf).collect()
     assert(rows.nonEmpty)
@@ -2995,6 +3018,76 @@ class PipelineSpec extends AnyFunSuite {
       assert(r.getAs[Long]("bin_in_bucket") >= 0)
     }
     assert(pack.length == Tables.documents(spark, sf).count())
+  }
+
+  test("BPE apply expression: encode-loop semantics on hand-built merges") {
+    import spark.implicits._
+    // merges: 1=(a,b) 2=(c,d) 3=(ab,cd) — "abcd" must fold bottom-up
+    // (lowest-rank present pair first), landing on one "abcd" token
+    // whose id is merge 3.
+    val merges = Seq(("a", "b"), ("c", "d"), ("ab", "cd"))
+    def toks(word: String): Seq[(Long, String)] =
+      Seq(word).toDF("t").select(col("t"))
+        .select(graft.expressions.Subword.bpeTokenize(spark,
+          split(col("t"), " "), merges).as("x"))
+        .selectExpr("inline(x)").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(toks("abcd") == Seq((3L, "abcd")))
+    // left-to-right non-overlapping within one merge pass: "aab" has
+    // (a,a)? not a merge; (a,b) merges at 2-3 → [a, ab]
+    assert(toks("aab") == Seq((0L, "a"), (1L, "ab")))
+    // untrained chars pass through as id-0 singles
+    assert(toks("xbay") ==
+      Seq((0L, "x"), (0L, "b"), (0L, "a"), (0L, "y")))
+    // multiple words tokenize independently, in order
+    assert(toks("ab cd") == Seq((1L, "ab"), (2L, "cd")))
+    // the oracle's separator fallback: a U+0001 word is emitted whole
+    assert(toks("a\u0001b") == Seq((0L, "a\u0001b")))
+    // duplicate-string merges: 1=(a,bc) and 3=(ab,c) both concat to
+    // "abc" — token_id is the LOWEST such rank on every path
+    val merges2 = Seq(("a", "bc"), ("a", "b"), ("ab", "c"), ("b", "c"))
+    def toks2(word: String): Seq[(Long, String)] =
+      Seq(word).toDF("t")
+        .select(graft.expressions.Subword.bpeTokenize(spark,
+          split(col("t"), " "), merges2).as("x"))
+        .selectExpr("inline(x)").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+    // "abc": lowest present pair is (a,b) rank 2 → [ab, c]; then
+    // (ab,c) rank 3 → "abc", reported with id 1 (lowest concat rank)
+    assert(toks2("abc") == Seq((1L, "abc")))
+  }
+
+  test("q90c BPE: lossless coverage, ids honest, map-only plan") {
+    val rows = SparkEntry.queries("q90c_bpe_tokenize")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // Lossless coverage, as q90: the token stream reassembles the text
+    val docs = Tables.documents(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").trim.split(" ").filter(_.nonEmpty).mkString)
+      .toMap
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, rs) =>
+      val joined = rs.sortBy(_.getAs[Long]("pos"))
+        .map(_.getAs[String]("token")).mkString
+      assert(joined == docs(id),
+        s"doc $id: BPE stream does not reassemble the text")
+    }
+    // Ids honest against the staged merge table: id > 0 ↔ the token
+    // equals the concat of the merge at that rank AND no lower rank
+    // concats to the same string; id 0 tokens are not any merge's
+    // concat (base chars / fallbacks).
+    val merges = graft.queries.PipelineQueries.bpeMergesList(spark, sf)
+    val concat = merges.map { case (p1, p2) => p1 + p2 }
+    rows.foreach { r =>
+      val id = r.getAs[Long]("token_id"); val t = r.getAs[String]("token")
+      if (id > 0) assert(concat.indexOf(t) == id - 1, s"id/merge drift: $r")
+      else assert(!concat.contains(t), s"id 0 for a merge concat: $r")
+    }
+    // Map-only apply, as q90: the only exchange is the output range
+    // partition.
+    val plan = SparkEntry.queries("q90c_bpe_tokenize")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"q90c apply should be map-only:\n${plan.take(2000)}")
   }
 
   test("q92 BM25: ranks dense, scores positive+monotone, candidates df-pruned") {
