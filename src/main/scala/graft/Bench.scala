@@ -485,14 +485,17 @@ object Bench {
     // Durable per-query numbers: the sidecar file carries the full
     // sweep/isolated/near/ingest maps the slim headline sheds (also
     // still printed above as detail lines for the driver log).
-    val detail = Bench.detailJson(headline, nearMicro, isolated, total,
-      ingestFields, if (ingestOnly) None else Some((calibPre, calibPost)),
-      sfDir)
-    try {
-      val w = new java.io.PrintWriter(Bench.DetailFile, "UTF-8")
-      try w.println(detail) finally w.close()
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write ${Bench.DetailFile}: $e")
+    // Ingest-only adjudication runs skip it: they carry no sweep, and
+    // overwriting would destroy the durable full-run record.
+    if (!ingestOnly) {
+      val detail = Bench.detailJson(headline, nearMicro, isolated, total,
+        ingestFields, Some((calibPre, calibPost)), sfDir)
+      try {
+        val w = new java.io.PrintWriter(Bench.DetailFile, "UTF-8")
+        try w.println(detail) finally w.close()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write ${Bench.DetailFile}: $e")
+      }
     }
     val line = Bench.headlineJson(headline, nearMicro.map(_._2).sum,
       isolated, total, ingestFields,

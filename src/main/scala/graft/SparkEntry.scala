@@ -175,6 +175,8 @@ object SparkEntry {
       StreamingJobs.streamTokenGate(s, dir)),
     "q92_bm25_more_like_this" -> (PipelineQueries.q92Bm25MoreLikeThis _),
     "q90c_bpe_tokenize"       -> (PipelineQueries.q90cBpeTokenize _),
+    "q93_shard_export"        -> ((s: SparkSession, dir: String) =>
+      PipelineQueries.q93ShardExport(s, dir)),
   ) ++ graft.queries.NearQueries.queries
 
   def oracleSql: Map[String, String] = Map(

@@ -2476,6 +2476,39 @@ object PipelineOracles {
          |  CAST((cum_end - n_tokens) % 512 AS BIGINT) AS offset_in_bin
          |FROM c ORDER BY doc_id""".stripMargin,
 
+    // q93: balanced shard export — q90b's packing replayed, the
+    // map-only shard id ((pack_bucket + bin_in_bucket) % 8), and the
+    // per-shard ledger (docs, bins, exact token sums, max bin size).
+    "q93_shard_export" ->
+      s"""WITH RECURSIVE $subwordTokCtes,
+         |ntok AS (SELECT dw.doc_id, CAST(sum(len(ids)) AS BIGINT) AS nt
+         |         FROM dw JOIN tokend USING (word) GROUP BY dw.doc_id),
+         |sized AS (SELECT d.doc_id,
+         |    CAST(COALESCE(nt, 0) AS BIGINT) AS n_tokens,
+         |    CAST('0x' || substr(md5('pack:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+         |      AS BIGINT)
+         |      % (SELECT greatest(16, count(*) // 1000000) FROM documents)
+         |      AS pack_bucket
+         |  FROM documents d LEFT JOIN ntok ON ntok.doc_id = d.doc_id),
+         |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY pack_bucket
+         |        ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_end
+         |      FROM sized),
+         |asg AS (SELECT doc_id, pack_bucket, n_tokens,
+         |    CAST((cum_end - n_tokens) // 512 AS BIGINT) AS bin_in_bucket
+         |  FROM c),
+         |sh AS (SELECT *, (pack_bucket + bin_in_bucket) % 8 AS shard_id
+         |       FROM asg),
+         |b AS (SELECT shard_id, pack_bucket, bin_in_bucket,
+         |        CAST(count(*) AS BIGINT) AS bin_docs,
+         |        CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+         |      FROM sh GROUP BY 1, 2, 3)
+         |SELECT shard_id,
+         |  CAST(sum(bin_docs) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_bins,
+         |  CAST(sum(bin_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(max(bin_tokens) AS BIGINT) AS max_bin_tokens
+         |FROM b GROUP BY shard_id ORDER BY shard_id""".stripMargin,
+
     // q90c: BPE tokenizer apply — the oracle RE-TRAINS the merge-rank
     // table (BpeMergeCount unrolled pair-count/argmax/merge stages
     // over the sample's word-frequency dict) and replays the

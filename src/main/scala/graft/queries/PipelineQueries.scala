@@ -3749,7 +3749,14 @@ object PipelineQueries {
     * n_tokens 0 at its bucket's current offset.
     */
   def q90bTokenPacking(s: SparkSession, dir: String,
-      binTokens: Int = 512): DataFrame = {
+      binTokens: Int = 512): DataFrame =
+    q90bPackedCore(s, dir, binTokens).orderBy(col("doc_id"))
+
+  /** q90b's packing frame WITHOUT the presentation sort — shared with
+    * q93, whose aggregates would make the range exchange dead weight.
+    */
+  private def q90bPackedCore(s: SparkSession, dir: String,
+      binTokens: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val vocab = subwordVocabList(s, dir)
     val buckets = packBuckets(rawDocsRowCount(s, dir))
@@ -3774,8 +3781,55 @@ object PipelineQueries {
         (col("cum_end") - col("n_tokens")) % binTokens)
       .select(col("doc_id"), col("pack_bucket"), col("n_tokens"),
         col("bin_in_bucket"), col("offset_in_bin"))
-      .orderBy(col("doc_id"))
   }
+
+  /** q93 — BALANCED SHARD EXPORT, the training pipeline's last mile
+    * (r18 verdict #5): q90b's packed bins become N size-bounded
+    * training shards with DETERMINISTIC membership and an exact
+    * per-shard token ledger. Shard assignment is a pure function of
+    * the packing coordinates — shard = (pack_bucket + bin_in_bucket)
+    * mod nShards — so it is MAP-ONLY over q90b's frame (no global
+    * sort, no extra exchange before the report aggregate: the window
+    * shuffle q90b already pays is the only corpus-sized exchange),
+    * reshuffle-proof (membership depends only on doc_id via the
+    * packing, so re-runs and late arrivals land identically), and
+    * balanced by construction: bins are ~binTokens each and
+    * round-robin across shards within every bucket, so shard token
+    * totals differ by at most one bin per bucket (+ the one partial
+    * tail bin per bucket) — the report makes the realized spread
+    * observable (n_tokens, and max_bin_tokens for the long-doc
+    * overflow bound: a doc longer than binTokens keeps its bin, so
+    * the bin bound is max(binTokens, longest doc), q41/q90b
+    * semantics). The physical write is
+    * `.write.partitionBy("shard_id")` over the assignment frame —
+    * one directory per shard, membership pinned by the ledger; the
+    * spec exercises it, the gated entry IS the ledger (the
+    * oracle-expressible half).
+    */
+  def q93ShardExport(s: SparkSession, dir: String,
+      nShards: Int = 8, binTokens: Int = 512): DataFrame = {
+    val packed = q90bShardAssign(s, dir, nShards, binTokens)
+    val bins = packed
+      .groupBy(col("shard_id"), col("pack_bucket"), col("bin_in_bucket"))
+      .agg(count(lit(1)).cast("long").as("bin_docs"),
+        sum(col("n_tokens")).as("bin_tokens"))
+    bins.groupBy(col("shard_id"))
+      .agg(sum(col("bin_docs")).cast("long").as("n_docs"),
+        count(lit(1)).cast("long").as("n_bins"),
+        sum(col("bin_tokens")).cast("long").as("n_tokens"),
+        max(col("bin_tokens")).cast("long").as("max_bin_tokens"))
+      .orderBy(col("shard_id"))
+  }
+
+  /** q93's shard-assignment frame: q90b's packing plus the map-only
+    * shard id — split out so the spec can drive the actual
+    * partitionBy write and pin the plan shape.
+    */
+  private[graft] def q90bShardAssign(s: SparkSession, dir: String,
+      nShards: Int = 8, binTokens: Int = 512): DataFrame =
+    q90bPackedCore(s, dir, binTokens)
+      .withColumn("shard_id",
+        (col("pack_bucket") + col("bin_in_bucket")) % nShards)
 
   /** q90c's operating point: number of BPE merge iterations. Small by
     * production standards (where it is the vocab-size knob, 30k-50k)

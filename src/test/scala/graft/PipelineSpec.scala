@@ -3020,6 +3020,54 @@ class PipelineSpec extends AnyFunSuite {
     assert(pack.length == Tables.documents(spark, sf).count())
   }
 
+  test("q93 shard export: deterministic, balanced, map-only, writable") {
+    import graft.queries.PipelineQueries
+    val ledger = SparkEntry.queries("q93_shard_export")(spark, sf).collect()
+    assert(ledger.length == 8, "one ledger row per shard")
+    // Ledger conservation: every doc and every token lands in exactly
+    // one shard.
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(ledger.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    val q90bTokens = SparkEntry.queries("q90b_token_packing")(spark, sf)
+      .agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+    assert(ledger.map(_.getAs[Long]("n_tokens")).sum == q90bTokens)
+    // Balance: the documented bound — shard totals differ by at most
+    // one bin per bucket, each bin at most the realized max bin size.
+    val buckets = PipelineQueries.packBuckets(nDocs)
+    val maxBin = ledger.map(_.getAs[Long]("max_bin_tokens")).max
+    val totals = ledger.map(_.getAs[Long]("n_tokens"))
+    assert(totals.max - totals.min <= buckets.toLong * maxBin,
+      s"spread ${totals.max - totals.min} exceeds bound ${buckets * maxBin}")
+    // Map-only assignment: the shard id adds NO exchange beyond the
+    // one window shuffle q90b already pays (no sort, no repartition).
+    val assignPlan = PipelineQueries.q90bShardAssign(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r
+      .findAllIn(assignPlan).length == 1,
+      s"assignment should reuse q90b's single window exchange:\n" +
+        assignPlan.take(2000))
+    assert(!assignPlan.contains("Exchange rangepartitioning"),
+      "assignment must not global-sort")
+    // The physical last mile: partitionBy(shard_id) writes one
+    // directory per shard, and membership is deterministic across
+    // independent runs (reshuffle-proof export).
+    val tmp = java.nio.file.Files.createTempDirectory("q93shards").toString
+    PipelineQueries.q90bShardAssign(spark, sf)
+      .write.mode("overwrite").partitionBy("shard_id").parquet(tmp)
+    val dirs = new java.io.File(tmp).listFiles()
+      .filter(_.getName.startsWith("shard_id=")).map(_.getName).sorted
+    assert(dirs.sameElements((0 to 7).map(i => s"shard_id=$i")),
+      s"expected 8 shard dirs, got ${dirs.toSeq}")
+    // cast: parquet partition-dir values read back as int by inference
+    val m1 = spark.read.parquet(tmp)
+      .select(col("doc_id"), col("shard_id").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m2 = PipelineQueries.q90bShardAssign(spark, sf)
+      .select("doc_id", "shard_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m1 == m2, "shard membership drifted between runs")
+  }
+
   test("BPE apply expression: encode-loop semantics on hand-built merges") {
     import spark.implicits._
     // merges: 1=(a,b) 2=(c,d) 3=(ab,cd) — "abcd" must fold bottom-up
