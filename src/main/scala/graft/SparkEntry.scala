@@ -177,6 +177,7 @@ object SparkEntry {
     "q90c_bpe_tokenize"       -> (PipelineQueries.q90cBpeTokenize _),
     "q93_shard_export"        -> ((s: SparkSession, dir: String) =>
       PipelineQueries.q93ShardExport(s, dir)),
+    "q94_temperature_sample"  -> (PipelineQueries.q94TemperatureSample _),
   ) ++ graft.queries.NearQueries.queries
 
   def oracleSql: Map[String, String] = Map(

@@ -2476,6 +2476,27 @@ object PipelineOracles {
          |  CAST((cum_end - n_tokens) % 512 AS BIGINT) AS offset_in_bin
          |FROM c ORDER BY doc_id""".stripMargin,
 
+    // q94: temperature-based multinomial source sampling (α = 0.5) —
+    // per-source keep rate round(1e6·sqrt(n_min)/sqrt(n_s)) (IEEE
+    // sqrt/div/mul are correctly rounded, so both engines compute the
+    // identical micro-rate), salted doc hash mod 1e6 under the rate.
+    "q94_temperature_sample" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |           FROM documents GROUP BY source),
+        |m AS (SELECT min(n_docs) AS n_min FROM c),
+        |r AS (SELECT source,
+        |    CAST(round(1000000.0 * (sqrt(CAST(n_min AS DOUBLE)) /
+        |      sqrt(CAST(n_docs AS DOUBLE))), 0) AS BIGINT) AS rate_micro
+        |  FROM c, m),
+        |t AS (SELECT doc_id, source,
+        |    CAST('0x' || substr(md5('tsamp:' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |      AS BIGINT) % 1000000 AS u6
+        |  FROM documents)
+        |SELECT doc_id, t.source, rate_micro
+        |FROM t JOIN r ON t.source = r.source
+        |WHERE u6 < rate_micro
+        |ORDER BY doc_id""".stripMargin,
+
     // q93: balanced shard export — q90b's packing replayed, the
     // map-only shard id ((pack_bucket + bin_in_bucket) % 8), and the
     // per-shard ledger (docs, bins, exact token sums, max bin size).

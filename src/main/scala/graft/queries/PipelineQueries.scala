@@ -3831,6 +3831,49 @@ object PipelineQueries {
       .withColumn("shard_id",
         (col("pack_bucket") + col("bin_in_bucket")) % nShards)
 
+  /** q94 — TEMPERATURE-BASED multinomial source sampling (Lample &
+    * Conneau 2019, "Cross-lingual Language Model Pretraining", §3.1:
+    * sample sources with probability ∝ n_s^α, α = 0.5 — the standard
+    * rebalancing step of every multi-source LLM pretraining mix; mT5
+    * (Xue et al. 2021) is the same scheme at α = 0.3). Where q45's
+    * rates are FIXED per source and q60's quotas are exact counts,
+    * here the keep rate DERIVES from the corpus: rate_s ∝ n_s^(α−1),
+    * scaled so the smallest source keeps 100% — big sources are
+    * downsampled toward the temperature-flattened mixture, small
+    * sources survive intact. Engine-exact cross-engine contract:
+    * rate_micro = round(1e6·sqrt(n_min)/sqrt(n_s)) uses only
+    * correctly-rounded IEEE ops (sqrt, divide, multiply — stricter
+    * than q56's log10 convention), and a doc survives iff its salted
+    * u32 hash mod 1e6 falls under its source's rate (the q33/q45
+    * trick), so the sample is deterministic, reshuffle-proof, and
+    * replayed row-for-row by the DuckDB oracle.
+    *
+    * Scale shape: scan 1 is a map-side-combined count over the
+    * pruned `source` column (|sources| rows out); the rate table is
+    * a broadcast; scan 2 is map-only (hash + compare against the
+    * broadcast rate). No corpus-sized shuffle anywhere — the only
+    * wide op is the |sources|-row aggregate.
+    */
+  def q94TemperatureSample(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    def h32(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    val counts = d.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+    val nMin = counts.agg(min(col("n_docs")).as("n_min"))
+    val rates = counts.crossJoin(broadcast(nMin))
+      .select(col("source"),
+        round(lit(1000000.0) * (sqrt(col("n_min").cast("double")) /
+          sqrt(col("n_docs").cast("double"))), 0).cast("long")
+          .as("rate_micro"))
+    val u = h32(concat(lit("tsamp:"), col("doc_id").cast("string")))
+    d.select(col("doc_id"), col("source"), (u % 1000000L).as("u6"))
+      .join(broadcast(rates), "source")
+      .filter(col("u6") < col("rate_micro"))
+      .select(col("doc_id"), col("source"), col("rate_micro"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q90c's operating point: number of BPE merge iterations. Small by
     * production standards (where it is the vocab-size knob, 30k-50k)
     * but large enough that the sample's pair-count landscape exercises

@@ -3068,6 +3068,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(m1 == m2, "shard membership drifted between runs")
   }
 
+  test("q94 temperature sampling: rates from counts, broadcast-only plan") {
+    import graft.queries.PipelineQueries
+    val df = SparkEntry.queries("q94_temperature_sample")(spark, sf)
+    val kept = df.collect()
+    val srcCounts = Tables.documents(spark, sf).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMin = srcCounts.values.min
+    // Rate law: rate_micro = round(1e6·sqrt(n_min/n_s)); the smallest
+    // source keeps 100% of its docs (rate exactly 1e6).
+    val rates = kept.map(r => r.getString(1) -> r.getLong(2)).toMap
+    rates.foreach { case (src, rm) =>
+      val expect = BigDecimal(1000000.0 *
+        (math.sqrt(nMin.toDouble) / math.sqrt(srcCounts(src).toDouble)))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      assert(rm == expect, s"$src rate $rm != $expect")
+    }
+    val minSrc = srcCounts.minBy(_._2)._1
+    assert(rates.get(minSrc).forall(_ == 1000000L))
+    assert(kept.count(_.getString(1) == minSrc) == nMin,
+      "the smallest source must survive intact")
+    // Downsampling monotonicity: a larger source never keeps a larger
+    // FRACTION than a smaller one (rates are monotone in n_s).
+    val keptBySrc = kept.groupBy(_.getString(1)).view.mapValues(_.length)
+    for (a <- srcCounts.keys; b <- srcCounts.keys
+         if srcCounts(a) < srcCounts(b) && rates.contains(a) && rates.contains(b))
+      assert(rates(a) >= rates(b), s"rate($a) < rate($b)")
+    // Realized fraction tracks the rate (hash uniformity, fixed data —
+    // deterministic, generous bound for the small fixture).
+    keptBySrc.foreach { case (src, n) =>
+      val frac = n.toDouble / srcCounts(src)
+      val rate = rates(src) / 1e6
+      assert(math.abs(frac - rate) < 0.15, s"$src frac $frac vs rate $rate")
+    }
+    // Plan: the rate table attaches via broadcast — no sort-merge join,
+    // and the only exchanges are the |sources|-row aggregate's, never a
+    // corpus-sized repartition of documents.
+    val plan = PipelineQueries.q94TemperatureSample(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("SortMergeJoin"), "rate join must broadcast")
+  }
+
   test("BPE apply expression: encode-loop semantics on hand-built merges") {
     import spark.implicits._
     // merges: 1=(a,b) 2=(c,d) 3=(ab,cd) — "abcd" must fold bottom-up
