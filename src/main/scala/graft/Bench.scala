@@ -214,13 +214,23 @@ object Bench {
         val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
       }.min
     }
+    // A swallowed per-entry failure must be LOUD in the log, not a
+    // silent near-zero time (the r19 preview shipped eight 0.00s
+    // isolated values with no trace of why — stale classes from a
+    // mid-run recompile; the number looked like a measurement).
+    def failLine(loop: String, n: String, e: Throwable): Unit = {
+      val msg = String.valueOf(e).take(300)
+        .replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\x00-\\x1f]", " ")
+      println(s"""{"detail":"${loop}_failure","query":"$n","error":"$msg"}""")
+    }
     val calibPre = if (ingestOnly) 0.0 else calibOn(spark)
     val results = names.map { n =>
       val t0 = System.nanoTime()
       try withBenchConf(spark, n) {
         if (isNear(n)) exec(SparkEntry.queries(n)(spark, sfDir))
         else execReleasing(SparkEntry.queries(n)(spark, sfDir))
-      } catch { case _: Throwable => () }
+      } catch { case e: Throwable => failLine("sweep", n, e) }
       val dt = (System.nanoTime() - t0) / 1e9
       // Once the timed near section is done its ~34 cached ETL tables
       // are dead weight for every later query — drop them (outside the
@@ -389,7 +399,7 @@ object Bench {
         }
         try execS() catch { case _: Throwable => () } // warmup
         val t0 = System.nanoTime()
-        try execS() catch { case _: Throwable => () }
+        try execS() catch { case e: Throwable => failLine("isolated", n, e) }
         n -> (System.nanoTime() - t0) / 1e9
       } finally {
         s.stop()

@@ -178,6 +178,8 @@ object SparkEntry {
     "q93_shard_export"        -> ((s: SparkSession, dir: String) =>
       PipelineQueries.q93ShardExport(s, dir)),
     "q94_temperature_sample"  -> (PipelineQueries.q94TemperatureSample _),
+    "q95_corpus_build"        -> ((s: SparkSession, dir: String) =>
+      PipelineQueries.q95CorpusBuild(s, dir)),
   ) ++ graft.queries.NearQueries.queries
 
   def oracleSql: Map[String, String] = Map(

@@ -3831,6 +3831,84 @@ object PipelineQueries {
       .withColumn("shard_id",
         (col("pack_bucket") + col("bin_in_bucket")) % nShards)
 
+  /** q95 — the END-TO-END CORPUS BUILD: the one call a corpus owner
+    * runs to turn the raw pool into training shards, composing the
+    * pipeline's staged pieces in production order — q53's recipe
+    * verdict (READ from the q64b write-once stage, not recomputed:
+    * the deployment shape), restricted to kept TRAIN-split docs
+    * (validation/test never pack into training shards), rebalanced by
+    * q94's temperature sampler (rates derived from the KEPT pool's
+    * source counts, not the raw pool's — the mixture is over what
+    * survived cleaning), tokenized by the staged q90 vocab, packed by
+    * q90b's hash-bucketed running-token bins, and exported as q93's
+    * shard ledger. The DuckDB oracle recomputes EVERY stage from raw
+    * documents (recipe CTEs + recursive tokenizer replay + the
+    * sampling and packing arithmetic), so one 8-row ledger hash
+    * transitively gates the whole chain — any drift in any stage
+    * moves a token count.
+    *
+    * Scale shape: one doc-keyed join against the staged verdict
+    * (bucketable at deployment), the q94 aggregates (|sources| rows +
+    * broadcast), map-only tokenize (task-local vocab), ONE window
+    * exchange on pack_bucket (the same single corpus-sized shuffle
+    * q90b pays), then two low-cardinality ledger aggregates. The
+    * recipe itself is amortized across every consumer by the stage —
+    * this entry prices the BUILD, not the recompute (q64 vs q64b's
+    * distinction, applied to the whole pipeline).
+    */
+  def q95CorpusBuild(s: SparkSession, dir: String,
+      nShards: Int = 8, binTokens: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def h32(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    val keptTrain = stagedDisposition(s, dir)
+      .filter(col("keep") && col("split") === "train").select("doc_id")
+    val pool = Tables.documents(s, dir).join(keptTrain, "doc_id")
+    val counts = pool.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+    val nMin = counts.agg(min(col("n_docs")).as("n_min"))
+    val rates = counts.crossJoin(broadcast(nMin))
+      .select(col("source"),
+        round(lit(1000000.0) * (sqrt(col("n_min").cast("double")) /
+          sqrt(col("n_docs").cast("double"))), 0).cast("long")
+          .as("rate_micro"))
+    val sampled = pool
+      .withColumn("u6",
+        h32(concat(lit("tsamp:"), col("doc_id").cast("string"))) % 1000000L)
+      .join(broadcast(rates), "source")
+      .filter(col("u6") < col("rate_micro"))
+    val vocab = subwordVocabList(s, dir)
+    // Bucket count from the RAW corpus size (q90b's constant), not the
+    // sampled count: deriving it from the sample would cost an extra
+    // count action at plan time and only changes bucket fill, never
+    // correctness — the oracle mirrors the same choice.
+    val buckets = packBuckets(rawDocsRowCount(s, dir))
+    val sized = sampled.select(col("doc_id"),
+      coalesce(size(graft.expressions.Subword
+        .subwordTokenize(s, TF.words(col("text")), vocab)), lit(0))
+        .cast("long").as("n_tokens"),
+      (h32(concat(lit("pack:"), col("doc_id").cast("string"))) % buckets)
+        .as("pack_bucket"))
+    val w = Window.partitionBy(col("pack_bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = sized
+      .withColumn("cum_end", sum(col("n_tokens")).over(w))
+      .withColumn("bin_in_bucket",
+        expr(s"(cum_end - n_tokens) div $binTokens"))
+      .withColumn("shard_id",
+        (col("pack_bucket") + col("bin_in_bucket")) % nShards)
+    val bins = packed
+      .groupBy(col("shard_id"), col("pack_bucket"), col("bin_in_bucket"))
+      .agg(count(lit(1)).cast("long").as("bin_docs"),
+        sum(col("n_tokens")).as("bin_tokens"))
+    bins.groupBy(col("shard_id"))
+      .agg(sum(col("bin_docs")).cast("long").as("n_docs"),
+        count(lit(1)).cast("long").as("n_bins"),
+        sum(col("bin_tokens")).cast("long").as("n_tokens"),
+        max(col("bin_tokens")).cast("long").as("max_bin_tokens"))
+      .orderBy(col("shard_id"))
+  }
+
   /** q94 — TEMPERATURE-BASED multinomial source sampling (Lample &
     * Conneau 2019, "Cross-lingual Language Model Pretraining", §3.1:
     * sample sources with probability ∝ n_s^α, α = 0.5 — the standard

@@ -3068,6 +3068,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(m1 == m2, "shard membership drifted between runs")
   }
 
+  test("q95 corpus build: shard-knob conservation, determinism, no global sort") {
+    import graft.queries.PipelineQueries
+    val l8 = SparkEntry.queries("q95_corpus_build")(spark, sf).collect()
+    assert(l8.length == 8, "one ledger row per shard")
+    // The shard count is a pure re-deal of the same bins: totals are
+    // invariant across the knob (conservation through the whole
+    // recipe -> sample -> tokenize -> pack chain).
+    val l4 = PipelineQueries.q95CorpusBuild(spark, sf, nShards = 4).collect()
+    assert(l4.length == 4)
+    for (c <- Seq("n_docs", "n_bins", "n_tokens"))
+      assert(l8.map(_.getAs[Long](c)).sum == l4.map(_.getAs[Long](c)).sum,
+        s"$c not conserved across the shard knob")
+    // Sampling is a strict sub-pool of the kept train split.
+    val keptTrain = PipelineQueries.q53CorpusRecipe(spark, sf)
+      .filter(col("keep") && col("split") === "train").count()
+    val built = l8.map(_.getAs[Long]("n_docs")).sum
+    assert(built > 0 && built <= keptTrain,
+      s"built $built docs from a $keptTrain-doc kept train pool")
+    // Deterministic across runs (staged verdict + hash sampling +
+    // hash packing — nothing depends on partitioning or run order).
+    val again = SparkEntry.queries("q95_corpus_build")(spark, sf).collect()
+    assert(l8.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // No corpus-sized global sort anywhere: the only range exchange
+    // allowed is the final 8-row ledger presentation sort.
+    val plan = PipelineQueries.q95CorpusBuild(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Exchange rangepartitioning".r.findAllIn(plan).length <= 1,
+      "unexpected global sort in the build plan")
+  }
+
   test("q94 temperature sampling: rates from counts, broadcast-only plan") {
     import graft.queries.PipelineQueries
     val df = SparkEntry.queries("q94_temperature_sample")(spark, sf)
