@@ -382,29 +382,87 @@ object Bench {
     val isolatedOrdered =
       isolatedNames.filterNot(Bench.isStreaming) ++
         isolatedNames.filter(Bench.isStreaming)
-    val isolated = isolatedOrdered.map { n =>
-      val s = SparkSession.builder()
-        .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .config("spark.sql.streaming.stateStore.providerClass",
-          stateProviderClass)
-        .getOrCreate()
-      s.sparkContext.setLogLevel("WARN")
-      try {
-        def execS(): Unit = withBenchConf(s, n) {
-          SparkEntry.queries(n)(s, sfDir)
-            .write.mode("overwrite").format("noop").save()
-        }
-        try execS() catch { case _: Throwable => () } // warmup
-        val t0 = System.nanoTime()
-        try execS() catch { case e: Throwable => failLine("isolated", n, e) }
-        n -> (System.nanoTime() - t0) / 1e9
-      } finally {
-        s.stop()
-        SparkSession.clearActiveSession()
-        SparkSession.clearDefaultSession()
+    // Isolated entries run in a FORKED JVM each (graft.QBench as the
+    // child, warmup + 2 timed reps, min reported): fresh-session-in-
+    // shared-JVM measurement carried heap/code-cache accumulation
+    // that produced a 2-3× phantom mover THREE rounds running (q75b
+    // r17, q38 r18, q76b/q76c in an r19 preview — each adjudicated
+    // back to its fresh-JVM number with zero code change). A forked
+    // child is the measurement QBench pins already use, so the
+    // isolated map and a manual QBench are now the SAME basis.
+    // Cross-round note: r19 is the basis change — compare r19+
+    // isolated values to QBench pins, not to r18 isolated values.
+    // Falls back to in-process (previous behavior) if forking fails,
+    // announcing the mode either way.
+    val javaBin = new java.io.File(new java.io.File(
+      System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+    val inheritedJvmArgs = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.toSeq.filter(a =>
+          a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
+            a.startsWith("-Xmx") || a.startsWith("-Xms"))
+    }
+    def forkQBench(n: String): Option[Double] = try {
+      import scala.jdk.CollectionConverters._
+      val cmd = (Seq(javaBin) ++ inheritedJvmArgs ++ Seq(
+        "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.QBench", n, "2")).asJava
+      val pb = new ProcessBuilder(cmd)
+      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+      pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      val rc = p.waitFor()
+      val min = """"min":([0-9.]+)""".r.findFirstMatchIn(out).map(_.group(1))
+      if (rc == 0) min.map(_.toDouble) else None
+    } catch { case _: Throwable => None }
+    // Probe with the first entry (result reused, not re-measured).
+    val firstForked: Option[Double] =
+      if (isolatedOrdered.nonEmpty &&
+        sys.env.getOrElse("SPARK_GRAFT_ISOLATED_FORK", "1") != "0")
+        forkQBench(isolatedOrdered.head)
+      else None
+    val forkMode = firstForked.isDefined
+    if (isolatedOrdered.nonEmpty)
+      println(s"""{"detail":"isolated_mode","forked_jvm":$forkMode}""")
+    val isolated = isolatedOrdered.zipWithIndex.map { case (n, i) =>
+      val forked =
+        if (!forkMode) None
+        else if (i == 0) firstForked
+        else forkQBench(n)
+      if (forkMode && forked.isEmpty) failLine("isolated", n,
+        new RuntimeException("forked QBench produced no result"))
+      forked match {
+        case Some(t) => n -> t
+        case None if forkMode => n -> 0.0
+        case None =>
+          val s = SparkSession.builder()
+            .master(s"local[$cpus]")
+            .config("spark.sql.shuffle.partitions", cpus)
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.ui.enabled", "false")
+            .config("spark.sql.streaming.stateStore.providerClass",
+              stateProviderClass)
+            .getOrCreate()
+          s.sparkContext.setLogLevel("WARN")
+          try {
+            def execS(): Unit = withBenchConf(s, n) {
+              SparkEntry.queries(n)(s, sfDir)
+                .write.mode("overwrite").format("noop").save()
+            }
+            try execS() catch { case _: Throwable => () } // warmup
+            val t0 = System.nanoTime()
+            try execS() catch { case e: Throwable =>
+              failLine("isolated", n, e) }
+            n -> (System.nanoTime() - t0) / 1e9
+          } finally {
+            s.stop()
+            SparkSession.clearActiveSession()
+            SparkSession.clearDefaultSession()
+          }
       }
     }
 
