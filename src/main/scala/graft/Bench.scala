@@ -383,7 +383,7 @@ object Bench {
       isolatedNames.filterNot(Bench.isStreaming) ++
         isolatedNames.filter(Bench.isStreaming)
     // Isolated entries run in a FORKED JVM each (graft.QBench as the
-    // child, warmup + 2 timed reps, min reported): fresh-session-in-
+    // child, warmup + 3 timed reps, min reported): fresh-session-in-
     // shared-JVM measurement carried heap/code-cache accumulation
     // that produced a 2-3× phantom mover THREE rounds running (q75b
     // r17, q38 r18, q76b/q76c in an r19 preview — each adjudicated
@@ -400,15 +400,21 @@ object Bench {
       import scala.jdk.CollectionConverters._
       java.lang.management.ManagementFactory.getRuntimeMXBean
         .getInputArguments.asScala.toSeq.filter(a =>
-          a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
-            a.startsWith("-Xmx") || a.startsWith("-Xms"))
+          a.startsWith("--add-opens") || a.startsWith("--add-exports"))
     }
+    // Children get a FIXED, MODEST heap (8g default) rather than the
+    // parent's: 40 back-to-back children inheriting a 24g -Xmx
+    // inflated several entries 3-8× in the first forked run (page
+    // zeroing + reclaim churn between consecutive large heaps; the
+    // same commands replayed on an idle box measured normal), and 8g
+    // matches the heap every historical QBench pin was taken at.
+    val childMem = sys.env.getOrElse("SPARK_GRAFT_CHILD_MEM", "8g")
     def forkQBench(n: String): Option[Double] = try {
       import scala.jdk.CollectionConverters._
-      val cmd = (Seq(javaBin) ++ inheritedJvmArgs ++ Seq(
+      val cmd = (Seq(javaBin) ++ inheritedJvmArgs ++ Seq(s"-Xmx$childMem",
         "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
         "-cp", System.getProperty("java.class.path"),
-        "graft.QBench", n, "2")).asJava
+        "graft.QBench", n, "3")).asJava
       val pb = new ProcessBuilder(cmd)
       pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
       pb.environment().put("SPARK_GRAFT_CPUS", cpus)
