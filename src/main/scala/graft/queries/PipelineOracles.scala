@@ -2476,6 +2476,42 @@ object PipelineOracles {
          |  CAST((cum_end - n_tokens) % 512 AS BIGINT) AS offset_in_bin
          |FROM c ORDER BY doc_id""".stripMargin,
 
+    // q96: token-budget quality selection — q17's micro-grid scores
+    // bucket into ≤10001 rows, a descending cumulative sum finds the
+    // budget (sum div 4) cutoff, full buckets select wholesale, the
+    // one boundary bucket refines in doc_id order until the remaining
+    // budget is spent. Mirrors the engine's no-global-sort shape.
+    "q96_token_budget_select" ->
+      s"""WITH sc AS (SELECT doc_id, quality_score FROM ($q17Sql) q17),
+         |tt AS (SELECT doc_id,
+         |    CAST(COALESCE(len(string_split(trim(text), ' ')), 0) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents),
+         |dd AS (SELECT sc.doc_id, quality_score, n_tokens,
+         |    CAST(round(quality_score * 10000, 0) AS BIGINT) AS s4
+         |  FROM sc JOIN tt ON sc.doc_id = tt.doc_id),
+         |bgt AS (SELECT sum(n_tokens) // 4 AS budget FROM tt),
+         |cm AS (SELECT s4, sum(n_tokens) AS bt,
+         |    sum(sum(n_tokens)) OVER (ORDER BY s4 DESC
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM dd GROUP BY s4),
+         |fullb AS (SELECT s4 FROM cm, bgt WHERE cum <= budget),
+         |bnd AS (SELECT s4, budget - (cum - bt) AS rem
+         |        FROM cm, bgt WHERE cum > budget
+         |        ORDER BY s4 DESC LIMIT 1),
+         |above AS (SELECT doc_id, quality_score, n_tokens,
+         |    'above_cutoff' AS tier
+         |  FROM dd JOIN fullb USING (s4)),
+         |brun AS (SELECT dd.doc_id, quality_score, n_tokens, rem,
+         |    sum(n_tokens) OVER (ORDER BY dd.doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS run
+         |  FROM dd JOIN bnd USING (s4)),
+         |bsel AS (SELECT doc_id, quality_score, n_tokens,
+         |    'boundary' AS tier
+         |  FROM brun WHERE run <= rem)
+         |SELECT * FROM above UNION ALL SELECT * FROM bsel
+         |ORDER BY doc_id""".stripMargin,
+
     // q95: the end-to-end corpus build — the oracle RECOMPUTES every
     // stage from raw documents (the engine reads the staged q53
     // verdict; recomputing is the point of the gate): recipe CTEs →

@@ -3831,6 +3831,61 @@ object PipelineQueries {
       .withColumn("shard_id",
         (col("pack_bucket") + col("bin_in_bucket")) % nShards)
 
+  /** q96 — TOKEN-BUDGET QUALITY SELECTION: "give me the best B tokens"
+    * — the curation step between scoring (q17/q52/q56) and assembly:
+    * select the highest-quality documents until a global token budget
+    * (here B = corpus tokens div 4) is exhausted. The 100 TB-critical
+    * part is what this does NOT do: no corpus-wide total-order sort.
+    * q17's quality scores live on an integer micro-grid (k/10000, at
+    * most 10001 values), so the budget cutoff comes from a BOUNDED
+    * score-bucket histogram — one map-side-combined aggregate to
+    * ≤10001 rows, a cumulative sum over those rows (driver-scale,
+    * single partition by construction), and a broadcast cutoff back
+    * onto the scan. Every doc strictly above the cutoff bucket is in;
+    * the single BOUNDARY bucket is refined deterministically in
+    * doc_id order until the remaining budget is spent (a window over
+    * ONE score bucket — the only non-map step; an adversarially hot
+    * boundary bucket would recurse on a secondary histogram at
+    * deployment). Output is the selected set with a tier marker, so
+    * the gate pins both the cutoff arithmetic and the boundary
+    * refinement row-for-row.
+    */
+  def q96TokenBudgetSelect(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sc = q17Quality(s, dir).select(col("doc_id"), col("quality_score"))
+    val toks = Tables.documents(s, dir).select(col("doc_id"),
+      coalesce(size(TF.words(col("text"))), lit(0)).cast("long")
+        .as("n_tokens"))
+    // Integer micro-score: quality_score is exactly k/10000.0, so
+    // round(score·1e4) recovers k identically on both engines.
+    val d = sc.join(toks, "doc_id")
+      .withColumn("s4", round(col("quality_score") * 10000, 0).cast("long"))
+    val budget = toks.agg(expr("sum(n_tokens) div 4").as("budget"))
+    // ≤10001 rows: the unpartitioned window is bounded by the score
+    // grid, not the corpus.
+    val wcum = Window.orderBy(col("s4").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = d.groupBy(col("s4")).agg(sum(col("n_tokens")).as("bt"))
+      .withColumn("cum", sum(col("bt")).over(wcum))
+      .crossJoin(broadcast(budget))
+    val fullBuckets = cum.filter(col("cum") <= col("budget")).select("s4")
+    val boundary = cum.filter(col("cum") > col("budget"))
+      .orderBy(col("s4").desc).limit(1)
+      .select(col("s4"), (col("budget") - (col("cum") - col("bt")))
+        .as("rem"))
+    val wrun = Window.partitionBy(col("s4")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val above = d.join(broadcast(fullBuckets), "s4")
+      .select(col("doc_id"), col("quality_score"), col("n_tokens"),
+        lit("above_cutoff").as("tier"))
+    val bSel = d.join(broadcast(boundary), "s4")
+      .withColumn("run", sum(col("n_tokens")).over(wrun))
+      .filter(col("run") <= col("rem"))
+      .select(col("doc_id"), col("quality_score"), col("n_tokens"),
+        lit("boundary").as("tier"))
+    above.unionByName(bSel).orderBy(col("doc_id"))
+  }
+
   /** q95 — the END-TO-END CORPUS BUILD: the one call a corpus owner
     * runs to turn the raw pool into training shards, composing the
     * pipeline's staged pieces in production order — q53's recipe

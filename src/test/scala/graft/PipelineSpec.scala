@@ -3068,6 +3068,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(m1 == m2, "shard membership drifted between runs")
   }
 
+  test("q96 token-budget select: budget respected, tiers ordered, no corpus sort") {
+    import graft.queries.PipelineQueries
+    val sel = SparkEntry.queries("q96_token_budget_select")(spark, sf).collect()
+    assert(sel.nonEmpty)
+    val totalTokens = Tables.documents(spark, sf)
+      .agg(sum(coalesce(size(split(trim(col("text")), " ")), lit(0))
+        .cast("long"))).collect()(0).getLong(0)
+    val budget = totalTokens / 4
+    val selTokens = sel.map(_.getAs[Long]("n_tokens")).sum
+    assert(selTokens <= budget, s"selected $selTokens > budget $budget")
+    // Tier separation: every wholesale-selected bucket outranks the
+    // boundary bucket, and nothing above the boundary is left out.
+    val above = sel.filter(_.getAs[String]("tier") == "above_cutoff")
+    val bdry = sel.filter(_.getAs[String]("tier") == "boundary")
+    if (above.nonEmpty && bdry.nonEmpty) {
+      val minAbove = above.map(_.getAs[Double]("quality_score")).min
+      val bScore = bdry.map(_.getAs[Double]("quality_score")).distinct
+      assert(bScore.length == 1, "boundary must be a single score bucket")
+      assert(minAbove > bScore.head)
+    }
+    val selIds = sel.map(_.getAs[Long]("doc_id")).toSet
+    val leftOutBetter = PipelineQueries.q17Quality(spark, sf)
+      .select(col("doc_id"), col("quality_score")).collect()
+      .filter(r => !selIds.contains(r.getLong(0)))
+      .map(_.getAs[Double]("quality_score"))
+    if (leftOutBetter.nonEmpty && bdry.nonEmpty)
+      assert(leftOutBetter.max <= bdry.head.getAs[Double]("quality_score"),
+        "a doc above the boundary score was left out wholesale")
+    // The cutoff histogram is score-grid-bounded: the corpus is never
+    // range-shuffled (the only range exchange is the 1-row-per-doc
+    // presentation sort at the end).
+    val plan = PipelineQueries.q96TokenBudgetSelect(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Exchange rangepartitioning".r.findAllIn(plan).length <= 1,
+      "unexpected corpus-wide sort")
+  }
+
   test("q95 corpus build: shard-knob conservation, determinism, no global sort") {
     import graft.queries.PipelineQueries
     val l8 = SparkEntry.queries("q95_corpus_build")(spark, sf).collect()
