@@ -10,6 +10,10 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens=java.base/$p=ALL-UNNAMED"
 done
+# Classpath derives from this script's checkout (not a hardcoded
+# /root/repo) and SPARK_HOME overrides the default jar location.
+REPO_ROOT="$(cd "$(dirname "$0")/.." && pwd)"
+SPARK_JARS="${SPARK_HOME:-/opt/spark}/jars"
 exec java $OPENS -Xmx${SPARK_DRIVER_MEM:-8g} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" "$@"
+  -cp "$REPO_ROOT/target/scala-2.13/classes:$SPARK_JARS/*" "$@"

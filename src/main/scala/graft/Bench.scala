@@ -88,6 +88,31 @@ object Bench {
   /** Sidecar file carrying EVERYTHING the headline sheds. */
   private[graft] val DetailFile = "BENCH_detail.json"
 
+  /** The ambient-drift calibration probe: a fixed-cost,
+    * input-independent, CPU-bound query (codegen'd hash-mix aggregate
+    * over a constant range). Shared by the parent's pre/post pair AND
+    * every forked QBench child (per-child calib, r19 verdict #1), so
+    * all three readings are the same measurement. MIN of three timed
+    * runs after one untimed warmup — the probe measures the BOX, not
+    * scheduler jitter (a single sample carried ~1.7× spread).
+    */
+  private[graft] def calibProbe(s: SparkSession, parallelism: Int): Double = {
+    def run(): Unit = s.range(0, 1024L << 20, 1, parallelism)
+      .selectExpr("sum(hash(id, id * 31 + 7)) AS h")
+      .write.mode("overwrite").format("noop").save()
+    run() // untimed: JIT + codegen cache
+    (1 to 3).map { _ =>
+      val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+    }.min
+  }
+
+  /** Ambient-degradation threshold for a forked child's calib against
+    * the parent's pre-sweep calib: above this ratio the child is
+    * re-forked once and the lower-calib attempt wins (the r19 isolated
+    * tail ran at calib ratio ~1.59 with no in-artifact trace).
+    */
+  private[graft] val CalibReforkRatio = 1.3
+
   /** The sidecar payload: full-name sweep + isolated + near micro
     * groups + ingest + calib, all at 3-decimal precision — the
     * durable home for per-query numbers now that the headline ships
@@ -98,7 +123,9 @@ object Bench {
   private[graft] def detailJson(sweep: Seq[(String, Double)],
       nearMicro: Seq[(String, Double)], isolated: Seq[(String, Double)],
       total: Double, ingestFields: Seq[(String, Double)],
-      calib: Option[(Double, Double)], sfDir: String): String = {
+      calib: Option[(Double, Double)], sfDir: String,
+      isolatedCalib: Seq[(String, Double)] = Nil,
+      isolatedReforked: Seq[String] = Nil): String = {
     def fmt3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jmap(kvs: Seq[(String, Double)]): String =
@@ -106,8 +133,18 @@ object Bench {
         .mkString("{", ",", "}")
     val cal = calib.map { case (p, q) =>
       s""","calib":{"pre":${fmt3(p)},"post":${fmt3(q)}}""" }.getOrElse("")
+    // Per-entry ambient calib for the forked isolated loop (empty in
+    // in-process fallback mode) + which entries needed a re-fork: the
+    // in-artifact normalization the r19 adjudication lacked.
+    val isoCal =
+      if (isolatedCalib.isEmpty) ""
+      else s""","isolated_calib":${jmap(isolatedCalib)}"""
+    val isoRef =
+      if (isolatedReforked.isEmpty) ""
+      else isolatedReforked.map("\"" + _ + "\"")
+        .mkString(""","isolated_reforked":[""", ",", "]")
     s"""{"total":${fmt3(total)},"sweep":${jmap(sweep)},"isolated":${
-      jmap(isolated)},"near_micro":${jmap(nearMicro)},"ingest":${
+      jmap(isolated)}$isoCal$isoRef,"near_micro":${jmap(nearMicro)},"ingest":${
       jmap(ingestFields)}$cal,"sf":"$sfDir"}"""
   }
 
@@ -201,19 +238,7 @@ object Bench {
     // uniform ~15% environment drift that was indistinguishable from
     // plan changes without this). README § Bench documents the
     // normalization.
-    def calibOn(s: SparkSession): Double = {
-      def run(): Unit = s.range(0, 1024L << 20, 1, cpus.toInt)
-        .selectExpr("sum(hash(id, id * 31 + 7)) AS h")
-        .write.mode("overwrite").format("noop").save()
-      run() // untimed: JIT + codegen cache
-      // MIN of three timed runs: the probe exists to measure the BOX,
-      // not scheduler jitter — a single sample carried ~1.7× pre/post
-      // spread within one round, which defeats cross-round
-      // normalization; the min is the standard noise floor.
-      (1 to 3).map { _ =>
-        val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
-      }.min
-    }
+    def calibOn(s: SparkSession): Double = Bench.calibProbe(s, cpus.toInt)
     // A swallowed per-entry failure must be LOUD in the log, not a
     // silent near-zero time (the r19 preview shipped eight 0.00s
     // isolated values with no trace of why — stale classes from a
@@ -409,12 +434,12 @@ object Bench {
     // same commands replayed on an idle box measured normal), and 8g
     // matches the heap every historical QBench pin was taken at.
     val childMem = sys.env.getOrElse("SPARK_GRAFT_CHILD_MEM", "8g")
-    def forkQBench(n: String): Option[Double] = try {
+    def forkChild(childArgs: Seq[String]): Option[String] = try {
       import scala.jdk.CollectionConverters._
       val cmd = (Seq(javaBin) ++ inheritedJvmArgs ++ Seq(s"-Xmx$childMem",
         "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
         "-cp", System.getProperty("java.class.path"),
-        "graft.QBench", n, "3")).asJava
+        "graft.QBench") ++ childArgs).asJava
       val pb = new ProcessBuilder(cmd)
       pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
       pb.environment().put("SPARK_GRAFT_CPUS", cpus)
@@ -422,55 +447,79 @@ object Bench {
       val p = pb.start()
       val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
       val rc = p.waitFor()
-      val min = """"min":([0-9.]+)""".r.findFirstMatchIn(out).map(_.group(1))
-      if (rc == 0) min.map(_.toDouble) else None
+      if (rc == 0) Some(out) else None
     } catch { case _: Throwable => None }
-    // Probe with the first entry (result reused, not re-measured).
-    val firstForked: Option[Double] =
-      if (isolatedOrdered.nonEmpty &&
-        sys.env.getOrElse("SPARK_GRAFT_ISOLATED_FORK", "1") != "0")
-        forkQBench(isolatedOrdered.head)
-      else None
-    val forkMode = firstForked.isDefined
+    // One forked measurement: (min seconds, child ambient calib).
+    def forkQBench(n: String): Option[(Double, Double)] =
+      forkChild(Seq(n, "3")).flatMap { out =>
+        def num(key: String): Option[Double] =
+          (s""""$key":([0-9.]+)""").r.findFirstMatchIn(out)
+            .map(_.group(1).toDouble)
+        num("min").map(m => (m, num("calib").getOrElse(0.0)))
+      }
+    // Fork viability is probed with a NO-OP child (session bring-up
+    // only), not with the first entry: an entry-specific failure must
+    // not silently flip every isolated entry to the in-process basis
+    // (r19 ADVICE). A failed fork of an individual entry is announced
+    // and the entry OMITTED from the isolated maps — never shipped as
+    // a 0.0 that downstream comparison could read as a speedup.
+    val forkMode = isolatedOrdered.nonEmpty &&
+      sys.env.getOrElse("SPARK_GRAFT_ISOLATED_FORK", "1") != "0" &&
+      forkChild(Seq("--probe")).exists(_.contains("\"probe\":\"ok\""))
     if (isolatedOrdered.nonEmpty)
       println(s"""{"detail":"isolated_mode","forked_jvm":$forkMode}""")
-    val isolated = isolatedOrdered.zipWithIndex.map { case (n, i) =>
-      val forked =
-        if (!forkMode) None
-        else if (i == 0) firstForked
-        else forkQBench(n)
-      if (forkMode && forked.isEmpty) failLine("isolated", n,
-        new RuntimeException("forked QBench produced no result"))
-      forked match {
-        case Some(t) => n -> t
-        case None if forkMode => n -> 0.0
-        case None =>
-          val s = SparkSession.builder()
-            .master(s"local[$cpus]")
-            .config("spark.sql.shuffle.partitions", cpus)
-            .config("spark.sql.session.timeZone", "UTC")
-            .config("spark.ui.enabled", "false")
-            .config("spark.sql.streaming.stateStore.providerClass",
-              stateProviderClass)
-            .getOrCreate()
-          s.sparkContext.setLogLevel("WARN")
-          try {
-            def execS(): Unit = withBenchConf(s, n) {
-              SparkEntry.queries(n)(s, sfDir)
-                .write.mode("overwrite").format("noop").save()
+    val reforked = scala.collection.mutable.ArrayBuffer.empty[String]
+    val isolatedMeasured: Seq[(String, (Double, Double))] =
+      if (forkMode) isolatedOrdered.flatMap { n =>
+        val first = forkQBench(n)
+        // Per-child ambient normalization (r19 verdict #1): a child
+        // whose calib sits far above the parent's pre-sweep calib ran
+        // in a degraded ambient window — re-fork once, keep the
+        // attempt taken in the healthier window (lower calib).
+        val attempt = first match {
+          case Some((_, c1)) if calibPre > 0 &&
+              c1 > calibPre * Bench.CalibReforkRatio =>
+            reforked += n
+            forkQBench(n) match {
+              case Some(r2) if r2._2 < c1 => Some(r2)
+              case _ => first
             }
-            try execS() catch { case _: Throwable => () } // warmup
-            val t0 = System.nanoTime()
-            try execS() catch { case e: Throwable =>
-              failLine("isolated", n, e) }
-            n -> (System.nanoTime() - t0) / 1e9
-          } finally {
-            s.stop()
-            SparkSession.clearActiveSession()
-            SparkSession.clearDefaultSession()
-          }
+          case other => other
+        }
+        if (attempt.isEmpty) failLine("isolated", n,
+          new RuntimeException("forked QBench produced no result"))
+        attempt.map(n -> _)
       }
-    }
+      else isolatedOrdered.map { n =>
+        val s = SparkSession.builder()
+          .master(s"local[$cpus]")
+          .config("spark.sql.shuffle.partitions", cpus)
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.ui.enabled", "false")
+          .config("spark.sql.streaming.stateStore.providerClass",
+            stateProviderClass)
+          .getOrCreate()
+        s.sparkContext.setLogLevel("WARN")
+        try {
+          def execS(): Unit = withBenchConf(s, n) {
+            SparkEntry.queries(n)(s, sfDir)
+              .write.mode("overwrite").format("noop").save()
+          }
+          try execS() catch { case _: Throwable => () } // warmup
+          val t0 = System.nanoTime()
+          try execS() catch { case e: Throwable =>
+            failLine("isolated", n, e) }
+          n -> ((System.nanoTime() - t0) / 1e9, 0.0)
+        } finally {
+          s.stop()
+          SparkSession.clearActiveSession()
+          SparkSession.clearDefaultSession()
+        }
+      }
+    val isolated = isolatedMeasured.map { case (n, (t, _)) => n -> t }
+    val isolatedCalib: Seq[(String, Double)] =
+      if (forkMode) isolatedMeasured.map { case (n, (_, c)) => n -> c }
+      else Nil
 
     // The post-sweep calibration point, in a fresh session like the
     // isolated entries (ambient drift WITHIN the run shows up as
@@ -561,9 +610,17 @@ object Bench {
     // still printed above as detail lines for the driver log).
     // Ingest-only adjudication runs skip it: they carry no sweep, and
     // overwriting would destroy the durable full-run record.
+    // Per-entry child calib on its own detail line (also in the
+    // sidecar): the in-artifact ambient record the r19 adjudication
+    // lacked — read an isolated value only next to its calib.
+    if (isolatedCalib.nonEmpty)
+      println(s"""{"detail":"isolated_calib","pre":${fmt(calibPre)},"children":${
+        jmap(isolatedCalib)},"reforked":${
+        reforked.map("\"" + _ + "\"").mkString("[", ",", "]")}}""")
     if (!ingestOnly) {
       val detail = Bench.detailJson(headline, nearMicro, isolated, total,
-        ingestFields, Some((calibPre, calibPost)), sfDir)
+        ingestFields, Some((calibPre, calibPost)), sfDir,
+        isolatedCalib, reforked.toSeq)
       try {
         val w = new java.io.PrintWriter(Bench.DetailFile, "UTF-8")
         try w.println(detail) finally w.close()

@@ -12,6 +12,22 @@ object QBench {
     val reps = if (args.length > 1) args(1).toInt else 3
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Fork-viability probe (Bench's isolated loop): prove the child
+    // JVM + classpath + session bring-up work WITHOUT running any
+    // registry entry — so an entry-specific failure of the first
+    // isolated query can never flip the whole loop back to the
+    // in-process basis (r19 ADVICE: fork mode was decided by whether
+    // the first entry's child happened to succeed).
+    if (name == "--probe") {
+      val s = SparkSession.builder().master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      try {
+        require(s.range(0, 4).count() == 4)
+        println("""{"probe":"ok"}""")
+      } finally s.stop()
+      return
+    }
     // Same state-store backend selection as Bench so a QBench
     // re-measure of a streaming entry prices the same provider.
     val stateProviderClass =
@@ -40,11 +56,19 @@ object QBench {
     }
     exec() // warmup
     val times = (1 to reps).map(_ => exec()).sorted
+    // Per-child AMBIENT CALIBRATION (r19 verdict #1 — the instrument's
+    // last blind spot): the same fixed-cost CPU probe Bench runs
+    // pre-sweep and post-isolated, measured INSIDE this child after
+    // its timed reps. The parent compares it to its own pre-sweep
+    // calib — a child whose calib is far above the parent's ran in a
+    // degraded ambient window, and its `min` must not be read as a
+    // plan regression (the r19 q65b/q76b/q53 isolated tail).
+    val calib = Bench.calibProbe(spark, cpus.toInt)
     // Locale.ROOT: a comma-decimal default locale would corrupt the
     // JSON that Bench's forked-isolation parent parses.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    println(s"""{"query":"$name","min":${fmt(times.head)},"median":${fmt(times(times.length / 2))},"reps":$reps}""")
+    println(s"""{"query":"$name","min":${fmt(times.head)},"median":${fmt(times(times.length / 2))},"reps":$reps,"calib":${fmt(calib)}}""")
     spark.stop()
   }
 }

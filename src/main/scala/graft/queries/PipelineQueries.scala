@@ -3748,9 +3748,11 @@ object PipelineQueries {
     * bin/offset). A doc whose text tokenizes to nothing packs as
     * n_tokens 0 at its bucket's current offset.
     */
-  def q90bTokenPacking(s: SparkSession, dir: String,
-      binTokens: Int = 512): DataFrame =
-    q90bPackedCore(s, dir, binTokens).orderBy(col("doc_id"))
+  def q90bTokenPacking(s: SparkSession, dir: String): DataFrame =
+    // Pinned to the oracle's 512-token bins (same rationale as
+    // [[q93ShardExportCore]]); [[q90bPackedCore]] is the
+    // parameterized core.
+    q90bPackedCore(s, dir, binTokens = 512).orderBy(col("doc_id"))
 
   /** q90b's packing frame WITHOUT the presentation sort — shared with
     * q93, whose aggregates would make the range exchange dead weight.
@@ -3806,8 +3808,17 @@ object PipelineQueries {
     * spec exercises it, the gated entry IS the ledger (the
     * oracle-expressible half).
     */
-  def q93ShardExport(s: SparkSession, dir: String,
-      nShards: Int = 8, binTokens: Int = 512): DataFrame = {
+  def q93ShardExport(s: SparkSession, dir: String): DataFrame =
+    q93ShardExportCore(s, dir, nShards = 8, binTokens = 512)
+
+  /** The parameterized core behind [[q93ShardExport]] — private: the
+    * PUBLIC gated entry point is pinned to the oracle's 8 shards /
+    * 512-token bins (a non-default call would silently lose oracle
+    * parity, r19 ADVICE); the spec's 4-shard conservation check drives
+    * this core directly.
+    */
+  private[graft] def q93ShardExportCore(s: SparkSession, dir: String,
+      nShards: Int, binTokens: Int): DataFrame = {
     val packed = q90bShardAssign(s, dir, nShards, binTokens)
     val bins = packed
       .groupBy(col("shard_id"), col("pack_bucket"), col("bin_in_bucket"))
@@ -3843,12 +3854,13 @@ object PipelineQueries {
     * single partition by construction), and a broadcast cutoff back
     * onto the scan. Every doc strictly above the cutoff bucket is in;
     * the single BOUNDARY bucket is refined deterministically in
-    * doc_id order until the remaining budget is spent (a window over
-    * ONE score bucket — the only non-map step; an adversarially hot
-    * boundary bucket would recurse on a secondary histogram at
-    * deployment). Output is the selected set with a tier marker, so
-    * the gate pins both the cutoff arithmetic and the boundary
-    * refinement row-for-row.
+    * doc_id order until the remaining budget is spent — via
+    * [[boundedBoundaryRefine]]'s SECONDARY doc_id-range histogram, so
+    * even an adversarially hot boundary bucket (a constant-score
+    * corpus puts EVERY doc in it) never sees an unbounded
+    * single-partition window. Output is the selected set with a tier
+    * marker, so the gate pins both the cutoff arithmetic and the
+    * boundary refinement row-for-row.
     */
   def q96TokenBudgetSelect(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -3860,7 +3872,10 @@ object PipelineQueries {
     // round(score·1e4) recovers k identically on both engines.
     val d = sc.join(toks, "doc_id")
       .withColumn("s4", round(col("quality_score") * 10000, 0).cast("long"))
-    val budget = toks.agg(expr("sum(n_tokens) div 4").as("budget"))
+    // max_doc_id rides along for free: it seeds the secondary
+    // histogram's sub-bucket width in the boundary refinement.
+    val budget = toks.agg(expr("sum(n_tokens) div 4").as("budget"),
+      max(col("doc_id")).as("max_doc_id"))
     // ≤10001 rows: the unpartitioned window is bounded by the score
     // grid, not the corpus.
     val wcum = Window.orderBy(col("s4").desc)
@@ -3872,18 +3887,67 @@ object PipelineQueries {
     val boundary = cum.filter(col("cum") > col("budget"))
       .orderBy(col("s4").desc).limit(1)
       .select(col("s4"), (col("budget") - (col("cum") - col("bt")))
-        .as("rem"))
-    val wrun = Window.partitionBy(col("s4")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .as("rem"), col("max_doc_id"))
     val above = d.join(broadcast(fullBuckets), "s4")
       .select(col("doc_id"), col("quality_score"), col("n_tokens"),
         lit("above_cutoff").as("tier"))
-    val bSel = d.join(broadcast(boundary), "s4")
-      .withColumn("run", sum(col("n_tokens")).over(wrun))
-      .filter(col("run") <= col("rem"))
+    val bSel = boundedBoundaryRefine(
+      d.join(broadcast(boundary), "s4")
+        .select(col("doc_id"), col("quality_score"), col("n_tokens"),
+          col("rem"), col("max_doc_id")))
+    above.unionByName(bSel).orderBy(col("doc_id"))
+  }
+
+  /** The boundary-bucket refinement behind [[q96TokenBudgetSelect]]:
+    * select the doc_id-ordered prefix of `bd` whose running token sum
+    * stays within `rem` — WITHOUT an unbounded single-partition
+    * window (r19 verdict #3: a constant-score corpus lands EVERY doc
+    * in the one boundary bucket, degenerating a per-bucket window
+    * into exactly the corpus-wide sort q96 exists to avoid). Same
+    * trick one level down: sub-bucket the bucket by doc_id RANGE
+    * (`doc_id div W`, W sized from max_doc_id so there are ≤10001
+    * sub-buckets — range, not hash: the refinement order is doc_id,
+    * and div-ranges are monotone in it), histogram token sums per
+    * sub-bucket, take full sub-buckets wholesale under a ≤10001-row
+    * cumulative sum, and run the row-wise window over the ONE
+    * boundary sub-bucket — whose row count is ~corpus/10000 even in
+    * the adversarial case. Selected set is row-identical to the
+    * single-window prefix (monotone sub-bucketing preserves the
+    * global running sum decomposition), so the DuckDB oracle's plain
+    * windowed replay still gates it.
+    *
+    * `bd`: (doc_id, quality_score, n_tokens, rem, max_doc_id) — rem
+    * and max_doc_id constant across rows. Input is materialized once
+    * (localCheckpoint): three consumers, and in the adversarial case
+    * recomputing it would triple the dominant scan.
+    */
+  private[graft] def boundedBoundaryRefine(bdIn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bd = bdIn
+      // W = ceil((max_doc_id + 1) / 10000) so sub ∈ [0, 10000].
+      .withColumn("sub", expr(
+        "doc_id div greatest(1L, (max_doc_id + 10000) div 10000)"))
+      .localCheckpoint(true)
+    val subHist = bd.groupBy(col("sub"), col("rem"))
+      .agg(sum(col("n_tokens")).as("sbt"))
+      .withColumn("scum", sum(col("sbt")).over(Window.orderBy(col("sub"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val fullSubs = subHist.filter(col("scum") <= col("rem")).select("sub")
+    val bndSub = subHist.filter(col("scum") > col("rem"))
+      .orderBy(col("sub")).limit(1)
+      .select(col("sub"), (col("rem") - (col("scum") - col("sbt")))
+        .as("rem2"))
+    val wholesale = bd.join(broadcast(fullSubs), "sub")
       .select(col("doc_id"), col("quality_score"), col("n_tokens"),
         lit("boundary").as("tier"))
-    above.unionByName(bSel).orderBy(col("doc_id"))
+    val wrun = Window.partitionBy(col("sub")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val refined = bd.join(broadcast(bndSub), "sub")
+      .withColumn("run", sum(col("n_tokens")).over(wrun))
+      .filter(col("run") <= col("rem2"))
+      .select(col("doc_id"), col("quality_score"), col("n_tokens"),
+        lit("boundary").as("tier"))
+    wholesale.unionByName(refined)
   }
 
   /** q95 — the END-TO-END CORPUS BUILD: the one call a corpus owner
@@ -3911,8 +3975,16 @@ object PipelineQueries {
     * this entry prices the BUILD, not the recompute (q64 vs q64b's
     * distinction, applied to the whole pipeline).
     */
-  def q95CorpusBuild(s: SparkSession, dir: String,
-      nShards: Int = 8, binTokens: Int = 512): DataFrame = {
+  def q95CorpusBuild(s: SparkSession, dir: String): DataFrame =
+    q95CorpusBuildCore(s, dir, nShards = 8, binTokens = 512)
+
+  /** The parameterized core behind [[q95CorpusBuild]] — private for
+    * the same reason as [[q93ShardExportCore]]: the gated entry point
+    * is pinned to the oracle's constants; the spec's 4-shard
+    * conservation check drives this core.
+    */
+  private[graft] def q95CorpusBuildCore(s: SparkSession, dir: String,
+      nShards: Int, binTokens: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def h32(c: org.apache.spark.sql.Column) =
       conv(substring(md5(c), 1, 8), 16, 10).cast("long")

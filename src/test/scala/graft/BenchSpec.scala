@@ -41,13 +41,22 @@ class BenchSpec extends AnyFunSuite {
     // key (full names), every isolated pin, calib, ingest.
     val detail = Bench.detailJson(sweep, Seq("near_blocks" -> 8.888),
       isolated, 8888.88, Seq("ingest_blocks_per_sec" -> 888.88),
-      Some((8.888, 8.888)), "/root/testdata/sf0.1")
+      Some((8.888, 8.888)), "/root/testdata/sf0.1",
+      isolatedCalib = isolated, isolatedReforked = Seq("q53_corpus_recipe"))
     (names ++ Bench.DefaultIsolated.filter(SparkEntry.queries.contains))
       .foreach(n => assert(detail.contains("\"" + n + "\":"),
         s"sidecar lost $n"))
     Seq("\"calib\":", "\"ingest\":", "\"sweep\":", "\"isolated\":",
-      "\"near_micro\":", "\"total\":").foreach(k =>
+      "\"near_micro\":", "\"total\":", "\"isolated_calib\":",
+      "\"isolated_reforked\":").foreach(k =>
       assert(detail.contains(k), s"sidecar lost key $k"))
+    // In-process fallback mode carries no per-child calib — the maps
+    // must vanish rather than ship fabricated zeros.
+    val detailNoCal = Bench.detailJson(sweep, Nil, isolated, 8888.88,
+      Nil, None, "/root/testdata/sf0.1")
+    assert(!detailNoCal.contains("isolated_calib"))
+    assert(!detailNoCal.contains("isolated_reforked"))
+    assert(detailNoCal.count(_ == '{') == detailNoCal.count(_ == '}'))
     // Both sides of the shed are valid JSON (spray the cheap way:
     // character-level brace balance + no trailing comma artifacts are
     // what the driver's json.loads would reject first).

@@ -3105,6 +3105,57 @@ class PipelineSpec extends AnyFunSuite {
       "unexpected corpus-wide sort")
   }
 
+  test("q96 boundary refinement stays bounded on a constant-score corpus") {
+    import graft.queries.PipelineQueries
+    // The r19 verdict #3 adversarial case: EVERY doc lands in one
+    // score bucket, so the per-bucket refinement window would
+    // degenerate into the corpus-wide sort q96 exists to avoid. The
+    // secondary doc_id-range histogram keeps it bounded: sub-bucket
+    // width ceil(n/10000), full sub-buckets wholesale, one sub-bucket
+    // refined row-wise.
+    val n = 50000L
+    val rem = 12345L
+    val bd = spark.range(0, n).select(
+      col("id").as("doc_id"), lit(0.5).as("quality_score"),
+      lit(1L).as("n_tokens"), lit(rem).as("rem"),
+      lit(n - 1).as("max_doc_id"))
+    val sel = PipelineQueries.boundedBoundaryRefine(bd)
+    val got = sel.collect()
+    assert(got.forall(_.getAs[String]("tier") == "boundary"))
+    // Selected set = the doc_id-ordered prefix whose running token
+    // sum fits rem — identical to the plain single-window semantics.
+    assert(got.map(_.getAs[Long]("doc_id")).sorted
+      .sameElements(0L until rem), "not the doc_id-ordered prefix")
+    // The row-wise window is PARTITIONED (by the sub-bucket), never a
+    // single global partition over doc rows: no window in the plan
+    // orders by doc_id with an empty partition spec.
+    val plan = sel.queryExecution.executedPlan.toString
+    assert(!"""\[\], \[doc_id#\d+L ASC""".r.findFirstIn(plan).isDefined,
+      "refinement ran an unpartitioned window over the doc rows")
+    assert("""\[sub#\d+L\], \[doc_id#\d+L ASC""".r
+      .findFirstIn(plan).isDefined,
+      "expected the doc-row window to partition by sub")
+    // Max rows per window partition is the sub width — ceil(n/10000)
+    // = 5 here — not the 50000-row bucket.
+    val w = math.max(1L, (n - 1 + 10000) / 10000)
+    assert(w == 5L)
+    // General equivalence (zeros included): random token counts vs a
+    // driver-side brute prefix.
+    val toks = (0L until 3000L).map(i => i -> (i * 2654435761L) % 7)
+    val rem2 = 1000L
+    var acc = 0L
+    val expect = toks.takeWhile { case (_, t) => acc += t; acc <= rem2 }
+      .map(_._1)
+    import spark.implicits._
+    val bd2 = toks.toDF("doc_id", "n_tokens")
+      .select(col("doc_id"), lit(0.5).as("quality_score"),
+        col("n_tokens"), lit(rem2).as("rem"), lit(2999L).as("max_doc_id"))
+    val got2 = PipelineQueries.boundedBoundaryRefine(bd2)
+      .collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(got2.sameElements(expect), "refinement drifted from the " +
+      "single-window prefix semantics")
+  }
+
   test("q95 corpus build: shard-knob conservation, determinism, no global sort") {
     import graft.queries.PipelineQueries
     val l8 = SparkEntry.queries("q95_corpus_build")(spark, sf).collect()
@@ -3112,7 +3163,7 @@ class PipelineSpec extends AnyFunSuite {
     // The shard count is a pure re-deal of the same bins: totals are
     // invariant across the knob (conservation through the whole
     // recipe -> sample -> tokenize -> pack chain).
-    val l4 = PipelineQueries.q95CorpusBuild(spark, sf, nShards = 4).collect()
+    val l4 = PipelineQueries.q95CorpusBuildCore(spark, sf, nShards = 4, binTokens = 512).collect()
     assert(l4.length == 4)
     for (c <- Seq("n_docs", "n_bins", "n_tokens"))
       assert(l8.map(_.getAs[Long](c)).sum == l4.map(_.getAs[Long](c)).sum,
