@@ -3299,6 +3299,105 @@ class PipelineSpec extends AnyFunSuite {
       s"q90c apply should be map-only:\n${plan.take(2000)}")
   }
 
+  test("BPE trainer: incremental pair maintenance matches a full recount") {
+    import graft.queries.PipelineQueries
+    // Reference: the pre-r20 recount-everything loop, re-derived here
+    // as the spec's independent twin (count all pairs over the whole
+    // dict per merge; argmax count desc then UTF-8-byte pair order;
+    // stop below count 2).
+    def naive(wc: Array[(String, Long)],
+        maxMerges: Int): Seq[(String, String)] = {
+      def cpLt(a: String, b: String): Boolean = {
+        val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+        var i = 0
+        while (i < x.length && i < y.length) {
+          val c = (x(i) & 0xff) - (y(i) & 0xff)
+          if (c != 0) return c < 0
+          i += 1
+        }
+        x.length < y.length
+      }
+      var segs: Array[(Array[String], Long)] = wc.map { case (w, f) =>
+        (w.codePoints().toArray.map(cp => new String(Character.toChars(cp))), f) }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var halt = false
+      while (!halt && out.length < maxMerges) {
+        val counts =
+          scala.collection.mutable.HashMap.empty[(String, String), Long]
+        segs.foreach { case (seg, f) =>
+          (0 until seg.length - 1).foreach { i =>
+            val k = (seg(i), seg(i + 1))
+            counts.update(k, counts.getOrElse(k, 0L) + f)
+          }
+        }
+        val best = counts.reduceOption[((String, String), Long)] {
+          case (a @ (ap, ac), b @ (bp, bc)) =>
+            if (bc > ac || (bc == ac && (cpLt(bp._1, ap._1) ||
+              (bp._1 == ap._1 && cpLt(bp._2, ap._2))))) b else a
+        }
+        best match {
+          case Some(((p1, p2), c)) if c >= 2 =>
+            out += ((p1, p2))
+            segs = segs.map { case (seg, f) =>
+              val nb = scala.collection.mutable.ArrayBuffer.empty[String]
+              var j = 0
+              while (j < seg.length) {
+                if (j < seg.length - 1 && seg(j) == p1 && seg(j + 1) == p2) {
+                  nb += p1 + p2; j += 2
+                } else { nb += seg(j); j += 1 }
+              }
+              (nb.toArray, f)
+            }
+          case _ => halt = true
+        }
+      }
+      out.toSeq
+    }
+    // Fixed-seed random dict over a small alphabet: heavy pair
+    // collisions, overlap runs ("aaa"), ties — the cases where
+    // incremental maintenance could drift.
+    val rnd = new scala.util.Random(42)
+    val wc = Array.tabulate(200) { _ =>
+      val len = 1 + rnd.nextInt(8)
+      val w = (0 until len).map(_ => ('a' + rnd.nextInt(3)).toChar)
+        .mkString
+      w -> (1L + rnd.nextInt(5))
+    }.groupBy(_._1).map { case (w, g) => w -> g.map(_._2).sum }.toArray
+    val (inc, _) = PipelineQueries.bpeTrainCore(wc, 50)
+    assert(inc == naive(wc, 50),
+      "incremental trainer drifted from the full-recount merge sequence")
+    // Non-BMP symbols compare in UTF-8 byte order on both paths.
+    val astral = Array("😀a" -> 2L, "😁a" -> 2L,
+      "za" -> 2L)
+    assert(PipelineQueries.bpeTrainCore(astral, 10)._1 ==
+      naive(astral, 10))
+  }
+
+  test("BPE trainer: 1k-merge work scales with pair sites, not dict size") {
+    import graft.queries.PipelineQueries
+    // r19 verdict #5: the full-recount loop made BpeMergeCount an
+    // honest-but-small knob (O(merges x dict)). With live pair
+    // maintenance each merge touches only the words containing the
+    // pair. Dict: 1024 words, each a distinct 2-symbol pair with
+    // freq 2 — every merge has count 2, touches exactly ONE word, and
+    // 1024 merges complete (each word collapses to a single symbol).
+    val wc = Array.tabulate(1024) { i =>
+      val a = new String(Character.toChars(0x4E00 + 2 * i))
+      val b = new String(Character.toChars(0x4E00 + 2 * i + 1))
+      (a + b) -> 2L
+    }
+    val (merges, touched) = PipelineQueries.bpeTrainCore(wc, 1024)
+    assert(merges.length == 1024, s"expected 1024 merges, got ${merges.length}")
+    // Work gauge: ~1 word per merge; a full recount would visit
+    // merges x |dict| = 1,048,576 words.
+    assert(touched <= 3 * 1024L,
+      s"merge work $touched is dict-scan-shaped, not site-local")
+    // Merge order is deterministic: count ties resolve in UTF-8 byte
+    // order, so the lowest code points merge first.
+    assert(merges.head == (new String(Character.toChars(0x4E00)),
+      new String(Character.toChars(0x4E01))))
+  }
+
   test("q92 BM25: ranks dense, scores positive+monotone, candidates df-pruned") {
     val rows = SparkEntry.queries("q92_bm25_more_like_this")(spark, sf).collect()
     assert(rows.nonEmpty)
