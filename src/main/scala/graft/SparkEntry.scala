@@ -180,6 +180,7 @@ object SparkEntry {
     "q94_temperature_sample"  -> (PipelineQueries.q94TemperatureSample _),
     "q95_corpus_build"        -> ((s: SparkSession, dir: String) =>
       PipelineQueries.q95CorpusBuild(s, dir)),
+    "q95b_corpus_build_incr"  -> (PipelineQueries.q95bCorpusBuildIncr _),
     "q96_token_budget_select" -> (PipelineQueries.q96TokenBudgetSelect _),
   ) ++ graft.queries.NearQueries.queries
 

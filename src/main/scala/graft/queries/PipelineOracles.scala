@@ -2518,52 +2518,13 @@ object PipelineOracles {
     // kept train docs → temperature sampling over the KEPT pool's
     // source counts → recursive tokenizer replay → hash-bucketed
     // packing → 8-row shard ledger. One hash pins the whole chain.
-    "q95_corpus_build" ->
-      s"""WITH RECURSIVE $corpusRecipeCtes,
-         |$subwordTokCtes,
-         |keptd AS (SELECT doc_id FROM recipe
-         |          WHERE keep AND split = 'train'),
-         |kd AS (SELECT dd.doc_id, dd.source
-         |       FROM documents dd JOIN keptd USING (doc_id)),
-         |kc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
-         |       FROM kd GROUP BY source),
-         |kmin AS (SELECT min(n_docs) AS n_min FROM kc),
-         |kr AS (SELECT source,
-         |    CAST(round(1000000.0 * (sqrt(CAST(n_min AS DOUBLE)) /
-         |      sqrt(CAST(n_docs AS DOUBLE))), 0) AS BIGINT) AS rate_micro
-         |  FROM kc, kmin),
-         |sampled AS (SELECT kd.doc_id FROM kd JOIN kr ON kd.source = kr.source
-         |  WHERE CAST('0x' || substr(md5('tsamp:' || CAST(kd.doc_id AS VARCHAR)),
-         |      1, 8) AS BIGINT) % 1000000 < rate_micro),
-         |ntok AS (SELECT dw.doc_id, CAST(sum(len(ids)) AS BIGINT) AS nt
-         |         FROM dw JOIN tokend USING (word)
-         |         WHERE dw.doc_id IN (SELECT doc_id FROM sampled)
-         |         GROUP BY dw.doc_id),
-         |sized AS (SELECT sp.doc_id,
-         |    CAST(COALESCE(nt, 0) AS BIGINT) AS n_tokens,
-         |    CAST('0x' || substr(md5('pack:' || CAST(sp.doc_id AS VARCHAR)), 1, 8)
-         |      AS BIGINT)
-         |      % (SELECT greatest(16, count(*) // 1000000) FROM documents)
-         |      AS pack_bucket
-         |  FROM sampled sp LEFT JOIN ntok ON ntok.doc_id = sp.doc_id),
-         |cum AS (SELECT *, sum(n_tokens) OVER (PARTITION BY pack_bucket
-         |        ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_end
-         |      FROM sized),
-         |asg2 AS (SELECT doc_id, pack_bucket, n_tokens,
-         |    CAST((cum_end - n_tokens) // 512 AS BIGINT) AS bin_in_bucket
-         |  FROM cum),
-         |shd AS (SELECT *, (pack_bucket + bin_in_bucket) % 8 AS shard_id
-         |       FROM asg2),
-         |bns AS (SELECT shard_id, pack_bucket, bin_in_bucket,
-         |        CAST(count(*) AS BIGINT) AS bin_docs,
-         |        CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
-         |      FROM shd GROUP BY 1, 2, 3)
-         |SELECT shard_id,
-         |  CAST(sum(bin_docs) AS BIGINT) AS n_docs,
-         |  CAST(count(*) AS BIGINT) AS n_bins,
-         |  CAST(sum(bin_tokens) AS BIGINT) AS n_tokens,
-         |  CAST(max(bin_tokens) AS BIGINT) AS max_bin_tokens
-         |FROM bns GROUP BY shard_id ORDER BY shard_id""".stripMargin,
+    "q95_corpus_build" -> q95LedgerSql,
+
+    // q95b: the INCREMENTAL corpus build — the engine merges a staged
+    // base metadata frame with an arrivals-only delta; the oracle is
+    // q95's FULL-RECOMPUTE SQL verbatim, so the gate IS the
+    // incremental-equals-rebuild equivalence (the q25b pattern).
+    "q95b_corpus_build_incr" -> q95LedgerSql,
 
     // q94: temperature-based multinomial source sampling (α = 0.5) —
     // per-source keep rate round(1e6·sqrt(n_min)/sqrt(n_s)) (IEEE
@@ -2639,6 +2600,59 @@ object PipelineOracles {
          |FROM bflat LEFT JOIN bmid ON bmid.token = bflat.token
          |ORDER BY doc_id, pos""".stripMargin,
   )
+
+  /** The q95/q95b shared ledger oracle: a FULL recompute of every
+    * stage from raw documents. q95 (one-shot build) and q95b
+    * (incremental build over the staged base + arrivals delta) must
+    * both hash-match it — for q95b the shared SQL IS the
+    * incremental-equals-rebuild equivalence gate.
+    */
+  private lazy val q95LedgerSql: String =
+      s"""WITH RECURSIVE $corpusRecipeCtes,
+         |$subwordTokCtes,
+         |keptd AS (SELECT doc_id FROM recipe
+         |          WHERE keep AND split = 'train'),
+         |kd AS (SELECT dd.doc_id, dd.source
+         |       FROM documents dd JOIN keptd USING (doc_id)),
+         |kc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+         |       FROM kd GROUP BY source),
+         |kmin AS (SELECT min(n_docs) AS n_min FROM kc),
+         |kr AS (SELECT source,
+         |    CAST(round(1000000.0 * (sqrt(CAST(n_min AS DOUBLE)) /
+         |      sqrt(CAST(n_docs AS DOUBLE))), 0) AS BIGINT) AS rate_micro
+         |  FROM kc, kmin),
+         |sampled AS (SELECT kd.doc_id FROM kd JOIN kr ON kd.source = kr.source
+         |  WHERE CAST('0x' || substr(md5('tsamp:' || CAST(kd.doc_id AS VARCHAR)),
+         |      1, 8) AS BIGINT) % 1000000 < rate_micro),
+         |ntok AS (SELECT dw.doc_id, CAST(sum(len(ids)) AS BIGINT) AS nt
+         |         FROM dw JOIN tokend USING (word)
+         |         WHERE dw.doc_id IN (SELECT doc_id FROM sampled)
+         |         GROUP BY dw.doc_id),
+         |sized AS (SELECT sp.doc_id,
+         |    CAST(COALESCE(nt, 0) AS BIGINT) AS n_tokens,
+         |    CAST('0x' || substr(md5('pack:' || CAST(sp.doc_id AS VARCHAR)), 1, 8)
+         |      AS BIGINT)
+         |      % (SELECT greatest(16, count(*) // 1000000) FROM documents)
+         |      AS pack_bucket
+         |  FROM sampled sp LEFT JOIN ntok ON ntok.doc_id = sp.doc_id),
+         |cum AS (SELECT *, sum(n_tokens) OVER (PARTITION BY pack_bucket
+         |        ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_end
+         |      FROM sized),
+         |asg2 AS (SELECT doc_id, pack_bucket, n_tokens,
+         |    CAST((cum_end - n_tokens) // 512 AS BIGINT) AS bin_in_bucket
+         |  FROM cum),
+         |shd AS (SELECT *, (pack_bucket + bin_in_bucket) % 8 AS shard_id
+         |       FROM asg2),
+         |bns AS (SELECT shard_id, pack_bucket, bin_in_bucket,
+         |        CAST(count(*) AS BIGINT) AS bin_docs,
+         |        CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+         |      FROM shd GROUP BY 1, 2, 3)
+         |SELECT shard_id,
+         |  CAST(sum(bin_docs) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_bins,
+         |  CAST(sum(bin_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(max(bin_tokens) AS BIGINT) AS max_bin_tokens
+         |FROM bns GROUP BY shard_id ORDER BY shard_id""".stripMargin
 
   /** q90c's shared BPE replay, mirroring
     * [[PipelineQueries.bpeMergesBuild]] and

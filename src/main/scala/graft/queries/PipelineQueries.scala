@@ -4036,6 +4036,150 @@ object PipelineQueries {
       .orderBy(col("shard_id"))
   }
 
+  /** The compact per-doc metadata frame q95b's incremental build
+    * maintains for the STANDING corpus's kept-train pool — staged
+    * write-once: (doc_id, source, n_tokens, u6, pack_bucket) for
+    * kept-train docs outside the arrival slice (doc_id % 10 != 0 —
+    * the q89 base/arrivals convention). This is the amortization
+    * boundary of the incremental build: n_tokens is the expensive
+    * per-doc result (staged-vocab tokenize — the only stage that
+    * reads TEXT), u6/pack_bucket are the doc-keyed hashes every
+    * downstream decision derives from, and all five columns together
+    * are ~tens of bytes/doc where the corpus is ~KB-MB/doc — at
+    * 100 TB of text this frame is tens of GB, so re-running the
+    * SAMPLING+PACKING stages over it is metadata-scale work while
+    * the text is never rescanned. pack_bucket is versioned WITH the
+    * stage (computed from the corpus row count at stage time); a
+    * deployment growing the corpus re-salts the stage rather than
+    * mixing bucket geometries.
+    */
+  private[graft] def stagedTrainSizedBase(s: SparkSession, dir: String): DataFrame =
+    writeOnceStage(s,
+      s"$stageRoot/q95bsized_${stageTag(s, dir, "documents.parquet",
+        "q95bsized-v1")}",
+      "sized", {
+        def h32(c: org.apache.spark.sql.Column) =
+          conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+        val vocab = subwordVocabList(s, dir)
+        val buckets = packBuckets(rawDocsRowCount(s, dir))
+        val keptBase = stagedDisposition(s, dir)
+          .filter(col("keep") && col("split") === "train" &&
+            col("doc_id") % 10 =!= 0)
+          .select("doc_id")
+        Tables.documents(s, dir).join(keptBase, "doc_id")
+          .select(col("doc_id"), col("source"),
+            coalesce(size(graft.expressions.Subword
+              .subwordTokenize(s, TF.words(col("text")), vocab)), lit(0))
+              .cast("long").as("n_tokens"),
+            (h32(concat(lit("tsamp:"), col("doc_id").cast("string")))
+              % 1000000L).as("u6"),
+            (h32(concat(lit("pack:"), col("doc_id").cast("string")))
+              % buckets).as("pack_bucket"))
+      })
+
+  /** The staged pool's per-source doc counts — q89's additive
+    * sufficient-statistic discipline applied to q94's rate inputs:
+    * the base counts are staged once, an arrival batch counts alone,
+    * and the merged counts (groupBy-sum of |sources| + |delta
+    * sources| rows) equal a full recount exactly.
+    */
+  private[graft] def stagedTrainStatsBase(s: SparkSession, dir: String): DataFrame =
+    writeOnceStage(s,
+      s"$stageRoot/q95bstats_${stageTag(s, dir, "documents.parquet",
+        "q95bstats-v1")}",
+      "stats", stagedTrainSizedBase(s, dir).groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs")))
+
+  /** q95b — the INCREMENTAL twin of [[q95CorpusBuild]] (r19 verdict
+    * "what's missing" #1): production re-runs the corpus build as
+    * arrivals land, and re-tokenizing the standing corpus per run is
+    * the cost this entry deletes. The arrival slice (doc_id % 10 ==
+    * 0, the q89 convention — standing in for "the new files") is
+    * gated through the SAME staged q53 verdict as q95 (q64b
+    * discipline, no recompute), tokenized under the staged vocab (the
+    * build's ONLY text scan — delta-sized at deployment), and reduced
+    * to the same compact metadata row shape as the staged base frame;
+    * q94's rates come from the q89-style merged counts (staged base
+    * stats + the delta's own aggregate — additive, exactly the full
+    * pool's counts).
+    *
+    * WHY the sampling+packing stages re-run over the merged compact
+    * frame instead of merging a bin-level ledger delta: temperature
+    * rates SHIFT when arrivals change per-source counts, so standing
+    * docs' keep decisions can legitimately flip — a staged bin ledger
+    * is stale the moment the mixture moves, and merging one would be
+    * UNSOUND. The sound incremental unit is the sized frame (the
+    * text-expensive work); the rate filter + ONE pack-bucket window +
+    * ledger aggregates are metadata-scale (rows, not text bytes).
+    * The payoff is the equality this entry is GATED on: its ledger is
+    * bit-identical to the from-scratch [[q95CorpusBuild]] over
+    * corpus+arrivals — the oracle is q95's full-recompute SQL
+    * verbatim, so the staging contract (write → merge → rebuild
+    * equals recompute) is hash-checked end to end.
+    */
+  def q95bCorpusBuildIncr(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nShards = 8; val binTokens = 512
+    def h32(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    val base = stagedTrainSizedBase(s, dir)
+    val vocab = subwordVocabList(s, dir)
+    val buckets = packBuckets(rawDocsRowCount(s, dir))
+    // The arrival slice filter sits directly on the scan (the
+    // fixture's stand-in for reading only the arrival files), THEN
+    // the staged-verdict gate joins on the already-filtered slice.
+    val arrKept = stagedDisposition(s, dir)
+      .filter(col("keep") && col("split") === "train" &&
+        col("doc_id") % 10 === 0)
+      .select("doc_id")
+    val delta = Tables.documents(s, dir)
+      .filter(col("doc_id") % 10 === 0)
+      .join(arrKept, "doc_id")
+      .select(col("doc_id"), col("source"),
+        coalesce(size(graft.expressions.Subword
+          .subwordTokenize(s, TF.words(col("text")), vocab)), lit(0))
+          .cast("long").as("n_tokens"),
+        (h32(concat(lit("tsamp:"), col("doc_id").cast("string")))
+          % 1000000L).as("u6"),
+        (h32(concat(lit("pack:"), col("doc_id").cast("string")))
+          % buckets).as("pack_bucket"))
+    // Merged rates: staged base stats + the delta's own counts.
+    // Column pruning keeps the stats branch's documents scan at
+    // (doc_id, source) — the text column is read ONCE, in `delta`.
+    val counts = stagedTrainStatsBase(s, dir)
+      .unionByName(delta.groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs")))
+      .groupBy(col("source"))
+      .agg(sum(col("n_docs")).cast("long").as("n_docs"))
+    val nMin = counts.agg(min(col("n_docs")).as("n_min"))
+    val rates = counts.crossJoin(broadcast(nMin))
+      .select(col("source"),
+        round(lit(1000000.0) * (sqrt(col("n_min").cast("double")) /
+          sqrt(col("n_docs").cast("double"))), 0).cast("long")
+          .as("rate_micro"))
+    val sampled = base.unionByName(delta)
+      .join(broadcast(rates), "source")
+      .filter(col("u6") < col("rate_micro"))
+    val w = Window.partitionBy(col("pack_bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = sampled
+      .withColumn("cum_end", sum(col("n_tokens")).over(w))
+      .withColumn("bin_in_bucket",
+        expr(s"(cum_end - n_tokens) div $binTokens"))
+      .withColumn("shard_id",
+        (col("pack_bucket") + col("bin_in_bucket")) % nShards)
+    val bins = packed
+      .groupBy(col("shard_id"), col("pack_bucket"), col("bin_in_bucket"))
+      .agg(count(lit(1)).cast("long").as("bin_docs"),
+        sum(col("n_tokens")).as("bin_tokens"))
+    bins.groupBy(col("shard_id"))
+      .agg(sum(col("bin_docs")).cast("long").as("n_docs"),
+        count(lit(1)).cast("long").as("n_bins"),
+        sum(col("bin_tokens")).cast("long").as("n_tokens"),
+        max(col("bin_tokens")).cast("long").as("max_bin_tokens"))
+      .orderBy(col("shard_id"))
+  }
+
   /** q94 — TEMPERATURE-BASED multinomial source sampling (Lample &
     * Conneau 2019, "Cross-lingual Language Model Pretraining", §3.1:
     * sample sources with probability ∝ n_s^α, α = 0.5 — the standard

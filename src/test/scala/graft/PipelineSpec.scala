@@ -3186,6 +3186,43 @@ class PipelineSpec extends AnyFunSuite {
       "unexpected global sort in the build plan")
   }
 
+  test("q95b incremental build: equals the from-scratch rebuild, one text scan") {
+    import graft.queries.PipelineQueries
+    // The q25b equivalence pattern at pipeline scale: the incremental
+    // build (staged base metadata + arrivals-only delta + q89-merged
+    // rates) must produce the BIT-IDENTICAL ledger to the one-shot
+    // q95 rebuild over the whole pool.
+    val incr = SparkEntry.queries("q95b_corpus_build_incr")(spark, sf)
+    val full = SparkEntry.queries("q95_corpus_build")(spark, sf)
+    assert(incr.collect().map(_.toSeq).toSeq ==
+      full.collect().map(_.toSeq).toSeq,
+      "incremental ledger drifted from the from-scratch rebuild")
+    // Incrementality pin (the q89 spec's discipline): the corpus TEXT
+    // is scanned exactly once, in the arrivals delta — the standing
+    // pool's tokenize cost is amortized by the staged sized frame.
+    // The rate-merge branches scan documents twice more (counts feeds
+    // nMin and the rate table), but column pruning keeps both at
+    // doc_id+source — metadata-width, arrival-filtered. Plan read
+    // from a FRESH unexecuted frame: after collect the adaptive plan
+    // string duplicates every scan under "== Initial Plan ==".
+    val plan = SparkEntry.queries("q95b_corpus_build_incr")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("q95bsized_"),
+      "q95b does not read the staged base sized frame")
+    assert(plan.contains("q95bstats_"),
+      "q95b does not read the staged base stats")
+    val docScans = plan.split('\n').filter(_.contains("documents.parque"))
+    assert(docScans.nonEmpty && docScans.length <= 3,
+      s"expected <=3 documents scans (1 text delta + 2 pruned rate " +
+        s"branches), got ${docScans.length}")
+    assert(docScans.count(_.contains("text")) == 1,
+      "the corpus text column must be scanned exactly once (the delta)")
+    // Every documents scan is arrival-gated: the % 10 slice filter
+    // sits in the scan's data filters, never a bare corpus scan.
+    assert(docScans.forall(_.contains("% 10")),
+      "a documents scan is missing the arrivals slice filter")
+  }
+
   test("q94 temperature sampling: rates from counts, broadcast-only plan") {
     import graft.queries.PipelineQueries
     val df = SparkEntry.queries("q94_temperature_sample")(spark, sf)
