@@ -182,6 +182,7 @@ object SparkEntry {
       PipelineQueries.q95CorpusBuild(s, dir)),
     "q95b_corpus_build_incr"  -> (PipelineQueries.q95bCorpusBuildIncr _),
     "q96_token_budget_select" -> (PipelineQueries.q96TokenBudgetSelect _),
+    "q97_stream_shard_ledger" -> (StreamingJobs.streamShardLedger _),
   ) ++ graft.queries.NearQueries.queries
 
   def oracleSql: Map[String, String] = Map(

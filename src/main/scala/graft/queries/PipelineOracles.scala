@@ -2550,7 +2550,40 @@ object PipelineOracles {
     // q93: balanced shard export — q90b's packing replayed, the
     // map-only shard id ((pack_bucket + bin_in_bucket) % 8), and the
     // per-shard ledger (docs, bins, exact token sums, max bin size).
-    "q93_shard_export" ->
+    "q93_shard_export" -> q93LedgerSql,
+
+    // q97: the STREAMING shard ledger — arriving packed bins folded
+    // additively into the per-shard report; the oracle is q93's
+    // ledger SQL verbatim, so the gate pins batch-equals-streamed.
+    "q97_stream_shard_ledger" -> q93LedgerSql,
+
+    // q90c: BPE tokenizer apply — the oracle RE-TRAINS the merge-rank
+    // table (BpeMergeCount unrolled pair-count/argmax/merge stages
+    // over the sample's word-frequency dict) and replays the
+    // subword-nmt encode loop per distinct corpus word (recursive
+    // CTE: lowest-rank matching merge until none applies), then
+    // reassembles per-doc positions exactly like q90's oracle.
+    "q90c_bpe_tokenize" ->
+      s"""WITH RECURSIVE $bpeCtes,
+         |bfl0 AS (SELECT doc_id, wi, unnest(list_transform(ts,
+         |           (x, k) -> struct_pack(j := k, t := x))) AS u
+         |         FROM bdw JOIN btoks USING (word)),
+         |bflat AS (SELECT doc_id, wi, u.j AS j, u.t AS token FROM bfl0)
+         |SELECT doc_id,
+         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wi, j)
+         |    AS BIGINT) AS pos,
+         |  CAST(COALESCE(bmid.token_id, 0) AS BIGINT) AS token_id,
+         |  bflat.token AS token
+         |FROM bflat LEFT JOIN bmid ON bmid.token = bflat.token
+         |ORDER BY doc_id, pos""".stripMargin,
+  )
+
+  /** The q93/q97 shared ledger oracle: q90b's packing replayed,
+    * the map-only shard id, and the per-shard ledger. q93 (batch
+    * export) and q97 (streaming additive fold over the staged bins)
+    * must both hash-match it.
+    */
+  private lazy val q93LedgerSql: String =
       s"""WITH RECURSIVE $subwordTokCtes,
          |ntok AS (SELECT dw.doc_id, CAST(sum(len(ids)) AS BIGINT) AS nt
          |         FROM dw JOIN tokend USING (word) GROUP BY dw.doc_id),
@@ -2578,28 +2611,7 @@ object PipelineOracles {
          |  CAST(count(*) AS BIGINT) AS n_bins,
          |  CAST(sum(bin_tokens) AS BIGINT) AS n_tokens,
          |  CAST(max(bin_tokens) AS BIGINT) AS max_bin_tokens
-         |FROM b GROUP BY shard_id ORDER BY shard_id""".stripMargin,
-
-    // q90c: BPE tokenizer apply — the oracle RE-TRAINS the merge-rank
-    // table (BpeMergeCount unrolled pair-count/argmax/merge stages
-    // over the sample's word-frequency dict) and replays the
-    // subword-nmt encode loop per distinct corpus word (recursive
-    // CTE: lowest-rank matching merge until none applies), then
-    // reassembles per-doc positions exactly like q90's oracle.
-    "q90c_bpe_tokenize" ->
-      s"""WITH RECURSIVE $bpeCtes,
-         |bfl0 AS (SELECT doc_id, wi, unnest(list_transform(ts,
-         |           (x, k) -> struct_pack(j := k, t := x))) AS u
-         |         FROM bdw JOIN btoks USING (word)),
-         |bflat AS (SELECT doc_id, wi, u.j AS j, u.t AS token FROM bfl0)
-         |SELECT doc_id,
-         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wi, j)
-         |    AS BIGINT) AS pos,
-         |  CAST(COALESCE(bmid.token_id, 0) AS BIGINT) AS token_id,
-         |  bflat.token AS token
-         |FROM bflat LEFT JOIN bmid ON bmid.token = bflat.token
-         |ORDER BY doc_id, pos""".stripMargin,
-  )
+         |FROM b GROUP BY shard_id ORDER BY shard_id""".stripMargin
 
   /** The q95/q95b shared ledger oracle: a FULL recompute of every
     * stage from raw documents. q95 (one-shot build) and q95b

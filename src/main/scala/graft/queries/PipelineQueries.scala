@@ -3842,6 +3842,26 @@ object PipelineQueries {
       .withColumn("shard_id",
         (col("pack_bucket") + col("bin_in_bucket")) % nShards)
 
+  /** The staged BIN-level packing frame — one row per completed bin,
+    * (shard_id, pack_bucket, bin_in_bucket, bin_docs, bin_tokens):
+    * what q93's batch exporter writes to disk, and what the streaming
+    * ledger ([[graft.streaming.StreamingJobs.streamShardLedger]])
+    * consumes as its arrival stream. Write-once under the shared
+    * protocol at the oracle's 8/512 constants.
+    */
+  private[graft] def stagedPackedBins(s: SparkSession, dir: String): DataFrame =
+    writeOnceStage(s, stagedPackedBinsStage(s, dir), "bins",
+      q90bShardAssign(s, dir)
+        .groupBy(col("shard_id"), col("pack_bucket"), col("bin_in_bucket"))
+        .agg(count(lit(1)).cast("long").as("bin_docs"),
+          sum(col("n_tokens")).cast("long").as("bin_tokens")))
+
+  /** The staged bins' on-disk location (for the streaming reader):
+    * `<stage>/bins` once [[stagedPackedBins]] has committed.
+    */
+  private[graft] def stagedPackedBinsStage(s: SparkSession, dir: String): String =
+    s"$stageRoot/q93bins_${stageTag(s, dir, "documents.parquet", "q93bins-v1")}"
+
   /** q96 — TOKEN-BUDGET QUALITY SELECTION: "give me the best B tokens"
     * — the curation step between scoring (q17/q52/q56) and assembly:
     * select the highest-quality documents until a global token budget

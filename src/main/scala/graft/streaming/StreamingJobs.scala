@@ -961,4 +961,53 @@ object StreamingJobs {
       }
       .toDF("img_id", "dhash_hex", "dup_of")
   }
+
+  /** STREAMING SHARD LEDGER (the export family's streaming column):
+    * fold ARRIVING packed bins into q93's per-shard training ledger.
+    * The arrival unit is a COMPLETED bin — one (shard_id,
+    * pack_bucket, bin_in_bucket, bin_docs, bin_tokens) row, emitted
+    * exactly once by the (batch q93 / incremental q95b) packer — so
+    * every ledger column is an associative, retraction-free fold
+    * (sum, count, sum, max) and the streaming aggregate maintains
+    * EXACTLY the batch ledger with |shards| rows of state (q89's
+    * additive-statistics discipline in streaming form: no watermark,
+    * no eviction — the state IS the 8-row report). The source is the
+    * staged bins directory the batch exporter commits; the DuckDB
+    * oracle is q93's ledger SQL verbatim, so the gate pins
+    * batch-equals-streamed.
+    */
+  def streamShardLedger(s: SparkSession, dir: String): DataFrame =
+    shardLedgerStream(s, dir, maxFilesPerTrigger = None)
+
+  /** Core of [[streamShardLedger]] with a controllable per-trigger
+    * file cap — the spec drives maxFilesPerTrigger = 1 to prove the
+    * fold is batch-boundary-invariant (bins arriving across many
+    * microbatches land on the same ledger as one drain).
+    */
+  private[graft] def shardLedgerStream(s: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int]): DataFrame = {
+    import graft.queries.PipelineQueries
+    // Ensure the staged bins are committed before streaming them.
+    PipelineQueries.stagedPackedBins(s, dir)
+    val path = s"${PipelineQueries.stagedPackedBinsStage(s, dir)}/bins"
+    val schema = StructType(Seq(
+      StructField("shard_id", LongType),
+      StructField("pack_bucket", LongType),
+      StructField("bin_in_bucket", LongType),
+      StructField("bin_docs", LongType),
+      StructField("bin_tokens", LongType)))
+    val rd = s.readStream.schema(schema)
+    val bins = maxFilesPerTrigger.fold(rd)(n =>
+      rd.option("maxFilesPerTrigger", n)).parquet(path)
+    val agg = bins.groupBy(col("shard_id"))
+      .agg(sum(col("bin_docs")).cast("long").as("n_docs"),
+        count(lit(1)).cast("long").as("n_bins"),
+        sum(col("bin_tokens")).cast("long").as("n_tokens"),
+        max(col("bin_tokens")).cast("long").as("max_bin_tokens"))
+    drain(s, agg, "shardledger_") { t =>
+      t.select(col("shard_id"), col("n_docs"), col("n_bins"),
+          col("n_tokens"), col("max_bin_tokens"))
+        .orderBy(col("shard_id"))
+    }
+  }
 }

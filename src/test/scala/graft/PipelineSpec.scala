@@ -1460,6 +1460,27 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q97 streaming shard ledger: batch-boundary-invariant, equals q93") {
+    import graft.streaming.StreamingJobs
+    // The export family's streaming column: folding arriving packed
+    // bins must land on exactly the batch exporter's ledger…
+    val batch = SparkEntry.queries("q93_shard_export")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val streamed = SparkEntry.queries("q97_stream_shard_ledger")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch, "streamed ledger drifted from q93")
+    // …and be invariant to how the bins are batched: one file per
+    // microbatch exercises the cross-batch additive fold (sum/count/
+    // max compose across triggers), same 8-row result.
+    val perFile = StreamingJobs.shardLedgerStream(spark, sf,
+        maxFilesPerTrigger = Some(1))
+      .collect().map(_.toSeq).toSeq
+    assert(perFile == batch,
+      "per-file microbatching changed the folded ledger")
+    // Bounded state: the ledger aggregate keys on shard_id only.
+    assert(batch.size == 8)
+  }
+
   test("q80 stream-static probe: arrivals in batches match the restricted q15; join is stateless") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
