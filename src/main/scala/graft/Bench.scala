@@ -44,6 +44,8 @@ object Bench {
     "q79c_substring_scrub", "q25b_ann_ivf_append",
     "q80_stream_corpus_probe", "q81_ann_pq", "q82_ann_ivfpq",
     "q82b_ann_ivfpq_residual", "q83_stream_ann_gate",
+    "q95b_corpus_build_incr", "q96_token_budget_select",
+    "q97_stream_shard_ledger",
     "near_scale_receipts")
 
   /** The driver-contract headline line — factored out of main so the
