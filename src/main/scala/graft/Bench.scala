@@ -481,10 +481,21 @@ object Bench {
         val attempt = first match {
           case Some((_, c1)) if calibPre > 0 &&
               c1 > calibPre * Bench.CalibReforkRatio =>
-            reforked += n
             forkQBench(n) match {
-              case Some(r2) if r2._2 < c1 => Some(r2)
-              case _ => first
+              case Some(r2) if r2._2 < c1 =>
+                reforked += n; Some(r2)
+              case Some(_) =>
+                // Retry ran but in a worse window — keep the first.
+                reforked += n; first
+              case None =>
+                // A crashed retry must be LOUD and must NOT land in
+                // isolated_reforked (that would claim the protocol
+                // completed and the better attempt won): the shipped
+                // number is the degraded FIRST attempt, and its high
+                // calib in isolated_calib is the honest record.
+                failLine("isolated_refork", n,
+                  new RuntimeException("re-fork produced no result"))
+                first
             }
           case other => other
         }

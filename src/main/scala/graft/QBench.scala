@@ -54,21 +54,27 @@ object QBench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    exec() // warmup
-    val times = (1 to reps).map(_ => exec()).sorted
     // Per-child AMBIENT CALIBRATION (r19 verdict #1 — the instrument's
     // last blind spot): the same fixed-cost CPU probe Bench runs
-    // pre-sweep and post-isolated, measured INSIDE this child after
-    // its timed reps. The parent compares it to its own pre-sweep
-    // calib — a child whose calib is far above the parent's ran in a
-    // degraded ambient window, and its `min` must not be read as a
-    // plan regression (the r19 q65b/q76b/q53 isolated tail).
+    // pre-sweep and post-isolated, measured INSIDE this child. The
+    // normalization point (`calib`) runs BEFORE the entry's reps so it
+    // reads the BOX, not the entry: probing after the reps would fold
+    // entry-induced JVM state (retained heap, GC pressure, native
+    // memory) into the ambient number, and README § Bench's
+    // divide-by-calib discipline would then adjudicate a real memory
+    // regression away as a degraded window. The post-reps probe is
+    // ALSO reported (`calib_post`): the post/pre gap is itself a
+    // diagnostic — large gap = the entry left the JVM measurably
+    // slower, worth a look regardless of its timing.
     val calib = Bench.calibProbe(spark, cpus.toInt)
+    exec() // warmup
+    val times = (1 to reps).map(_ => exec()).sorted
+    val calibPost = Bench.calibProbe(spark, cpus.toInt)
     // Locale.ROOT: a comma-decimal default locale would corrupt the
     // JSON that Bench's forked-isolation parent parses.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    println(s"""{"query":"$name","min":${fmt(times.head)},"median":${fmt(times(times.length / 2))},"reps":$reps,"calib":${fmt(calib)}}""")
+    println(s"""{"query":"$name","min":${fmt(times.head)},"median":${fmt(times(times.length / 2))},"reps":$reps,"calib":${fmt(calib)},"calib_post":${fmt(calibPost)}}""")
     spark.stop()
   }
 }

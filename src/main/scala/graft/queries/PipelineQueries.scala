@@ -3818,19 +3818,48 @@ object PipelineQueries {
     * this core directly.
     */
   private[graft] def q93ShardExportCore(s: SparkSession, dir: String,
-      nShards: Int, binTokens: Int): DataFrame = {
-    val packed = q90bShardAssign(s, dir, nShards, binTokens)
-    val bins = packed
+      nShards: Int, binTokens: Int): DataFrame =
+    ledgerOf(binsFrame(q90bShardAssign(s, dir, nShards, binTokens)))
+
+  /** The shared shard-assignment step over a sized frame (doc_id,
+    * n_tokens, pack_bucket, …): q90b's per-bucket running-token
+    * window — the family's ONE corpus-sized exchange — then the
+    * integer bin and the map-only shard id. Shared by q95/q95b's
+    * build tails; q93/q97 take the equivalent [[q90bShardAssign]]
+    * (which also carries offset_in_bin). One definition, so the
+    * incremental-equals-rebuild and batch-equals-streamed hash gates
+    * hold by construction, not by replicated text.
+    */
+  private[graft] def assignShards(sized: DataFrame, nShards: Int,
+      binTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("pack_bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sized
+      .withColumn("cum_end", sum(col("n_tokens")).over(w))
+      .withColumn("bin_in_bucket",
+        expr(s"(cum_end - n_tokens) div $binTokens"))
+      .withColumn("shard_id",
+        (col("pack_bucket") + col("bin_in_bucket")) % nShards)
+  }
+
+  /** Bin-level rollup of a shard-assigned frame — one row per
+    * completed bin (the unit q97 streams). */
+  private[graft] def binsFrame(assigned: DataFrame): DataFrame =
+    assigned
       .groupBy(col("shard_id"), col("pack_bucket"), col("bin_in_bucket"))
       .agg(count(lit(1)).cast("long").as("bin_docs"),
-        sum(col("n_tokens")).as("bin_tokens"))
+        sum(col("n_tokens")).cast("long").as("bin_tokens"))
+
+  /** The per-shard training ledger over a bins frame — every column
+    * an associative, retraction-free fold. */
+  private[graft] def ledgerOf(bins: DataFrame): DataFrame =
     bins.groupBy(col("shard_id"))
       .agg(sum(col("bin_docs")).cast("long").as("n_docs"),
         count(lit(1)).cast("long").as("n_bins"),
         sum(col("bin_tokens")).cast("long").as("n_tokens"),
         max(col("bin_tokens")).cast("long").as("max_bin_tokens"))
       .orderBy(col("shard_id"))
-  }
 
   /** q93's shard-assignment frame: q90b's packing plus the map-only
     * shard id — split out so the spec can drive the actual
@@ -3851,10 +3880,7 @@ object PipelineQueries {
     */
   private[graft] def stagedPackedBins(s: SparkSession, dir: String): DataFrame =
     writeOnceStage(s, stagedPackedBinsStage(s, dir), "bins",
-      q90bShardAssign(s, dir)
-        .groupBy(col("shard_id"), col("pack_bucket"), col("bin_in_bucket"))
-        .agg(count(lit(1)).cast("long").as("bin_docs"),
-          sum(col("n_tokens")).cast("long").as("bin_tokens")))
+      binsFrame(q90bShardAssign(s, dir)))
 
   /** The staged bins' on-disk location (for the streaming reader):
     * `<stage>/bins` once [[stagedPackedBins]] has committed.
@@ -3892,10 +3918,7 @@ object PipelineQueries {
     // round(score·1e4) recovers k identically on both engines.
     val d = sc.join(toks, "doc_id")
       .withColumn("s4", round(col("quality_score") * 10000, 0).cast("long"))
-    // max_doc_id rides along for free: it seeds the secondary
-    // histogram's sub-bucket width in the boundary refinement.
-    val budget = toks.agg(expr("sum(n_tokens) div 4").as("budget"),
-      max(col("doc_id")).as("max_doc_id"))
+    val budget = toks.agg(expr("sum(n_tokens) div 4").as("budget"))
     // ≤10001 rows: the unpartitioned window is bounded by the score
     // grid, not the corpus.
     val wcum = Window.orderBy(col("s4").desc)
@@ -3907,14 +3930,14 @@ object PipelineQueries {
     val boundary = cum.filter(col("cum") > col("budget"))
       .orderBy(col("s4").desc).limit(1)
       .select(col("s4"), (col("budget") - (col("cum") - col("bt")))
-        .as("rem"), col("max_doc_id"))
+        .as("rem"))
     val above = d.join(broadcast(fullBuckets), "s4")
       .select(col("doc_id"), col("quality_score"), col("n_tokens"),
         lit("above_cutoff").as("tier"))
     val bSel = boundedBoundaryRefine(
       d.join(broadcast(boundary), "s4")
         .select(col("doc_id"), col("quality_score"), col("n_tokens"),
-          col("rem"), col("max_doc_id")))
+          col("rem")))
     above.unionByName(bSel).orderBy(col("doc_id"))
   }
 
@@ -3924,50 +3947,90 @@ object PipelineQueries {
     * window (r19 verdict #3: a constant-score corpus lands EVERY doc
     * in the one boundary bucket, degenerating a per-bucket window
     * into exactly the corpus-wide sort q96 exists to avoid). Same
-    * trick one level down: sub-bucket the bucket by doc_id RANGE
-    * (`doc_id div W`, W sized from max_doc_id so there are ≤10001
-    * sub-buckets — range, not hash: the refinement order is doc_id,
-    * and div-ranges are monotone in it), histogram token sums per
-    * sub-bucket, take full sub-buckets wholesale under a ≤10001-row
-    * cumulative sum, and run the row-wise window over the ONE
-    * boundary sub-bucket — whose row count is ~corpus/10000 even in
-    * the adversarial case. Selected set is row-identical to the
-    * single-window prefix (monotone sub-bucketing preserves the
-    * global running sum decomposition), so the DuckDB oracle's plain
-    * windowed replay still gates it.
+    * trick one level down, RECURSIVELY: sub-bucket the rows by doc_id
+    * RANGE over the frame's OWN [min, max] span (`(doc_id - lo) div
+    * W`, W = ceil(span/10000) — the frame's span, NOT the corpus max:
+    * a sparse or shard-prefixed id space would otherwise collapse
+    * every row into sub 0 and resurrect the degeneration; range, not
+    * hash, because the refinement order is doc_id and div-ranges are
+    * monotone in it), histogram token sums per sub-bucket, take full
+    * sub-buckets wholesale under a ≤10001-row cumulative sum, and
+    * recurse on the ONE boundary sub-bucket with the residual budget.
     *
-    * `bd`: (doc_id, quality_score, n_tokens, rem, max_doc_id) — rem
-    * and max_doc_id constant across rows. Input is materialized once
-    * (localCheckpoint): three consumers, and in the adversarial case
-    * recomputing it would triple the dominant scan.
+    * The recursion is ROW-COUNT-GATED, not always-on: each level
+    * materializes its frame (localCheckpoint — needed anyway, three
+    * consumers) and counts it (an action on the materialized blocks,
+    * not a recompute). At or below [[RefineWindowMaxRows]] rows the
+    * level finishes with ONE ordered window over that frame — bounded
+    * by the just-checked count, so the common case (a boundary bucket
+    * of at most a few thousand docs) pays one checkpoint + one small
+    * window and nothing else. Only a larger frame engages the
+    * histogram level and recurses on its boundary slice. Each level
+    * divides the id SPAN by 10⁴ regardless of how rows cluster inside
+    * it, so the slice reaches W = 1 (one doc per sub-range, trivially
+    * under the row gate) within [[RefineLevels]] = 6 levels for any
+    * 64-bit id space — a hard bound with no deployment hand-wave, at
+    * a cost that only the adversarial distribution pays. Selected set
+    * is row-identical to the single-window prefix at every level
+    * (monotone sub-bucketing preserves the global running-sum
+    * decomposition), so the DuckDB oracle's plain windowed replay
+    * still gates it.
+    *
+    * `bd`: (doc_id, quality_score, n_tokens, rem) — rem constant
+    * across rows.
     */
-  private[graft] def boundedBoundaryRefine(bdIn: DataFrame): DataFrame = {
+  private[graft] def boundedBoundaryRefine(bdIn: DataFrame): DataFrame =
+    refineLevel(bdIn, RefineLevels)
+
+  /** Row bound for the direct-window base case — also the sub-bucket
+    * histogram width (so each level's histogram stays ≤10001 rows).
+    */
+  private[graft] val RefineWindowMaxRows = 10000L
+
+  /** Depth backstop: span/10^(4k) hits W = 1 within 6 levels for any
+    * 64-bit id space; the row gate exits earlier in practice.
+    */
+  private[graft] val RefineLevels = 6
+
+  private def refineLevel(bdIn: DataFrame, depth: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bd = bdIn
-      // W = ceil((max_doc_id + 1) / 10000) so sub ∈ [0, 10000].
-      .withColumn("sub", expr(
-        "doc_id div greatest(1L, (max_doc_id + 10000) div 10000)"))
+    val bd0 = bdIn
+      .select(col("doc_id"), col("quality_score"), col("n_tokens"),
+        col("rem"))
       .localCheckpoint(true)
-    val subHist = bd.groupBy(col("sub"), col("rem"))
-      .agg(sum(col("n_tokens")).as("sbt"))
-      .withColumn("scum", sum(col("sbt")).over(Window.orderBy(col("sub"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val fullSubs = subHist.filter(col("scum") <= col("rem")).select("sub")
-    val bndSub = subHist.filter(col("scum") > col("rem"))
-      .orderBy(col("sub")).limit(1)
-      .select(col("sub"), (col("rem") - (col("scum") - col("sbt")))
-        .as("rem2"))
-    val wholesale = bd.join(broadcast(fullSubs), "sub")
-      .select(col("doc_id"), col("quality_score"), col("n_tokens"),
-        lit("boundary").as("tier"))
-    val wrun = Window.partitionBy(col("sub")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val refined = bd.join(broadcast(bndSub), "sub")
-      .withColumn("run", sum(col("n_tokens")).over(wrun))
-      .filter(col("run") <= col("rem2"))
-      .select(col("doc_id"), col("quality_score"), col("n_tokens"),
-        lit("boundary").as("tier"))
-    wholesale.unionByName(refined)
+    if (bd0.count() <= RefineWindowMaxRows || depth <= 0) {
+      // Direct window — bounded by the count just checked (or by the
+      // depth backstop, where W = 1 has left ≤1 row per sub-range).
+      val wrun = Window.orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bd0.withColumn("run", sum(col("n_tokens")).over(wrun))
+        .filter(col("run") <= col("rem"))
+        .select(col("doc_id"), col("quality_score"), col("n_tokens"),
+          lit("boundary").as("tier"))
+    } else {
+      val bounds = bd0.agg(min(col("doc_id")).as("lo"),
+        max(col("doc_id")).as("hi"))
+      // W = ceil((hi - lo + 1) / 10000) so sub ∈ [0, 10000].
+      val bd = bd0.crossJoin(broadcast(bounds))
+        .withColumn("sub", expr(
+          "(doc_id - lo) div greatest(1L, (hi - lo + 10000) div 10000)"))
+      val subHist = bd.groupBy(col("sub"), col("rem"))
+        .agg(sum(col("n_tokens")).as("sbt"))
+        .withColumn("scum", sum(col("sbt")).over(Window.orderBy(col("sub"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val fullSubs = subHist.filter(col("scum") <= col("rem")).select("sub")
+      val bndSub = subHist.filter(col("scum") > col("rem"))
+        .orderBy(col("sub")).limit(1)
+        .select(col("sub"), (col("rem") - (col("scum") - col("sbt")))
+          .as("rem2"))
+      val wholesale = bd.join(broadcast(fullSubs), "sub")
+        .select(col("doc_id"), col("quality_score"), col("n_tokens"),
+          lit("boundary").as("tier"))
+      val slice = bd.join(broadcast(bndSub), "sub")
+        .select(col("doc_id"), col("quality_score"), col("n_tokens"),
+          col("rem2").as("rem"))
+      wholesale.unionByName(refineLevel(slice, depth - 1))
+    }
   }
 
   /** q95 — the END-TO-END CORPUS BUILD: the one call a corpus owner
@@ -4005,7 +4068,6 @@ object PipelineQueries {
     */
   private[graft] def q95CorpusBuildCore(s: SparkSession, dir: String,
       nShards: Int, binTokens: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     def h32(c: org.apache.spark.sql.Column) =
       conv(substring(md5(c), 1, 8), 16, 10).cast("long")
     val keptTrain = stagedDisposition(s, dir)
@@ -4013,12 +4075,7 @@ object PipelineQueries {
     val pool = Tables.documents(s, dir).join(keptTrain, "doc_id")
     val counts = pool.groupBy(col("source"))
       .agg(count(lit(1)).cast("long").as("n_docs"))
-    val nMin = counts.agg(min(col("n_docs")).as("n_min"))
-    val rates = counts.crossJoin(broadcast(nMin))
-      .select(col("source"),
-        round(lit(1000000.0) * (sqrt(col("n_min").cast("double")) /
-          sqrt(col("n_docs").cast("double"))), 0).cast("long")
-          .as("rate_micro"))
+    val rates = temperatureRates(counts)
     val sampled = pool
       .withColumn("u6",
         h32(concat(lit("tsamp:"), col("doc_id").cast("string"))) % 1000000L)
@@ -4036,24 +4093,21 @@ object PipelineQueries {
         .cast("long").as("n_tokens"),
       (h32(concat(lit("pack:"), col("doc_id").cast("string"))) % buckets)
         .as("pack_bucket"))
-    val w = Window.partitionBy(col("pack_bucket")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val packed = sized
-      .withColumn("cum_end", sum(col("n_tokens")).over(w))
-      .withColumn("bin_in_bucket",
-        expr(s"(cum_end - n_tokens) div $binTokens"))
-      .withColumn("shard_id",
-        (col("pack_bucket") + col("bin_in_bucket")) % nShards)
-    val bins = packed
-      .groupBy(col("shard_id"), col("pack_bucket"), col("bin_in_bucket"))
-      .agg(count(lit(1)).cast("long").as("bin_docs"),
-        sum(col("n_tokens")).as("bin_tokens"))
-    bins.groupBy(col("shard_id"))
-      .agg(sum(col("bin_docs")).cast("long").as("n_docs"),
-        count(lit(1)).cast("long").as("n_bins"),
-        sum(col("bin_tokens")).cast("long").as("n_tokens"),
-        max(col("bin_tokens")).cast("long").as("max_bin_tokens"))
-      .orderBy(col("shard_id"))
+    ledgerOf(binsFrame(assignShards(sized, nShards, binTokens)))
+  }
+
+  /** q94's rate law over a (source, n_docs) frame — shared by
+    * q94/q95/q95b so all three derive the identical broadcast table:
+    * rate_micro = round(1e6·sqrt(n_min)/sqrt(n_s)) in
+    * correctly-rounded IEEE ops.
+    */
+  private[graft] def temperatureRates(counts: DataFrame): DataFrame = {
+    val nMin = counts.agg(min(col("n_docs")).as("n_min"))
+    counts.crossJoin(broadcast(nMin))
+      .select(col("source"),
+        round(lit(1000000.0) * (sqrt(col("n_min").cast("double")) /
+          sqrt(col("n_docs").cast("double"))), 0).cast("long")
+          .as("rate_micro"))
   }
 
   /** The compact per-doc metadata frame q95b's incremental build
@@ -4078,24 +4132,32 @@ object PipelineQueries {
       s"$stageRoot/q95bsized_${stageTag(s, dir, "documents.parquet",
         "q95bsized-v1")}",
       "sized", {
-        def h32(c: org.apache.spark.sql.Column) =
-          conv(substring(md5(c), 1, 8), 16, 10).cast("long")
-        val vocab = subwordVocabList(s, dir)
-        val buckets = packBuckets(rawDocsRowCount(s, dir))
         val keptBase = stagedDisposition(s, dir)
           .filter(col("keep") && col("split") === "train" &&
             col("doc_id") % 10 =!= 0)
           .select("doc_id")
-        Tables.documents(s, dir).join(keptBase, "doc_id")
-          .select(col("doc_id"), col("source"),
-            coalesce(size(graft.expressions.Subword
-              .subwordTokenize(s, TF.words(col("text")), vocab)), lit(0))
-              .cast("long").as("n_tokens"),
-            (h32(concat(lit("tsamp:"), col("doc_id").cast("string")))
-              % 1000000L).as("u6"),
-            (h32(concat(lit("pack:"), col("doc_id").cast("string")))
-              % buckets).as("pack_bucket"))
+        sizedMetaOf(s, dir, Tables.documents(s, dir).join(keptBase, "doc_id"))
       })
+
+  /** The compact metadata projection shared by q95b's staged base and
+    * its arrivals delta — one definition, so the two halves of the
+    * union can never disagree on a hash or the token count.
+    */
+  private def sizedMetaOf(s: SparkSession, dir: String,
+      docs: DataFrame): DataFrame = {
+    def h32(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    val vocab = subwordVocabList(s, dir)
+    val buckets = packBuckets(rawDocsRowCount(s, dir))
+    docs.select(col("doc_id"), col("source"),
+      coalesce(size(graft.expressions.Subword
+        .subwordTokenize(s, TF.words(col("text")), vocab)), lit(0))
+        .cast("long").as("n_tokens"),
+      (h32(concat(lit("tsamp:"), col("doc_id").cast("string")))
+        % 1000000L).as("u6"),
+      (h32(concat(lit("pack:"), col("doc_id").cast("string")))
+        % buckets).as("pack_bucket"))
+  }
 
   /** The staged pool's per-source doc counts — q89's additive
     * sufficient-statistic discipline applied to q94's rate inputs:
@@ -4138,13 +4200,7 @@ object PipelineQueries {
     * equals recompute) is hash-checked end to end.
     */
   def q95bCorpusBuildIncr(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val nShards = 8; val binTokens = 512
-    def h32(c: org.apache.spark.sql.Column) =
-      conv(substring(md5(c), 1, 8), 16, 10).cast("long")
     val base = stagedTrainSizedBase(s, dir)
-    val vocab = subwordVocabList(s, dir)
-    val buckets = packBuckets(rawDocsRowCount(s, dir))
     // The arrival slice filter sits directly on the scan (the
     // fixture's stand-in for reading only the arrival files), THEN
     // the staged-verdict gate joins on the already-filtered slice.
@@ -4152,17 +4208,9 @@ object PipelineQueries {
       .filter(col("keep") && col("split") === "train" &&
         col("doc_id") % 10 === 0)
       .select("doc_id")
-    val delta = Tables.documents(s, dir)
+    val delta = sizedMetaOf(s, dir, Tables.documents(s, dir)
       .filter(col("doc_id") % 10 === 0)
-      .join(arrKept, "doc_id")
-      .select(col("doc_id"), col("source"),
-        coalesce(size(graft.expressions.Subword
-          .subwordTokenize(s, TF.words(col("text")), vocab)), lit(0))
-          .cast("long").as("n_tokens"),
-        (h32(concat(lit("tsamp:"), col("doc_id").cast("string")))
-          % 1000000L).as("u6"),
-        (h32(concat(lit("pack:"), col("doc_id").cast("string")))
-          % buckets).as("pack_bucket"))
+      .join(arrKept, "doc_id"))
     // Merged rates: staged base stats + the delta's own counts.
     // Column pruning keeps the stats branch's documents scan at
     // (doc_id, source) — the text column is read ONCE, in `delta`.
@@ -4171,33 +4219,10 @@ object PipelineQueries {
         .agg(count(lit(1)).cast("long").as("n_docs")))
       .groupBy(col("source"))
       .agg(sum(col("n_docs")).cast("long").as("n_docs"))
-    val nMin = counts.agg(min(col("n_docs")).as("n_min"))
-    val rates = counts.crossJoin(broadcast(nMin))
-      .select(col("source"),
-        round(lit(1000000.0) * (sqrt(col("n_min").cast("double")) /
-          sqrt(col("n_docs").cast("double"))), 0).cast("long")
-          .as("rate_micro"))
     val sampled = base.unionByName(delta)
-      .join(broadcast(rates), "source")
+      .join(broadcast(temperatureRates(counts)), "source")
       .filter(col("u6") < col("rate_micro"))
-    val w = Window.partitionBy(col("pack_bucket")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val packed = sampled
-      .withColumn("cum_end", sum(col("n_tokens")).over(w))
-      .withColumn("bin_in_bucket",
-        expr(s"(cum_end - n_tokens) div $binTokens"))
-      .withColumn("shard_id",
-        (col("pack_bucket") + col("bin_in_bucket")) % nShards)
-    val bins = packed
-      .groupBy(col("shard_id"), col("pack_bucket"), col("bin_in_bucket"))
-      .agg(count(lit(1)).cast("long").as("bin_docs"),
-        sum(col("n_tokens")).as("bin_tokens"))
-    bins.groupBy(col("shard_id"))
-      .agg(sum(col("bin_docs")).cast("long").as("n_docs"),
-        count(lit(1)).cast("long").as("n_bins"),
-        sum(col("bin_tokens")).cast("long").as("n_tokens"),
-        max(col("bin_tokens")).cast("long").as("max_bin_tokens"))
-      .orderBy(col("shard_id"))
+    ledgerOf(binsFrame(assignShards(sampled, nShards = 8, binTokens = 512)))
   }
 
   /** q94 — TEMPERATURE-BASED multinomial source sampling (Lample &
@@ -4229,12 +4254,7 @@ object PipelineQueries {
       conv(substring(md5(c), 1, 8), 16, 10).cast("long")
     val counts = d.groupBy(col("source"))
       .agg(count(lit(1)).cast("long").as("n_docs"))
-    val nMin = counts.agg(min(col("n_docs")).as("n_min"))
-    val rates = counts.crossJoin(broadcast(nMin))
-      .select(col("source"),
-        round(lit(1000000.0) * (sqrt(col("n_min").cast("double")) /
-          sqrt(col("n_docs").cast("double"))), 0).cast("long")
-          .as("rate_micro"))
+    val rates = temperatureRates(counts)
     val u = h32(concat(lit("tsamp:"), col("doc_id").cast("string")))
     d.select(col("doc_id"), col("source"), (u % 1000000L).as("u6"))
       .join(broadcast(rates), "source")

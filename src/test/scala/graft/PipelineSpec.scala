@@ -3052,6 +3052,16 @@ class PipelineSpec extends AnyFunSuite {
     val q90bTokens = SparkEntry.queries("q90b_token_packing")(spark, sf)
       .agg(sum(col("n_tokens"))).collect()(0).getLong(0)
     assert(ledger.map(_.getAs[Long]("n_tokens")).sum == q90bTokens)
+    // The shard knob is a pure re-deal of the same bins: totals are
+    // invariant across it (drives the parameterized core directly —
+    // the public entry point stays pinned to the oracle's 8).
+    val l4 = PipelineQueries.q93ShardExportCore(spark, sf,
+      nShards = 4, binTokens = 512).collect()
+    assert(l4.length == 4)
+    for (c <- Seq("n_docs", "n_bins", "n_tokens"))
+      assert(ledger.map(_.getAs[Long](c)).sum ==
+        l4.map(_.getAs[Long](c)).sum,
+        s"$c not conserved across the shard knob")
     // Balance: the documented bound — shard totals differ by at most
     // one bin per bucket, each bin at most the realized max bin size.
     val buckets = PipelineQueries.packBuckets(nDocs)
@@ -3138,8 +3148,7 @@ class PipelineSpec extends AnyFunSuite {
     val rem = 12345L
     val bd = spark.range(0, n).select(
       col("id").as("doc_id"), lit(0.5).as("quality_score"),
-      lit(1L).as("n_tokens"), lit(rem).as("rem"),
-      lit(n - 1).as("max_doc_id"))
+      lit(1L).as("n_tokens"), lit(rem).as("rem"))
     val sel = PipelineQueries.boundedBoundaryRefine(bd)
     val got = sel.collect()
     assert(got.forall(_.getAs[String]("tier") == "boundary"))
@@ -3147,19 +3156,22 @@ class PipelineSpec extends AnyFunSuite {
     // sum fits rem — identical to the plain single-window semantics.
     assert(got.map(_.getAs[Long]("doc_id")).sorted
       .sameElements(0L until rem), "not the doc_id-ordered prefix")
-    // The row-wise window is PARTITIONED (by the sub-bucket), never a
-    // single global partition over doc rows: no window in the plan
-    // orders by doc_id with an empty partition spec.
+    // Above the row gate the histogram level MUST engage: the plan
+    // carries the sub-bucket aggregate, and the only doc-ordered
+    // window left runs over the recursed boundary slice, whose row
+    // count the gate has bounded (<= RefineWindowMaxRows).
     val plan = sel.queryExecution.executedPlan.toString
-    assert(!"""\[\], \[doc_id#\d+L ASC""".r.findFirstIn(plan).isDefined,
-      "refinement ran an unpartitioned window over the doc rows")
-    assert("""\[sub#\d+L\], \[doc_id#\d+L ASC""".r
-      .findFirstIn(plan).isDefined,
-      "expected the doc-row window to partition by sub")
-    // Max rows per window partition is the sub width — ceil(n/10000)
-    // = 5 here — not the 50000-row bucket.
-    val w = math.max(1L, (n - 1 + 10000) / 10000)
-    assert(w == 5L)
+    assert(plan.contains("sub#"),
+      "50k-row constant-score frame skipped the histogram level")
+    // A frame at or under the gate takes the direct bounded window —
+    // no histogram machinery.
+    val small = spark.range(0, 100).select(
+      col("id").as("doc_id"), lit(0.5).as("quality_score"),
+      lit(1L).as("n_tokens"), lit(50L).as("rem"))
+    val smallPlan = PipelineQueries.boundedBoundaryRefine(small)
+      .queryExecution.executedPlan.toString
+    assert(!smallPlan.contains("sub#"),
+      "a 100-row frame should take the direct-window base case")
     // General equivalence (zeros included): random token counts vs a
     // driver-side brute prefix.
     val toks = (0L until 3000L).map(i => i -> (i * 2654435761L) % 7)
@@ -3170,11 +3182,24 @@ class PipelineSpec extends AnyFunSuite {
     import spark.implicits._
     val bd2 = toks.toDF("doc_id", "n_tokens")
       .select(col("doc_id"), lit(0.5).as("quality_score"),
-        col("n_tokens"), lit(rem2).as("rem"), lit(2999L).as("max_doc_id"))
+        col("n_tokens"), lit(rem2).as("rem"))
     val got2 = PipelineQueries.boundedBoundaryRefine(bd2)
       .collect().map(_.getAs[Long]("doc_id")).sorted
     assert(got2.sameElements(expect), "refinement drifted from the " +
       "single-window prefix semantics")
+    // Sparse / shard-prefixed id space (the r20 review case): ids
+    // clustered low with one far outlier. Width derives from the
+    // frame's own [min, max] span and recursion re-splits the hot
+    // slice, so the selection is still the exact id-ordered prefix.
+    val sparseIds = (0L until 2000L).map(_ + 5L) :+ 1000000000000L
+    val rem3 = 500L
+    val bd3 = sparseIds.toDF("doc_id")
+      .select(col("doc_id"), lit(0.5).as("quality_score"),
+        lit(1L).as("n_tokens"), lit(rem3).as("rem"))
+    val got3 = PipelineQueries.boundedBoundaryRefine(bd3)
+      .collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(got3.sameElements((0L until rem3).map(_ + 5L)),
+      "sparse-id space broke the prefix selection")
   }
 
   test("q95 corpus build: shard-knob conservation, determinism, no global sort") {
