@@ -1040,6 +1040,23 @@ object PipelineQueries {
     * the final assembly is doc_id-keyed left joins, broadcast-small on
     * everything but the corpus spine.
     */
+  /** Re-spread a tiny per-doc verdict frame across the default
+    * parallelism before checkpointing it. AQE coalesces the last
+    * exchange of these doc-count-sized frames to ONE partition, and a
+    * localCheckpoint freezes that: every later stage that PROBES the
+    * checkpoint (a broadcast join whose other side had better stats)
+    * inherits the single partition, so the expensive per-row work
+    * gated on the verdict — 5-gram shingling, signature computation —
+    * ran serially on one core (measured: the q53 contamination probe
+    * stage was 1 task × ~1.4 s at sf0.1; 32 tasks × ~0.1 s after).
+    * Same adaptivity rationale as [[Tables.balanced]], applied to the
+    * one layout AQE coalescing actively de-parallelizes; the exchange
+    * this adds moves doc_id+flag rows only (never corpus bytes).
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism,
+      col("doc_id"))
+
   def q53CorpusRecipe(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
     // Each stage verdict feeds both the next stage's gate and the
@@ -1047,18 +1064,18 @@ object PipelineQueries {
     // materializes every one ONCE (they are doc_id + a flag, tiny),
     // instead of re-running the q46 cascade / md5 scan per branch
     // (the q36/q38 multi-branch rationale).
-    val rules = q46FilterCascade(s, dir)
-      .select(col("doc_id"), col("keep").as("rules_keep"), col("reject_reason"))
+    val rules = spread(q46FilterCascade(s, dir)
+      .select(col("doc_id"), col("keep").as("rules_keep"), col("reject_reason")))
       .localCheckpoint(true)
     val surv1 = rules.filter(col("rules_keep")).select("doc_id")
     // Exact dedup in ONE shuffle: min-id-per-hash is a window over the
     // text hash, not a groupBy + re-join (which shuffles the same rows
     // twice and adds a join). Same keep set, half the data movement.
-    val exact = d.select(col("doc_id"), md5(col("text")).as("th"))
+    val exact = spread(d.select(col("doc_id"), md5(col("text")).as("th"))
       .join(surv1, "doc_id")
       .withColumn("exact_canon", min("doc_id").over(
         org.apache.spark.sql.expressions.Window.partitionBy("th")))
-      .select(col("doc_id"), (col("doc_id") === col("exact_canon")).as("exact_keep"))
+      .select(col("doc_id"), (col("doc_id") === col("exact_canon")).as("exact_keep")))
       .localCheckpoint(true)
     val surv2 = exact.filter(col("exact_keep")).select("doc_id")
     // Gate the LSH stage's INPUT, not its pairs: minhash signatures +
@@ -1073,10 +1090,10 @@ object PipelineQueries {
       "doc_id", "text", k = 16, bands = 4, shingleN = 3, threshold = 0.8)
     val clusters = Dedup.dupClusters(pairs, "doc_a", "doc_b")
       .withColumnRenamed("vec_id", "doc_id")
-    val near = surv2.join(clusters, Seq("doc_id"), "left")
+    val near = spread(surv2.join(clusters, Seq("doc_id"), "left")
       .select(col("doc_id"),
         (coalesce(col("cluster_id"), col("doc_id")) === col("doc_id"))
-          .as("near_keep"))
+          .as("near_keep")))
       .localCheckpoint(true)
     val surv3 = near.filter(col("near_keep")).select("doc_id")
     val bucket = splitBucket
