@@ -139,10 +139,56 @@ object Dedup {
     * diameter, which for near-dup clusters (small, dense components)
     * is tiny. No driver-side graph, no cross join.
     */
+  /** Pair-count gate below which [[dupClusters]] solves the components
+    * on the driver instead of looping distributed shuffle rounds. A
+    * round of min-label propagation is 3 pair-sized joins + an
+    * aggregate — fixed scheduling cost that dwarfs the work when the
+    * pair graph is small (the common case: dup PAIRS are orders of
+    * magnitude fewer than corpus rows). At the limit the collect is
+    * ~1M pairs × 16 B ≈ 16 MB of rows (≲100 MB as a driver map) —
+    * the same bounded-driver budget as an allowed broadcast; above
+    * it the distributed loop runs exactly as before, so the operator
+    * stays scale-safe for adversarial pair graphs.
+    */
+  private[graft] val LocalEdgeLimit: Long = 1L << 20
+
   def dupClusters(pairs: DataFrame, aCol: String = "vec_id_a",
-      bCol: String = "vec_id_b", maxIter: Int = 50): DataFrame = {
-    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      bCol: String = "vec_id_b", maxIter: Int = 50,
+      localEdgeLimit: Long = LocalEdgeLimit): DataFrame = {
+    // Materialize the (expensive — LSH/SimHash candidate pipelines)
+    // pair frame ONCE; both the size gate and either solver read the
+    // checkpoint, never the upstream pipeline twice.
+    val raw = pairs.select(col(aCol).cast("long").as("u"),
+      col(bCol).cast("long").as("v")).localCheckpoint(true)
+    if (raw.count() <= localEdgeLimit) {
+      // Driver union-find (union by min root + iterative path
+      // compression): canonical = min id of the component — the same
+      // fixpoint the propagation loop converges to, computed in one
+      // pass over a BOUNDED pair set with zero shuffle rounds.
+      val parent = new scala.collection.mutable.LongMap[Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.getOrElse(x, x) != x) x = parent.getOrElse(x, x)
+        var c = x0 // compress the chased path
+        while (parent.getOrElse(c, c) != c) {
+          val nxt = parent.getOrElse(c, c); parent(c) = x; c = nxt
+        }
+        x
+      }
+      raw.collect().foreach { r =>
+        val (u, v) = (r.getLong(0), r.getLong(1))
+        parent.getOrElseUpdate(u, u); parent.getOrElseUpdate(v, v)
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+      }
+      val labels = parent.keys.toArray.sorted.map(k => (k, find(k)))
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return labels.toSeq.toDF("vec_id", "cluster_id")
+        .orderBy(col("vec_id"))
+    }
+    val edges = raw
+      .unionByName(raw.select(col("v").as("u"), col("u").as("v")))
       .distinct().localCheckpoint(true)
     // Init FUSED with the first propagation round: every node's
     // round-1 label is min(self, min neighbour), which the symmetric

@@ -2421,10 +2421,20 @@ class PipelineSpec extends AnyFunSuite {
         .filter(p => p._1 != p._2))
     cases.zipWithIndex.foreach { case (edges, i) =>
       val df = edges.toDF("doc_a", "doc_b")
-      val got = graft.functions.Dedup.dupClusters(df, "doc_a", "doc_b")
+      // localEdgeLimit = 0 forces the DISTRIBUTED propagation loop —
+      // the size gate would otherwise route these small graphs to the
+      // driver union-find and the loop's convergence logic would go
+      // untested.
+      val got = graft.functions.Dedup
+        .dupClusters(df, "doc_a", "doc_b", localEdgeLimit = 0L)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val want = unionFind(edges)
       assert(got == want, s"case $i: ${got.size} labels vs ${want.size}")
+      // The gated DRIVER path (default limit) must agree exactly —
+      // the two solvers are interchangeable below the gate.
+      val gotLocal = graft.functions.Dedup.dupClusters(df, "doc_a", "doc_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotLocal == want, s"case $i local: ${gotLocal.size} labels")
     }
   }
 
@@ -2443,7 +2453,8 @@ class PipelineSpec extends AnyFunSuite {
     val edges = (n - 1 to 1L by -1L).map(i => (i, i - 1))
       .toDF("doc_a", "doc_b")
     val labels = graft.functions.Dedup
-      .dupClusters(edges, "doc_a", "doc_b", maxIter = 20)
+      .dupClusters(edges, "doc_a", "doc_b", maxIter = 20,
+        localEdgeLimit = 0L) // force the distributed loop under test
       .collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(labels.length == n)
     val bad = labels.filter(_._2 != 0L)
