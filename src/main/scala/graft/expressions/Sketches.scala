@@ -25,6 +25,18 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object Sketches {
 
+  /** Per-thread MD5 instance: `MessageDigest.getInstance` does a
+    * provider lookup + allocation, and the sketch expressions were
+    * paying it once per ROW (the digest itself is reused across the
+    * row's per-shingle loop, so the per-row constructor was pure
+    * overhead). Expression instances can be shared across local-mode
+    * task threads, so the cache is a ThreadLocal, not a field.
+    */
+  private[expressions] val md5Local:
+      ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
   private[expressions] def requireStringArray(e: Expression, fn: String): TypeCheckResult =
     e.dataType match {
       case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -52,7 +64,7 @@ object Sketches {
     override def dataType: DataType = LongType
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
-      val md = java.security.MessageDigest.getInstance("MD5")
+      val md = md5Local.get()
       val counts = new Array[Int](32)
       val n = arr.numElements()
       var i = 0
@@ -88,7 +100,7 @@ object Sketches {
     override def dataType: DataType = ArrayType(LongType, containsNull = true)
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
-      val md = java.security.MessageDigest.getInstance("MD5")
+      val md = md5Local.get()
       val k = as.length
       val mins = Array.fill(k)(Long.MaxValue)
       val n = arr.numElements()
@@ -127,7 +139,7 @@ object Sketches {
     override def dataType: DataType = ArrayType(LongType, containsNull = true)
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
-      val md = java.security.MessageDigest.getInstance("MD5")
+      val md = md5Local.get()
       val k = as.length
       val nw = arr.numElements()
       val nShingles = nw - n + 1
@@ -233,7 +245,7 @@ object Sketches {
     }
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
-      val md = java.security.MessageDigest.getInstance("MD5")
+      val md = md5Local.get()
       val nw = arr.numElements()
       val nSh = nw - n + 1
       if (nSh <= 0)
