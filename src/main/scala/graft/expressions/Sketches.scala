@@ -173,6 +173,61 @@ object Sketches {
     override protected def withNewChildInternal(c: Expression): MinHashShingles = copy(c)
   }
 
+  /** graft_shingle_set(words[, n]): the distinct n-word shingles of a
+    * words array, first-occurrence order — bit-identical to the HOF
+    * form `array_distinct(transform(sequence(1, size(w)-n+1), i =>
+    * concat_ws(' ', slice(w, i, n))))` with its `when(size(w) >= n)`
+    * empty-array fallback, but ONE tight loop per row instead of a
+    * per-shingle interpreted lambda + slice/concat_ws allocations
+    * (the most expensive map expression of q36/q38/q53's shingle
+    * stages). Parity notes: a NULL words array yields the EMPTY array
+    * (the HOF's `when(null) ... otherwise(array())`), and null word
+    * elements are skipped concat_ws-style (separator only between
+    * written pieces).
+    */
+  case class ShingleSet(child: Expression, n: Int) extends UnaryExpression
+      with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireStringArray(child, "graft_shingle_set")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = false
+    override def eval(
+        input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val v = child.eval(input)
+      if (v == null) new GenericArrayData(Array.empty[Any])
+      else evalNonNull(v)
+    }
+    private def evalNonNull(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val nw = arr.numElements()
+      val nSh = nw - n + 1
+      if (nSh <= 0) return new GenericArrayData(Array.empty[Any])
+      val words = new Array[UTF8String](nw)
+      var wi = 0
+      while (wi < nw) {
+        if (!arr.isNullAt(wi)) words(wi) = arr.getUTF8String(wi)
+        wi += 1
+      }
+      // UTF8String.concatWs IS the codegen'd concat_ws kernel (skips
+      // nulls, separator between written pieces) — byte-level, no
+      // String round-trips.
+      val sep = UTF8String.fromString(" ")
+      val out = new java.util.LinkedHashSet[UTF8String]()
+      val slice = new Array[UTF8String](n)
+      var i = 0
+      while (i < nSh) {
+        var t = 0
+        while (t < n) { slice(t) = words(i + t); t += 1 }
+        out.add(UTF8String.concatWs(sep, slice: _*))
+        i += 1
+      }
+      new GenericArrayData(out.toArray(new Array[UTF8String](out.size()))
+        .asInstanceOf[Array[Any]])
+    }
+    override protected def withNewChildInternal(c: Expression): ShingleSet =
+      copy(child = c)
+  }
+
   /** shingle_jaccard(wordsA, wordsB): exact Jaccard similarity of the
     * two documents' DISTINCT n-gram shingle sets. Used on LSH candidate
     * pairs only — the quadratic work never touches the full corpus.
@@ -528,6 +583,10 @@ object Sketches {
         val (a, b) = take(k, "graft_minhash_shingles")
         MinHashShingles(exprs.head, n, a, b, graft.functions.Dedup.MinhashP)
       }, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_shingle_set",
+      exprs => ShingleSet(exprs.head,
+        if (exprs.length > 1) litInt(exprs(1), "graft_shingle_set") else 3),
+      "scala_udf")
     reg.createOrReplaceTempFunction("graft_shingle_jaccard",
       exprs => ShingleJaccard(exprs(0), exprs(1),
         if (exprs.length > 2) litInt(exprs(2), "graft_shingle_jaccard") else 3),
@@ -610,6 +669,15 @@ object Sketches {
     call_function("graft_minhash_shingles", words,
       org.apache.spark.sql.functions.lit(shingleN),
       org.apache.spark.sql.functions.lit(k))
+  }
+
+  /** Distinct n-word shingles of a words array (native twin of
+    * [[graft.functions.TextFunctions.shingleSet]]).
+    */
+  def shingleSet(spark: SparkSession, words: Column, n: Int): Column = {
+    register(spark)
+    call_function("graft_shingle_set", words,
+      org.apache.spark.sql.functions.lit(n))
   }
 
   /** Exact n-gram shingle-set Jaccard of two word arrays (default n=3). */

@@ -475,7 +475,9 @@ object PipelineQueries {
     // executor loss (routine at 100-TB fleet size — one lost block
     // kills the job); a persisted block is replayable from lineage
     // (r17 verdict #5, same treatment as q56/q84's gram streams).
-    val base = d.select(col("doc_id"), TF.shingleSet(col("text"), 5).as("sh"),
+    val base = d.select(col("doc_id"),
+      graft.expressions.Sketches.shingleSet(s, TF.words(col("text")), 5)
+        .as("sh"),
       bucket.as("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val trainSh = base.filter(col("bucket") < 90)
@@ -551,7 +553,9 @@ object PipelineQueries {
     // DISK_ONLY, not localCheckpoint: corpus-token-sized shared base —
     // replayable under executor loss, unlike localCheckpoint blocks
     // (r17 verdict #5, same treatment as q56/q84's gram streams).
-    val sets = d.select(col("doc_id"), TF.shingleSet(col("text"), 4).as("sh"))
+    val sets = d.select(col("doc_id"),
+      graft.expressions.Sketches.shingleSet(s, TF.words(col("text")), 4)
+        .as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("shh",
         array_distinct(transform(col("sh"), sh => TF.hash60(sh))))
@@ -1112,10 +1116,12 @@ object PipelineQueries {
     // collision (≈ n²/2^61 — a false 'contaminated' verdict) is seen
     // IDENTICALLY by both engines; the comparison stays exact.
     val testSh = d.filter(bucket >= 95)
-      .select(explode(TF.shingleSet(col("text"), 5)).as("sng"))
+      .select(explode(graft.expressions.Sketches.shingleSet(s,
+        TF.words(col("text")), 5)).as("sng"))
       .select(TF.hash60(col("sng")).as("sh")).distinct()
     val contaminated = d.join(surv3, "doc_id").filter(bucket < 90)
-      .select(col("doc_id"), explode(TF.shingleSet(col("text"), 5)).as("sng"))
+      .select(col("doc_id"), explode(graft.expressions.Sketches.shingleSet(s,
+        TF.words(col("text")), 5)).as("sng"))
       .select(col("doc_id"), TF.hash60(col("sng")).as("sh"))
       .join(testSh, Seq("sh"), "left_semi")
       .select("doc_id").distinct()
