@@ -69,7 +69,16 @@ object JobProfile {
     def runOnce(tag: String): Unit = {
       jobs.clear(); stageToJob.clear()
       val t0 = System.nanoTime()
-      Bench.withBenchConf(spark, name) {
+      // "ingest:<n>" profiles Bench's near-ingest body (not a registry
+      // entry): n synthetic blocks -> 17-table ETL, noop sink each.
+      if (name.startsWith("ingest:")) {
+        val nBlocks = name.stripPrefix("ingest:").toInt
+        val norm = graft.near.Ingest.blocksFromJson(spark,
+          graft.near.Fixtures.syntheticChain(nBlocks)).toDF()
+        graft.near.Ingest.allTables(norm.persist()).values.foreach(df =>
+          df.write.mode("overwrite").format("noop").save())
+        norm.unpersist()
+      } else Bench.withBenchConf(spark, name) {
         SparkEntry.queries(name)(spark, sfDir)
           .write.mode("overwrite").format("noop").save()
       }

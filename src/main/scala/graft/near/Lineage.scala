@@ -50,11 +50,71 @@ object Lineage {
       col("converted_into_receipt_id").as("child"),
       col("transaction_hash").as("tx"))
 
+  /** Edge-count gate below which [[resolveGraph]] runs the fixpoint on
+    * the driver: the graph is PER-BATCH (bounded by blocks per
+    * microbatch, never corpus-sized), and each distributed round costs
+    * two checkpoints + a join + an emptiness probe of fixed scheduling
+    * overhead that dwarfs the work on ordinary batches. At the limit
+    * the collect is ~1M short-string edges (tens of MB — an ordinary
+    * broadcast's budget); an adversarially large batch falls through
+    * to the distributed loop unchanged.
+    */
+  private[near] val LocalEdgeLimit: Long = 1L << 20
+
   /** Fixpoint propagation over an explicit (seeds, edges) graph.
     * Returns every reachable node: receipt ids AND data ids → tx.
     */
   def resolveGraph(seedMap: DataFrame, edgeSet: DataFrame,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50, localEdgeLimit: Long = LocalEdgeLimit): DataFrame = {
+    if (edgeSet.limit((localEdgeLimit + 1).toInt).count() <= localEdgeLimit) {
+      // Driver BFS, level-capped at maxIter exactly like the
+      // distributed rounds (a node deeper than maxIter stays
+      // unresolved on BOTH paths). Seed dedup is first-wins in collect
+      // order — the model guarantees one tx per child, so this matches
+      // dropDuplicates' any-wins on every input that can occur.
+      val spark = seedMap.sparkSession
+      val resolved = new java.util.LinkedHashMap[String, String]()
+      seedMap.select(col("child"), col("tx")).collect().foreach { r =>
+        if (!resolved.containsKey(r.getString(0)))
+          resolved.put(r.getString(0), r.getString(1))
+      }
+      // A null parent can never equi-join a resolved child (null
+      // never matches), so such edges are dead on both paths; a null
+      // CHILD rides through like any key, as it would in the join.
+      val children = new java.util.HashMap[String, java.util.ArrayList[String]]()
+      edgeSet.select(col("child"), col("parent")).collect().foreach { r =>
+        if (!r.isNullAt(1))
+          children.computeIfAbsent(r.getString(1),
+            _ => new java.util.ArrayList[String]()).add(r.getString(0))
+      }
+      var frontier: Seq[String] = {
+        import scala.jdk.CollectionConverters._
+        resolved.keySet().asScala.toSeq
+      }
+      var iter = 0
+      while (frontier.nonEmpty && iter < maxIter) {
+        val next = scala.collection.mutable.ArrayBuffer.empty[String]
+        frontier.foreach { p =>
+          val cs = children.get(p)
+          if (cs != null) {
+            val tx = resolved.get(p)
+            val it = cs.iterator()
+            while (it.hasNext) {
+              val c = it.next()
+              if (!resolved.containsKey(c)) { resolved.put(c, tx); next += c }
+            }
+          }
+        }
+        frontier = next.toSeq
+        iter += 1
+      }
+      import spark.implicits._
+      val rows = {
+        import scala.jdk.CollectionConverters._
+        resolved.entrySet().asScala.toSeq.map(e => (e.getKey, e.getValue))
+      }
+      return rows.toDF("child", "tx")
+    }
     var resolved = seedMap.dropDuplicates("child").localCheckpoint(true)
     var iter = 0
     var done = false

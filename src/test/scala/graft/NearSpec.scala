@@ -248,4 +248,45 @@ class NearSpec extends AnyFunSuite {
       s"expected a loud checkpoint-block failure, got: ${msgs.take(3)}")
     norm.unpersist(true)
   }
+
+  test("lineage resolveGraph: gated driver BFS equals the distributed fixpoint") {
+    // The size gate routes small per-batch graphs to a driver BFS; the
+    // two solvers must agree node-for-node, including the maxIter
+    // level cap (a node deeper than maxIter stays unresolved on BOTH
+    // paths). Random DAGs + a deep chain pin both properties.
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260818L)
+    def run(seeds: Seq[(String, String)], edges: Seq[(String, String)],
+        maxIter: Int): (Map[String, String], Map[String, String]) = {
+      val sdf = seeds.toDF("child", "tx")
+      val edf = edges.toDF("child", "parent")
+      val local = graft.near.Lineage.resolveGraph(sdf, edf, maxIter)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val dist = graft.near.Lineage
+        .resolveGraph(sdf, edf, maxIter, localEdgeLimit = 0L)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      (local, dist)
+    }
+    // random forests: every node's parent has a smaller index, so each
+    // child resolves to exactly one tx (the model's uniqueness)
+    (1 to 3).foreach { c =>
+      val n = 60
+      val roots = (0 until 6).map(i => (s"r$i", s"tx$i"))
+      val edges = (6 until n).map { i =>
+        val p = rnd.nextInt(i)
+        val pid = if (p < 6) s"r$p" else s"n$p"
+        (s"n$i", pid)
+      }
+      val (local, dist) = run(roots, edges, maxIter = 50)
+      assert(local == dist, s"case $c: ${local.size} vs ${dist.size}")
+      assert(local.size == n, s"case $c resolved ${local.size} of $n")
+    }
+    // a 30-deep chain under maxIter = 10: both paths must stop at the
+    // same horizon (10 levels below the seed)
+    val chain = (1 to 30).map(i =>
+      (s"c$i", if (i == 1) "c0" else s"c${i - 1}"))
+    val (local, dist) = run(Seq(("c0", "tx")), chain, maxIter = 10)
+    assert(local == dist)
+    assert(local.size == 11, s"horizon: ${local.size} resolved")
+  }
 }
