@@ -365,7 +365,13 @@ object PipelineQueries {
     val tf = d.select(col("doc_id"), explode(col("w")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).cast("long").as("tf"))
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    // dl = Σ tf over a doc's terms = the doc's WORD COUNT — a map-only
+    // size(w), not a second explode + (doc,term) aggregate pass over
+    // the corpus (one full token shuffle removed; split() always
+    // yields ≥1 element, so `dl ≥ 1` keeps exactly the docs that had
+    // tf rows — null-text docs drop out on both forms).
+    val dl = d.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
+      .filter(col("dl") >= 1)
     val totals = dl.agg(count(lit(1)).cast("long").as("n_docs"),
       sum(col("dl")).as("total"))
     val dfreq = tf.groupBy(col("term"))
