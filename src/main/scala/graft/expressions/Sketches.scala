@@ -228,6 +228,55 @@ object Sketches {
       copy(child = c)
   }
 
+  /** graft_bigram_stats(words): struct(n_bigrams, max_count) — the
+    * quality cascade's repetition signal. Bit-identical to the HOF
+    * form `bgs = array_sort(shingles(w, 2)); (size(bgs),
+    * aggregate(longest equal-neighbour run))`: the longest equal run
+    * of a SORTED array is the max multiplicity of any element, so a
+    * single hash-count pass over the adjacent word pairs (assembled
+    * with the concat_ws kernel, exactly the HOF's bigram strings)
+    * replaces the per-row sort + interpreted fold. Null/short inputs
+    * yield (0, 0), matching shingles()' empty-array fallback.
+    */
+  case class BigramStats(child: Expression) extends UnaryExpression
+      with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireStringArray(child, "graft_bigram_stats")
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_bigrams", LongType, nullable = false),
+      StructField("max_count", LongType, nullable = false)))
+    override def nullable: Boolean = false
+    override def eval(
+        input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val v = child.eval(input)
+      if (v == null)
+        return org.apache.spark.sql.catalyst.InternalRow(0L, 0L)
+      val arr = v.asInstanceOf[ArrayData]
+      val nw = arr.numElements()
+      if (nw < 2)
+        return org.apache.spark.sql.catalyst.InternalRow(0L, 0L)
+      val words = new Array[UTF8String](nw)
+      var wi = 0
+      while (wi < nw) {
+        if (!arr.isNullAt(wi)) words(wi) = arr.getUTF8String(wi)
+        wi += 1
+      }
+      val sep = UTF8String.fromString(" ")
+      val counts = new java.util.HashMap[UTF8String, Long]()
+      var best = 0L
+      var i = 0
+      while (i < nw - 1) {
+        val bg = UTF8String.concatWs(sep, words(i), words(i + 1))
+        val c = counts.merge(bg, 1L, (a, b) => a + b)
+        if (c > best) best = c
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.InternalRow((nw - 1).toLong, best)
+    }
+    override protected def withNewChildInternal(c: Expression): BigramStats =
+      copy(child = c)
+  }
+
   /** shingle_jaccard(wordsA, wordsB): exact Jaccard similarity of the
     * two documents' DISTINCT n-gram shingle sets. Used on LSH candidate
     * pairs only — the quadratic work never touches the full corpus.
@@ -583,6 +632,8 @@ object Sketches {
         val (a, b) = take(k, "graft_minhash_shingles")
         MinHashShingles(exprs.head, n, a, b, graft.functions.Dedup.MinhashP)
       }, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_bigram_stats",
+      exprs => BigramStats(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_shingle_set",
       exprs => ShingleSet(exprs.head,
         if (exprs.length > 1) litInt(exprs(1), "graft_shingle_set") else 3),
@@ -669,6 +720,12 @@ object Sketches {
     call_function("graft_minhash_shingles", words,
       org.apache.spark.sql.functions.lit(shingleN),
       org.apache.spark.sql.functions.lit(k))
+  }
+
+  /** Bigram repetition stats (n_bigrams, max_count) of a words array. */
+  def bigramStats(spark: SparkSession, words: Column): Column = {
+    register(spark)
+    call_function("graft_bigram_stats", words)
   }
 
   /** Distinct n-word shingles of a words array (native twin of

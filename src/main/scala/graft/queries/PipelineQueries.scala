@@ -905,8 +905,13 @@ object PipelineQueries {
     // per-row O(n log n) higher-order aggregate that keeps the whole
     // cascade a single scan with zero shuffles (the 100 TB shape: a
     // quality cascade should stream, not shuffle).
+    // Repetition stats via the native BigramStats expression: max
+    // multiplicity of any bigram == longest equal-neighbour run of the
+    // sorted bigram array (the former HOF form), in one hash-count
+    // pass instead of a per-row array_sort + interpreted fold.
     d.withColumn("w", TF.words(col("text")))
-      .withColumn("bgs", array_sort(TF.shingles(col("w"), 2)))
+      .withColumn("bst", graft.expressions.Sketches.bigramStats(
+        d.sparkSession, col("w")))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .withColumn("n_tokens", size(col("w")).cast("long"))
       .withColumn("n_punct",
@@ -914,17 +919,9 @@ object PipelineQueries {
           .cast("long"))
       .withColumn("n_stop",
         expr(s"size(filter(w, t -> t IN ($stop)))").cast("long"))
-      .withColumn("n_bigrams", size(col("bgs")).cast("long"))
-      .withColumn("max_bigram_count",
-        expr("""aggregate(
-            bgs,
-            named_struct('prev', '', 'run', 0L, 'best', 0L),
-            (acc, x) -> named_struct(
-              'prev', x,
-              'run',  IF(x = acc.prev, acc.run + 1L, 1L),
-              'best', GREATEST(acc.best, IF(x = acc.prev, acc.run + 1L, 1L))),
-            acc -> acc.best)"""))
-      .drop("w", "bgs")
+      .withColumn("n_bigrams", col("bst.n_bigrams"))
+      .withColumn("max_bigram_count", col("bst.max_count"))
+      .drop("w", "bst")
       .withColumn("too_short", col("n_tokens") < 20)          // Gopher min length
       .withColumn("high_punct", col("n_punct") * 5L > col("n_chars"))   // ratio > 0.2
       .withColumn("low_stopwords", col("n_stop") * 50L < col("n_tokens")) // ratio < 0.02
