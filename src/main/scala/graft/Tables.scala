@@ -38,7 +38,25 @@ object Tables {
     */
   private[graft] def balanced(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    if (scanPartitions(df) < p) df.repartition(p) else df
+  }
+
+  /** Scan-partition count of a freshly-loaded table, memoized per
+    * (session, parallelism): computing it via `df.rdd` plans the whole
+    * query once just to read a number that is a pure function of the
+    * file layout and split config — and the loaders run on every query
+    * construction, dozens of times per bench sweep. The memo key
+    * carries the session id (a stopped session's entry is useless but
+    * harmless — values are Ints) and the plan's file listing is
+    * re-derived per session anyway on first call.
+    */
+  private val scanParts =
+    scala.collection.concurrent.TrieMap[(String, String), Int]()
+  private def scanPartitions(df: DataFrame): Int = {
+    val s = df.sparkSession
+    val key = (System.identityHashCode(s).toString,
+      df.queryExecution.logical.toString + s.sparkContext.defaultParallelism)
+    scanParts.getOrElseUpdate(key, df.rdd.getNumPartitions)
   }
 
   /** documents/embeddings feed compute-heavy per-row pipelines
