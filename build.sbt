@@ -34,3 +34,44 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// ---- Test sharding across forked JVMs (r20 verdict #1) ----
+// The single-JVM suite outgrew the round driver's wall-clock window
+// (~30-40 min; VERIFY_r20 tests_ok:false was a TRUNCATED run, not a
+// failure). Shard the suites into forked JVMs that run CONCURRENTLY:
+// each group gets its own SparkSession (the suites share one lazy
+// session per JVM), its own stage/fixture roots (env-scoped so groups
+// can never race on write-once stages or the oracle fixture mirrors),
+// and the same JVM options as before. Suites WITHIN a group still run
+// sequentially — only the groups overlap. Wall-clock ≈ the slowest
+// group instead of the sum. SPARK_GRAFT_TEST_SHARDS=1 restores the
+// old single-JVM run (everything lands in one group).
+Test / testGrouping := {
+  val opts = (Test / javaOptions).value.toVector
+  val tests = (Test / definedTests).value
+  val shardOf: String => String =
+    if (sys.env.get("SPARK_GRAFT_TEST_SHARDS").contains("1")) _ => "all"
+    else {
+      // Measured-heavy suites get their own JVM; the rest pack into
+      // two medium groups (durations from the r21 -oD timing run).
+      case "graft.PipelineSpec"   => "pipeline"
+      case "graft.NearStreamSpec" => "nearstream"
+      case "graft.AnalyticsSpec"  => "analytics"
+      case n if n.startsWith("graft.Near") => "near"
+      case _ => "rest"
+    }
+  tests.groupBy(t => shardOf(t.name)).map { case (g, ts) =>
+    Tests.Group(g, ts.sortBy(_.name), Tests.SubProcess(ForkOptions()
+      .withRunJVMOptions(opts)
+      .withEnvVars(Map(
+        "GRAFT_STAGE_DIR" -> s"/tmp/graft_test_stage_$g",
+        "GRAFT_FIXTURE_DIR" -> s"/tmp/graft_test_fixture_$g"))))
+  }.toSeq
+}
+// sbt's default restriction runs ONE forked test group at a time;
+// allow the shards to overlap (5 groups × local[4] Spark × 8g heap
+// fits the 32-core / 128 GiB box comfortably).
+Global / concurrentRestrictions := Seq(
+  Tags.limitAll(16),
+  Tags.limit(Tags.ForkedTestGroup, 5))
+// Per-test durations in the output (balancing evidence for the shards).
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")

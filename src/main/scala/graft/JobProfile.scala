@@ -83,7 +83,9 @@ object JobProfile {
           .write.mode("overwrite").format("noop").save()
       }
       val wall = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(300) // let the listener bus drain (private API otherwise)
+      // Deterministic drain (was a sleep-race: late JobEnd events under
+      // load landed after the print / after jobs.clear() — r20 ADVICE).
+      org.apache.spark.graft.ListenerSync.drain(spark.sparkContext)
       println(f"== $tag $name wall=$wall%.3f s, ${jobs.size} jobs ==")
       val js = jobs.values.toSeq.sortBy(_.id)
       js.foreach { j =>

@@ -160,7 +160,15 @@ object Dedup {
     // checkpoint, never the upstream pipeline twice.
     val raw = pairs.select(col(aCol).cast("long").as("u"),
       col(bCol).cast("long").as("v")).localCheckpoint(true)
-    if (raw.count() <= localEdgeLimit) {
+    // Gate probe and driver-path fetch in ONE job: limit(n+1).collect
+    // on the checkpoint either returns every pair (≤ n — exactly the
+    // rows union-find needs) or proves the graph is over-gate with a
+    // bounded fetch. The former count-then-collect pair cost one whole
+    // extra job per call — pure scheduling overhead at small pair
+    // counts (the r20 q51 driver regression).
+    val cap = math.min(localEdgeLimit + 1, Int.MaxValue.toLong).toInt
+    val localPairs = raw.limit(cap).collect()
+    if (localPairs.length <= localEdgeLimit) {
       // Driver union-find (union by min root + iterative path
       // compression): canonical = min id of the component — the same
       // fixpoint the propagation loop converges to, computed in one
@@ -175,7 +183,7 @@ object Dedup {
         }
         x
       }
-      raw.collect().foreach { r =>
+      localPairs.foreach { r =>
         val (u, v) = (r.getLong(0), r.getLong(1))
         parent.getOrElseUpdate(u, u); parent.getOrElseUpdate(v, v)
         val (ru, rv) = (find(u), find(v))
@@ -190,6 +198,16 @@ object Dedup {
     val edges = raw
       .unionByName(raw.select(col("v").as("u"), col("u").as("v")))
       .distinct().localCheckpoint(true)
+    // raw's blocks are never read past this point (both the init and
+    // the loop read `edges`) — release them instead of holding a
+    // second pair-sized materialization in block-manager memory for
+    // the whole propagation (r20 ADVICE). The checkpointed frame's
+    // plan is a LogicalRDD leaf wrapping exactly the persisted RDD.
+    raw.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false)
+      case _ => ()
+    }
     // Init FUSED with the first propagation round: every node's
     // round-1 label is min(self, min neighbour), which the symmetric
     // edge list yields in the same single shuffle the identity init

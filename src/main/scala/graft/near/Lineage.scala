@@ -66,7 +66,19 @@ object Lineage {
     */
   def resolveGraph(seedMap: DataFrame, edgeSet: DataFrame,
       maxIter: Int = 50, localEdgeLimit: Long = LocalEdgeLimit): DataFrame = {
-    if (edgeSet.limit((localEdgeLimit + 1).toInt).count() <= localEdgeLimit) {
+    // Probe AND fetch in ONE job per side: `limit(n+1).collect()`
+    // either returns every row (≤ n — the rows the driver path needs
+    // anyway, so no second plan/execution of the edge pipeline; the
+    // former count-then-collect pair planned edgeSet twice per batch)
+    // or proves the graph is over-gate with a bounded ≤(n+1)-row
+    // fetch. The SEED side is gated too (r20 ADVICE: a batch with few
+    // edges but a pathologically large seed set must not collect).
+    val cap = math.min(localEdgeLimit + 1, Int.MaxValue.toLong).toInt
+    val localEdges = edgeSet.select(col("child"), col("parent")).limit(cap).collect()
+    val localSeeds =
+      if (localEdges.length > localEdgeLimit) null
+      else seedMap.select(col("child"), col("tx")).limit(cap).collect()
+    if (localSeeds != null && localSeeds.length <= localEdgeLimit) {
       // Driver BFS, level-capped at maxIter exactly like the
       // distributed rounds (a node deeper than maxIter stays
       // unresolved on BOTH paths). Seed dedup is first-wins in collect
@@ -74,7 +86,7 @@ object Lineage {
       // dropDuplicates' any-wins on every input that can occur.
       val spark = seedMap.sparkSession
       val resolved = new java.util.LinkedHashMap[String, String]()
-      seedMap.select(col("child"), col("tx")).collect().foreach { r =>
+      localSeeds.foreach { r =>
         if (!resolved.containsKey(r.getString(0)))
           resolved.put(r.getString(0), r.getString(1))
       }
@@ -82,7 +94,7 @@ object Lineage {
       // never matches), so such edges are dead on both paths; a null
       // CHILD rides through like any key, as it would in the join.
       val children = new java.util.HashMap[String, java.util.ArrayList[String]]()
-      edgeSet.select(col("child"), col("parent")).collect().foreach { r =>
+      localEdges.foreach { r =>
         if (!r.isNullAt(1))
           children.computeIfAbsent(r.getString(1),
             _ => new java.util.ArrayList[String]()).add(r.getString(0))

@@ -1354,10 +1354,25 @@ object PipelineQueries {
     */
   def q65DedupAgreement(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
-    val th = d.select(col("doc_id"), md5(col("text")).as("th"))
-    val ex = th.as("a").join(th.as("b"),
-        col("a.th") === col("b.th") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // Exact pairs from PER-HASH POSTING LISTS (q38's VernicaJoin
+    // idiom) instead of the former md5 self-join: ONE documents scan
+    // and ONE (th, doc_id) shuffle replace two scans + a join. The
+    // same clique pair set falls out of each group's sorted id list
+    // (null text → null th can never pair under the join — the
+    // isNotNull filter keeps that exactly). Like the self-join (which
+    // also lands a hash's rows in one partition), a degenerate
+    // mega-group concentrates its g·(g−1)/2 pairs — the documented
+    // q65 caution; q65b is the O(g) scale twin.
+    val ex = d.select(col("doc_id"), md5(col("text")).as("th"))
+      .filter(col("th").isNotNull)
+      .groupBy(col("th"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(sequence(1, size(ds) - 1), " +
+          "i -> transform(slice(ds, i + 1, size(ds) - i), " +
+          "d -> struct(element_at(ds, i) AS doc_a, d AS doc_b))))")).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
     val lsh = Dedup.lshNearDupPairs(s, d, "doc_id", "text",
         k = 16, bands = 4, shingleN = 3, threshold = 0.8)
       .select(col("doc_a"), col("doc_b"))
