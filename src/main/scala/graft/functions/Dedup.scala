@@ -112,16 +112,44 @@ object Dedup {
     // Candidate pairs: same (band, band_hash), a < b, distinct because
     // a pair can collide in several bands; a degenerate hot band hash
     // is bounded by the exact triangle salting (same pair set).
+    // Materialized once (pair-count-sized — dup pairs are orders of
+    // magnitude fewer than corpus rows): three consumers below (the
+    // id set + both endpoint joins).
+    // (Re-spread before the checkpoint — the r20 q53 lesson: AQE
+    // coalesces a tiny frame's last exchange to ONE partition and the
+    // checkpoint freezes that, serializing the per-pair exact-Jaccard
+    // verify stage downstream. The added exchange moves id pairs only.)
     val cand = Similarity.bucketCandidatePairs(
         banded.select(col("id").as("vec_id"), col("band"),
           col("band_hash").as("bucket")), maxBucket = 4096)
       .select(col("vec_id_a").as("doc_a"), col("vec_id_b").as("doc_b"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_a"))
+      .localCheckpoint(true)
 
-    // Verify with exact Jaccard over the distinct shingle sets — the
-    // native pair expression runs only on candidates, so the quadratic
-    // work never touches the full corpus.
-    val shA = base.select(col("id").as("doc_a"), col("w").as("w_a"))
-    val shB = base.select(col("id").as("doc_b"), col("w").as("w_b"))
+    // Verify with exact Jaccard over the distinct shingle sets,
+    // CANDIDATE-GATED (guide §8: decide with small rows, touch heavy
+    // rows once): the former endpoint joins broadcast the FULL
+    // corpus's word arrays twice (every doc's words built into two
+    // hash relations so a few thousand candidates could probe them —
+    // backwards at any scale, and two extra whole-corpus words passes
+    // besides). Instead the tiny candidate id set semi-joins the
+    // documents scan BEFORE the words projection, so the split runs
+    // only for candidate endpoints, and the candidate-sized words
+    // frame is what broadcasts into the pair join. Same w values
+    // (same words + length filter over a subset that candidates are
+    // drawn from), same pairs, same jaccard.
+    val candIds = cand.select(col("doc_a").as("cid"))
+      .unionByName(cand.select(col("doc_b").as("cid"))).distinct()
+    // (No re-spread here: candWords only ever feeds BROADCAST builds,
+    // which collect all partitions regardless of layout.)
+    val candWords = docs
+      .join(candIds, col(idCol).cast("long") === col("cid"), "left_semi")
+      .select(col(idCol).cast("long").as("id"),
+        words(col(textCol)).as("w"))
+      .filter(size(col("w")) >= shingleN)
+      .localCheckpoint(true)
+    val shA = candWords.select(col("id").as("doc_a"), col("w").as("w_a"))
+    val shB = candWords.select(col("id").as("doc_b"), col("w").as("w_b"))
     cand.join(shA, "doc_a").join(shB, "doc_b")
       .withColumn("jaccard", round(
         graft.expressions.Sketches.shingleJaccard(spark, col("w_a"), col("w_b"),

@@ -1226,9 +1226,23 @@ object PipelineQueries {
     * poison the stage, every later read failing until a manual rm, so
     * throw and let the next call rebuild).
     */
+  /** Per-session memo of ATTACHED stage relations (same rationale as
+    * [[Tables.load]]'s memo): a composed entry re-attaches the same
+    * write-once artifact several times per construction — each attach
+    * a footer job + listing + marker checks. A stage is immutable once
+    * its marker exists and the memo key embeds the input-identity tag
+    * ([[stageTag]]), so a memoized attach can never serve stale data;
+    * the artifact's rows are still scanned from parquet per execution.
+    */
+  private val stageAttach = new graft.SessionCache[
+    scala.collection.concurrent.TrieMap[String, DataFrame]]()
+
   private[graft] def writeOnceStage(s: SparkSession, stage: String,
       dataDir: String, build: => DataFrame,
-      partitionBy: Seq[String] = Nil): DataFrame = {
+      partitionBy: Seq[String] = Nil): DataFrame =
+    stageAttach.get(s,
+        _ => scala.collection.concurrent.TrieMap.empty[String, DataFrame])
+      .getOrElseUpdate(s"$stage/$dataDir", {
     val dst = new org.apache.hadoop.fs.Path(s"$stage/$dataDir")
     val fs = dst.getFileSystem(s.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(s"$stage/_staged")
@@ -1245,7 +1259,7 @@ object PipelineQueries {
       fs.create(marker, true).close()
     }
     s.read.parquet(dst.toString)
-  }
+  })
 
   /** BUCKETED write-once stage — the same marker-after-data protocol
     * as [[writeOnceStage]], but the data is written via
@@ -1355,19 +1369,26 @@ object PipelineQueries {
   def q65DedupAgreement(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
     // Exact pairs from PER-HASH POSTING LISTS (q38's VernicaJoin
-    // idiom) instead of the former md5 self-join: ONE documents scan
-    // and ONE (th, doc_id) shuffle replace two scans + a join. The
-    // same clique pair set falls out of each group's sorted id list
-    // (null text → null th can never pair under the join — the
-    // isNotNull filter keeps that exactly). Like the self-join (which
-    // also lands a hash's rows in one partition), a degenerate
-    // mega-group concentrates its g·(g−1)/2 pairs — the documented
-    // q65 caution; q65b is the O(g) scale twin.
-    val ex = d.select(col("doc_id"), md5(col("text")).as("th"))
+    // shape, including its df-prune discipline) instead of the former
+    // md5 self-join, which built the WHOLE corpus's (th → ids) into a
+    // broadcast hash relation — a corpus-sized broadcast is an 8 GB /
+    // 512M-row hard wall at scale. Two phases, like q38's rare-key
+    // prune: a codegen'd count aggregate finds the duplicated hashes
+    // (map-side combined; never buffers a list), then ONLY rows of
+    // duplicated hashes — dup rows, orders of magnitude fewer than
+    // the corpus — are grouped into sorted posting lists and exploded
+    // into the clique pairs. A one-phase variant (collect_list over
+    // every hash) measured ~1.5 s slower at sf0.1: the full-corpus
+    // ObjectHashAggregate is exactly what the count-first prune
+    // avoids. Same pair set as the join: null text → null th never
+    // pairs (isNotNull), sorted lists emit each (a<b) pair once.
+    val th = d.select(col("doc_id"), md5(col("text")).as("th"))
       .filter(col("th").isNotNull)
+    val dupTh = th.groupBy(col("th")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select(col("th"))
+    val ex = th.join(dupTh, Seq("th"), "left_semi")
       .groupBy(col("th"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) >= 2)
       .select(explode(expr(
         "flatten(transform(sequence(1, size(ds) - 1), " +
           "i -> transform(slice(ds, i + 1, size(ds) - i), " +
@@ -2128,8 +2149,22 @@ object PipelineQueries {
     * back instead of re-sampling the corpus. Makes "frozen centroids"
     * literal: a re-run reads the artifact, it does not re-derive it.
     */
+  /** Per-session memo of the COLLECTED codebooks: an entry like q55c
+    * attaches the same ≤ m·k-row books artifact several times per
+    * construction (q82's quantizer, q82b's residual books, the shared
+    * coarse centroids), each attach a separate collect job. The books
+    * are immutable once staged (write-once + input-identity key), so
+    * one collect per session serves every consumer; a fresh session
+    * (every isolated bench child) still pays exactly one attach.
+    */
+  private val codebookCache = new graft.SessionCache[
+    scala.collection.concurrent.TrieMap[String, Array[Array[Array[Long]]]]]()
+
   private def stagedCodebooks(s: SparkSession, stage: String,
-      train: => Array[Array[Array[Long]]]): Array[Array[Array[Long]]] = {
+      train: => Array[Array[Array[Long]]]): Array[Array[Array[Long]]] =
+    codebookCache.get(s, _ => scala.collection.concurrent.TrieMap
+        .empty[String, Array[Array[Array[Long]]]])
+      .getOrElseUpdate(stage, {
     import s.implicits._
     val df = writeOnceStage(s, stage, "books", {
       train.zipWithIndex.flatMap { case (cells, j) =>
@@ -2142,7 +2177,7 @@ object PipelineQueries {
       rows.filter(_.getInt(0) == j).sortBy(_.getInt(1))
         .map(_.getSeq[Long](2).toArray)
     }
-  }
+  })
 
   /** PRODUCT-QUANTIZED ANN (q81) — the deep end of the compression
     * axis (q29/q77's int8 is 8× smaller; PQ is 64×): the 64-dim
